@@ -1,0 +1,48 @@
+"""Table loaders for the driver's synthetic datasets (TESTDATA.md).
+
+``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS); with
+``spark.sql.legacy.parquet.nanosAsLong=true`` Spark surfaces it as a
+long of nanoseconds. ``load_table`` normalizes it back to a proper
+TimestampType (µs precision — identical truncation to what DuckDB and
+pandas apply), so every operator downstream sees a clean schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # normalize any nanos-as-long timestamp columns back to TimestampType
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,110 @@
+"""Golden tests for the scalar-function layer (SURVEY.md §2.8 X1-X5).
+
+FNV-1a vectors are the public test vectors of the algorithm; the ULID
+vector is the canonical example from the ULID spec.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.functions import (
+    UlidGenerator,
+    calc_partition,
+    fnv1a_32,
+    fnv1a_32_py,
+    split_predicate,
+    ulid_millis,
+    ulid_random,
+    ulid_time_only,
+    ulid_time_only_py,
+    ulid_timestamp,
+)
+from eventsourcing_spark.functions.ulid import ulid_millis_py
+
+# public FNV-1a 32-bit vectors (before sign-bit clearing)
+FNV_VECTORS = {
+    "": 0x811C9DC5,
+    "a": 0xE40C292C,
+    "foobar": 0xBF9CF968,
+    "hello": 0x4F9F2CAB,
+}
+
+
+def test_fnv1a_py_golden():
+    for s, want in FNV_VECTORS.items():
+        assert fnv1a_32_py(s) == want & 0x7FFFFFFF, s
+
+
+def test_fnv1a_column_matches_py(spark):
+    strs = list(FNV_VECTORS) + ["01ARZ3NDEKTSV4RRFFQ69G5FAV", "Account", "abc-123"]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    rows = df.select("s", fnv1a_32("s").alias("h")).collect()
+    for r in rows:
+        assert r.h == fnv1a_32_py(r.s), r.s
+
+
+def test_calc_partition(spark):
+    df = spark.range(1).select(
+        calc_partition(F.lit(7), 3).alias("a"),
+        calc_partition(F.lit(7), 1).alias("b"),
+        calc_partition(F.lit(12), 12).alias("c"),
+    )
+    row = df.first()
+    assert (row.a, row.b, row.c) == (2, 1, 1)
+
+
+def test_split_predicate(spark):
+    df = spark.range(10).select(F.col("id").cast("int").alias("h"))
+    got = df.filter(split_predicate("h", 4, [0, 2])).count()
+    assert got == 5  # h mod 4 ∈ {0,2} over 0..9 → {0,2,4,6,8}
+    # all-splits-selected shortcut keeps everything
+    assert df.filter(split_predicate("h", 4, [0, 1, 2, 3])).count() == 10
+
+
+# canonical ULID spec example; time part decodes to 2016-07-30T23:54:10.259Z
+SPEC_ULID = "01ARZ3NDEKTSV4RRFFQ69G5FAV"
+SPEC_MS = 1469922850259
+
+
+def test_ulid_millis_py_golden():
+    assert ulid_millis_py(SPEC_ULID) == SPEC_MS
+
+
+def test_ulid_column_roundtrip(spark):
+    t = datetime(2024, 5, 1, 12, 0, 0, 123000, tzinfo=timezone.utc)
+    df = spark.createDataFrame([(SPEC_ULID, t)], "id string, ts timestamp")
+    row = df.select(
+        ulid_millis("id").alias("ms"),
+        ulid_timestamp("id").alias("et"),
+        ulid_time_only("ts").alias("boundary"),
+        ulid_random("ts").alias("rand_id"),
+    ).first()
+    assert row.ms == SPEC_MS
+    assert row.et == datetime.utcfromtimestamp(SPEC_MS / 1000)
+    assert row.boundary == ulid_time_only_py(t)
+    assert len(row.boundary) == 26
+    assert len(row.rand_id) == 26
+    # embedded time of generated ID round-trips
+    assert ulid_millis_py(row.rand_id) == int(t.timestamp() * 1000)
+    # boundary sorts before any real id of the same ms
+    assert row.boundary < row.rand_id or row.rand_id[10:] == "0" * 16
+
+
+def test_ulid_generator_monotonic():
+    fixed = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    gen = UlidGenerator(after=fixed, now_fn=lambda: fixed)
+    ids = [gen.new_id() for _ in range(1000)]
+    assert ids == sorted(ids)
+    assert len(set(ids)) == 1000
+    # all at base+1ms (clock frozen): monotonic within a single millisecond
+    assert ulid_millis_py(ids[0]) == int(fixed.timestamp() * 1000) + 1
+
+
+def test_ulid_generator_after_plus_1ms():
+    base = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    earlier = datetime(2024, 4, 30, tzinfo=timezone.utc)
+    gen = UlidGenerator(after=base, now_fn=lambda: earlier)  # clock skew: now < after
+    assert ulid_millis_py(gen.new_id()) == int(base.timestamp() * 1000) + 1
