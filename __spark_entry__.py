@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (snapshot-style latest state +
+rehydration fold per stream) at sf0.001. ``queries()`` /
+``oracle_sql()`` expose the full operator registry
+(eventsourcing_spark.queries + pipeline.queries) for the DuckDB
+correctness gate.
 """
 
 from __future__ import annotations
@@ -12,27 +12,44 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import eventsourcing_spark.pipeline.queries  # noqa: F401 — registers pipeline ops
+from eventsourcing_spark.queries import ORACLE_SQL, SPARK_QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-stream account state = latest event (S5) + fold (A1)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.queries import DEC
+
+    ev = load_table(spark, SF0001, "events")
+    delta = (
+        F.when(F.col("event_type") == "purchase", F.col("value").cast(DEC))
+        .when(F.col("event_type") == "error", -F.col("value").cast(DEC))
+        .otherwise(F.lit(0).cast(DEC))
+    )
+    return ev.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.count("*").alias("n_events"),
+        F.sum(delta).cast("double").alias("balance"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {name: wrap(fn) for name, fn in SPARK_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

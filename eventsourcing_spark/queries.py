@@ -1,0 +1,702 @@
+"""Operator-coverage query registry: SURVEY.md §2 mapped to the driver tables.
+
+Every entry pairs a Spark DataFrame implementation with a DuckDB oracle
+SQL string over the same parquet views. The driver compares row count +
+schema + order-insensitive value hash, so:
+
+* every computed column is aliased identically on both sides;
+* monetary aggregates are summed as ``decimal(18,2)`` (exact — the
+  synthetic data is 2-decimal) and cast to double at the end, so
+  Spark's parallel partial aggregation and DuckDB's sequential sum
+  cannot diverge in floating point;
+* similarity scores use quantized-integer dot products (exact in both
+  engines) instead of float cosine;
+* timestamps are emitted as epoch milliseconds (bigint) to sidestep
+  timezone/dtype mismatches.
+
+Scale notes are inline: each query is written the way it should run on
+a 1000-executor cluster (broadcast the small side, aggregate before
+join where legal, LSH banding instead of all-pairs, etc.).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.functions import calc_partition, split_predicate
+from eventsourcing_spark.io import load_table
+
+DEC = "decimal(18,2)"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _dec(c) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# S2 — by-stream scan (store/postgresql/store.go:423-444): all events of one
+# aggregate in fold order. Filter + orderBy; pushdown reaches the parquet scan.
+# ---------------------------------------------------------------------------
+@query(
+    "s2_stream_scan",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id = (SELECT min(user_id) FROM events)
+    ORDER BY event_id
+    """,
+)
+def s2_stream_scan(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    target = ev.agg(F.min("user_id").alias("uid"))
+    return (
+        ev.join(F.broadcast(target), ev.user_id == target.uid)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3 — global keyset range scan (store/postgresql/store.go:497-518):
+# (after, until] on the monotonic id + LIMIT batch.
+# ---------------------------------------------------------------------------
+@query(
+    "s3_range_scan",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id > (SELECT min(event_id) + 100 FROM events)
+      AND event_id <= (SELECT min(event_id) + 1100 FROM events)
+    ORDER BY event_id
+    LIMIT 500
+    """,
+)
+def s3_range_scan(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        (F.min("event_id") + 100).alias("after"),
+        (F.min("event_id") + 1100).alias("until"),
+    )
+    return (
+        ev.join(
+            F.broadcast(bounds),
+            (ev.event_id > F.col("after")) & (ev.event_id <= F.col("until")),
+        )
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4 — point-set scan by raw IDs (store/postgresql/store.go:665-674).
+# IN-list stays a pushed-down parquet filter; for huge lists use a
+# broadcast semi-join instead (J1 shows that shape).
+# ---------------------------------------------------------------------------
+_S4_IDS = [i * 7 for i in range(100)]
+
+@query(
+    "s4_point_lookup",
+    f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id IN ({", ".join(map(str, _S4_IDS))})
+    ORDER BY event_id
+    """,
+)
+def s4_point_lookup(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_id").isin(_S4_IDS))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5/A3/W1 — latest snapshot per stream (store/postgresql/store.go:295-323):
+# argmax by id per aggregate. max_by = single shuffle with partial
+# aggregation — strictly better than the window+filter formulation at scale.
+# ---------------------------------------------------------------------------
+@query(
+    "s5_latest_snapshot",
+    """
+    SELECT user_id,
+           max(event_id) AS last_event_id,
+           arg_max(event_type, event_id) AS last_event_type,
+           arg_max(value, event_id) AS last_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def s5_latest_snapshot(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — aggregate rehydration fold (eventstore.go:279-300). The per-kind
+# handler fold compiles to a conditional aggregate — one shuffle, fully
+# JVM-side, instead of a per-key imperative loop.
+# ---------------------------------------------------------------------------
+@query(
+    "a1_fold_balance",
+    f"""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS {DEC})
+                         WHEN event_type = 'error' THEN -CAST(value AS {DEC})
+                         ELSE CAST(0 AS {DEC}) END) AS DOUBLE) AS balance,
+           count(*) AS n_events,
+           max(event_id) AS last_event_id
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a1_fold_balance(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    delta = (
+        F.when(F.col("event_type") == "purchase", _dec("value"))
+        .when(F.col("event_type") == "error", -_dec("value"))
+        .otherwise(F.lit(0).cast(DEC))
+    )
+    return ev.groupBy("user_id").agg(
+        F.sum(delta).cast("double").alias("balance"),
+        F.count("*").alias("n_events"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/W2 — dense version numbering per stream (store/postgresql/store.go:195-197):
+# row_number over (aggregate order by id).
+# ---------------------------------------------------------------------------
+@query(
+    "a4_version_numbers",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+             AS aggregate_version
+    FROM events
+    WHERE user_id < 20
+    """,
+)
+def a4_version_numbers(spark, sf_dir):
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("aggregate_version"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — distinct streams enumeration (store/postgresql/projection_migration.go:182-220)
+# ---------------------------------------------------------------------------
+@query(
+    "a5_distinct_streams",
+    "SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'",
+)
+def a5_distinct_streams(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+
+
+# ---------------------------------------------------------------------------
+# F1 — kind filter (store/store.go:75-82) + value predicate; both push to scan.
+# ---------------------------------------------------------------------------
+@query(
+    "f1_kind_filter",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup') AND value > 50
+    """,
+)
+def f1_kind_filter(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.filter(
+        F.col("event_type").isin("purchase", "signup") & (F.col("value") > 50)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# F2/F4 — discriminator filter (store/postgresql/store.go:555-577): predicate
+# over a payload attribute ("props" plays the discriminator document).
+# ---------------------------------------------------------------------------
+@query(
+    "f2_discriminator_filter",
+    f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) BETWEEN 10 AND 19
+    GROUP BY event_type
+    """,
+)
+def f2_discriminator_filter(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    k = F.regexp_extract("props", "[0-9]+", 0).cast("long")
+    return (
+        ev.filter(k.between(10, 19))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — split/partition predicate (store/postgresql/store.go:536-548):
+# MOD(hash, splits) IN (...). user_id stands in for aggregate_id_hash.
+# ---------------------------------------------------------------------------
+@query(
+    "f3_split_scan",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE user_id % 8 IN (0, 3, 5)
+    GROUP BY event_type
+    """,
+)
+def f3_split_scan(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(split_predicate(F.col("user_id"), 8, [0, 3, 5]))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — running state within a stream (running balance; SURVEY §2.5 W2).
+# Sequential window sum over exact decimals — deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "w2_running_balance",
+    f"""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS {DEC})) OVER (
+                 PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+)
+def w2_running_balance(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — monotonic-ID gap analysis (projection/checkpoints.go:75-91 analog):
+# lag() per stream.
+# ---------------------------------------------------------------------------
+@query(
+    "w3_gap_stats",
+    """
+    SELECT user_id, max(gap) AS max_gap, count(*) AS n_gaps
+    FROM (
+        SELECT user_id,
+               event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS gap
+        FROM events
+    )
+    WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def w3_gap_stats(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gaps = ev.select(
+        "user_id", (F.col("event_id") - F.lag("event_id").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.max("gap").alias("max_gap"), F.count("*").alias("n_gaps")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — order + limit (top-k). TakeOrderedAndProject: no global sort at scale.
+# Deterministic tie-break on event_id.
+# ---------------------------------------------------------------------------
+@query(
+    "o1_topk_events",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100
+    """,
+)
+def o1_topk_events(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — outbox ⋈ events on id (store/postgresql/outbox.go:49-66): broadcast
+# hash join driven from the tiny pending-IDs side.
+# ---------------------------------------------------------------------------
+@query(
+    "j1_outbox_join",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, e.value
+    FROM events e
+    JOIN (SELECT event_id FROM events WHERE event_id % 101 = 0) o
+      USING (event_id)
+    """,
+)
+def j1_outbox_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    outbox = ev.filter(F.col("event_id") % 101 == 0).select("event_id")
+    return ev.join(F.broadcast(outbox), "event_id", "inner").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — snapshot ⋈ events rehydration (eventstore.go:249-300): latest snapshot
+# per stream + only the events after it, as one set-oriented query.
+# ---------------------------------------------------------------------------
+@query(
+    "j2_snapshot_rehydrate",
+    f"""
+    WITH bounds AS (
+        SELECT CAST(floor((min(event_id) + max(event_id)) / 2) AS BIGINT) AS cutoff
+        FROM events
+    ),
+    snap AS (
+        SELECT user_id, max(event_id) AS snap_id
+        FROM events, bounds
+        WHERE event_id <= cutoff
+        GROUP BY user_id
+    ),
+    streams AS (SELECT DISTINCT user_id FROM events)
+    SELECT s.user_id,
+           sn.snap_id,
+           count(e.event_id) AS n_after,
+           CAST(coalesce(sum(CAST(e.value AS {DEC})), CAST(0 AS {DEC})) AS DOUBLE)
+             AS value_after
+    FROM streams s
+    LEFT JOIN snap sn ON s.user_id = sn.user_id
+    LEFT JOIN events e
+      ON e.user_id = s.user_id AND e.event_id > coalesce(sn.snap_id, -1)
+    GROUP BY s.user_id, sn.snap_id
+    """,
+)
+def j2_snapshot_rehydrate(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.floor((F.min("event_id") + F.max("event_id")) / 2)
+        .cast("long")
+        .alias("cutoff")
+    )
+    with_cut = ev.join(F.broadcast(bounds))
+    snap = (
+        with_cut.filter(F.col("event_id") <= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("snap_id"))
+    )
+    streams = ev.select("user_id").distinct()
+    base = streams.join(snap, "user_id", "left")
+    joined = base.join(
+        ev.alias("e"),
+        (F.col("e.user_id") == base.user_id)
+        & (F.col("e.event_id") > F.coalesce(F.col("snap_id"), F.lit(-1))),
+        "left",
+    )
+    return joined.groupBy(base.user_id, "snap_id").agg(
+        F.count("e.event_id").alias("n_after"),
+        F.coalesce(F.sum(_dec("e.value")), F.lit(0).cast(DEC))
+        .cast("double")
+        .alias("value_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — candidate-stream semi-join (store/postgresql/events_migration.go:69-87):
+# all events of streams that contain a marker event.
+# ---------------------------------------------------------------------------
+@query(
+    "j3_candidate_semijoin",
+    f"""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id IN (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'error' AND value > 150
+    )
+    GROUP BY user_id
+    """,
+)
+def j3_candidate_semijoin(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    candidates = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 150)
+    ).select("user_id")
+    return (
+        ev.join(F.broadcast(candidates.distinct()), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 — checkpoint rejection as anti-join (projection/checkpoints.go:58-92):
+# overlap window arrives twice; processed IDs are rejected exactly once.
+# ---------------------------------------------------------------------------
+@query(
+    "c2_checkpoint_antijoin",
+    """
+    WITH bounds AS (
+        SELECT CAST(floor((min(event_id) + max(event_id)) / 2) AS BIGINT) AS cutoff
+        FROM events
+    )
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e, bounds b
+    WHERE e.event_id > b.cutoff - 1000
+      AND NOT EXISTS (
+          SELECT 1 FROM events p, bounds b2
+          WHERE p.event_id = e.event_id AND p.event_id <= b2.cutoff
+      )
+    """,
+)
+def c2_checkpoint_antijoin(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.floor((F.min("event_id") + F.max("event_id")) / 2)
+        .cast("long")
+        .alias("cutoff")
+    )
+    with_cut = ev.join(F.broadcast(bounds))
+    incoming = with_cut.filter(F.col("event_id") > F.col("cutoff") - 1000)
+    processed = with_cut.filter(F.col("event_id") <= F.col("cutoff")).select(
+        "event_id"
+    )
+    return incoming.join(processed, "event_id", "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based sessions per stream (streaming analytic over the
+# same table; watermark analog of SURVEY §2.9 C4). 30-minute inactivity gap.
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize_events",
+    """
+    WITH marked AS (
+        SELECT user_id,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                         OR lag(epoch_ms(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM marked
+    GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    new_session = F.when(
+        (ms - F.lag(ms).over(w) > 1800000) | F.lag(ms).over(w).isNull(), 1
+    ).otherwise(0)
+    marked = ev.select("user_id", new_session.alias("new_session"))
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational coverage: the engine inherits full SQL from Spark;
+# these prove joins/aggregations at bench scale.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))
+                    * (1 + CAST(l_tax AS {DEC}))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
+           CAST(CAST(sum(CAST(l_discount AS {DEC})) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount")
+    tax = _dec("l_tax")
+    qty = _dec("l_quantity")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE)
+             AS revenue,
+           epoch_ms(o_orderdate) AS orderdate_ms
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            # parquet TIMESTAMP(ms) surfaces as TIMESTAMP_NTZ; session tz is
+            # UTC so the cast is value-preserving and matches DuckDB epoch_ms
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_ms"
+            ),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    # dims (nation⋈region, supplier) broadcast; facts join on keys
+    nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nr), supp.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
