@@ -1,0 +1,145 @@
+"""M2 — in-place copy-replace migration (store/postgresql/events_migration.go:18-206).
+
+Per affected stream the reference: appends an ``Invalidated`` guard
+event (optimistic-lock: any concurrent writer's version collides),
+marks the old generation ``migration = rev``, deletes the stream's
+snapshots, then appends the transformed events with ``migrated = true``
+— versions continuing after the guard. Old rows stay on disk but
+vanish from every normal read via the standing F8 filter.
+
+Spark-first: the reference loops one stream at a time
+(events_migration.go:69-87 correlated subquery, LIMIT 1); here ALL
+candidate streams migrate in one job. The reference's MigrationHandler
+is literally UDTF-shaped — one stream in, N events out
+(eventstore.go:133-135) — so it runs as an ``applyInPandas``
+grouped-map: shuffle once on aggregate_id, transform every stream in
+parallel, no driver involvement.
+
+Golden acceptance: test/pg/store_test.go:484-633 — a 4-event stream
+becomes 9 rows (v1-4 migration=rev, v5 Invalidated, v6-9 migrated
+``_V2`` bodies).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.functions.ulid import UlidGenerator
+from eventsourcing_spark.maintenance.rewrite import overwrite_dir
+from eventsourcing_spark.schema import EVENT_SCHEMA
+from eventsourcing_spark.store.event_store import EventStore
+
+KIND_INVALIDATED = "Invalidated"  # eventstore.go:17
+
+# MigrationHandler (eventstore.go:133-135): [(kind, body), ...] -> same
+MigrationHandler = Callable[[list[tuple[str, dict]]], list[tuple[str, dict]]]
+
+
+def migrate_in_place(
+    store: EventStore,
+    revision: int,
+    aggregate_kind: str,
+    target_kinds: tuple[str, ...],
+    handler: MigrationHandler,
+    new_aggregate_kind: str | None = None,
+    now: datetime | None = None,
+) -> int:
+    """Copy-replace migrate every stream of ``aggregate_kind`` whose
+    history contains any of ``target_kinds``. Returns #streams migrated.
+    """
+    now = now or datetime.now(timezone.utc)
+    new_kind = new_aggregate_kind or aggregate_kind
+    created_naive = now.replace(tzinfo=None)
+
+    events = store.events()
+    # candidate streams: history contains a target kind (J3 semi-join)
+    candidates = (
+        events.filter(
+            (F.col("aggregate_kind") == aggregate_kind)
+            & F.col("kind").isin(list(target_kinds))
+        )
+        .select("aggregate_id")
+        .distinct()
+    )
+    streams = events.join(candidates, "aggregate_id", "left_semi").select(
+        "aggregate_id",
+        "aggregate_id_hash",
+        "aggregate_version",
+        "kind",
+        "body",
+        "discriminator",
+    )
+
+    def transform(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("aggregate_version")
+        agg_id = pdf.iloc[0].aggregate_id
+        hash_ = int(pdf.iloc[0].aggregate_id_hash)
+        disc = dict(pdf.iloc[0].discriminator or {})
+        version = int(pdf.aggregate_version.max())
+        gen = UlidGenerator(after=now, now_fn=lambda: now)
+
+        rows = []
+        # guard event — blocks concurrent writers via the version-unique
+        # constraint (events_migration.go:96-110)
+        version += 1
+        rows.append(
+            (gen.new_id(), agg_id, hash_, version, aggregate_kind,
+             KIND_INVALIDATED, b"{}", created_naive, 0, False, disc)
+        )
+        old = [
+            (r.kind, json.loads(bytes(r.body).decode())) for r in pdf.itertuples()
+        ]
+        for kind, body in handler(old):
+            version += 1
+            rows.append(
+                (gen.new_id(), agg_id, hash_, version, new_kind, kind,
+                 json.dumps(body, separators=(",", ":")).encode(),
+                 created_naive, 0, True, disc)
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in EVENT_SCHEMA.fields])
+
+    new_gen = streams.groupBy("aggregate_id").applyInPandas(transform, EVENT_SCHEMA)
+    # cut lineage: everything below must NOT recompute from the events dir
+    # once it is swapped (localCheckpoint → reliable checkpoint on a cluster)
+    new_gen = new_gen.localCheckpoint(eager=True)
+    candidates = candidates.localCheckpoint(eager=True)
+    n_streams = new_gen.filter(F.col("kind") == KIND_INVALIDATED).count()
+    if n_streams == 0:
+        return 0
+
+    # delete the streams' snapshots BEFORE the events swap (the source
+    # predicate reads the old events dir; events_migration.go:129-134)
+    snaps = store.snapshots()
+    if snaps.limit(1).count():
+        remaining = snaps.join(candidates, "aggregate_id", "left_anti")
+        overwrite_dir(remaining, store._snapshots_dir)
+
+    # 1) UPDATE old generation: migration = rev WHERE migration = 0
+    #    (events_migration.go:123-127) — left-semi against candidates
+    marked = (
+        store.events_raw()
+        .join(
+            candidates.withColumnRenamed("aggregate_id", "_mig_id"),
+            F.col("aggregate_id") == F.col("_mig_id"),
+            "left",
+        )
+        .withColumn(
+            "migration",
+            F.when(
+                F.col("_mig_id").isNotNull() & (F.col("migration") == 0),
+                F.lit(revision),
+            ).otherwise(F.col("migration")),
+        )
+        .drop("_mig_id")
+    )
+    combined = marked.unionByName(new_gen).withColumn(
+        "bucket", F.pmod(F.col("aggregate_id_hash"), F.lit(store.n_buckets))
+    )
+    overwrite_dir(combined, store._events_dir, partition_by=["bucket"])
+    return n_streams

@@ -23,6 +23,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
 
+    # Executor python workers must be able to import this package for
+    # pickled UDFs (applyInPandas folds, scrubbers) regardless of the
+    # driver script's cwd. Local mode: workers inherit the driver env →
+    # extend PYTHONPATH before the JVM starts. Cluster mode: ship a zip
+    # via spark.submit.pyFiles instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -215,11 +215,20 @@ class EventStore:
             return "", expected_version
         discriminator = self._restrict_disc(discriminator)
         created_at = created_at or datetime.now(timezone.utc)
-        gen = UlidGenerator(after=created_at, now_fn=lambda: created_at)
         agg_hash = fnv1a_32_py(aggregate_id)
 
         versions = [expected_version + 1 + i for i in range(len(events))]
-        self._check_conflicts(aggregate_id, versions)
+        last_existing = self._check_conflicts(aggregate_id, versions)
+        # per-aggregate ID monotonicity across saves (README.md:389-399):
+        # never generate at or before the stream's last ID's millisecond,
+        # even under clock skew / equal created_at
+        base = created_at
+        if last_existing:
+            from eventsourcing_spark.functions.ulid import ulid_millis_py
+
+            last_ms = ulid_millis_py(last_existing)
+            base = max(base, datetime.fromtimestamp(last_ms / 1000, tz=timezone.utc))
+        gen = UlidGenerator(after=base, now_fn=lambda: base)
 
         rows = []
         last_id = ""
@@ -283,22 +292,27 @@ class EventStore:
             if k in self.allowed_discriminator_keys
         }
 
-    def _check_conflicts(self, aggregate_id: str, versions: list[int]) -> None:
+    def _check_conflicts(self, aggregate_id: str, versions: list[int]) -> str | None:
+        """Single stream-scan: conflict detection + last existing id.
+        Returns the stream's max id (or None); raises on version clash."""
         if not self._exists(self._events_dir):
-            return
-        clash = (
+            return None
+        row = (
             self.events_raw()
-            .filter(
-                (F.col("aggregate_id") == aggregate_id)
-                & F.col("aggregate_version").isin(versions)
+            .filter(F.col("aggregate_id") == aggregate_id)
+            .agg(
+                F.max("id").alias("last_id"),
+                F.sum(
+                    F.when(F.col("aggregate_version").isin(versions), 1).otherwise(0)
+                ).alias("clashes"),
             )
-            .limit(1)
-            .count()
+            .first()
         )
-        if clash:
+        if row and row.clashes:
             raise ConcurrentModificationError(
                 f"{aggregate_id}: version(s) {versions} already exist"
             )
+        return row.last_id if row else None
 
     def _append_rows(self, rows: list[tuple]) -> None:
         df = self.spark.createDataFrame(rows, EVENT_SCHEMA)

@@ -1,0 +1,223 @@
+"""M1 forget + M2 copy-replace migration golden tests
+(test/pg/store_test.go:373-482, 484-633) and compaction.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.maintenance import compact_events, forget, migrate_in_place
+from eventsourcing_spark.maintenance.migration import KIND_INVALIDATED
+from eventsourcing_spark.store import EventStore
+from eventsourcing_spark.store.codec import JsonCodec
+
+from tests.account import (
+    KIND_CREATED,
+    KIND_DEPOSITED,
+    KIND_OWNER_UPDATED,
+    KIND_WITHDRAWN,
+)
+
+T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+T1 = T0 + timedelta(hours=1)
+
+
+def test_forget_golden(spark, tmp_path):
+    """Bodies scrubbed (owner blanked) in events + snapshots; counts and
+    all other fields intact (test/pg/store_test.go:373-482)."""
+    store = EventStore(spark, str(tmp_path / "fg"))
+    last_id, _ = store.append(
+        "acc-f", "Account",
+        [
+            (KIND_CREATED, {"money": 100, "owner": "Paulo"}),
+            (KIND_OWNER_UPDATED, {"owner": "Paulo Quintans"}),
+            (KIND_OWNER_UPDATED, {"owner": "Paulo Quintans Pereira"}),
+        ],
+        expected_version=0, created_at=T0,
+    )
+    store.save_snapshot(
+        last_id, "acc-f", 3, "Account",
+        {"status": "OPEN", "balance": 100, "owner": "Paulo Quintans Pereira"},
+        created_at=T0,
+    )
+    # an unrelated stream must be untouched
+    store.append(
+        "acc-other", "Account",
+        [(KIND_CREATED, {"money": 5, "owner": "Keep"})],
+        expected_version=0, created_at=T0,
+    )
+
+    before = {r.id: r for r in store.events().collect()}
+
+    forget(
+        store,
+        "acc-f",
+        kinds=(KIND_OWNER_UPDATED,),
+        event_scrubber=lambda kind, body: {**body, "owner": ""},
+    )
+
+    after = {r.id: r for r in store.events().collect()}
+    assert set(before) == set(after)  # no rows added/removed
+    for rid, row in after.items():
+        old = before[rid]
+        assert (row.aggregate_id, row.aggregate_version, row.kind) == (
+            old.aggregate_id, old.aggregate_version, old.kind,
+        )
+        body = json.loads(bytes(row.body))
+        if row.aggregate_id == "acc-f" and row.kind == KIND_OWNER_UPDATED:
+            assert body["owner"] == ""
+        else:
+            assert bytes(row.body) == bytes(old.body), rid
+
+    snap_body = json.loads(bytes(store.get_snapshot("acc-f").first().body))
+    assert snap_body["owner"] == ""
+    assert snap_body["balance"] == 100
+
+
+def split_owner(owner: str) -> dict:
+    first, _, last = owner.partition(" ")
+    return {"firstName": first, "lastName": last}
+
+
+def migration_handler(events):
+    """AccountCreated/OwnerUpdated → _V2 with structured owner
+    (test/aggregatev2.go:66-116 upcaster semantics)."""
+    out = []
+    for kind, body in events:
+        if kind == KIND_CREATED:
+            out.append(
+                (KIND_CREATED + "_V2",
+                 {"money": body["money"], "owner": split_owner(body["owner"])})
+            )
+        elif kind == KIND_OWNER_UPDATED:
+            out.append(
+                (KIND_OWNER_UPDATED + "_V2", {"owner": split_owner(body["owner"])})
+            )
+        else:
+            out.append((kind, body))
+    return out
+
+
+def test_migration_copy_replace_golden(spark, tmp_path):
+    """4-event stream → 9 rows: v1-4 migration=1, v5 Invalidated,
+    v6-9 migrated _V2 (test/pg/store_test.go:484-633)."""
+    store = EventStore(spark, str(tmp_path / "mg"))
+    last_id, _ = store.append(
+        "acc-m", "Account",
+        [
+            (KIND_CREATED, {"money": 100, "owner": "Paulo Pereira"}),
+            (KIND_DEPOSITED, {"money": 20}),
+            (KIND_WITHDRAWN, {"money": 15}),
+            (KIND_OWNER_UPDATED, {"owner": "Paulo Quintans Pereira"}),
+        ],
+        expected_version=0, created_at=T0,
+    )
+    store.save_snapshot(
+        last_id, "acc-m", 4, "Account",
+        {"status": "OPEN", "balance": 105, "owner": "Paulo Quintans Pereira"},
+        created_at=T0,
+    )
+    # untouched stream (no target kinds... it has created though) — use a
+    # Wallet kind stream to stay out of scope
+    store.append(
+        "w-1", "Wallet", [(KIND_DEPOSITED, {"money": 3})],
+        expected_version=0, created_at=T0,
+    )
+
+    n = migrate_in_place(
+        store,
+        revision=1,
+        aggregate_kind="Account",
+        target_kinds=(KIND_CREATED, KIND_OWNER_UPDATED),
+        handler=migration_handler,
+        new_aggregate_kind="Account_V2",
+        now=T1,
+    )
+    assert n == 1
+
+    # all generations on disk: 4 old + 5 new + 1 wallet
+    raw = store.events_raw().filter(F.col("aggregate_id") == "acc-m")
+    rows = raw.orderBy("aggregate_version").collect()
+    assert len(rows) == 9
+    assert [r.aggregate_version for r in rows] == list(range(1, 10))
+    assert [r.migration for r in rows] == [1, 1, 1, 1, 0, 0, 0, 0, 0]
+    assert rows[4].kind == KIND_INVALIDATED and rows[4].migrated is False
+    assert [r.kind for r in rows[5:]] == [
+        "AccountCreated_V2", KIND_DEPOSITED, KIND_WITHDRAWN, "OwnerUpdated_V2",
+    ]
+    assert all(r.migrated for r in rows[5:])
+    assert all(r.aggregate_kind == "Account_V2" for r in rows[5:])
+    assert json.loads(bytes(rows[5].body)) == {
+        "money": 100, "owner": {"firstName": "Paulo", "lastName": "Pereira"},
+    }
+    assert json.loads(bytes(rows[8].body)) == {
+        "owner": {"firstName": "Paulo", "lastName": "Quintans Pereira"},
+    }
+    # ids of the new generation continue after the old ones
+    assert min(r.id for r in rows[4:]) > max(r.id for r in rows[:4])
+
+    # active view shows ONLY the new generation + untouched wallet (F8)
+    active = store.events()
+    assert active.filter(F.col("aggregate_id") == "acc-m").count() == 5
+    assert active.filter(F.col("aggregate_id") == "w-1").count() == 1
+
+    # snapshots of the migrated stream were deleted
+    assert store.get_snapshot("acc-m").count() == 0
+
+    # fold of the active generation gives balance 105 with structured owner
+    bal = sum(
+        json.loads(bytes(r.body)).get("money", 0)
+        * (1 if r.kind != KIND_WITHDRAWN else -1)
+        for r in rows[5:]
+    )
+    assert bal == 105
+
+    # idempotence: target kinds no longer exist in the active view
+    assert (
+        migrate_in_place(
+            store, 2, "Account", (KIND_CREATED, KIND_OWNER_UPDATED),
+            migration_handler, now=T1 + timedelta(hours=1),
+        )
+        == 0
+    )
+
+
+def test_upcaster_chain_reads_old_bodies(spark):
+    """X9 — upcasters let new readers consume pre-migration events
+    (encoding/jsoncodec/codec.go:68-77)."""
+    codec = JsonCodec()
+    codec.register_upcaster(
+        KIND_CREATED,
+        lambda kind, body: (
+            KIND_CREATED + "_V2",
+            {"money": body["money"], "owner": split_owner(body["owner"])},
+        ),
+    )
+    kind, body = codec.decode(KIND_CREATED, b'{"money":100,"owner":"Paulo Pereira"}')
+    assert kind == "AccountCreated_V2"
+    assert body == {"money": 100, "owner": {"firstName": "Paulo", "lastName": "Pereira"}}
+    # fixpoint: already-upcasted kinds pass through
+    kind2, body2 = codec.decode(kind, json.dumps(body).encode())
+    assert (kind2, body2) == (kind, body)
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
+    store = EventStore(spark, str(tmp_path / "cp"), n_buckets=4)
+    for i in range(20):
+        store.append(
+            f"acc-{i}", "Account",
+            [(KIND_CREATED, {"money": i, "owner": "x"})],
+            expected_version=0, created_at=T0 + timedelta(seconds=i),
+        )
+    before = {(r.id, r.aggregate_id) for r in store.events().collect()}
+    import glob
+    n_files_before = len(glob.glob(str(tmp_path / "cp/events/**/*.parquet"), recursive=True))
+    compact_events(store)
+    after = {(r.id, r.aggregate_id) for r in store.events().collect()}
+    n_files_after = len(glob.glob(str(tmp_path / "cp/events/**/*.parquet"), recursive=True))
+    assert before == after
+    assert n_files_after <= 4 < n_files_before
