@@ -1,0 +1,220 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested; the actual media decoding is STUBBED
+(no PIL/ffmpeg in this container): ``decode_media`` raises
+NotImplementedError unless ``allow_fake=True``, in which case a
+deterministic fake decoder parses the synthetic header format produced
+by ``synth_media``. Swapping in a real decoder changes only the body of
+``_decode_bytes`` — batch shape and schema stay identical.
+
+Scale notes: all transforms are ``mapInPandas`` (streaming Arrow
+batches — no row-at-a-time Python, no driver collect). Binary payloads
+stay columnar end-to-end; feature extraction emits fixed-width vectors
+so downstream similarity ops (pipeline.queries) apply unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "metadata",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_MAGIC = b"SYNM"  # synthetic media header: MAGIC kind w h sr dur
+
+
+def synth_media(spark: SparkSession, n: int = 64, partitions: int = 8) -> DataFrame:
+    """Deterministic synthetic media table (seeded by media_id)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                kind = ("image", "audio", "video")[mid % 3]
+                w, h = 16 + mid % 5, 16 + mid % 7
+                sr = 8000 if kind == "audio" else 0
+                dur = 1000 + mid * 7 % 5000 if kind != "image" else 0
+                rng = np.random.default_rng(mid)
+                payload = rng.integers(0, 256, size=64 + mid % 64, dtype=np.uint8)
+                header = _MAGIC + struct.pack(
+                    "<BHHII", mid % 3, w, h, sr, dur
+                )
+                rows.append(
+                    (
+                        mid,
+                        kind,
+                        header + payload.tobytes(),
+                        {"format": "synm", "width": w, "height": h,
+                         "sample_rate": sr, "duration_ms": dur},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "metadata"]
+            )
+
+    return (
+        spark.range(n)
+        .repartition(partitions)
+        .mapInPandas(gen, MEDIA_SCHEMA)
+    )
+
+
+def _decode_bytes(content: bytes, allow_fake: bool) -> dict:
+    """STUB decode. Real implementation would dispatch to PIL/soundfile/
+    pyav on the magic bytes; the container has none of them."""
+    if content[:4] == _MAGIC:
+        kind_idx, w, h, sr, dur = struct.unpack("<BHHII", content[4:17])
+        return {
+            "kind": ("image", "audio", "video")[kind_idx],
+            "width": w,
+            "height": h,
+            "sample_rate": sr,
+            "duration_ms": dur,
+            "payload": content[17:],
+        }
+    if not allow_fake:
+        raise NotImplementedError(
+            "real media decoding unavailable in this environment; "
+            "pass allow_fake=True for the deterministic synthetic decoder"
+        )
+    return {"kind": "unknown", "width": 0, "height": 0, "sample_rate": 0,
+            "duration_ms": 0, "payload": content}
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_payload_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_and_featurize(media: DataFrame, allow_fake: bool = False) -> DataFrame:
+    """Decode + 16-dim feature extraction (byte-histogram embedding — the
+    deterministic stand-in for a real vision/audio encoder)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                meta = _decode_bytes(bytes(row.content), allow_fake)
+                payload = np.frombuffer(meta["payload"], dtype=np.uint8)
+                hist, _ = np.histogram(payload, bins=16, range=(0, 256))
+                feats = (hist / max(len(payload), 1)).astype("float32")
+                out.append(
+                    (row.media_id, meta["kind"], meta["width"], meta["height"],
+                     len(payload), feats.tolist())
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  allow_fake: bool = False) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    (UDTF shape: 1 row in, N out) — mapInPandas yields expanded frames."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_ms", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                meta = _decode_bytes(bytes(r.content), allow_fake)
+                if meta["kind"] != "video":
+                    continue
+                n = max(meta["duration_ms"] // every_ms, 1)
+                payload = meta["payload"]
+                for i in range(n):
+                    lo = (i * 16) % max(len(payload), 1)
+                    rows.append((r.media_id, i, i * every_ms, payload[lo : lo + 16]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.mapInPandas(run, schema)
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  allow_fake: bool = False) -> DataFrame:
+    """Resize stub: metadata is rewritten (the real op would transform
+    pixels); binary plumbing and batch shape identical to a real resize."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                meta = _decode_bytes(bytes(r.content), allow_fake)
+                if meta["kind"] == "image":
+                    header = _MAGIC + struct.pack(
+                        "<BHHII", 0, width, height, 0, 0
+                    )
+                    content = header + meta["payload"]
+                    md = dict(r.metadata.asDict() if hasattr(r.metadata, "asDict")
+                              else r.metadata)
+                    md["width"], md["height"] = width, height
+                else:
+                    content = bytes(r.content)
+                    md = dict(r.metadata.asDict() if hasattr(r.metadata, "asDict")
+                              else r.metadata)
+                out.append((r.media_id, r.kind, content, md))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "content", "metadata"]
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-SQL rollup — no decoding. Note ``total_bytes`` touches the
+    binary column; metadata-only projections (drop ``content``) let the
+    scan prune the payload entirely — verify with .explain: ReadSchema
+    excludes `content`."""
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.avg("metadata.duration_ms").alias("avg_duration_ms"),
+    )

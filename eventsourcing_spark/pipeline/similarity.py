@@ -1,0 +1,249 @@
+"""Similarity extensions: SimHash, hyperplane LSH, exact cosine near-dup.
+
+Determinism strategy (shared with pipeline.queries): every computation
+that feeds the DuckDB oracle uses either md5 (identical in both
+engines) or exact integer arithmetic on quantized embeddings
+(round(x*1000) → int64). Cosine thresholds compare in cross-multiplied
+integer form — ``cos ≥ 0.4  ⟺  25·dot² ≥ 4·‖a‖²·‖b‖² ∧ dot>0`` —
+so no floating-point boundary can flip between engines (all terms stay
+< 2^63 for 64-dim, |x|≤~30 inputs).
+
+Scale shape: near-dup and ANN candidate generation goes through LSH
+buckets (8 deterministic ±1 hyperplanes → 256 buckets); the quadratic
+verification join runs only within buckets. The hyperplanes are seeded
+literals shared verbatim between the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.queries import query
+
+DIM = 64
+N_PLANES = 8
+_rng = random.Random(20240813)
+HYPERPLANES: list[list[int]] = [
+    [_rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+
+def _quant(col):
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000).cast("long"))
+
+
+def _quant_sql(expr: str) -> str:
+    return f"list_transform({expr}, x -> CAST(round(x * 1000) AS BIGINT))"
+
+
+def _bucket_expr(qcol):
+    """LSH bucket id: bit_j = sign(dot(v, h_j)); exact int arithmetic."""
+    bits = []
+    for j, plane in enumerate(HYPERPLANES):
+        lit = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(qcol, lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def _bucket_sql(qexpr: str) -> str:
+    terms = []
+    for j, plane in enumerate(HYPERPLANES):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        dot = f"list_dot_product({qexpr}, {lit})"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_DOT = (
+    "CAST(list_dot_product({a}, {b}) AS BIGINT)"
+)
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket assignment (the IVF-style coarse quantizer).
+# ---------------------------------------------------------------------------
+@query(
+    "ann_lsh_buckets",
+    f"""
+    WITH q AS (
+        SELECT vec_id, label, {_quant_sql("embedding")} AS qv FROM embeddings
+    )
+    SELECT vec_id, label, {_bucket_sql("qv")} AS bucket
+    FROM q
+    """,
+)
+def ann_lsh_buckets(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", "label", _quant(F.col("embedding")).alias("qv"))
+    return q.select("vec_id", "label", _bucket_expr(F.col("qv")).alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed ANN: top-3 neighbors per query *within its LSH bucket* — the
+# scale path (shuffle by bucket; no global cross join).
+# ---------------------------------------------------------------------------
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, qv, {_bucket_sql("qv")} AS bucket FROM q
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT.format(a="a.qv", b="c.qv")} AS dot
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+        WHERE a.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, dot,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= 3
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    b = q.select("vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"))
+    a = b.filter(F.col("vec_id") < 20).alias("a")
+    c = b.alias("c")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("c.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        dot.alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-duplicates: cos ≥ 0.4 (threshold chosen to fire on
+# the synthetic unclustered vectors; the algebra is threshold-agnostic),
+# verified EXACTLY in integers within LSH buckets.
+# ---------------------------------------------------------------------------
+@query(
+    "emb_neardup_pairs",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, qv, {_bucket_sql("qv")} AS bucket,
+               {_DOT.format(a="qv", b="qv")} AS nsq
+        FROM q
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           {_DOT.format(a="a.qv", b="c.qv")} AS dot
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_DOT.format(a="a.qv", b="c.qv")} > 0
+      AND 25 * {_DOT.format(a="a.qv", b="c.qv")} * {_DOT.format(a="a.qv", b="c.qv")}
+          >= 4 * a.nsq * c.nsq
+    """,
+)
+def emb_neardup_pairs(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    nsq = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    b = q.select(
+        "vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"), nsq.alias("nsq")
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("c.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            dot.alias("dot"),
+            F.col("a.nsq").alias("nsq_a"),
+            F.col("c.nsq").alias("nsq_b"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (25 * F.col("dot") * F.col("dot") >= 4 * F.col("nsq_a") * F.col("nsq_b"))
+        )
+        .select("vec_a", "vec_b", "dot")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash document fingerprints: 8-bit signature from token-md5 nibble
+# votes — identical hex-string arithmetic in both engines.
+# ---------------------------------------------------------------------------
+def _simhash_votes_spark(toks):
+    def vote_fn(p):
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), p, 1) >= "8", 1
+        ).otherwise(-1)
+
+    bits = []
+    for p in range(1, N_PLANES + 1):
+        vote = F.aggregate(toks, F.lit(0), vote_fn(p))
+        bits.append(F.when(vote > 0, F.lit(1 << (p - 1))).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def _simhash_votes_sql() -> str:
+    terms = []
+    for p in range(1, N_PLANES + 1):
+        vote = (
+            "list_aggregate(list_transform(string_split(lower(text), ' '), "
+            f"t -> CASE WHEN substr(md5(t), {p}, 1) >= '8' THEN 1 ELSE -1 END), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << (p - 1)} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    SELECT doc_id, {_simhash_votes_sql()} AS simhash
+    FROM documents
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), " ")
+    return docs.select("doc_id", _simhash_votes_spark(toks).alias("simhash"))
