@@ -45,8 +45,20 @@ def main() -> None:
     spark = get_spark("es-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + file listing with a trivial scan (not timed)
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm-up (untimed): run every headline query once at the smallest
+    # scale factor. This compiles the whole-stage-codegen classes — the
+    # cache is keyed by generated source, so the timed sf run reuses
+    # them. Standard practice: measure steady-state engine throughput,
+    # not one-off JVM JIT cost.
+    warm_dir = "/root/testdata/sf0.001"
+    warm = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    for name in HEADLINE:
+        try:
+            SPARK_QUERIES[name](spark, warm).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 — warm-up must never fail the bench
+            pass
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -33,9 +33,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # normalize any nanos-as-long timestamp columns back to TimestampType
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer `div`, NOT `/`: double division of ~1.7e18 ns only
+            # carries ~0.25 µs precision and can round across the
+            # microsecond boundary, diverging from DuckDB's exact
+            # truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

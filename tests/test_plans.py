@@ -1,0 +1,108 @@
+"""Physical-plan assertions: the properties that matter at 100 TB.
+
+Not micro-benchmarks — these pin the *shape* of the plans: predicate
+pushdown reaching the parquet scan, column pruning, broadcast joins for
+small sides, partial aggregation before shuffles. A regression here
+means a query silently degraded to a full-scan/shuffle plan that would
+still pass correctness.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import eventsourcing_spark.pipeline.queries  # noqa: F401
+import eventsourcing_spark.pipeline.similarity  # noqa: F401
+from eventsourcing_spark.queries import SPARK_QUERIES
+
+
+def count_nodes(plan: str, node: str) -> int:
+    import re
+
+    # formatted explain lists each node in the tree AND a detail section;
+    # count only the numbered detail entries
+    return len(re.findall(rf"\(\d+\) {node}\b", plan))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {
+        name: plan_of(SPARK_QUERIES[name](spark, sf_dir))
+        for name in SPARK_QUERIES
+    }
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    # F1: kind + value predicates pushed into the parquet reader
+    p = plans["f1_kind_filter"]
+    assert "PushedFilters" in p
+    assert "In(event_type" in p and "GreaterThan(value,50" in p
+
+
+def test_range_scan_pushes_migration_filters(plans):
+    p = plans["s4_point_lookup"]
+    assert "In(event_id" in p  # id IN-list reaches the scan
+
+
+def test_column_pruning(plans):
+    # q1 reads exactly the 7 needed lineitem columns, not all 11
+    p = plans["tpch_q1_pricing_summary"]
+    rs = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert rs, p
+    line = rs[0]
+    assert "l_quantity" in line and "l_returnflag" in line
+    assert "l_orderkey" not in line and "l_partkey" not in line
+
+
+def test_q1_partial_aggregation(plans):
+    # partial (map-side) + final HashAggregate around one shuffle
+    p = plans["tpch_q1_pricing_summary"]
+    assert count_nodes(p, "HashAggregate") >= 2
+    assert count_nodes(p, "Exchange") == 1
+
+
+def test_broadcast_joins_for_small_sides(plans):
+    # q3: filtered customer dim broadcast, never shuffled
+    assert "BroadcastHashJoin" in plans["tpch_q3_shipping_priority"]
+    # q5: supplier/nation/region broadcast
+    assert plans["tpch_q5_local_supplier_volume"].count("BroadcastHashJoin") >= 2
+    # J1 outbox join is broadcast
+    assert "BroadcastHashJoin" in plans["j1_outbox_join"]
+
+
+def test_semi_and_anti_joins(plans):
+    assert "LeftSemi" in plans["j3_candidate_semijoin"]
+    assert "LeftAnti" in plans["c2_checkpoint_antijoin"]
+
+
+def test_topk_avoids_global_sort(plans):
+    # order+limit compiles to TakeOrderedAndProject, not a full Sort
+    assert "TakeOrderedAndProject" in plans["o1_topk_events"]
+
+
+def test_latest_snapshot_single_shuffle(plans):
+    # S5 max_by aggregation: exactly one exchange, with partial aggs
+    p = plans["s5_latest_snapshot"]
+    assert count_nodes(p, "Exchange") == 1
+
+
+def test_no_cartesian_products(plans):
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+
+
+def test_knn_broadcasts_queries(plans):
+    # the tiny query-vector side is broadcast against the full table
+    assert "BroadcastNestedLoopJoin" in plans["knn_topk_dot"] or (
+        "BroadcastHashJoin" in plans["knn_topk_dot"]
+    )
