@@ -1,0 +1,110 @@
+"""Streaming analytics over the event stream: windowed aggregations with
+watermarks and a custom stateful fold.
+
+The reference has no windowed aggregations — its C4 "watermark analog"
+is the catch-up StartOffset safety margin. An analytics engine needs the
+real thing, so these operators make the implied windows explicit
+(SURVEY.md §2.5) on Structured Streaming:
+
+* ``windowed_counts`` — tumbling/sliding event-time windows + watermark;
+  identical code path works on a batch frame (Spark unifies the API).
+* ``stateful_running_fold`` — applyInPandasWithState: the A2 read-model
+  maintained incrementally with per-key state, the engine-level
+  equivalent of the reference's keyed projection map
+  (test/integration/projection_mock.go:62-106).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    time_col: str = "created_at",
+    key_col: str = "kind",
+) -> DataFrame:
+    """Event-time windowed counts/sums with late-data bound.
+
+    On a stream: watermark drops state for windows older than the bound
+    (bounded memory at 100 TB/day rates). On a batch frame the same
+    expression computes historical windows — ``withWatermark`` is a
+    no-op there.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    win = F.window(F.col(time_col), window, slide or window)
+    return df.groupBy(win.alias("w"), F.col(key_col)).agg(
+        F.count("*").alias("n_events")
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        key_col,
+        "n_events",
+    )
+
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("balance", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+FOLD_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("aggregate_id", T.StringType()),
+        T.StructField("balance", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def stateful_running_fold(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-aggregate running (balance, count)
+    maintained across micro-batches via applyInPandasWithState.
+
+    Money semantics follow the Account fixture: AccountCreated/
+    MoneyDeposited add, MoneyWithdrawn subtracts (body JSON `money`).
+    Emits the updated state row per key per batch (update-mode shape).
+    """
+    import json as _json
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            balance, n = state.get
+        else:
+            balance, n = 0, 0
+        for pdf in pdfs:
+            for row in pdf.itertuples():
+                body = _json.loads(
+                    bytes(row.body).decode() if isinstance(row.body, (bytes, bytearray))
+                    else row.body
+                )
+                money = int(body.get("money", 0))
+                if row.kind in ("AccountCreated", "MoneyDeposited"):
+                    balance += money
+                elif row.kind == "MoneyWithdrawn":
+                    balance -= money
+                n += 1
+        state.update((balance, n))
+        yield pd.DataFrame(
+            {"aggregate_id": [key[0]], "balance": [balance], "n_events": [n]}
+        )
+
+    return events.groupBy("aggregate_id").applyInPandasWithState(
+        fold,
+        outputStructType=FOLD_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
