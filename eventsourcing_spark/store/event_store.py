@@ -32,8 +32,10 @@ prune entire directories.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import time
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -218,6 +220,16 @@ class EventStore:
         agg_hash = fnv1a_32_py(aggregate_id)
 
         versions = [expected_version + 1 + i for i in range(len(events))]
+        with self._commit_lock():
+            return self._append_locked(
+                aggregate_id, aggregate_kind, events, versions,
+                discriminator, created_at, migrated, agg_hash,
+            )
+
+    def _append_locked(
+        self, aggregate_id, aggregate_kind, events, versions,
+        discriminator, created_at, migrated, agg_hash,
+    ) -> tuple[str, int]:
         last_existing = self._check_conflicts(aggregate_id, versions)
         # per-aggregate ID monotonicity across saves (README.md:389-399):
         # never generate at or before the stream's last ID's millisecond,
@@ -252,6 +264,45 @@ class EventStore:
         self._append_rows(rows)
         return last_id, versions[-1]
 
+    def bulk_import(self, events: DataFrame, assign_versions: bool = False) -> None:
+        """Set-oriented ingest — the 100 TB load path.
+
+        ``events`` needs columns ``aggregate_id, aggregate_kind, kind,
+        body (binary/string), created_at`` (+ optional ``discriminator``,
+        and ``aggregate_version`` unless ``assign_versions``). Envelope
+        columns are minted JVM-side: ULIDs from ``created_at`` via
+        ``ulid_random`` (uniqueness from 80-bit entropy), FNV-1a hashes,
+        bucket layout — one distributed write, no driver loop, no
+        conflict check (bulk loads own their version integrity;
+        ``assign_versions`` derives 1..N per stream in created_at order).
+        """
+        from pyspark.sql import Window
+
+        from eventsourcing_spark.functions.hashing import fnv1a_32
+        from eventsourcing_spark.functions.ulid import ulid_random
+
+        df = events
+        if "discriminator" not in df.columns:
+            df = df.withColumn(
+                "discriminator",
+                F.lit(None).cast("map<string,string>"),
+            )
+        df = df.withColumn("aggregate_id_hash", fnv1a_32(F.col("aggregate_id")))
+        df = df.withColumn("id", ulid_random(F.col("created_at")))
+        if assign_versions:
+            w = Window.partitionBy("aggregate_id").orderBy("created_at", "id")
+            df = df.withColumn(
+                "aggregate_version", F.row_number().over(w).cast("int")
+            )
+        df = (
+            df.withColumn("body", F.col("body").cast("binary"))
+            .withColumn("created_at", F.col("created_at").cast("timestamp"))
+            .withColumn("migration", F.lit(0))
+            .withColumn("migrated", F.lit(False))
+            .select(*[f.name for f in EVENT_SCHEMA.fields])
+        )
+        self._append_rows_df(df)
+
     def save_snapshot(
         self,
         snapshot_id: str,
@@ -278,6 +329,33 @@ class EventStore:
         df.write.mode("append").parquet(self._snapshots_dir)
 
     # -------------------------------------------------------------- internals
+    @contextlib.contextmanager
+    def _commit_lock(self, timeout_s: float = 60.0):
+        """Serialize conflict-check + append across concurrent writers.
+
+        ``os.mkdir`` is atomic on POSIX/shared filesystems — the classic
+        mutex primitive — so the reference's unique-index guarantee
+        (store/postgresql/store.go:702) holds under true concurrency,
+        not just single-writer. On a lakehouse this whole seam is a
+        Delta/Iceberg serializable transaction instead; the reference's
+        own distributed locks (dist/lock.go) play the same role there.
+        """
+        lock_dir = os.path.join(self.base_dir, "_commit.lock")
+        os.makedirs(self.base_dir, exist_ok=True)
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                os.mkdir(lock_dir)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock held too long: {lock_dir}")
+                time.sleep(0.02)
+        try:
+            yield
+        finally:
+            os.rmdir(lock_dir)
+
     def _restrict_disc(
         self, discriminator: dict[str, str] | None
     ) -> dict[str, str] | None:
@@ -315,7 +393,9 @@ class EventStore:
         return row.last_id if row else None
 
     def _append_rows(self, rows: list[tuple]) -> None:
-        df = self.spark.createDataFrame(rows, EVENT_SCHEMA)
+        self._append_rows_df(self.spark.createDataFrame(rows, EVENT_SCHEMA))
+
+    def _append_rows_df(self, df: DataFrame) -> None:
         df = df.withColumn(
             "bucket", F.pmod(F.col("aggregate_id_hash"), F.lit(self.n_buckets))
         )
