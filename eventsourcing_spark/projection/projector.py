@@ -147,16 +147,26 @@ class Projector:
             lambda df, _epoch: self.live_batch(df)
         )
 
-def events_file_stream(store: EventStore) -> DataFrame:
+def events_file_stream(
+    store: EventStore, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """readStream over the events parquet dir (S8-S10 collapsed: Spark's
-    file source is the CDC feed; resume token = streaming checkpoint)."""
+    file source is the CDC feed; resume token = streaming checkpoint).
+
+    ``max_files_per_trigger`` is the backpressure knob — the analog of
+    the reference's 1000-row replay batches (projection/player.go:29):
+    bounds per-micro-batch work during a large backlog drain.
+    """
     from eventsourcing_spark.schema import EVENT_SCHEMA
 
     schema = EventStore._bucketed(EVENT_SCHEMA)
+    reader = store.spark.readStream.schema(schema).option(
+        "basePath", store._events_dir
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return (
-        store.spark.readStream.schema(schema)
-        .option("basePath", store._events_dir)
-        .parquet(store._events_dir)
+        reader.parquet(store._events_dir)
         .drop("bucket")
         .filter(F.col("migration") == 0)
     )

@@ -700,3 +700,36 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resistant salted aggregation: identical semantics to a plain
+# groupBy (the oracle IS the plain groupBy), executed as two-phase
+# partial/final so one hot key cannot overload a single reducer.
+# ---------------------------------------------------------------------------
+@query(
+    "skew_salted_fold",
+    f"""
+    SELECT user_id,
+           CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS total_value,
+           count(*) AS n_events,
+           max(event_id) AS last_event_id
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def skew_salted_fold(spark, sf_dir):
+    from eventsourcing_spark.operators.skew import salted_agg
+
+    ev = _events(spark, sf_dir).withColumn("value_dec", _dec("value"))
+    out = salted_agg(
+        ev,
+        keys=["user_id"],
+        aggs={
+            "total_value": ("sum", "value_dec"),
+            "n_events": ("count", "event_id"),
+            "last_event_id": ("max", "event_id"),
+        },
+        salt=16,
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))

@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for the scalar primitives.
+
+The reference has no property tests (SURVEY §5.6); these extend the
+golden vectors with randomized coverage of the parity-critical
+primitives — ULID codec round-trips and FNV column/Python agreement.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from eventsourcing_spark.functions.hashing import fnv1a_32_py
+from eventsourcing_spark.functions.ulid import (
+    _decode_py,
+    _encode_py,
+    ulid_millis_py,
+    ulid_py,
+)
+
+ASCII = st.text(alphabet=string.printable, max_size=64)
+
+
+@given(ms=st.integers(min_value=0, max_value=(1 << 48) - 1),
+       entropy=st.integers(min_value=0, max_value=(1 << 80) - 1))
+def test_ulid_roundtrip(ms, entropy):
+    u = ulid_py(ms, entropy)
+    assert len(u) == 26
+    assert ulid_millis_py(u) == ms
+    assert _decode_py(u[10:]) == entropy
+
+
+@given(a=st.integers(min_value=0, max_value=(1 << 48) - 1),
+       b=st.integers(min_value=0, max_value=(1 << 48) - 1))
+def test_ulid_order_embeds_time_order(a, b):
+    # zero-entropy ULIDs sort exactly like their timestamps
+    ua, ub = ulid_py(a, 0), ulid_py(b, 0)
+    assert (ua < ub) == (a < b)
+
+
+@given(s=ASCII)
+def test_fnv_stays_in_int32_positive_range(s):
+    h = fnv1a_32_py(s)
+    assert 0 <= h <= 0x7FFFFFFF
+
+
+@settings(max_examples=20, deadline=None)
+@given(strings=st.lists(
+    st.text(alphabet=string.ascii_letters + string.digits + "-_", max_size=40),
+    min_size=1, max_size=20, unique=True,
+))
+def test_fnv_column_matches_python_on_random_ascii(spark, strings):
+    from eventsourcing_spark.functions.hashing import fnv1a_32
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    for row in df.select("s", fnv1a_32("s").alias("h")).collect():
+        assert row.h == fnv1a_32_py(row.s), row.s
+
+
+@settings(max_examples=20, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=(1 << 48) - 1),
+        st.integers(min_value=0, max_value=(1 << 80) - 1),
+    ),
+    min_size=1, max_size=20,
+))
+def test_ulid_millis_column_matches_python(spark, pairs):
+    from eventsourcing_spark.functions.ulid import ulid_millis
+
+    df = spark.createDataFrame(
+        [(ulid_py(ms, ent),) for ms, ent in pairs], "id string"
+    )
+    for row in df.select("id", ulid_millis("id").alias("ms")).collect():
+        assert row.ms == ulid_millis_py(row.id)
