@@ -32,10 +32,17 @@ HEADLINE = [
     "sessionize_events",
     "j2_snapshot_rehydrate",
     "c2_checkpoint_antijoin",
+    "skew_salted_fold",
     "dedup_exact",
     "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
     "knn_topk_dot",
+    "ann_lsh_topk",
+    "emb_neardup_pairs",
 ]
+# registers the similarity/pipeline queries named above
+import eventsourcing_spark.pipeline.similarity  # noqa: E402,F401
 
 
 def main() -> None:

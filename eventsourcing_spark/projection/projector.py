@@ -90,16 +90,23 @@ class Projector:
             self.store.get_events(until=until, filter=self.filter)
         )
         df = self.checkpoints.filter_catchup(df)
+        # the handler and the token aggregation both consume the frame —
+        # cache so the store is scanned once per pass
+        df = df.persist()
+        try:
+            # handler + token save form one logical transaction (C2): the
+            # handler materializes the read model; tokens persist after.
+            self.handler(df, Meta(kind="catchup", until_id=until))
 
-        # handler + token save form one logical transaction (C2): the
-        # handler materializes the read model; tokens persist after.
-        self.handler(df, Meta(kind="catchup", until_id=until))
-
-        max_ids = {
-            r.split: r.max_id
-            for r in df.groupBy("split").agg(F.max("id").alias("max_id")).collect()
-        }
-        self.checkpoints.record_catchup(max_ids)
+            max_ids = {
+                r.split: r.max_id
+                for r in df.groupBy("split")
+                .agg(F.max("id").alias("max_id"))
+                .collect()
+            }
+            self.checkpoints.record_catchup(max_ids)
+        finally:
+            df.unpersist()
         return until
 
     # ---------------------------------------------------------------- switch

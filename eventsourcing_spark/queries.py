@@ -733,3 +733,62 @@ def skew_salted_fold(spark, sf_dir):
         salt=16,
     )
     return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# X1-X3 under the gate: time → boundary ULID → extracted millis must equal
+# the oracle's epoch_ms — a full encode/decode round-trip of the ULID codec
+# on real timestamps, per row.
+# ---------------------------------------------------------------------------
+@query(
+    "x_ulid_roundtrip",
+    """
+    SELECT event_id, epoch_ms(ts) AS ts_ms
+    FROM events
+    """,
+)
+def x_ulid_roundtrip(spark, sf_dir):
+    from eventsourcing_spark.functions.ulid import ulid_millis, ulid_time_only
+
+    ev = _events(spark, sf_dir)
+    boundary = ulid_time_only(F.col("ts").cast("timestamp"))
+    return ev.select("event_id", ulid_millis(boundary).alias("ts_ms"))
+
+
+# ---------------------------------------------------------------------------
+# X4/X5 under the gate: FNV-1a 32 (sign-cleared) of the stringified stream
+# key + bus partition routing, replayed in DuckDB via list_reduce.
+# ---------------------------------------------------------------------------
+@query(
+    "x_fnv_partition",
+    """
+    WITH h AS (
+        SELECT DISTINCT user_id,
+               list_reduce(
+                   list_prepend(2166136261::BIGINT,
+                       list_transform(
+                           string_split_regex('user-' || CAST(user_id AS VARCHAR), ''),
+                           c -> ascii(c)::BIGINT)),
+                   (a, c) -> (xor(a, c) * 16777619) % 4294967296
+               ) & 2147483647 AS key_hash
+        FROM events
+    )
+    SELECT user_id, CAST(key_hash AS BIGINT) AS key_hash,
+           CAST(key_hash % 12 + 1 AS BIGINT) AS partition
+    FROM h
+    """,
+)
+def x_fnv_partition(spark, sf_dir):
+    from eventsourcing_spark.functions import calc_partition, fnv1a_32
+
+    ev = _events(spark, sf_dir)
+    key = F.concat(F.lit("user-"), F.col("user_id").cast("string"))
+    h = fnv1a_32(key).cast("long")
+    return (
+        ev.select("user_id").distinct()
+        .select(
+            "user_id",
+            h.alias("key_hash"),
+            calc_partition(h, 12).cast("long").alias("partition"),
+        )
+    )
