@@ -792,3 +792,117 @@ def x_fnv_partition(spark, sf_dir):
             calc_partition(h, 12).cast("long").alias("partition"),
         )
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT CAST(sum(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC})) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE)
+             AS revenue,
+           any_value(c_acctbal) AS c_acctbal,
+           any_value(n_name) AS n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.any_value("c_acctbal").alias("c_acctbal"),
+            F.any_value("n_name").alias("n_name"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (Spark session_window): gap-based sessions computed
+# by the engine itself — streaming-capable form of sessionize_events.
+# ---------------------------------------------------------------------------
+@query(
+    "session_window_stats",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+           CAST(max(cnt) AS BIGINT) AS max_session_events
+    FROM (SELECT user_id, sid, count(*) AS cnt FROM sess GROUP BY user_id, sid)
+    GROUP BY user_id
+    """,
+)
+def session_window_stats(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    sess = ev.groupBy(
+        F.session_window(F.col("ts").cast("timestamp"), "30 minutes"),
+        "user_id",
+    ).agg(F.count("*").alias("cnt"))
+    return sess.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.max("cnt").cast("long").alias("max_session_events"),
+    )
