@@ -325,8 +325,29 @@ class EventStore:
             created_at.replace(tzinfo=None),
             self._restrict_disc(discriminator) or {},
         )
-        df = self.spark.createDataFrame([row], SNAPSHOT_SCHEMA)
-        df.write.mode("append").parquet(self._snapshots_dir)
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # driver-side single-row write, same rationale as _append_rows
+        schema = pa.schema(
+            [
+                ("id", pa.string()),
+                ("aggregate_id", pa.string()),
+                ("aggregate_version", pa.int32()),
+                ("aggregate_kind", pa.string()),
+                ("body", pa.binary()),
+                ("created_at", pa.timestamp("us", tz="UTC")),
+                ("discriminator", pa.map_(pa.string(), pa.string())),
+            ]
+        )
+        table = pa.Table.from_pylist([dict(zip(schema.names, row))], schema=schema)
+        os.makedirs(self._snapshots_dir, exist_ok=True)
+        pq.write_table(
+            table,
+            os.path.join(self._snapshots_dir, f"part-{uuid.uuid4().hex}.parquet"),
+        )
 
     # -------------------------------------------------------------- internals
     @contextlib.contextmanager
@@ -372,28 +393,80 @@ class EventStore:
 
     def _check_conflicts(self, aggregate_id: str, versions: list[int]) -> str | None:
         """Single stream-scan: conflict detection + last existing id.
-        Returns the stream's max id (or None); raises on version clash."""
-        if not self._exists(self._events_dir):
+        Returns the stream's max id (or None); raises on version clash.
+
+        Runs driver-side on the stream's bucket directory only (pyarrow,
+        predicate pushed to row-group stats) — a single-key point read
+        must not launch a cluster job while holding the commit lock; the
+        bucket layout guarantees every row of this aggregate lives here.
+        """
+        import pyarrow.dataset as ds
+
+        bucket = fnv1a_32_py(aggregate_id) % self.n_buckets
+        bucket_dir = os.path.join(self._events_dir, f"bucket={bucket}")
+        if not self._exists(bucket_dir):
             return None
-        row = (
-            self.events_raw()
-            .filter(F.col("aggregate_id") == aggregate_id)
-            .agg(
-                F.max("id").alias("last_id"),
-                F.sum(
-                    F.when(F.col("aggregate_version").isin(versions), 1).otherwise(0)
-                ).alias("clashes"),
-            )
-            .first()
+        table = ds.dataset(bucket_dir, format="parquet").to_table(
+            columns=["id", "aggregate_version"],
+            filter=ds.field("aggregate_id") == aggregate_id,
         )
-        if row and row.clashes:
+        if table.num_rows == 0:
+            return None
+        existing = set(table.column("aggregate_version").to_pylist())
+        if existing.intersection(versions):
             raise ConcurrentModificationError(
                 f"{aggregate_id}: version(s) {versions} already exist"
             )
-        return row.last_id if row else None
+        return max(table.column("id").to_pylist())
+
+    _ARROW_EVENT_SCHEMA = None
+
+    @classmethod
+    def _arrow_schema(cls):
+        import pyarrow as pa
+
+        if cls._ARROW_EVENT_SCHEMA is None:
+            cls._ARROW_EVENT_SCHEMA = pa.schema(
+                [
+                    ("id", pa.string()),
+                    ("aggregate_id", pa.string()),
+                    ("aggregate_id_hash", pa.int32()),
+                    ("aggregate_version", pa.int32()),
+                    ("aggregate_kind", pa.string()),
+                    ("kind", pa.string()),
+                    ("body", pa.binary()),
+                    ("created_at", pa.timestamp("us", tz="UTC")),
+                    ("migration", pa.int32()),
+                    ("migrated", pa.bool_()),
+                    ("discriminator", pa.map_(pa.string(), pa.string())),
+                ]
+            )
+        return cls._ARROW_EVENT_SCHEMA
 
     def _append_rows(self, rows: list[tuple]) -> None:
-        self._append_rows_df(self.spark.createDataFrame(rows, EVENT_SCHEMA))
+        """Driver-side parquet append for the single-key OLTP path.
+
+        All rows of one append share the aggregate, hence one bucket; a
+        small row batch is written as one parquet file without launching
+        a Spark job (the reference's analog is a one-transaction SQL
+        insert, store/sql.go:39-61). Bulk/distributed writes go through
+        ``bulk_import`` → ``_append_rows_df`` instead.
+        """
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = self._arrow_schema()
+        table = pa.Table.from_pylist(
+            [dict(zip(schema.names, row)) for row in rows], schema=schema
+        )
+        bucket = rows[0][2] % self.n_buckets
+        bucket_dir = os.path.join(self._events_dir, f"bucket={bucket}")
+        os.makedirs(bucket_dir, exist_ok=True)
+        pq.write_table(
+            table, os.path.join(bucket_dir, f"part-{uuid.uuid4().hex}.parquet")
+        )
 
     def _append_rows_df(self, df: DataFrame) -> None:
         df = df.withColumn(

@@ -1,0 +1,529 @@
+"""Extended TPC-H-shaped analytics over the driver tables.
+
+The reference engine has no relational query surface beyond its fixed
+operators (SURVEY.md §2: "no SQL parser, no optimizer"); these queries
+document that the Spark engine gets the full relational algebra — semi
+and anti joins, correlated scalar subqueries, outer-join aggregation,
+OR-of-ANDs predicate pushdown — for free from Catalyst, and pin each
+shape against a DuckDB oracle.
+
+The driver's star schema omits ``partsupp`` and several classic columns
+(l_commitdate, c_phone, p_container), so q4/q17/q21/q22 are adapted to
+the available columns while keeping their defining operator shape.
+
+Numeric discipline (same as eventsourcing_spark.queries): monetary
+aggregates are summed as decimal(18,2) (exact, so Spark's parallel
+partial aggregation cannot diverge from DuckDB's sequential sum) and
+cast to double only at output; thresholds that compare against an
+average are rewritten as exact cross-multiplications (qty*cnt < sum)
+instead of float division.
+
+Scale notes: every join broadcasts its dimension side; aggregations are
+pushed below joins where legal (q15, q17, q18, q21 pre-aggregate
+lineitem before joining), so the only big shuffles are keyed by
+l_orderkey / l_partkey — exactly the co-partitioning a bucketed layout
+would reuse at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.queries import DEC, _dec, query
+
+_TS = "timestamp"
+
+
+def _lit_ts(s: str) -> F.Column:
+    return F.lit(s).cast(_TS)
+
+
+# ---------------------------------------------------------------------------
+# q4 — order-priority checking: EXISTS(lineitem shipped after order date)
+# → left-semi join, then count by priority.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _lit_ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _lit_ts("1996-07-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping between two nations: double nation join (supplier
+# side + customer side), year bucketing. Nations broadcast twice.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))
+               AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _lit_ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _lit_ts("1998-01-01 00:00:00"))
+    )
+    volume = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    joined = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution: LEFT OUTER join with an ON-clause
+# filter, two-level aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    return (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — promotion effect: conditional aggregation ratio. Both sums are kept
+# exact-decimal; the single final division is double/double (identical
+# operands in both engines → identical result).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q14_promo_effect",
+    f"""
+    SELECT CAST(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))
+                 ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_effect(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _lit_ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _lit_ts("1996-02-01 00:00:00"))
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            )
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier: pre-aggregated revenue view + scalar-max selection.
+# The revenue equality is compared in exact decimal, not double.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC})))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _lit_ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _lit_ts("1996-04-01 00:00:00"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    # scalar max joined back in exact decimal; broadcast of a 1-row frame
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 (adapted: brand-only, no p_container) — small-quantity revenue with a
+# correlated per-part average. The avg comparison is cross-multiplied into
+# exact decimal arithmetic: qty*5*cnt < sum(qty) ⟺ qty < 0.2*avg(qty).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q17_small_quantity",
+    f"""
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / 7.0 AS DOUBLE)
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS agg_partkey,
+             sum(CAST(l_quantity AS {DEC})) AS sum_qty,
+             count(*) AS cnt_qty
+      FROM lineitem GROUP BY l_partkey
+    ) part_agg ON agg_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND CAST(l_quantity AS {DEC}) * 5 * cnt_qty < sum_qty
+    """,
+)
+def tpch_q17_small_quantity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    part_agg = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("cnt_qty"),
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(part_agg, li.l_partkey == F.col("agg_partkey"))
+        .filter(_dec("l_quantity") * F.lit(5) * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — large-volume customers: HAVING on a pre-aggregation, then joins up
+# the star. The heavy groupBy(l_orderkey) runs before any join.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q18_large_volume",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           epoch_ms(o_orderdate) AS orderdate_ms,
+           o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(CAST(l_quantity AS {DEC})) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS {DEC})) > 250
+    ) big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > F.lit(250).cast(DEC))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_ms"
+            ),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 (adapted: brand/size, no p_container) — disjunctive predicate across
+# join sides; Catalyst extracts the common l_partkey=p_partkey conjunct so
+# the join stays an equi-join with the OR-of-ANDs as a post-filter.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q19_disjunctive",
+    f"""
+    SELECT CAST(sum(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+
+    def arm(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & (q >= q_lo)
+            & (q <= q_hi)
+        )
+
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            arm("Brand#1", 15, 1, 21)
+            | arm("Brand#2", 25, 10, 30)
+            | arm("Brand#3", 35, 20, 40)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 (adapted: l_returnflag='R' as the "failed delivery" marker — the
+# driver schema has no commit/receipt dates) — suppliers solely responsible
+# for returned items on multi-supplier finished orders. The classic
+# EXISTS/NOT-EXISTS pair over lineitem collapses into one per-order
+# aggregation: distinct suppliers > 1 AND distinct returning suppliers = 1.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    # one shuffle on l_orderkey replaces both correlated subqueries
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_suppliers"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(
+            order_stats.filter(
+                (F.col("n_suppliers") > 1) & (F.col("n_r_suppliers") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 (adapted: nation groups instead of phone prefixes; "no urgent orders"
+# instead of "no orders" — the synthetic data has no order-less customers) —
+# global-average threshold as exact cross-multiplication + anti join.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q22_global_sales_opportunity",
+    f"""
+    SELECT c_nationkey AS nation, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS totacctbal
+    FROM customer
+    JOIN (
+      SELECT sum(CAST(c_acctbal AS {DEC})) AS bal_sum, count(*) AS bal_cnt
+      FROM customer WHERE c_acctbal > 0.0
+    ) avg_bal ON CAST(c_acctbal AS {DEC}) * bal_cnt > bal_sum
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_nationkey
+    ORDER BY nation
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_dec("c_acctbal")).alias("bal_sum"), F.count("*").alias("bal_cnt")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(_dec("c_acctbal") * F.col("bal_cnt") > F.col("bal_sum"))
+        .join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
