@@ -177,6 +177,18 @@ def dedup_lsh_pairs(spark, sf_dir):
 # Iterating keeper-of-keeper to a fixpoint yields connected components; one
 # pass already assigns every duplicate a canonical representative per band.
 # ---------------------------------------------------------------------------
+def _keeper_edges(docs):
+    """(member, keeper) star edges: every doc → its bucket's min doc_id."""
+    w = Window.partitionBy("band_id", "band_key")
+    return (
+        _bands(docs)
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select(F.col("doc_id").alias("member"), "keeper")
+        .distinct()
+    )
+
+
 @query(
     "dedup_lsh_clusters",
     _BANDS_SQL
@@ -192,14 +204,81 @@ def dedup_lsh_pairs(spark, sf_dir):
 )
 def dedup_lsh_clusters(spark, sf_dir):
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    w = Window.partitionBy("band_id", "band_key")
-    return (
-        _bands(docs)
-        .withColumn("keeper", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") > F.col("keeper"))
-        .select(F.col("doc_id").alias("member"), "keeper")
-        .distinct()
+    return _keeper_edges(docs)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate connected components: min-label propagation over the keeper
+# edges to a fixpoint — two docs share a component iff they are joined by
+# any chain of shared LSH buckets. The Spark side is the standard
+# driver-orchestrated iterative loop (localCheckpoint per round to cut
+# lineage, monotone label sum as the convergence test — labels only ever
+# decrease, so the sum is strictly decreasing until the fixpoint); the
+# oracle replays the same fixpoint as a DuckDB recursive CTE, so even this
+# iterative algorithm gets an exact value-hash check. At 100 TB each round
+# is 3 shuffles keyed by node id; rounds scale with the bucket-graph
+# diameter (small: buckets are stars), not corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_components",
+    _BANDS_SQL.replace("WITH sig", "WITH RECURSIVE sig", 1)
+    + """
+    , keepers AS (
+        SELECT band_id, band_key, min(doc_id) AS keeper
+        FROM bands GROUP BY band_id, band_key
+    ),
+    edges AS (
+        SELECT DISTINCT b.doc_id AS member, k.keeper
+        FROM bands b
+        JOIN keepers k ON b.band_id = k.band_id AND b.band_key = k.band_key
+        WHERE b.doc_id > k.keeper
+    ),
+    und AS (
+        SELECT member AS src, keeper AS dst FROM edges
+        UNION
+        SELECT keeper AS src, member AS dst FROM edges
+    ),
+    walk(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.node, u.dst FROM walk w JOIN und u ON u.src = w.lab
     )
+    SELECT node AS doc_id, min(lab) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_components(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    edges = _keeper_edges(docs)
+    und = edges.select(
+        F.col("member").alias("src"), F.col("keeper").alias("dst")
+    ).union(edges.select(F.col("keeper").alias("src"), F.col("member").alias("dst")))
+    und = und.localCheckpoint()
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("component")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(20):
+        nbr_min = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy(F.col("src").alias("nbr_node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.nbr_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), "component")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,104 @@
+"""Structural properties of the LSH dedup family (pipeline.queries).
+
+The DuckDB oracle gate checks exact values at sf0.01; these tests pin
+the *invariants* that make the operators correct dedup machinery, at
+smoke scale so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from eventsourcing_spark.pipeline.queries import MAX_BUCKET
+from eventsourcing_spark.queries import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    return {
+        name: SPARK_QUERIES[name](spark, SF)
+        for name in (
+            "dedup_lsh_pairs",
+            "dedup_lsh_clusters",
+            "dedup_components",
+            "dedup_exact",
+        )
+    }
+
+
+def test_pairs_are_ordered_and_unique(frames):
+    pairs = frames["dedup_lsh_pairs"]
+    assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+    assert pairs.count() == pairs.distinct().count()
+
+
+def test_clusters_point_to_smaller_keeper(frames):
+    clusters = frames["dedup_lsh_clusters"]
+    assert clusters.filter(F.col("member") <= F.col("keeper")).count() == 0
+
+
+def test_components_are_transitive_fixpoint(frames):
+    comp = frames["dedup_components"].cache()
+    clusters = frames["dedup_lsh_clusters"]
+    # label can only point down
+    assert comp.filter(F.col("component") > F.col("doc_id")).count() == 0
+    # every edge's endpoints share a component (fixpoint reached)
+    member_comp = comp.withColumnRenamed("doc_id", "member").withColumnRenamed(
+        "component", "member_comp"
+    )
+    keeper_comp = comp.withColumnRenamed("doc_id", "keeper").withColumnRenamed(
+        "component", "keeper_comp"
+    )
+    violations = (
+        clusters.join(member_comp, "member")
+        .join(keeper_comp, "keeper")
+        .filter(F.col("member_comp") != F.col("keeper_comp"))
+    )
+    assert violations.count() == 0
+    # a component's id is one of its members (the minimum one)
+    roots = comp.select(F.col("component").alias("doc_id")).distinct()
+    all_docs = comp.select("doc_id")
+    assert roots.join(all_docs, "doc_id", "left_anti").count() == 0
+
+
+def test_exact_dupes_land_in_one_component(frames, spark):
+    # docs with identical text (exact dedup groups) must be in the same
+    # connected component: identical text ⇒ identical minhash ⇒ same bucket
+    from eventsourcing_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    text_groups = docs.groupBy("text").agg(
+        F.collect_set("doc_id").alias("ids")
+    ).filter(F.size("ids") > 1)
+    exploded = text_groups.select(F.explode("ids").alias("doc_id"), "text")
+    joined = exploded.join(frames["dedup_components"], "doc_id")
+    n_comp_per_text = joined.groupBy("text").agg(
+        F.countDistinct("component").alias("n")
+    )
+    assert n_comp_per_text.filter(F.col("n") > 1).count() == 0
+
+
+def test_bucket_cap_is_respected(spark):
+    # no pair may originate from a bucket larger than MAX_BUCKET — the
+    # pairs query must stay sub-quadratic on duplicate mega-families
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.pipeline.queries import _bands
+
+    docs = load_table(spark, SF, "documents")
+    sizes = _bands(docs).groupBy("band_id", "band_key").count()
+    big = sizes.filter(F.col("count") > MAX_BUCKET).count()
+    small_pairs = SPARK_QUERIES["dedup_lsh_pairs"](spark, SF).count()
+    # sanity: caps exist in this corpus AND pairs were still produced
+    assert small_pairs > 0
+    # upper bound: sum over capped buckets of k*(k-1)/2
+    cap_bound = (
+        sizes.filter(F.col("count") <= MAX_BUCKET)
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+        .first()[0]
+        or 0
+    )
+    assert small_pairs <= cap_bound
+    assert big >= 0  # mega-buckets allowed to exist; they go to clusters
