@@ -16,6 +16,7 @@ import pytest
 
 import eventsourcing_spark.pipeline.queries  # noqa: F401
 import eventsourcing_spark.pipeline.similarity  # noqa: F401
+import eventsourcing_spark.tpch  # noqa: F401
 from eventsourcing_spark.queries import SPARK_QUERIES
 
 
@@ -109,3 +110,74 @@ def test_knn_is_joinless_single_pass(plans):
     assert "Join" not in p
     assert "ArrowEvalPython" in p
     assert count_nodes(p, "ArrowEvalPython") == 1
+
+
+def test_q18_preaggregates_before_join(plans):
+    # the heavy groupBy(l_orderkey) runs below the joins, so only
+    # HAVING-surviving orders are joined up the star
+    p = plans["tpch_q18_large_volume"]
+    agg_pos = p.find("HashAggregate")
+    join_pos = p.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert "BroadcastHashJoin" in p  # customer side broadcast
+
+
+def test_semi_and_anti_join_shapes(plans):
+    # q4 EXISTS compiles to a semi join, q22 NOT EXISTS to an anti join
+    assert "LeftSemi" in plans["tpch_q4_order_priority"]
+    assert "LeftAnti" in plans["tpch_q22_global_sales_opportunity"]
+    # q21's two correlated subqueries collapsed into semi joins against
+    # one per-order aggregate — no cartesian, no correlated re-execution
+    p = plans["tpch_q21_waiting_supplier"]
+    assert p.count("LeftSemi") >= 2
+    assert "BroadcastHashJoin" in p  # supplier dimension broadcast
+
+
+def test_q17_broadcasts_filtered_part(plans):
+    assert "BroadcastHashJoin" in plans["tpch_q17_small_quantity"]
+
+
+def test_bucketed_layout_joins_without_shuffle(spark, sf_dir, tmp_path_factory):
+    """Bucketing demo: the events-table layout strategy at 100 TB.
+
+    Two tables bucketed by the same key and count sort-merge-join with
+    ZERO Exchange nodes — this is what the event store's
+    pmod(aggregate_id_hash, n_buckets) directory layout buys on a
+    lakehouse: co-located stream scans and rehydration joins.
+    """
+    from eventsourcing_spark.io import load_table
+
+    wh = tmp_path_factory.mktemp("bucket-demo")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '" + str(wh) + "'")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey").saveAsTable("bucketdemo.orders_b"))
+        (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey").saveAsTable("bucketdemo.lineitem_b"))
+        joined = (
+            spark.table("bucketdemo.lineitem_b")
+            .join(
+                spark.table("bucketdemo.orders_b"),
+                on=spark.table("bucketdemo.lineitem_b").l_orderkey
+                == spark.table("bucketdemo.orders_b").o_orderkey,
+            )
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        # disable broadcast so the join itself must be sort-merge
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p = plan_of(joined)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        assert "SortMergeJoin" in p
+        # the only exchange allowed is the post-join aggregation shuffle;
+        # the join inputs read pre-bucketed files directly
+        join_section = p[: p.find("HashAggregate")] if "HashAggregate" in p else p
+        assert count_nodes(join_section, "Exchange") == 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
