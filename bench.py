@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_lsh_pairs",
     "dedup_lsh_clusters",
     "dedup_simhash",
+    "text_winnow_fingerprints",
     "knn_topk_dot",
     "ann_lsh_topk",
     "emb_neardup_pairs",

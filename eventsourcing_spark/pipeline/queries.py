@@ -349,6 +349,74 @@ def text_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): hash every character k-gram, slide a window of w consecutive
+# k-gram hashes, keep each window's minimum, dedupe. Guarantees any match
+# of length ≥ w+k-1 shares a fingerprint, with density 2/(w+1). Entirely
+# higher-order functions over one projection — no shuffle until the final
+# explode, and at 100 TB it stays embarrassingly parallel per document.
+# k=8/w=4; hashes compared as md5 hex strings (identical in both engines).
+# ---------------------------------------------------------------------------
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+@query(
+    "text_winnow_fingerprints",
+    f"""
+    WITH g AS (
+        SELECT doc_id, lower(text) AS t,
+               greatest(len(lower(text)) - {WINNOW_K} + 1, 0) AS n
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, n,
+               list_transform(range(1, n + 1),
+                              i -> md5(substr(t, CAST(i AS INTEGER), {WINNOW_K})))
+                 AS hs
+        FROM g
+    ),
+    w AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(range(1, n - {WINNOW_W} + 2),
+                                j -> list_aggregate(
+                                       list_slice(hs, CAST(j AS INTEGER),
+                                                  CAST(j + {WINNOW_W} - 1 AS INTEGER)),
+                                       'min'))
+               ) AS fps
+        FROM h
+        WHERE n >= {WINNOW_W}
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint
+    FROM w
+    """,
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    # CPU-bound per byte (~n_chars md5 calls per doc): byte-based
+    # partition sizing undershoots, so ask for real core spread
+    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(
+        docs, min_partitions=docs.sparkSession.sparkContext.defaultParallelism // 2
+    )
+    t = F.lower(F.col("text"))
+    n = F.greatest(F.length(t) - F.lit(WINNOW_K - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.md5(F.substring(t, i, WINNOW_K))
+    )
+    h = docs.select(
+        "doc_id", n.alias("n"), F.when(n >= 1, grams).otherwise(F.array()).alias("hs")
+    ).filter(F.col("n") >= WINNOW_W)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - F.lit(WINNOW_W - 1)),
+            lambda j: F.array_min(F.slice("hs", j, WINNOW_W)),
+        )
+    )
+    return h.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
 # Text stats / quality scoring: tokenization + stopword ratio, pure
 # higher-order functions — zero Python in the hot path.
 # ---------------------------------------------------------------------------

@@ -118,6 +118,28 @@ class EventStore:
         """Active events — the standing F8 ``migration = 0`` view."""
         return self.events_raw().filter(F.col("migration") == 0)
 
+    def _events_pruned(self, buckets: list[int]) -> DataFrame:
+        """Active-events view restricted to specific bucket directories.
+
+        The filter lands on the ``bucket`` partition column, so Spark
+        prunes whole directories at planning time — a single-stream read
+        (S2) touches 1/n_buckets of the table, and a split-filtered scan
+        (F3) reads only its splits' directories. This is the access-path
+        role of the reference's ``(aggregate_id, migration)`` index
+        (store/postgresql/store.go:699-701), recreated as physical
+        layout instead of a btree.
+        """
+        if not self._exists(self._events_dir):
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        df = self.spark.read.schema(self._bucketed(EVENT_SCHEMA)).parquet(
+            self._events_dir
+        )
+        return (
+            df.filter(F.col("bucket").isin(buckets))
+            .drop("bucket")
+            .filter(F.col("migration") == 0)
+        )
+
     def snapshots(self) -> DataFrame:
         if not self._exists(self._snapshots_dir):
             return self.spark.createDataFrame([], SNAPSHOT_SCHEMA)
@@ -130,8 +152,13 @@ class EventStore:
         gt_version: int = 0,
         discriminator: dict[str, str] | None = None,
     ) -> DataFrame:
-        """S2 — by-stream scan in fold order (store/postgresql/store.go:423-444)."""
-        df = self.events().filter(
+        """S2 — by-stream scan in fold order (store/postgresql/store.go:423-444).
+
+        Bucket-pruned: the stream's hash names its directory, so the scan
+        reads 1/n_buckets of the table before the row filter even runs.
+        """
+        bucket = fnv1a_32_py(aggregate_id) % self.n_buckets
+        df = self._events_pruned([bucket]).filter(
             (F.col("aggregate_id") == aggregate_id)
             & (F.col("aggregate_version") > gt_version)
             & _discriminator_predicate(discriminator)
@@ -146,8 +173,23 @@ class EventStore:
         filter: Filter = Filter(),  # noqa: A002 — reference name
         discriminator: dict[str, str] | None = None,
     ) -> DataFrame:
-        """S3 — keyset range scan ``(after, until]`` (store/postgresql/store.go:497-518)."""
-        df = self.events().filter(filter.predicate())
+        """S3 — keyset range scan ``(after, until]`` (store/postgresql/store.go:497-518).
+
+        When the split grid divides the bucket grid, the F3 split filter
+        becomes directory pruning: ``hash % splits ∈ ids`` selects exactly
+        the buckets with ``bucket % splits ∈ ids`` (hash ≥ 0, n_buckets a
+        multiple of splits), so each catch-up split reads only its share
+        of the table. The row-level predicate is kept regardless — it is
+        the correctness contract; pruning is only an access path.
+        """
+        ids = set(filter.split_ids)
+        if 1 < filter.splits <= self.n_buckets and (
+            self.n_buckets % filter.splits == 0
+        ) and len(ids) < filter.splits:
+            allowed = [b for b in range(self.n_buckets) if b % filter.splits in ids]
+            df = self._events_pruned(allowed).filter(filter.predicate())
+        else:
+            df = self.events().filter(filter.predicate())
         df = df.filter(_discriminator_predicate(discriminator))
         if after:
             df = df.filter(F.col("id") > after)

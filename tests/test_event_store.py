@@ -215,3 +215,38 @@ def test_allowed_discriminator_keys(spark, tmp_path):
     )
     row = store.events().first()
     assert dict(row.discriminator) == {"tenant": "abc"}
+
+
+def test_bucket_pruning_matches_full_scan(spark, tmp_path):
+    """S2/S3 bucket pruning is an access path, never a semantics change."""
+    from datetime import datetime, timezone
+
+    from eventsourcing_spark.store import EventStore, Filter
+
+    store = EventStore(spark, str(tmp_path / "prune"), n_buckets=8)
+    t0 = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    for i in range(12):
+        store.append(
+            f"agg-{i}", "Account",
+            [("AccountCreated", {"money": i, "owner": "x"})],
+            expected_version=0, created_at=t0,
+        )
+    # single-stream read prunes to the stream's bucket directory
+    s2 = store.get_aggregate_events("agg-3")
+    plan = s2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert s2.count() == 1
+    # split-filtered scan: pruned result == row-predicate result
+    f = Filter(splits=4, split_ids=(0, 2))
+    pruned = [r.id for r in store.get_events(filter=f).collect()]
+    full = [
+        r.id
+        for r in store.events().filter(f.predicate()).orderBy("id").collect()
+    ]
+    assert pruned == full and len(pruned) > 0
+    # non-dividing split grid falls back to the row predicate (still right)
+    f3 = Filter(splits=3, split_ids=(1,))
+    assert (
+        store.get_events(filter=f3).count()
+        == store.events().filter(f3.predicate()).count()
+    )
