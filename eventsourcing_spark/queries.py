@@ -561,6 +561,63 @@ def sessionize_events(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# As-of join — the J2 snapshot⋈events rehydration pattern (eventstore.go:
+# 249-300) generalized to a point-in-time operator: each purchase event is
+# annotated with the user's latest error event at or before it. Spark has
+# no native ASOF JOIN; operators/asof.py builds it as union + running
+# last_value — one shuffle, no range cross-product. DuckDB's native
+# ASOF LEFT JOIN is the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_prior_error",
+    """
+    WITH err AS (
+        SELECT user_id, ts, max_by(value, event_id) AS prior_error_value
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, p.value,
+           err.prior_error_value,
+           epoch_ms(err.ts) AS prior_error_ms
+    FROM p ASOF LEFT JOIN err
+      ON p.user_id = err.user_id AND p.ts >= err.ts
+    """,
+)
+def asof_prior_error(spark, sf_dir):
+    from eventsourcing_spark.operators.asof import asof_join_backward
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("prior_error_value"))
+    )
+    joined = asof_join_backward(
+        purchases,
+        errors,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["prior_error_value"],
+        ts_out="prior_error_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+        F.col("prior_error_value").cast("double").alias("prior_error_value"),
+        F.unix_millis("prior_error_ts").alias("prior_error_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-ish relational coverage: the engine inherits full SQL from Spark;
 # these prove joins/aggregations at bench scale.
 # ---------------------------------------------------------------------------

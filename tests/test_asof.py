@@ -1,0 +1,61 @@
+"""asof_join_backward edge semantics (operators/asof.py).
+
+The oracle gate checks it against DuckDB's native ASOF JOIN at sf0.01;
+here the hand-built cases pin the contract: inclusive at equal
+timestamps, nulls before any right row, values never leak across keys.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.operators.asof import asof_join_backward
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", _ts(0), "L-before-any"),
+            ("u1", _ts(5), "L-equal-ts"),
+            ("u1", _ts(9), "L-between"),
+            ("u1", _ts(20), "L-after-second"),
+            ("u2", _ts(30), "L-other-key"),
+        ],
+        "key string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(5), 50.0),
+            ("u1", _ts(10), 100.0),
+            ("u2", _ts(1), 7.0),
+        ],
+        "key string, ts timestamp, rv double",
+    )
+    out = asof_join_backward(
+        left, right, key_cols=["key"], left_ts="ts", right_ts="ts",
+        value_cols=["rv"], ts_out="rts",
+    )
+    got = {r.tag: (r.rv, r.rts) for r in out.collect()}
+    assert got["L-before-any"] == (None, None)
+    assert got["L-equal-ts"] == (50.0, _ts(5))  # inclusive at equal ts
+    assert got["L-between"] == (50.0, _ts(5))
+    assert got["L-after-second"] == (100.0, _ts(10))
+    assert got["L-other-key"] == (7.0, _ts(1))  # no cross-key leakage
+    assert out.count() == left.count()  # left-join cardinality
+
+
+def test_asof_single_shuffle_plan(spark):
+    left = spark.createDataFrame([("a", _ts(1), 1)], "key string, ts timestamp, x int")
+    right = spark.createDataFrame([("a", _ts(0), 2.0)], "key string, ts timestamp, v double")
+    out = asof_join_backward(left, right, ["key"], "ts", "ts", ["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union + one window — never a join node, never a range cross-product
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # union sides share the window shuffle
+    assert out.filter(F.col("v") == 2.0).count() == 1
