@@ -618,6 +618,66 @@ def asof_prior_error(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Range (interval) join — click attribution: for every purchase, the count
+# and value of the user's clicks in the preceding 10 minutes. The Spark
+# side uses the bucketized equi-join (operators/rangejoin.py) so per-task
+# work is bounded by bucket population, never by a theta cross-product;
+# the oracle states the same semantics as a plain BETWEEN join (fine for
+# DuckDB at oracle scale, fatal on a cluster at 100 TB).
+# ---------------------------------------------------------------------------
+@query(
+    "range_click_attribution",
+    f"""
+    SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+           count(c.event_id) AS n_clicks,
+           CAST(coalesce(sum(CAST(c.value AS {DEC})), 0) AS DOUBLE) AS click_value
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+      AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 600000
+      AND epoch_ms(c.ts) < epoch_ms(p.ts)
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def range_click_attribution(spark, sf_dir):
+    from eventsourcing_spark.operators.rangejoin import bucketed_range_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_millis("ts").alias("click_ms"),
+        F.col("value").alias("click_val"),
+    )
+    pms = F.unix_millis(F.col("ts"))
+    joined = bucketed_range_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        left_lo_ms=pms - 600000,
+        left_hi_ms=pms,
+        right_ts_ms=F.col("click_ms"),
+        bucket_ms=600000,
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("click_id").alias("n_clicks"),
+        F.coalesce(F.sum(F.col("click_val").cast(DEC)), F.lit(0).cast(DEC))
+        .cast("double")
+        .alias("click_value"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "n_clicks",
+        "click_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-ish relational coverage: the engine inherits full SQL from Spark;
 # these prove joins/aggregations at bench scale.
 # ---------------------------------------------------------------------------

@@ -59,3 +59,46 @@ def test_asof_single_shuffle_plan(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # union sides share the window shuffle
     assert out.filter(F.col("v") == 2.0).count() == 1
+
+
+def test_bucketed_range_join_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.operators.rangejoin import bucketed_range_join
+
+    left = spark.createDataFrame(
+        [("k1", 1000, "w1"), ("k1", 5000, "w2"), ("k2", 1000, "w3")],
+        "key string, at long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 400, 1.0), ("k1", 999, 2.0), ("k1", 1000, 4.0), ("k2", 500, 8.0)],
+        "key string, rts long, rv double",
+    )
+    # window = [at-600, at): inclusive low, exclusive high
+    out = bucketed_range_join(
+        left, right, ["key"],
+        left_lo_ms=F.col("at") - 600, left_hi_ms=F.col("at"),
+        right_ts_ms=F.col("rts"), bucket_ms=600,
+    )
+    agg = {
+        r.tag: (r.n, r.s)
+        for r in out.groupBy("tag")
+        .agg(F.count("rv").alias("n"), F.sum("rv").alias("s"))
+        .collect()
+    }
+    assert agg["w1"] == (2, 3.0)   # 400 (=at-600, inclusive) + 999; 1000 excluded
+    assert agg["w2"] == (0, None)  # empty window survives the left join
+    assert agg["w3"] == (1, 8.0)   # no cross-key contamination
+    # bucketization is an access path: same result as the theta join
+    theta = (
+        left.join(
+            right,
+            (left.key == right.key)
+            & (right.rts >= left.at - 600)
+            & (right.rts < left.at),
+            "left",
+        )
+        .groupBy("tag")
+        .agg(F.count("rv").alias("n"))
+    )
+    assert {r.tag: r.n for r in theta.collect()} == {t: n for t, (n, _) in agg.items()}
