@@ -511,6 +511,74 @@ def token_count_by_source(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Global vocabulary top-k — the word-count shape at corpus scale: explode →
+# partial count per partition (map-side combine) → one shuffle on token →
+# TakeOrderedAndProject. Deterministic tiebreak on the token itself.
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_topk",
+    """
+    SELECT token, count(*) AS freq
+    FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword accounting: a GPT-style pre-tokenizer approximation
+# (letter runs / digit runs / punctuation runs) counted next to whitespace
+# tokens. The character classes are chosen so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte.
+# ---------------------------------------------------------------------------
+_SUBWORD_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+@query(
+    "subword_token_stats",
+    f"""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(lower(text), '{_SUBWORD_RE}'))) AS BIGINT)
+             AS n_subwords,
+           CAST(sum(len(list_filter(string_split(lower(text), ' '), t -> t <> '')))
+                AS BIGINT) AS n_ws_tokens,
+           CAST(CAST(sum(len(regexp_extract_all(lower(text), '{_SUBWORD_RE}'))) AS DOUBLE)
+                / sum(len(list_filter(string_split(lower(text), ' '), t -> t <> '')))
+                AS DOUBLE) AS subwords_per_token
+    FROM documents
+    GROUP BY source
+    """,
+)
+def subword_token_stats(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    low = F.lower(F.col("text"))
+    n_sub = F.size(F.regexp_extract_all(low, F.lit(_SUBWORD_RE), F.lit(0)))
+    n_ws = F.size(F.filter(F.split(low, " "), lambda t: t != ""))
+    return docs.groupBy("source").agg(
+        F.sum(n_sub).cast("long").alias("n_subwords"),
+        F.sum(n_ws).cast("long").alias("n_ws_tokens"),
+        (F.sum(n_sub).cast("double") / F.sum(n_ws))
+        .cast("double")
+        .alias("subwords_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Language ID heuristic: stopword-profile vote, engine-replayable exactly.
 # ---------------------------------------------------------------------------
 _LANG_MARKERS = {
