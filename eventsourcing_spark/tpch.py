@@ -486,6 +486,93 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
 # instead of "no orders" — the synthetic data has no order-less customers) —
 # global-average threshold as exact cross-multiplication + anti join.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup — absent from the reference (SURVEY §2.4 "declare,
+# don't build"); pinned here to prove the engine inherits them. NULL group
+# cells are disambiguated with grouping() flags so subtotal rows hash
+# identically in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_revenue",
+    f"""
+    SELECT coalesce(l_returnflag, '*') AS returnflag,
+           coalesce(l_linestatus, '*') AS linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(sum(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("linestatus"),
+            "g_rf",
+            "g_ls",
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function battery over the event stream: ranking, offset, and
+# distribution functions in one per-key ordered pass (single shuffle on the
+# stream key — the W1/W2 frame generalized).
+# ---------------------------------------------------------------------------
+@query(
+    "window_rank_functions",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
+             AS value_rank,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    WHERE event_type = 'view'
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def window_rank_functions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(wv).cast("bigint").alias("value_rank"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.sum(F.col("value").cast(DEC)).over(wrun).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
 @query(
     "tpch_q22_global_sales_opportunity",
     f"""
