@@ -678,6 +678,61 @@ def range_click_attribution(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Set operations — absent from the reference (SURVEY §2.7); declared
+# built-in and pinned here: purchasers minus error-reporters (EXCEPT),
+# and the intersection of both populations (INTERSECT).
+# ---------------------------------------------------------------------------
+@query(
+    "set_ops_user_cohorts",
+    """
+    WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         errs AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT user_id, 'clean_buyer' AS cohort
+    FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM errs)
+    UNION ALL
+    SELECT user_id, 'buyer_with_errors' AS cohort
+    FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM errs)
+    """,
+)
+def set_ops_user_cohorts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    clean = buyers.exceptAll(errs).withColumn("cohort", F.lit("clean_buyer"))
+    both = buyers.intersect(errs).withColumn("cohort", F.lit("buyer_with_errors"))
+    return clean.unionByName(both)
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles per event type — interpolated quantiles over sorted
+# doubles; Spark's percentile() and DuckDB's quantile_cont implement the
+# same (1-f)·a + f·b interpolation, making the oracle compare exact.
+# ---------------------------------------------------------------------------
+@query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-ish relational coverage: the engine inherits full SQL from Spark;
 # these prove joins/aggregations at bench scale.
 # ---------------------------------------------------------------------------
