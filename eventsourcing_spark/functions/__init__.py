@@ -7,6 +7,7 @@ from eventsourcing_spark.functions.hashing import (  # noqa: F401
 from eventsourcing_spark.functions.ulid import (  # noqa: F401
     UlidGenerator,
     ulid_millis,
+    ulid_offset,
     ulid_random,
     ulid_time_only,
     ulid_time_only_py,

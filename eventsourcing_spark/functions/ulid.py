@@ -56,6 +56,19 @@ def _encode_time(ms: Column) -> Column:
     return F.lpad(F.translate(std, _STD_TAIL, _CROCKFORD_TAIL), _TIME_CHARS, "0")
 
 
+def ulid_offset(col: Column | str, offset_ms: Column | int) -> Column:
+    """X2 ``OffsetTime``: shift the ULID's embedded timestamp by
+    ``offset_ms`` while preserving its 80-bit entropy suffix
+    (eventid/eventid.go:69-103) — used to widen `(after, until]` bounds
+    without disturbing identity ordering within a millisecond."""
+    c = _as_col(col)
+    off = F.lit(offset_ms) if isinstance(offset_ms, int) else offset_ms
+    return F.concat(
+        _encode_time(ulid_millis(c) + off),
+        F.substring(c, _TIME_CHARS + 1, ENCODED_SIZE - _TIME_CHARS),
+    )
+
+
 def ulid_time_only(ts: Column | str) -> Column:
     """Zero-entropy boundary ULID for a timestamp column (X3;
     eventid/eventid.go:51-55). ``ulid_time_only(t)`` sorts before every

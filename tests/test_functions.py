@@ -108,3 +108,27 @@ def test_ulid_generator_after_plus_1ms():
     earlier = datetime(2024, 4, 30, tzinfo=timezone.utc)
     gen = UlidGenerator(after=base, now_fn=lambda: earlier)  # clock skew: now < after
     assert ulid_millis_py(gen.new_id()) == int(base.timestamp() * 1000) + 1
+
+
+def test_ulid_offset_shifts_time_keeps_entropy(spark):
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.functions import ulid_millis, ulid_offset
+
+    df = spark.createDataFrame([(SPEC_ULID,)], "id string")
+    row = df.select(
+        ulid_millis("id").alias("ms"),
+        ulid_offset("id", 60_000).alias("fwd"),
+        ulid_offset("id", -60_000).alias("back"),
+        F.substring("id", 11, 16).alias("entropy"),
+    ).first()
+    out = df.select(
+        ulid_millis(ulid_offset("id", 60_000)).alias("fwd_ms"),
+        ulid_millis(ulid_offset("id", -60_000)).alias("back_ms"),
+    ).first()
+    assert out.fwd_ms == row.ms + 60_000
+    assert out.back_ms == row.ms - 60_000
+    assert row.fwd[10:] == row.entropy and row.back[10:] == row.entropy
+    assert len(row.fwd) == 26
+    # ordering: shifting forward moves past the original
+    assert row.fwd > SPEC_ULID > row.back
