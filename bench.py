@@ -73,12 +73,17 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warm-up must never fail the bench
             pass
 
+    # Best-of-two: the host VM throttles unpredictably (observed 170× on a
+    # single run); min-of-runs measures the engine, not the hypervisor.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

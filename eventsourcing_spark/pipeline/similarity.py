@@ -271,3 +271,157 @@ def dedup_simhash(spark, sf_dir):
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.col("text")), " ")
     return docs.select("doc_id", _simhash_votes_spark(toks).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-style counterpart to the hyperplane
+# LSH above. Coarse quantizer: K seed centroids (the K lowest vec_ids — a
+# deterministic codebook; production would Lloyd-iterate, which only moves
+# the centroids, not the plan shape). Every vector joins its nearest
+# centroid's cell by exact integer squared-L2 (‖v‖² − 2·v·c + ‖c‖²);
+# queries probe the NPROBE nearest cells and scan only those inverted
+# lists. At 100 TB the cell is the shuffle key and the codebook is a
+# broadcast literal — no global pairwise work anywhere.
+# ---------------------------------------------------------------------------
+N_CELLS = 16
+N_PROBE = 2
+_CENT_SQL = f"SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {N_CELLS}"
+_ASSIGN_SQL = f"""
+      SELECT vec_id, qv, cid,
+             CAST(row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(qv, qv)
+                        - 2 * list_dot_product(qv, cv)
+                        + list_dot_product(cv, cv), cid) AS BIGINT) AS crank
+      FROM q CROSS JOIN cent
+"""
+
+
+def _ivf_assign(spark, sf_dir):
+    """(vec_id, qv, cid, crank): every vector ranked against all centroids
+    by exact integer squared-L2; crank=1 is the home cell, crank<=NPROBE
+    the probe set."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    cent = (
+        q.filter(F.col("vec_id") < N_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dist = (
+        _dot(F.col("qv"), F.col("qv"))
+        - F.lit(2) * _dot(F.col("qv"), F.col("cv"))
+        + _dot(F.col("cv"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cid").asc())
+    return (
+        q.join(F.broadcast(cent))
+        .select("vec_id", "qv", "cid", F.row_number().over(w).cast("long").alias("crank"))
+    )
+
+
+@query(
+    "ann_ivf_cells",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    cent AS ({_CENT_SQL}),
+    assign AS ({_ASSIGN_SQL})
+    SELECT cid AS cell, count(*) AS n_vectors
+    FROM assign WHERE crank = 1
+    GROUP BY cid ORDER BY cid
+    """,
+)
+def ann_ivf_cells(spark, sf_dir):
+    """Inverted-list directory: cell sizes of the coarse quantizer (the
+    skew diagnostic you'd watch before sizing cells at scale)."""
+    return (
+        _ivf_assign(spark, sf_dir)
+        .filter(F.col("crank") == 1)
+        .groupBy(F.col("cid").alias("cell"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    cent AS ({_CENT_SQL}),
+    assign AS ({_ASSIGN_SQL}),
+    members AS (SELECT vec_id, qv, cid FROM assign WHERE crank = 1),
+    probes AS (SELECT vec_id, qv, cid FROM assign
+               WHERE crank <= {N_PROBE} AND vec_id < 20),
+    pairs AS (
+      SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id,
+             {_DOT.format(a="p.qv", b="m.qv")} AS dot
+      FROM probes p JOIN members m ON p.cid = m.cid AND p.vec_id != m.vec_id
+    )
+    SELECT query_id, neighbor_id, dot,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= 3
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF probe search: queries visit their NPROBE nearest cells; one
+    shuffle on the cell id co-locates each cell's inverted list with the
+    probing queries, then a single numpy int64 matmul per cell scores
+    them (same exact-integer contract as ann_lsh_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    assign = _ivf_assign(spark, sf_dir)
+    members = assign.filter(F.col("crank") == 1).select(
+        "vec_id", "qv", "cid", F.lit(False).alias("is_probe")
+    )
+    probes = assign.filter(
+        (F.col("crank") <= N_PROBE) & (F.col("vec_id") < 20)
+    ).select("vec_id", "qv", "cid", F.lit(True).alias("is_probe"))
+
+    def cell_dots(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "dot": pd.Series(dtype="int64"),
+            }
+        )
+        probe = pdf[pdf["is_probe"]]
+        member = pdf[~pdf["is_probe"]]
+        if probe.empty or member.empty:
+            return empty
+        qids = probe["vec_id"].to_numpy()
+        mids = member["vec_id"].to_numpy()
+        qm = np.stack(probe["qv"].to_numpy()).astype(np.int64)
+        mm = np.stack(member["qv"].to_numpy()).astype(np.int64)
+        dots = qm @ mm.T
+        qid = np.repeat(qids, len(mids))
+        nid = np.tile(mids, len(qids))
+        d = dots.ravel()
+        keep = qid != nid
+        return pd.DataFrame(
+            {"query_id": qid[keep], "neighbor_id": nid[keep], "dot": d[keep]}
+        )
+
+    pairs = (
+        members.unionByName(probes)
+        .groupBy("cid")
+        .applyInPandas(cell_dots, "query_id long, neighbor_id long, dot long")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 3
+    )

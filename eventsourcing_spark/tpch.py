@@ -614,3 +614,461 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# The driver schema has no partsupp table, so q2/q9/q11/q16/q20 derive the
+# part-supplier relation from lineitem: "supply" = the distinct
+# (l_partkey, l_suppkey) pairs, with min(l_extendedprice) standing in for
+# ps_supplycost and shipped quantity for ps_availqty. Each query keeps its
+# defining operator shape (correlated min subquery, 8-way join, global
+# HAVING threshold, count-distinct with NOT IN, nested semi-joins).
+# ---------------------------------------------------------------------------
+def _supply(spark, sf_dir):
+    """Distinct part-supplier pairs with exact-decimal min cost."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(_dec("l_extendedprice")).alias("ps_supplycost"))
+
+
+_SUPPLY_SQL = f"""
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(CAST(l_extendedprice AS {DEC})) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q2 — minimum-cost supplier: correlated scalar-min subquery decorrelated
+# into a per-part aggregate joined back on exact-decimal cost equality.
+# Supplier/nation/region dims broadcast; the only big shuffle is the
+# supply-pair aggregation keyed by (l_partkey, l_suppkey).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH supply AS ({_SUPPLY_SQL}),
+    eligible AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM supply
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    min_cost AS (
+      SELECT ps_partkey AS mc_partkey, min(ps_supplycost) AS mc_cost
+      FROM eligible GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           CAST(ps_supplycost AS DOUBLE) AS supplycost
+    FROM eligible
+    JOIN part ON p_partkey = ps_partkey
+    JOIN min_cost ON ps_partkey = mc_partkey AND ps_supplycost = mc_cost
+    WHERE p_size BETWEEN 10 AND 25 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dims = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = _supply(spark, sf_dir).join(
+        F.broadcast(dims), F.col("ps_suppkey") == dims.s_suppkey
+    )
+    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("mc_cost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 25) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("mc_cost")),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 — national market share: 8-way join (nation twice), conditional-sum
+# ratio per year. Both sums stay exact decimal; the single final division
+# is double/double with identical operands in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
+                / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))
+               AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _lit_ts("1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _lit_ts("1997-01-01 00:00:00"))
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nations = (
+        customer.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    volume = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust_nations), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    nat_vol = F.when(F.col("nation") == "NATION_3", volume).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(nat_vol).cast("double") / F.sum(volume).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — product-type profit (adapted: cost = p_retailprice · l_quantity in
+# place of ps_supplycost): LIKE-filtered part broadcast, profit summed as
+# exact decimal, grouped by supplier nation × order year.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))
+               - CAST(p_retailprice AS {DEC}) * CAST(l_quantity AS {DEC}) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — important stock (adapted: part value = Σ l_quantity·p_retailprice
+# over one nation's suppliers): per-part aggregate vs a global-total scalar,
+# compared by exact cross-multiplication (value·1000 > total) instead of a
+# float fraction.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q11_important_stock",
+    f"""
+    WITH stock AS (
+      SELECT l_partkey AS ps_partkey,
+             sum(CAST(l_quantity AS {DEC}) * CAST(p_retailprice AS {DEC})) AS val
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT ps_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM stock
+    JOIN (SELECT sum(val) AS total FROM stock) t ON val * 1000 > total
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    supp_in_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    stock = (
+        li.join(F.broadcast(supp_in_nation), li.l_suppkey == F.col("s_suppkey"),
+                "left_semi")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(_dec("l_quantity") * _dec("p_retailprice")).alias("val"))
+    )
+    total = stock.agg(F.sum("val").alias("total"))
+    return (
+        stock.join(F.broadcast(total))
+        .filter(F.col("val") * 1000 > F.col("total"))
+        .select("ps_partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — shipping-delay priority classes (adapted: l_returnflag stands in for
+# l_shipmode, lateness = shipped ≥ 60 days after order date): join +
+# conditional counts, all-integer arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q12_ship_priority_classes",
+    """
+    SELECT l_returnflag AS shipclass,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS high_line_count,
+           sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def tpch_q12_ship_priority_classes(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _lit_ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _lit_ts("1997-01-01 00:00:00"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("shipclass"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+        .orderBy("shipclass")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier count by part attributes (adapted: the NOT IN "complaints"
+# exclusion drops suppliers with negative account balance): distinct supply
+# pairs + broadcast anti-join + count-distinct rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q16_supplier_part_count",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem) ps
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_part_count(spark, sf_dir):
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    complaints = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(complaints),
+                   pairs.ps_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — promotion-candidate suppliers (adapted: "excess stock" = more than
+# half of a part's shipped quantity came in 1997): nested semi-join chain
+# with the threshold as exact decimal cross-multiplication (2·qty97 > total).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q20_excess_stock_suppliers",
+    f"""
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT ps_suppkey FROM (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                        THEN CAST(l_quantity AS {DEC})
+                        ELSE CAST(0 AS {DEC}) END) AS qty_1997,
+               sum(CAST(l_quantity AS {DEC})) AS qty_total
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+      ) ps
+      WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND qty_1997 * 2 > qty_total
+    )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_excess_stock_suppliers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    in_1997 = (F.col("l_shipdate") >= _lit_ts("1997-01-01 00:00:00")) & (
+        F.col("l_shipdate") < _lit_ts("1998-01-01 00:00:00")
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.when(in_1997, _dec("l_quantity")).otherwise(F.lit(0).cast(DEC)))
+        .alias("qty_1997"),
+        F.sum(_dec("l_quantity")).alias("qty_total"),
+    )
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    candidates = (
+        ps.join(F.broadcast(small_parts),
+                ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .filter(F.col("qty_1997") * 2 > F.col("qty_total"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supplier.join(F.broadcast(candidates),
+                      supplier.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -181,3 +181,25 @@ def test_bucketed_layout_joins_without_shuffle(spark, sf_dir, tmp_path_factory):
         assert count_nodes(join_section, "Exchange") == 0
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+
+
+def test_supply_derived_tpch_shapes(plans):
+    # q2's correlated min subquery decorrelates into two aggregates over
+    # the supply pairs plus broadcast dimension joins
+    assert "BroadcastHashJoin" in plans["tpch_q2_min_cost_supplier"]
+    # q16's NOT IN exclusion compiles to a broadcast anti join
+    p16 = plans["tpch_q16_supplier_part_count"]
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16
+    # q20's nested IN-subqueries become a semi-join chain
+    assert plans["tpch_q20_excess_stock_suppliers"].count("LeftSemi") >= 2
+    # q8's 8-way join broadcasts everything except orders⋈lineitem
+    assert plans["tpch_q8_market_share"].count("BroadcastHashJoin") >= 3
+
+
+def test_ivf_probe_is_one_python_stage(plans):
+    # centroid assignment is a broadcast nested-loop against the literal
+    # codebook; the probe search is a single grouped-map python stage
+    # keyed by cell — no pairwise join anywhere
+    p = plans["ann_ivf_topk"]
+    assert "BroadcastNestedLoopJoin" in p
+    assert count_nodes(p, "FlatMapGroupsInPandas") == 1
