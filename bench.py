@@ -30,6 +30,8 @@ HEADLINE = [
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume",
     "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
     "a1_fold_balance",
     "s5_latest_snapshot",
     "w2_running_balance",
@@ -45,6 +47,7 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "knn_topk_dot",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "emb_neardup_pairs",
 ]
 # registers the similarity/pipeline queries named above

@@ -1,0 +1,60 @@
+"""Approximate-aggregation breadth: declared-builtin sketches, ε-tested.
+
+The reference has no sketches (SURVEY §2.4 "absent — engine gets them
+free from Spark SQL"). These cannot go through the DuckDB value-hash
+gate — approx algorithms are engine-specific — so they are pinned here
+against exact answers with error bounds instead:
+
+* ``approx_count_distinct`` (HyperLogLog++) — the streaming/distributed
+  distinct-count path (one pass, fixed memory, no shuffle of values);
+* ``hll_sketch_agg``/``hll_union_agg`` (Apache DataSketches HLL) —
+  *mergeable* sketches: partial sketches per partition/day union into a
+  global count without re-scanning, the pattern a 100 TB rollup needs;
+* ``percentile_approx`` (KLL-style) — bounded-memory quantiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import load_table
+
+
+def test_approx_count_distinct_within_bounds(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact, approx = (
+        ev.agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .first()
+    )
+    assert abs(approx - exact) <= max(3, 0.05 * exact), (exact, approx)
+
+
+def test_hll_sketches_merge_across_partitions(spark, sf_dir):
+    """Partial HLL sketches built per event_type union into the global
+    distinct-user count — merge-without-rescan, the scale rollup path."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(F.countDistinct("user_id")).first()[0]
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()[0]
+    assert abs(merged - exact) <= max(3, 0.05 * exact), (exact, merged)
+
+
+def test_percentile_approx_rank_error(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    exact_med, approx_med = (
+        ev.agg(
+            F.expr("percentile(value, 0.5)").alias("exact"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx"),
+        ).first()
+    )
+    # rank error: the approx median's true rank is within 1% of n/2
+    rank = ev.filter(F.col("value") <= approx_med).count()
+    assert abs(rank - n / 2) <= max(2, 0.01 * n), (exact_med, approx_med, rank, n)
