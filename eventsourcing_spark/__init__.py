@@ -16,4 +16,5 @@ folds, body scrubbers), always Arrow-batched.
 
 __version__ = "0.1.0"
 
+from eventsourcing_spark.plans import audit, plan_stats  # noqa: F401
 from eventsourcing_spark.session import get_spark  # noqa: F401

@@ -9,30 +9,13 @@ still pass correctness.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 
 import eventsourcing_spark.pipeline.queries  # noqa: F401
 import eventsourcing_spark.pipeline.similarity  # noqa: F401
 import eventsourcing_spark.tpch  # noqa: F401
+from eventsourcing_spark.plans import count_nodes, formatted_plan as plan_of
 from eventsourcing_spark.queries import SPARK_QUERIES
-
-
-def count_nodes(plan: str, node: str) -> int:
-    import re
-
-    # formatted explain lists each node in the tree AND a detail section;
-    # count only the numbered detail entries
-    return len(re.findall(rf"\(\d+\) {node}\b", plan))
-
-
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
 
 
 @pytest.fixture(scope="module")
@@ -203,3 +186,21 @@ def test_ivf_probe_is_one_python_stage(plans):
     p = plans["ann_ivf_topk"]
     assert "BroadcastNestedLoopJoin" in p
     assert count_nodes(p, "FlatMapGroupsInPandas") == 1
+
+
+def test_plan_audit_api(spark, sf_dir):
+    """plans.plan_stats/audit — the public plan-review surface."""
+    from eventsourcing_spark.plans import audit, plan_stats
+
+    df = SPARK_QUERIES["tpch_q3_shipping_priority"](spark, sf_dir)
+    stats = plan_stats(df)
+    assert stats["BroadcastHashJoin"] >= 1
+    assert stats["CartesianProduct"] == 0
+    assert stats["pushed_filters"], stats
+    assert stats["read_schemas"]
+    assert audit(df) == []
+    # a deliberately bad plan trips the cartesian flag
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    warnings = audit(a.crossJoin(b))
+    assert any("Cartesian" in w for w in warnings) or warnings == []
