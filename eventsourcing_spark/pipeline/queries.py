@@ -739,3 +739,104 @@ def embedding_label_stats(spark, sf_dir):
             F.sum("sq").cast("long").alias("sum_sq_norm_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus profiling — the QA pass a training-data pipeline runs before and
+# after every transform: per-source null/empty rates, exact distinct
+# counts, char-length spread, language mix. All counts are exact
+# integers; one full scan, one shuffle on the grouping key. At 100 TB
+# this runs as a partial-aggregated rollup (map-side combine), and the
+# distinct counts would switch to the HLL sketches pinned in
+# tests/test_approx.py — kept exact here so the oracle can hash-match.
+# ---------------------------------------------------------------------------
+@query(
+    "profile_documents",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           count(DISTINCT doc_id) AS n_distinct_ids
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def profile_documents(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    empty = F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(empty).alias("n_empty"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+            F.countDistinct("doc_id").alias("n_distinct_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinctive terms per language — TF-IDF's ranking intent with exact
+# integer ordering: a term is distinctive for a language when it is
+# frequent there (high tf) and rare elsewhere (low document frequency).
+# Ordering by (tf DESC, df ASC, term) is a float-free proxy for
+# tf·idf — monotone in tf and anti-monotone in df — so Spark and DuckDB
+# rank identically with no log() in sight. Two shuffles: token rollup,
+# then per-language top-k via ranking window.
+# ---------------------------------------------------------------------------
+@query(
+    "text_distinctive_terms",
+    """
+    WITH toks AS (
+      SELECT lang, doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, term, count(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY lang, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df
+      FROM toks WHERE term <> '' GROUP BY term
+    )
+    SELECT lang, term, tf, df,
+           CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY tf DESC, df ASC, term) AS BIGINT) AS rnk
+    FROM tf JOIN df USING (term)
+    QUALIFY rnk <= 10
+    ORDER BY lang, rnk
+    """,
+)
+def text_distinctive_terms(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .orderBy("lang", "rnk")
+    )
