@@ -425,3 +425,125 @@ def ann_ivf_topk(spark, sf_dir):
     return pairs.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= 3
     )
+
+
+# ---------------------------------------------------------------------------
+# Ensemble near-duplicate detection: embedding cosine AND lexical Jaccard
+# verified on the same LSH-blocked candidate pairs (embeddings map 1:1 to
+# documents in the synthetic corpus). Production dedup pipelines combine
+# signals exactly like this — semantic (embedding) catches paraphrases,
+# lexical catches boilerplate — and disagreement between the two flags is
+# itself the interesting QA output.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ensemble",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, qv, {_bucket_sql("qv")} AS bucket,
+               {_DOT.format(a="qv", b="qv")} AS nsq
+        FROM q
+    ),
+    cand AS (
+        SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+               {_DOT.format(a="a.qv", b="c.qv")} AS dot,
+               a.nsq AS na, c.nsq AS nb
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    ),
+    toks AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+        FROM documents
+    ),
+    j AS (
+        SELECT cand.doc_a, cand.doc_b, cand.dot,
+               CASE WHEN cand.dot > 0
+                         AND 25 * cand.dot * cand.dot >= 4 * cand.na * cand.nb
+                    THEN 1 ELSE 0 END AS emb_dup,
+               len(list_intersect(ta.ts, tb.ts)) AS n_common,
+               len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))
+                   AS n_union
+        FROM cand
+        JOIN toks ta ON cand.doc_a = ta.doc_id
+        JOIN toks tb ON cand.doc_b = tb.doc_id
+    )
+    SELECT doc_a, doc_b, dot,
+           CAST(n_common AS DOUBLE) / n_union AS jaccard,
+           CAST(emb_dup AS BIGINT) AS emb_dup,
+           CAST(CASE WHEN 2 * n_common > n_union THEN 1 ELSE 0 END AS BIGINT)
+               AS lex_dup
+    FROM j
+    WHERE emb_dup = 1 OR 2 * n_common > n_union
+    """,
+)
+def dedup_ensemble(spark, sf_dir):
+    """Two-signal dedup verdict over LSH-blocked candidates.
+
+    Candidate generation is the embedding LSH bucket join (one shuffle on
+    the 256-way bucket key, numpy int64 Gram matrix per bucket — same
+    shape as emb_neardup_pairs); the cosine verdict is decided inside the
+    pandas UDF in exact integer arithmetic. Candidates then join to the
+    token-set projection of ``documents`` (shuffle join on doc_id — at
+    100 TB the candidate side is tiny relative to the corpus, so AQE
+    broadcasts it) and the lexical verdict ``jaccard > 0.5`` is decided
+    in exact integer cross-multiplied form ``2·|∩| > |∪|``. A pair
+    survives if EITHER signal fires; both flags are returned so
+    disagreements are queryable. Reference parity: dedup has no analogue
+    in quintans/eventsourcing — this is training-pipeline surface."""
+    import numpy as np
+    import pandas as pd
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    b = q.select("vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"))
+
+    def bucket_cand(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "dot": pd.Series(dtype="int64"),
+                "emb_dup": pd.Series(dtype="int64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        gram = m @ m.T
+        nsq = np.diag(gram)
+        ia, ib = np.triu_indices(n, k=1)
+        d = gram[ia, ib]
+        dup = ((d > 0) & (25 * d * d >= 4 * nsq[ia] * nsq[ib])).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_a": ids[ia], "doc_b": ids[ib], "dot": d, "emb_dup": dup}
+        )
+
+    cand = b.groupBy("bucket").applyInPandas(
+        bucket_cand, "doc_a long, doc_b long, dot long, emb_dup long"
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("ts")
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    j = cand.join(ta, "doc_a").join(tb, "doc_b")
+    common = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - common
+    lex_dup = F.when(F.lit(2) * common > union, F.lit(1)).otherwise(F.lit(0))
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            (common.cast("double") / union).alias("jaccard"),
+            F.col("emb_dup").cast("long").alias("emb_dup"),
+            lex_dup.cast("long").alias("lex_dup"),
+        )
+        .filter((F.col("emb_dup") == 1) | (F.col("lex_dup") == 1))
+    )
