@@ -1,0 +1,232 @@
+"""Dataset curation operators: splits, sampling, decontamination, packing.
+
+The four steps every large-scale training-data pipeline runs between
+"deduped corpus" and "training shards", each expressed so the
+distributed shape is right at 100 TB:
+
+* **split assignment** — pure per-row map over a content-stable hash
+  (md5 of the document key): no shuffle, no global state, and the
+  assignment is reproducible across runs and engines;
+* **stratified sampling** — per-stratum keep-rates applied with the
+  same hash-threshold trick: a narrow filter that pushes below any
+  downstream shuffle, with deterministic output (unlike
+  ``df.sample``, which depends on partitioning);
+* **decontamination** — eval↔train n-gram overlap via an equi-join on
+  the shingle string: shuffle keyed on the n-gram, so each gram's
+  candidate set is co-located; counts roll up per eval doc;
+* **sequence packing** — greedy sequential fill of fixed token-budget
+  bins *within a shard* (``source``): the running token count is a
+  window partitioned by source, never a global cumsum, so packing
+  parallelizes across shards exactly like the write path that follows.
+
+Determinism contract (shared with pipeline.queries): md5 hex-string
+comparisons and exact integer arithmetic only — no engine-variant RNG,
+no float thresholds. Reference parity: none of this exists in
+quintans/eventsourcing (no relational surface, SURVEY §2.7); these are
+engine additions from the task brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.queries import query
+
+# Hex-prefix thresholds on md5(doc_id): first byte < 0x08 → ~3.1% test,
+# < 0x10 → next ~3.1% valid, rest train.
+TEST_HEX = "08"
+VALID_HEX = "10"
+
+# Per-language keep-rate thresholds (first byte of md5): en keeps ~50%,
+# every other language keeps ~25% — i.e. downsample the dominant stratum
+# less aggressively than the tail, the usual rebalancing direction.
+EN_KEEP_HEX = "80"
+OTHER_KEEP_HEX = "40"
+
+CONTAM_N = 5  # n-gram width for eval↔train overlap
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def _doc_hash(col):
+    return F.md5(col.cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/valid/test split assignment.
+# ---------------------------------------------------------------------------
+@query(
+    "split_assign",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TEST_HEX}'
+                THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VALID_HEX}'
+                THEN 'valid'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def split_assign(spark, sf_dir):
+    """Hash-based split: a narrow per-row projection (no shuffle, no
+    sort). The hash keys on the stable document ID, so re-runs — and
+    re-shards — never move a document across the split boundary; at
+    100 TB this is a map-only job that fuses into whatever reads it."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(_doc_hash(F.col("doc_id")), 1, 2)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(prefix < TEST_HEX, F.lit("test"))
+        .when(prefix < VALID_HEX, F.lit("valid"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling by language.
+# ---------------------------------------------------------------------------
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '{EN_KEEP_HEX}'
+                 ELSE '{OTHER_KEEP_HEX}' END
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Per-stratum hash-threshold sampling. Unlike ``df.sample`` the
+    decision is a pure function of (doc_id, lang), so the sample is
+    identical across runs, partitionings, and engines. The filter sits
+    in the scan's own codegen stage (map-only, zero shuffles) — it
+    can't be a parquet pushed filter (md5 is computed), but nothing
+    downstream ever sees a dropped row."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(_doc_hash(F.col("doc_id")), 1, 2)
+    thr = F.when(F.col("lang") == "en", F.lit(EN_KEEP_HEX)).otherwise(
+        F.lit(OTHER_KEEP_HEX)
+    )
+    return docs.filter(prefix < thr).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: token n-gram overlap between the eval slice and the
+# training corpus. Candidates meet only through the shingle equi-join.
+# ---------------------------------------------------------------------------
+@query(
+    "contamination_overlap",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 list_transform(range(1, len(t) - {CONTAM_N} + 2),
+                   i -> array_to_string(
+                          list_slice(t, CAST(i AS INTEGER),
+                                     CAST(i + {CONTAM_N} - 1 AS INTEGER)),
+                          ' ')))) AS gram
+        FROM toks
+        WHERE len(t) >= {CONTAM_N}
+    ),
+    ev AS (SELECT doc_id AS eval_id, gram FROM sh WHERE doc_id < 10),
+    tr AS (SELECT doc_id AS train_id, gram FROM sh WHERE doc_id >= 10)
+    SELECT ev.eval_id,
+           count(DISTINCT ev.gram) AS n_contaminated_grams,
+           count(DISTINCT tr.train_id) AS n_train_docs
+    FROM ev JOIN tr ON ev.gram = tr.gram
+    GROUP BY ev.eval_id
+    """,
+)
+def contamination_overlap(spark, sf_dir):
+    """Eval-set decontamination scan: shingle both sides, equi-join on
+    the {CONTAM_N}-gram string, roll up hits per eval document. The
+    shuffle key is the gram, so at 100 TB each gram's (tiny) candidate
+    set is co-located and the join never widens beyond true matches;
+    the eval side is small and AQE broadcasts it. Distinct-per-doc
+    grams keep the explode bounded by document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= CONTAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - CONTAM_N + 1),
+                        lambda i: F.array_join(F.slice("t", i, CONTAM_N), " "),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    ev = grams.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    tr = grams.filter(F.col("doc_id") >= 10).select(
+        F.col("doc_id").alias("train_id"), "gram"
+    )
+    return (
+        ev.join(tr, "gram")
+        .groupBy("eval_id")
+        .agg(
+            F.count_distinct("gram").alias("n_contaminated_grams"),
+            F.count_distinct("train_id").alias("n_train_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: greedy sequential fill of fixed token budgets,
+# parallel across shards (source = the shard key).
+# ---------------------------------------------------------------------------
+@query(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               len(string_split(lower(text), ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source, doc_id, n_tok,
+           (cum - n_tok) // {PACK_BUDGET} AS seq_id
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Document→sequence packing: running token count per shard
+    (window partitioned by ``source``, ordered by doc_id), bin index =
+    floor(tokens-before / budget). Documents may straddle a boundary —
+    the split-on-write convention — so no bin sits idle. Partitioning
+    the window by the shard key is the scale decision: a global cumsum
+    would serialize 100 TB through one partition, while per-shard
+    packing is exactly as parallel as the shard layout itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET)
+        .cast("long")
+        .alias("seq_id"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pytest
 
+import eventsourcing_spark.pipeline.curation  # noqa: F401
 import eventsourcing_spark.pipeline.queries  # noqa: F401
 import eventsourcing_spark.pipeline.similarity  # noqa: F401
 import eventsourcing_spark.tpch  # noqa: F401
@@ -204,3 +205,26 @@ def test_plan_audit_api(spark, sf_dir):
     b = spark.range(10).withColumnRenamed("id", "id2")
     warnings = audit(a.crossJoin(b))
     assert any("Cartesian" in w for w in warnings) or warnings == []
+
+
+def test_curation_split_and_sample_are_map_only(plans):
+    # split assignment and hash-threshold sampling must never shuffle:
+    # at 100 TB they are pure per-row maps fused into the scan stage.
+    for name in ("split_assign", "stratified_sample"):
+        assert count_nodes(plans[name], "Exchange") == 0, plans[name]
+
+
+def test_pack_sequences_partitions_by_shard(plans):
+    # one shuffle on the shard key; a global cumsum would show up as
+    # Exchange SinglePartition feeding the Window.
+    p = plans["pack_sequences"]
+    assert "Window" in p
+    assert "SinglePartition" not in p, p
+    assert count_nodes(p, "Exchange") == 1, p
+
+
+def test_contamination_join_is_keyed_not_cartesian(plans):
+    # the eval↔train overlap must meet through the gram equi-join
+    p = plans["contamination_overlap"]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
