@@ -230,3 +230,91 @@ def pack_sequences(spark, sf_dir):
         .cast("long")
         .alias("seq_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule battery (Rae et al. 2021 §A1.1): per-document
+# filters computed in integer cross-multiplied form so no float threshold
+# can flip between engines.
+# ---------------------------------------------------------------------------
+STOPWORDS = ["the", "a", "of", "to", "and"]
+MIN_TOKENS = 50
+MEAN_LEN_LO = 3  # flag if mean word length < 3 or > 10
+MEAN_LEN_HI = 10
+STOP_FRAC_PCT = 6  # flag if stopword fraction < 6%
+REP_FRAC_NUM, REP_FRAC_DEN = 3, 10  # flag if duplicate-token fraction > 3/10
+
+
+@query(
+    "gopher_quality_flags",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_tok,
+               len(list_distinct(toks)) AS n_uniq,
+               list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                   AS sum_len,
+               len(list_filter(toks,
+                   x -> list_contains({STOPWORDS!r}, x))) AS n_stop
+        FROM t
+    )
+    SELECT doc_id, n_tok, n_uniq, sum_len, n_stop,
+           CAST(n_tok < {MIN_TOKENS} AS BIGINT) AS flag_short,
+           CAST({MEAN_LEN_LO} * n_tok > sum_len
+                OR sum_len > {MEAN_LEN_HI} * n_tok AS BIGINT)
+               AS flag_word_len,
+           CAST(100 * n_stop < {STOP_FRAC_PCT} * n_tok AS BIGINT)
+               AS flag_stopword,
+           CAST({REP_FRAC_DEN} * (n_tok - n_uniq) > {REP_FRAC_NUM} * n_tok
+                AS BIGINT) AS flag_repetition
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark, sf_dir):
+    """Quality-filter rule battery: min length, mean-word-length band,
+    stopword floor, duplicate-token ceiling. Entirely higher-order
+    functions over one projection — a map-only stage that fuses into
+    the scan, so at 100 TB it costs one pass and the flags land next
+    to the document for the downstream filter to push against. Every
+    threshold compares in integer cross-multiplied form (e.g. dup
+    fraction > 0.3 ⟺ 10·(n_tok−n_uniq) > 3·n_tok)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    t = docs.select("doc_id", toks.alias("toks"))
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(
+            F.filter("toks", lambda x: F.array_contains(stop_lit, x))
+        ).alias("n_stop"),
+    )
+    flag = lambda c: c.cast("boolean").cast("long")  # noqa: E731
+    return m.select(
+        "doc_id",
+        "n_tok",
+        "n_uniq",
+        "sum_len",
+        "n_stop",
+        flag(F.col("n_tok") < MIN_TOKENS).alias("flag_short"),
+        flag(
+            (F.lit(MEAN_LEN_LO) * F.col("n_tok") > F.col("sum_len"))
+            | (F.col("sum_len") > F.lit(MEAN_LEN_HI) * F.col("n_tok"))
+        ).alias("flag_word_len"),
+        flag(
+            F.lit(100) * F.col("n_stop") < F.lit(STOP_FRAC_PCT) * F.col("n_tok")
+        ).alias("flag_stopword"),
+        flag(
+            F.lit(REP_FRAC_DEN) * (F.col("n_tok") - F.col("n_uniq"))
+            > F.lit(REP_FRAC_NUM) * F.col("n_tok")
+        ).alias("flag_repetition"),
+    )

@@ -210,7 +210,7 @@ def test_plan_audit_api(spark, sf_dir):
 def test_curation_split_and_sample_are_map_only(plans):
     # split assignment and hash-threshold sampling must never shuffle:
     # at 100 TB they are pure per-row maps fused into the scan stage.
-    for name in ("split_assign", "stratified_sample"):
+    for name in ("split_assign", "stratified_sample", "gopher_quality_flags"):
         assert count_nodes(plans[name], "Exchange") == 0, plans[name]
 
 
