@@ -318,3 +318,101 @@ def gopher_quality_flags(spark, sf_dir):
             > F.lit(REP_FRAC_NUM) * F.col("n_tok")
         ).alias("flag_repetition"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed pipeline: dedup → quality filter → split → pack, one job.
+# ---------------------------------------------------------------------------
+def curate(docs, pack_budget: int = PACK_BUDGET):
+    """End-to-end curation as ONE declarative DataFrame job.
+
+    Stages — exact dedup (min-doc_id keeper per content hash), Gopher
+    quality gate (drop too-short and stopword-poor docs), hash split
+    (train slice only), per-shard sequence packing — compose into a
+    single logical plan, so Catalyst sees the whole pipeline at once:
+    the quality filter and split predicate run map-side *before* the
+    dedup shuffle's exchange writes, column pruning reaches the scan,
+    and the only wide operations are the dedup groupBy and the packing
+    window, both keyed (content hash, shard) — nothing global. That
+    single-plan property is the point at 100 TB: four chained jobs
+    would materialize three intermediate corpora; this materializes
+    none. Returns one row per packed training sequence."""
+    toks = F.split(F.lower("text"), " ")
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("text_hash"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda x: F.array_contains(
+            F.array(*[F.lit(s) for s in STOPWORDS]), x))).alias("n_stop"),
+    )
+    w_keep = Window.partitionBy("text_hash")
+    deduped = (
+        m.withColumn("keeper_id", F.min("doc_id").over(w_keep))
+        .filter(F.col("doc_id") == F.col("keeper_id"))
+        .drop("keeper_id", "text_hash")
+    )
+    quality = deduped.filter(
+        (F.col("n_tok") >= MIN_TOKENS)
+        & (F.lit(100) * F.col("n_stop") >= F.lit(STOP_FRAC_PCT) * F.col("n_tok"))
+    )
+    prefix = F.substring(_doc_hash(F.col("doc_id")), 1, 2)
+    train = quality.filter(prefix >= VALID_HEX)
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = train.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w_pack) - F.col("n_tok")) / pack_budget)
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+    )
+
+
+@query(
+    "curation_pipeline",
+    f"""
+    WITH m AS (
+        SELECT doc_id, source, md5(text) AS text_hash,
+               len(string_split(lower(text), ' ')) AS n_tok,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> list_contains({STOPWORDS!r}, x))) AS n_stop
+        FROM documents
+    ),
+    dedup AS (
+        SELECT doc_id, source, n_tok, n_stop FROM (
+            SELECT m.*, min(doc_id) OVER (PARTITION BY text_hash) AS keeper
+            FROM m
+        ) WHERE doc_id = keeper
+    ),
+    quality AS (
+        SELECT * FROM dedup
+        WHERE n_tok >= {MIN_TOKENS} AND 100 * n_stop >= {STOP_FRAC_PCT} * n_tok
+    ),
+    train AS (
+        SELECT * FROM quality
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{VALID_HEX}'
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tok,
+               (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok)
+                   // {PACK_BUDGET} AS seq_id
+        FROM train
+    )
+    SELECT source, seq_id, count(*) AS n_docs, sum(n_tok) AS seq_tokens
+    FROM packed
+    GROUP BY source, seq_id
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """Gate wrapper for :func:`curate` — see its docstring."""
+    return curate(load_table(spark, sf_dir, "documents"))

@@ -228,3 +228,12 @@ def test_contamination_join_is_keyed_not_cartesian(plans):
     p = plans["contamination_overlap"]
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_curation_pipeline_is_one_bounded_plan(plans):
+    # the composed dedup→quality→split→pack job: every wide op is keyed
+    # (content hash / shard); nothing global, nothing cartesian, and the
+    # final rollup reuses the packing window's shard partitioning.
+    p = plans["curation_pipeline"]
+    assert "SinglePartition" not in p, p
+    assert count_nodes(p, "Exchange") <= 3, p
