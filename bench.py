@@ -49,9 +49,13 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_neardup_pairs",
+    "gopher_quality_flags",
+    "contamination_overlap",
+    "curation_pipeline",
 ]
 # registers the similarity/pipeline queries named above
 import eventsourcing_spark.pipeline.similarity  # noqa: E402,F401
+import eventsourcing_spark.pipeline.curation  # noqa: E402,F401
 
 
 def main() -> None:
