@@ -450,12 +450,16 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    # one shuffle on l_orderkey replaces both correlated subqueries
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    # ONE pass over lineitem replaces both correlated subqueries AND the
+    # outer l1 scan: a qualifying order has exactly one returning
+    # supplier, so that supplier's id and its row count fall out of the
+    # same per-order aggregate — no second lineitem shuffle.
     order_stats = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_suppliers"),
+        F.countDistinct(r_supp).alias("n_r_suppliers"),
+        F.max(r_supp).alias("r_suppkey"),
+        F.count(r_supp).alias("n_r_rows"),
     )
     orders = (
         load_table(spark, sf_dir, "orders")
@@ -463,19 +467,13 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         .select("o_orderkey")
     )
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    l1 = li.filter(F.col("l_returnflag") == "R")
+    qual = order_stats.filter(
+        (F.col("n_suppliers") > 1) & (F.col("n_r_suppliers") == 1)
+    ).join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     return (
-        l1.join(orders, l1.l_orderkey == orders.o_orderkey, "left_semi")
-        .join(
-            order_stats.filter(
-                (F.col("n_suppliers") > 1) & (F.col("n_r_suppliers") == 1)
-            ).select("l_orderkey"),
-            "l_orderkey",
-            "left_semi",
-        )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        qual.join(F.broadcast(supplier), F.col("r_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_r_rows").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )

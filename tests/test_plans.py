@@ -110,10 +110,13 @@ def test_semi_and_anti_join_shapes(plans):
     # q4 EXISTS compiles to a semi join, q22 NOT EXISTS to an anti join
     assert "LeftSemi" in plans["tpch_q4_order_priority"]
     assert "LeftAnti" in plans["tpch_q22_global_sales_opportunity"]
-    # q21's two correlated subqueries collapsed into semi joins against
-    # one per-order aggregate — no cartesian, no correlated re-execution
+    # q21: both correlated subqueries AND the outer lineitem scan fold
+    # into ONE per-order aggregate (the qualifying order's single
+    # returning supplier and its row count come from the same groupBy),
+    # so lineitem is scanned and shuffled exactly once
     p = plans["tpch_q21_waiting_supplier"]
-    assert p.count("LeftSemi") >= 2
+    assert p.count("Join type: LeftSemi") == 1
+    assert p.count("lineitem.parquet]") == 1, p
     assert "BroadcastHashJoin" in p  # supplier dimension broadcast
 
 
