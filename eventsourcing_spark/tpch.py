@@ -27,6 +27,7 @@ would reuse at 100 TB.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import load_table
@@ -686,22 +687,21 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     eligible = _supply(spark, sf_dir).join(
         F.broadcast(dims), F.col("ps_suppkey") == dims.s_suppkey
     )
-    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("ps_supplycost").alias("mc_cost")
-    )
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_size").between(10, 25) & (F.col("p_type") == "LARGE")
     )
+    # the decorrelated per-part min is a window over ONE pass of the
+    # supply aggregation (a self-join against a groupBy-min would scan
+    # and aggregate lineitem twice); the broadcast part filter runs
+    # below the window so only surviving parts are ranked
+    w_min = Window.partitionBy("ps_partkey")
     return (
         eligible.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("mc_cost")),
-        )
-        .join(
             F.broadcast(part.select("p_partkey", "p_type")),
             F.col("ps_partkey") == F.col("p_partkey"),
         )
+        .withColumn("mc_cost", F.min("ps_supplycost").over(w_min))
+        .filter(F.col("ps_supplycost") == F.col("mc_cost"))
         .select(
             "s_acctbal",
             "s_name",
