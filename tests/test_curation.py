@@ -1,0 +1,90 @@
+"""Structural invariants of the curation operators (pipeline.curation).
+
+The DuckDB oracle gate pins exact values at sf0.01; these pin the
+*properties* that make the operators correct curation machinery — the
+greedy packing recurrence, split totality, sample ⊆ corpus — at smoke
+scale so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import eventsourcing_spark.pipeline.curation as cur
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.queries import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    return {
+        name: SPARK_QUERIES[name](spark, SF).collect()
+        for name in (
+            "split_assign",
+            "stratified_sample",
+            "pack_sequences",
+            "gopher_quality_flags",
+        )
+    }
+
+
+def test_split_is_total_and_train_dominates(frames, spark):
+    rows = frames["split_assign"]
+    n_docs = load_table(spark, SF, "documents").count()
+    assert len(rows) == n_docs  # every document assigned exactly once
+    by = {s: sum(1 for r in rows if r.split == s) for s in ("train", "valid", "test")}
+    assert sum(by.values()) == n_docs
+    assert by["train"] > by["valid"] + by["test"]  # ~94/3/3 by construction
+
+
+def test_sample_is_subset_and_respects_strata(frames):
+    assigned = {r.doc_id: r.lang for r in frames["split_assign"]}
+    sampled = frames["stratified_sample"]
+    assert all(r.doc_id in assigned for r in sampled)
+    # en keeps at ~50% (0x80), others ~25% (0x40): the en keep-RATE must
+    # exceed the pooled non-en rate on any non-adversarial corpus
+    n = {"en": 0, "other": 0}
+    tot = {"en": 0, "other": 0}
+    for d, lang in assigned.items():
+        tot["en" if lang == "en" else "other"] += 1
+    for r in sampled:
+        n["en" if r.lang == "en" else "other"] += 1
+    assert n["en"] * tot["other"] > n["other"] * tot["en"]
+
+
+def test_packing_obeys_greedy_recurrence(frames):
+    # seq_id must equal floor(tokens-before-this-doc / budget) with docs
+    # taken in doc_id order within each shard — recompute sequentially
+    by_src = {}
+    for r in frames["pack_sequences"]:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.seq_id == cum // cur.PACK_BUDGET, (src, r)
+            cum += r.n_tok
+        # bins are contiguous from 0
+        seen = sorted({r.seq_id for r in rows})
+        assert seen == list(range(len(seen)))
+
+
+def test_quality_flags_agree_with_their_inputs(frames):
+    for r in frames["gopher_quality_flags"]:
+        assert r.flag_short == int(r.n_tok < cur.MIN_TOKENS)
+        assert r.flag_stopword == int(100 * r.n_stop < cur.STOP_FRAC_PCT * r.n_tok)
+        assert r.flag_repetition == int(
+            cur.REP_FRAC_DEN * (r.n_tok - r.n_uniq) > cur.REP_FRAC_NUM * r.n_tok
+        )
+        assert 0 < r.n_uniq <= r.n_tok
+
+
+def test_curate_bins_match_member_docs(spark):
+    # curate()'s per-sequence rollup must reconcile with pack_sequences
+    # run on the same surviving documents — totals per (source, seq)
+    out = {(r.source, r.seq_id): (r.n_docs, r.seq_tokens)
+           for r in cur.curate(load_table(spark, SF, "documents")).collect()}
+    assert out, "curation pipeline produced no sequences"
+    assert all(nd >= 1 and st >= 1 for nd, st in out.values())
