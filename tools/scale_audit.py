@@ -1,0 +1,59 @@
+"""Scale review of every registered query in one command.
+
+Builds the physical plan of each of the 81 registry queries and prints
+its shuffle/scan/python-stage profile plus the heuristic red flags from
+``eventsourcing_spark.plans.audit`` (cartesian products, row-at-a-time
+python). Exit code 1 if any query trips a flag — CI-able.
+
+Usage:  python tools/scale_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import eventsourcing_spark.pipeline.curation  # noqa: F401
+import eventsourcing_spark.pipeline.queries  # noqa: F401
+import eventsourcing_spark.pipeline.similarity  # noqa: F401
+import eventsourcing_spark.tpch  # noqa: F401
+from eventsourcing_spark.plans import audit, formatted_plan, plan_stats
+from eventsourcing_spark.queries import SPARK_QUERIES
+from eventsourcing_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("scale-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    flagged = 0
+    print(f"{'query':40s} {'exch':>4s} {'scan':>4s} {'bhj':>3s} {'py':>3s}  flags")
+    for name in sorted(SPARK_QUERIES):
+        try:
+            df = SPARK_QUERIES[name](spark, sf_dir)
+            plan = formatted_plan(df)
+        except Exception as exc:  # noqa: BLE001 — report, keep auditing
+            flagged += 1
+            print(f"{name:40s} PLAN ERROR: {exc}")
+            continue
+        s = plan_stats(plan)
+        npy = sum(
+            s.get(k, 0)
+            for k in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
+        )
+        warnings = audit(df)
+        if warnings:
+            flagged += 1
+        flags = "; ".join(warnings) if warnings else ""
+        print(
+            f"{name:40s} {s['Exchange']:4d} {s['scans']:4d} "
+            f"{s['BroadcastHashJoin']:3d} {npy:3d}  {flags}"
+        )
+    print(f"\n{flagged} flagged / {len(SPARK_QUERIES)} queries")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
