@@ -1078,3 +1078,57 @@ def session_window_stats(spark, sf_dir):
         F.count("*").cast("long").alias("n_sessions"),
         F.max("cnt").cast("long").alias("max_session_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style multi-resolution time rollup (continuous-aggregate
+# shape): hour and day buckets per event type from ONE pass via grouping
+# sets — the engine-side analog of TimescaleDB continuous aggregates /
+# Druid rollup segments. At 100 TB the single grouping-sets pass beats
+# two jobs: one scan, one expand, one keyed shuffle, and the coarser
+# level aggregates the same map-side partials.
+# ---------------------------------------------------------------------------
+@query(
+    "hypertable_rollup",
+    f"""
+    WITH b AS (
+        SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_hour,
+               epoch_ms(date_trunc('day', ts)) AS bucket_day,
+               event_type,
+               CAST(value AS {DEC}) AS v
+        FROM events
+    )
+    SELECT coalesce(bucket_hour, -1) AS bucket_hour,
+           coalesce(bucket_day, -1) AS bucket_day,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS total_value
+    FROM b
+    GROUP BY GROUPING SETS ((bucket_hour, event_type),
+                            (bucket_day, event_type))
+    """,
+)
+def hypertable_rollup(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    b = ev.select(
+        F.unix_millis(F.date_trunc("hour", "ts")).alias("bucket_hour"),
+        F.unix_millis(F.date_trunc("day", "ts")).alias("bucket_day"),
+        "event_type",
+        F.col("value").cast(DEC).alias("v"),
+    )
+    agg = b.groupingSets(
+        [["bucket_hour", "event_type"], ["bucket_day", "event_type"]],
+        "bucket_hour",
+        "bucket_day",
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+    return agg.select(
+        F.coalesce("bucket_hour", F.lit(-1)).alias("bucket_hour"),
+        F.coalesce("bucket_day", F.lit(-1)).alias("bucket_day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
