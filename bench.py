@@ -52,10 +52,14 @@ HEADLINE = [
     "gopher_quality_flags",
     "contamination_overlap",
     "curation_pipeline",
+    "mixture_weighted_sample",
+    "shuffle_shard_assign",
+    "emb_int8_quantize",
 ]
 # registers the similarity/pipeline queries named above
 import eventsourcing_spark.pipeline.similarity  # noqa: E402,F401
 import eventsourcing_spark.pipeline.curation  # noqa: E402,F401
+import eventsourcing_spark.pipeline.mixing  # noqa: E402,F401
 
 
 def main() -> None:

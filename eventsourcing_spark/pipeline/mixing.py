@@ -1,0 +1,275 @@
+"""Corpus mixing + export operators: the last mile before training shards.
+
+Where :mod:`eventsourcing_spark.pipeline.curation` covers dedup→quality→
+split→pack, this module covers how a 100 TB corpus is *composed and laid
+out*: re-weighting sources (temperature sampling), capping dominant
+domains, assigning a deterministic global shuffle order in shards, the
+blocklist scrub every production pipeline runs, and int8 quantization of
+embedding columns for ANN serving.
+
+Distributed shape, per operator:
+
+* **temperature mixing** — one tiny per-source aggregate (|sources| rows)
+  broadcast back over the corpus; the keep decision is a per-row hash
+  threshold, so the whole job is one map-side filter after a broadcast
+  join. No shuffle of the big table, ever.
+* **domain cap** — a window partitioned by ``source``: one shuffle keyed
+  on the domain, each domain ranked independently (parallel across
+  domains; a skewed mega-domain is bounded by the cap itself).
+* **shuffle-shard assign** — shard = md5 prefix (map-only), position =
+  row_number within shard: the "global shuffle" that training ingestion
+  needs, expressed as |shards| independent sorts instead of one total
+  order. At 100 TB this is exactly how you want it: no global sort, no
+  driver bottleneck, and the shard id doubles as the output file key.
+* **blocklist scrub** — pure per-row regex map + per-source rollup.
+* **int8 quantize** — per-row higher-order-function arithmetic, no
+  Python, no shuffle until the final small rollup.
+
+Determinism contract (same as pipeline.curation): md5 hex-string
+thresholds and exact integer arithmetic; the only doubles are IEEE
+exactly-rounded ``sqrt``/``/``/``round`` shared bit-for-bit by Spark and
+DuckDB. Reference parity: none — engine additions from the task brief
+(quintans/eventsourcing has no relational surface, SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.queries import query
+
+# Temperature-mixing hash threshold scale: first 6 hex chars of md5 as a
+# uniform in [0, 16^6); keep iff prefix < printf('%06x', floor(rate*16^6)).
+HASH_SPACE = 16**6  # 16777216
+
+DOMAIN_CAP = 20  # max docs kept per source in domain_cap_topk
+
+SHARD_HEX_CHARS = 2  # 256 shuffle shards (would be 3-4 hex chars at 100 TB)
+
+BLOCKLIST_PATTERN = "(spark|table)"  # demo blocklist; same regex in RE2/Java
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixing (α = 0.5).
+# ---------------------------------------------------------------------------
+@query(
+    "mixture_weighted_sample",
+    f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), rates AS (
+        SELECT source, n_docs,
+               least(CAST(floor(sqrt(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE)
+                                     / CAST(n_docs AS DOUBLE)) * {HASH_SPACE}) AS BIGINT),
+                     {HASH_SPACE - 1}) AS thresh
+        FROM counts
+    )
+    SELECT source, max(n_docs) AS n_docs, sum(kept) AS n_kept
+    FROM (
+        SELECT d.source, r.n_docs,
+               CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+                         < printf('%06x', r.thresh)
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents d JOIN rates r USING (source)
+    )
+    GROUP BY source
+    """,
+)
+def mixture_weighted_sample(spark, sf_dir):
+    """Temperature sampling (α=0.5): keep-rate per source is
+    sqrt(n_min/n_s), so the smallest source keeps ~everything and a
+    source 100× larger keeps ~10× the docs (not 100×) — the standard
+    multinomial-temperature rebalance, made deterministic with an
+    md5-prefix threshold instead of an RNG.
+
+    Scale shape: two tiny aggregates over |sources| rows, broadcast back;
+    the keep decision is map-side. The 100 TB table is scanned once and
+    never shuffled. Both sqrt and / are IEEE exactly-rounded, so Spark
+    and DuckDB agree bit-for-bit; floor()+integer hex formatting makes
+    the threshold a string compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.floor(
+                F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double"))
+                * F.lit(HASH_SPACE)
+            ).cast("bigint"),
+            F.lit(HASH_SPACE - 1).cast("bigint"),
+        ).alias("thresh"),
+    )
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+    kept = F.when(prefix < F.format_string("%06x", F.col("thresh")), 1).otherwise(0)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(F.max("n_docs").alias("n_docs"), F.sum(kept).alias("n_kept"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap: keep at most DOMAIN_CAP docs per source.
+# ---------------------------------------------------------------------------
+@query(
+    "domain_cap_topk",
+    f"""
+    SELECT doc_id, source, cap_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS cap_rank
+        FROM documents
+    ) WHERE cap_rank <= {DOMAIN_CAP}
+    """,
+)
+def domain_cap_topk(spark, sf_dir):
+    """Domain capping: every source contributes at most DOMAIN_CAP docs,
+    preferring the longest (a crude quality prior; swap the ORDER BY for
+    a real quality score in production). One shuffle keyed on source;
+    each domain ranks independently, so a crawl dominated by one domain
+    is cut to the cap instead of flooding the mixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("cap_rank"))
+        .filter(F.col("cap_rank") <= DOMAIN_CAP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle, sharded.
+# ---------------------------------------------------------------------------
+@query(
+    "shuffle_shard_assign",
+    f"""
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, {SHARD_HEX_CHARS}) AS shard,
+           row_number() OVER (
+               PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, {SHARD_HEX_CHARS})
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+    FROM documents
+    """,
+)
+def shuffle_shard_assign(spark, sf_dir):
+    """Training-order shuffle: shard = first {SHARD_HEX_CHARS} hex chars
+    of md5(doc_id) (map-only), position = rank of the full md5 within
+    the shard. Reading shards in order yields a reproducible pseudo-
+    random permutation of the corpus WITHOUT a global sort: 256
+    independent window sorts (16^4 at 100 TB), each the size of one
+    output file. Content-keyed, so re-runs and re-partitions of the
+    input never change the order."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.substring(h, 1, SHARD_HEX_CHARS)
+    w = Window.partitionBy(shard).orderBy(h, F.col("doc_id"))
+    return docs.select(
+        "doc_id", shard.alias("shard"), F.row_number().over(w).alias("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist scrub: flag + redact + measure, per source.
+# ---------------------------------------------------------------------------
+@query(
+    "blocklist_scrub",
+    f"""
+    SELECT source,
+           sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS docs_flagged,
+           sum(hits) AS total_hits,
+           sum(len_before - len_after) AS chars_removed
+    FROM (
+        SELECT source,
+               len(regexp_extract_all(text, '{BLOCKLIST_PATTERN}')) AS hits,
+               length(text) AS len_before,
+               length(regexp_replace(text, '{BLOCKLIST_PATTERN}', '', 'g'))
+                   AS len_after
+        FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def blocklist_scrub(spark, sf_dir):
+    """Blocklist filtering: count and redact blocklisted terms per doc,
+    roll up per source. Pure per-row regex map (JVM-side, whole-stage
+    codegen) + one tiny aggregate — the cheapest possible shape for a
+    full-corpus scrub pass. The alternation pattern behaves identically
+    in Java regex (Spark) and RE2 (DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.regexp_count(F.col("text"), F.lit(BLOCKLIST_PATTERN))
+    scrubbed = F.regexp_replace(F.col("text"), BLOCKLIST_PATTERN, "")
+    per_doc = docs.select(
+        "source",
+        hits.alias("hits"),
+        F.length("text").alias("len_before"),
+        F.length(scrubbed).alias("len_after"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0)).alias("docs_flagged"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        F.sum(F.col("len_before") - F.col("len_after")).alias("chars_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (symmetric, per-vector scale).
+# ---------------------------------------------------------------------------
+@query(
+    "emb_int8_quantize",
+    """
+    SELECT vec_id,
+           CAST(round(CAST(maxabs AS DOUBLE) * 1000000) AS BIGINT) AS scale_q,
+           list_sum(qvec) AS q_sum,
+           list_sum(list_transform(qvec, q -> abs(q))) AS q_l1,
+           list_max(qvec) AS q_max
+    FROM (
+        SELECT vec_id, maxabs,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127.0
+                                   / CAST(maxabs AS DOUBLE)) AS BIGINT)) AS qvec
+        FROM (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+            FROM embeddings
+        )
+    )
+    """,
+)
+def emb_int8_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = max|x|, q_i = round(127·x_i/scale) ∈ [-127,127] — the
+    compression step before shipping vectors to an ANN serving index
+    (4× smaller, SIMD-friendly dot products). Pure higher-order-function
+    arithmetic: no Python, no shuffle, fuses into the scan. The gate
+    emits integer invariants (sum, L1, max, quantized scale) instead of
+    the raw arrays to keep the oracle hash exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    with_scale = emb.select("vec_id", "embedding", maxabs.alias("maxabs"))
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(
+            x.cast("double") * F.lit(127.0) / F.col("maxabs").cast("double")
+        ).cast("bigint"),
+    )
+    quant = with_scale.select(
+        "vec_id",
+        F.round(F.col("maxabs").cast("double") * F.lit(1000000)).cast("bigint").alias(
+            "scale_q"
+        ),
+        qvec.alias("qvec"),
+    )
+    return quant.select(
+        "vec_id",
+        "scale_q",
+        F.aggregate(
+            "qvec", F.lit(0).cast("bigint"), lambda acc, q: acc + q
+        ).alias("q_sum"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("bigint"), lambda acc, q: acc + F.abs(q)
+        ).alias("q_l1"),
+        F.array_max("qvec").alias("q_max"),
+    )

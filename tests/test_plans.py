@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 import eventsourcing_spark.pipeline.curation  # noqa: F401
+import eventsourcing_spark.pipeline.mixing  # noqa: F401
 import eventsourcing_spark.pipeline.queries  # noqa: F401
 import eventsourcing_spark.pipeline.similarity  # noqa: F401
 import eventsourcing_spark.tpch  # noqa: F401

@@ -16,6 +16,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import eventsourcing_spark.pipeline.curation  # noqa: F401
+import eventsourcing_spark.pipeline.mixing  # noqa: F401
 import eventsourcing_spark.pipeline.queries  # noqa: F401
 import eventsourcing_spark.pipeline.similarity  # noqa: F401
 import eventsourcing_spark.tpch  # noqa: F401
