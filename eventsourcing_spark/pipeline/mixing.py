@@ -91,13 +91,15 @@ def mixture_weighted_sample(spark, sf_dir):
     the threshold a string compare."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    n_min = counts.agg(F.min("n_docs").alias("n_min"))
-    rates = counts.crossJoin(F.broadcast(n_min)).select(
+    # global min as a window over the |sources|-row aggregate: no second
+    # scan of the big table (tiny single-partition window, not a re-agg)
+    n_min = F.min("n_docs").over(Window.partitionBy(F.lit(1)))
+    rates = counts.select(
         "source",
         "n_docs",
         F.least(
             F.floor(
-                F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double"))
+                F.sqrt(n_min.cast("double") / F.col("n_docs").cast("double"))
                 * F.lit(HASH_SPACE)
             ).cast("bigint"),
             F.lit(HASH_SPACE - 1).cast("bigint"),
