@@ -9,7 +9,7 @@ embedding columns for ANN serving.
 
 Distributed shape, per operator:
 
-* **temperature mixing** — one tiny per-source aggregate (|sources| rows)
+* **temperature mixing** — one tiny per-language aggregate (|langs| rows)
   broadcast back over the corpus; the keep decision is a per-row hash
   threshold, so the whole job is one map-side filter after a broadcast
   join. No shuffle of the big table, ever.
@@ -58,29 +58,29 @@ BLOCKLIST_PATTERN = "(spark|table)"  # demo blocklist; same regex in RE2/Java
     "mixture_weighted_sample",
     f"""
     WITH counts AS (
-        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
     ), rates AS (
-        SELECT source, n_docs,
+        SELECT lang, n_docs,
                least(CAST(floor(sqrt(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE)
                                      / CAST(n_docs AS DOUBLE)) * {HASH_SPACE}) AS BIGINT),
                      {HASH_SPACE - 1}) AS thresh
         FROM counts
     )
-    SELECT source, max(n_docs) AS n_docs, sum(kept) AS n_kept
+    SELECT lang, max(n_docs) AS n_docs, sum(kept) AS n_kept
     FROM (
-        SELECT d.source, r.n_docs,
+        SELECT d.lang, r.n_docs,
                CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
                          < printf('%06x', r.thresh)
                     THEN 1 ELSE 0 END AS kept
-        FROM documents d JOIN rates r USING (source)
+        FROM documents d JOIN rates r USING (lang)
     )
-    GROUP BY source
+    GROUP BY lang
     """,
 )
 def mixture_weighted_sample(spark, sf_dir):
     """Temperature sampling (α=0.5): keep-rate per source is
-    sqrt(n_min/n_s), so the smallest source keeps ~everything and a
-    source 100× larger keeps ~10× the docs (not 100×) — the standard
+    sqrt(n_min/n_s), so the smallest language keeps ~everything and a
+    language 100× larger keeps ~10× the docs (not 100×) — the standard
     multinomial-temperature rebalance, made deterministic with an
     md5-prefix threshold instead of an RNG.
 
@@ -90,12 +90,12 @@ def mixture_weighted_sample(spark, sf_dir):
     and DuckDB agree bit-for-bit; floor()+integer hex formatting makes
     the threshold a string compare."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
     # global min as a window over the |sources|-row aggregate: no second
     # scan of the big table (tiny single-partition window, not a re-agg)
     n_min = F.min("n_docs").over(Window.partitionBy(F.lit(1)))
     rates = counts.select(
-        "source",
+        "lang",
         "n_docs",
         F.least(
             F.floor(
@@ -108,8 +108,8 @@ def mixture_weighted_sample(spark, sf_dir):
     prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
     kept = F.when(prefix < F.format_string("%06x", F.col("thresh")), 1).otherwise(0)
     return (
-        docs.join(F.broadcast(rates), "source")
-        .groupBy("source")
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
         .agg(F.max("n_docs").alias("n_docs"), F.sum(kept).alias("n_kept"))
     )
 
