@@ -1,0 +1,132 @@
+"""Scale stress drive for the training-data pipeline.
+
+The driver's sf0.1 corpus is 5k docs / 2k vectors — small enough that
+per-query fixed overhead dominates (BASELINE.md §5). This tool
+manufactures a REPLICA× larger corpus from the driver data (each doc
+copied with a distinct suffix token and shifted id, so every document
+gains REPLICA−1 true near-duplicates; embeddings copied with shifted
+ids) and times the operators whose cost actually grows with corpus
+size: minhash/LSH dedup, connected components, the composed curation
+plan, decontamination, KNN vs IVF ANN, and the sharded export writer.
+
+The near-dup replication is deliberately adversarial for LSH: every
+band bucket holds ≥REPLICA colliding docs, so candidate generation hits
+its per-bucket caps and the keeper-star clustering path — the mega-
+family behavior that matters at 100 TB — rather than the sparse
+small-bucket happy path.
+
+Usage:  python tools/stress_pipeline.py [replicas] [sf_dir]
+Prints one timing table (best-of-two, noop-sink materialization).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import eventsourcing_spark.pipeline.curation  # noqa: F401
+import eventsourcing_spark.pipeline.mixing  # noqa: F401
+import eventsourcing_spark.pipeline.queries  # noqa: F401
+import eventsourcing_spark.pipeline.similarity  # noqa: F401
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.pipeline import export
+from eventsourcing_spark.queries import SPARK_QUERIES
+from eventsourcing_spark.session import get_spark
+
+STRESS_QUERIES = (
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_lsh_clusters",
+    "dedup_components",
+    "dedup_simhash",
+    "text_winnow_fingerprints",
+    "gopher_quality_flags",
+    "contamination_overlap",
+    "curation_pipeline",
+    "mixture_weighted_sample",
+    "shuffle_shard_assign",
+    "emb_int8_quantize",
+    "knn_topk_dot",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "emb_neardup_pairs",
+)
+
+
+def build_stress_dir(spark, sf_dir: str, replicas: int) -> str:
+    out = tempfile.mkdtemp(prefix="stress_sf_")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_docs = docs.count()
+    n_vecs = emb.count()
+    copies = spark.range(replicas).withColumnRenamed("id", "copy")
+    big_docs = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * n_docs).alias("doc_id"),
+            # distinct suffix token per copy → true near-duplicates, not
+            # byte-identical rows (exercises LSH banding + verification)
+            F.concat_ws(" ", "text", F.concat(F.lit("v"), F.col("copy"))).alias(
+                "text"
+            ),
+            "lang",
+            "source",
+            (F.col("n_chars") + 3).alias("n_chars"),
+        )
+    )
+    big_emb = emb.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("copy") * n_vecs).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    big_docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    big_emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def main() -> int:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("stress-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stress_dir = build_stress_dir(spark, sf_dir, replicas)
+    n_docs = spark.read.parquet(os.path.join(stress_dir, "documents.parquet")).count()
+    n_vecs = spark.read.parquet(os.path.join(stress_dir, "embeddings.parquet")).count()
+    print(f"stress corpus: {n_docs} docs, {n_vecs} vectors ({replicas}x {sf_dir})")
+    print(f"{'query':28s} {'best(s)':>8s} {'runs':>12s}")
+
+    total = 0.0
+    for name in STRESS_QUERIES:
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            SPARK_QUERIES[name](spark, stress_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times.append(time.time() - t0)
+        total += min(times)
+        print(f"{name:28s} {min(times):8.2f} {str([round(t, 2) for t in times]):>12s}")
+
+    t0 = time.time()
+    export.export_documents(
+        spark, stress_dir, os.path.join(stress_dir, "shards"), max_records_per_file=10000
+    )
+    t_export = time.time() - t0
+    print(f"{'export_training_shards':28s} {t_export:8.2f}")
+    print(f"\ntotal best-of-two: {total:.1f}s over {len(STRESS_QUERIES)} queries "
+          f"+ {t_export:.1f}s export at {n_docs} docs")
+    shutil.rmtree(stress_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
