@@ -840,3 +840,67 @@ def text_distinctive_terms(spark, sf_dir):
         .filter(F.col("rnk") <= 10)
         .orderBy("lang", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram detection: word n-grams repeated across ≥2 distinct
+# documents, ranked by corpus frequency — the standard pass for finding
+# navigation chrome / license headers / template text before removal.
+# Map-side explode of per-doc n-grams (pure HOFs, no Python), one keyed
+# exchange with partial aggs, TakeOrderedAndProject for the top-k. At
+# 100 TB the explode is embarrassingly parallel per document and the
+# groupBy benefits from map-side combine because boilerplate is by
+# definition heavy-hitter-skewed.
+# ---------------------------------------------------------------------------
+BOILERPLATE_N = 3
+
+
+@query(
+    "boilerplate_ngrams",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(toks) - {BOILERPLATE_N} + 2),
+               i -> array_to_string(
+                      list_slice(toks, CAST(i AS INTEGER),
+                                 CAST(i + {BOILERPLATE_N} - 1 AS INTEGER)),
+                      ' '))) AS ngram
+      FROM t
+      WHERE len(toks) >= {BOILERPLATE_N}
+    )
+    SELECT ngram,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g
+    GROUP BY ngram
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_occurrences DESC, ngram ASC
+    LIMIT 100
+    """,
+)
+def boilerplate_ngrams(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != "")
+    n = BOILERPLATE_N
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(100)
+    )
