@@ -1,6 +1,6 @@
 """Scale review of every registered query in one command.
 
-Builds the physical plan of each of the 81 registry queries and prints
+Builds the physical plan of every registry query and prints
 its shuffle/scan/python-stage profile plus the heuristic red flags from
 ``eventsourcing_spark.plans.audit`` (cartesian products, row-at-a-time
 python). Exit code 1 if any query trips a flag — CI-able.
