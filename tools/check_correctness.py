@@ -91,9 +91,11 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
@@ -120,7 +122,8 @@ def main() -> int:
         else:
             print(f"ok    {name} ({dt:.1f}s, {len(spark_pdf)} rows)")
 
-    print(f"\n{len(failures)} failures / {len(qs)} queries")
+    print(f"\n{len(failures)} failures / {n_run} queries run"
+          f" ({len(qs)} registered)")
     spark.stop()
     return 1 if failures else 0
 
