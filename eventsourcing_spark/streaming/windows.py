@@ -108,3 +108,43 @@ def stateful_running_fold(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "aggregate_id",
+    time_col: str = "created_at",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left row with
+    the right-side rows of the same key whose event time falls in
+    ``(left.time, left.time + within]``.
+
+    The reference never correlates two live streams (its only join
+    shapes are J1-J3, SURVEY.md §2.3); an analytics engine needs the
+    real thing for pattern detection (e.g. a withdrawal shortly after a
+    deposit on the same aggregate). Watermarks on both inputs plus the
+    closed time-range predicate are exactly what lets Spark expire
+    buffered join state, so state stays bounded by
+    ``watermark + within`` per key at 100 TB/day rates. The same
+    expression joins two batch frames (watermark is skipped there),
+    which is how the test pins stream output to the batch answer.
+
+    Right-side columns come back suffixed to keep the output schema
+    unambiguous.
+    """
+    lf = left.withWatermark(time_col, watermark) if left.isStreaming else left
+    rf = right.withWatermark(time_col, watermark) if right.isStreaming else right
+    rf = rf.select([F.col(c).alias(c + suffix) for c in rf.columns])
+    cond = (
+        (F.col(key_col) == F.col(key_col + suffix))
+        & (F.col(time_col + suffix) > F.col(time_col))
+        & (
+            F.col(time_col + suffix)
+            <= F.col(time_col) + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lf.join(rf, cond, "inner")

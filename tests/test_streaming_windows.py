@@ -140,3 +140,58 @@ def test_map_merge_last_wins(spark):
     # empty maps are identity
     df2 = spark.createDataFrame([({}, {"x": "1"})], "m1 map<string,string>, m2 map<string,string>")
     assert dict(df2.select(map_merge(F.col("m1"), F.col("m2")).alias("m")).first().m) == {"x": "1"}
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    from eventsourcing_spark.streaming.windows import stream_interval_join
+
+    store = EventStore(spark, str(tmp_path / "ij"))
+    # x-1: withdrawal 10 min after the deposit (inside the 30 min bound);
+    # x-2: withdrawal 2 h after (outside) — must not pair.
+    store.append(
+        "x-1", "Account",
+        [(KIND_CREATED, {"money": 100, "owner": "A"})],
+        expected_version=0, created_at=T0,
+    )
+    store.append(
+        "x-1", "Account",
+        [(KIND_WITHDRAWN, {"money": 30})],
+        expected_version=1, created_at=T0 + timedelta(minutes=10),
+    )
+    store.append(
+        "x-2", "Account",
+        [(KIND_CREATED, {"money": 50, "owner": "B"})],
+        expected_version=0, created_at=T0,
+    )
+    store.append(
+        "x-2", "Account",
+        [(KIND_WITHDRAWN, {"money": 20})],
+        expected_version=1, created_at=T0 + timedelta(hours=2),
+    )
+
+    def split(df):
+        deposits = df.filter(F.col("kind") == KIND_CREATED).select(
+            "aggregate_id", "created_at", "kind"
+        )
+        withdrawals = df.filter(F.col("kind") == KIND_WITHDRAWN).select(
+            "aggregate_id", "created_at", "kind"
+        )
+        return deposits, withdrawals
+
+    batch = stream_interval_join(*split(store.events())).collect()
+    batch_set = {(r.aggregate_id, r.created_at, r.created_at_r) for r in batch}
+    assert {r.aggregate_id for r in batch} == {"x-1"}
+
+    out: list = []
+    stream = events_file_stream(store)
+    q = (
+        stream_interval_join(*split(stream))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ij_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_set = {(r.aggregate_id, r.created_at, r.created_at_r) for r in out}
+    assert stream_set == batch_set
