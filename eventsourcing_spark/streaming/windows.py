@@ -118,6 +118,7 @@ def stream_interval_join(
     within: str = "30 minutes",
     watermark: str = "10 minutes",
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: pair each left row with
     the right-side rows of the same key whose event time falls in
@@ -134,7 +135,10 @@ def stream_interval_join(
     which is how the test pins stream output to the batch answer.
 
     Right-side columns come back suffixed to keep the output schema
-    unambiguous.
+    unambiguous. ``how`` accepts the outer variants too ("leftOuter",
+    "rightOuter", "fullOuter"); on streams Spark requires exactly the
+    watermark + time-range shape this function always emits, so
+    unmatched rows are released once the watermark passes their bound.
     """
     lf = left.withWatermark(time_col, watermark) if left.isStreaming else left
     rf = right.withWatermark(time_col, watermark) if right.isStreaming else right
@@ -147,4 +151,4 @@ def stream_interval_join(
             <= F.col(time_col) + F.expr(f"INTERVAL {within}")
         )
     )
-    return lf.join(rf, cond, "inner")
+    return lf.join(rf, cond, how)
