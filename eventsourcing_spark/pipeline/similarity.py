@@ -547,3 +547,82 @@ def dedup_ensemble(spark, sf_dir):
         )
         .filter((F.col("emb_dup") == 1) | (F.col("lex_dup") == 1))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH ANN: each query searches its home bucket plus every
+# Hamming-distance-1 bucket (one hyperplane bit flipped). Single-probe
+# hyperplane LSH has poor recall on unclustered vectors — a true nearest
+# neighbor that straddles any one hyperplane lands in a sibling bucket —
+# and multi-probe is the standard fix (Lv et al., VLDB'07) that raises
+# recall without adding hash tables. Cost model at 100 TB: the member
+# side still shuffles ONCE on its home bucket; only the (tiny) query
+# side replicates N_PLANES+1×, so the exchange volume is unchanged and
+# the extra work is per-probed-bucket scoring, bounded by bucket size.
+# A neighbor lives in exactly one home bucket and probe masks are
+# distinct, so no candidate pair is generated twice.
+# ---------------------------------------------------------------------------
+_PROBE_MASKS = [0] + [1 << j for j in range(N_PLANES)]
+
+
+@query(
+    "ann_lsh_multiprobe",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, qv, {_bucket_sql("qv")} AS bucket FROM q
+    ),
+    probes AS (
+        SELECT vec_id, qv,
+               unnest(list_transform({_PROBE_MASKS},
+                      m -> xor(bucket, CAST(m AS BIGINT)))) AS bucket
+        FROM b WHERE vec_id < 20
+    ),
+    pairs AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT.format(a="p.qv", b="c.qv")} AS dot
+        FROM probes p JOIN b c
+          ON p.bucket = c.bucket AND p.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, dot,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= 3
+    """,
+)
+def ann_lsh_multiprobe(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    b = q.select("vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"))
+    masks = F.array(*[F.lit(m).cast("long") for m in _PROBE_MASKS])
+    probes = b.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        "qv",
+        F.explode(
+            F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
+        ).alias("bucket"),
+    )
+    pairs = (
+        probes.alias("p")
+        .join(
+            b.alias("c"),
+            (F.col("p.bucket") == F.col("c.bucket"))
+            & (F.col("p.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(F.col("p.qv"), F.col("c.qv"), lambda a, x: a * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 3
+    )

@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from eventsourcing_spark import get_spark
 from eventsourcing_spark.pipeline.queries import knn_topk_dot
-from eventsourcing_spark.pipeline.similarity import ann_ivf_topk, ann_lsh_topk
+from eventsourcing_spark.pipeline.similarity import (
+    ann_ivf_topk,
+    ann_lsh_multiprobe,
+    ann_lsh_topk,
+)
 
 
 def pair_set(rows, max_rank):
@@ -40,6 +44,7 @@ def main() -> int:
 
     exact = knn_topk_dot(spark, sf_dir).collect()
     lsh = ann_lsh_topk(spark, sf_dir).collect()
+    multi = ann_lsh_multiprobe(spark, sf_dir).collect()
     ivf = ann_ivf_topk(spark, sf_dir).collect()
 
     k = 3  # both ANN paths keep top-3 per query
@@ -47,21 +52,26 @@ def main() -> int:
     print(f"queries: {sorted(exact_q)}  (exact keeps top-10, ANN top-{k})")
     print(f"{'method':10s} {'pairs':>6s} {'recall@3 vs exact':>18s}")
     gold = pair_set(exact, k)
-    for name, rows in (("lsh", lsh), ("ivf", ivf)):
+    for name, rows in (("lsh", lsh), ("lsh-multi", multi), ("ivf", ivf)):
         # ANN paths answer for every vector; score them on the exact
         # baseline's query set only
         got = {p for p in pair_set(rows, k) if p[0] in exact_q}
         recall = len(got & gold) / len(gold)
         print(f"{name:10s} {len(got):6d} {recall:18.2f}")
 
-    # On the driver's UNclustered uniform vectors, single-probe
-    # hyperplane LSH fragments the space (neighbors straddle the
-    # hyperplanes), while IVF's nprobe=2 probe recovers them — the
-    # classic reason production ANN multi-probes or unions band tables.
+    # Measured lesson: on the driver's UNclustered uniform vectors the
+    # true neighbors' buckets sit at Hamming distance 2-4 (median 3)
+    # from the query bucket, so single-probe LSH misses them all and
+    # Hamming-1 multi-probe (Lv et al., VLDB'07) widens candidates but
+    # still misses — hyperplane LSH only wins when similarity is high
+    # enough that most bits agree (the near-dup regime, cf.
+    # emb_neardup_pairs). IVF's data-adaptive codebook with nprobe=2
+    # recovers full recall, which is why large-scale ANN defaults to
+    # IVF-family indexes for search and keeps LSH for dedup blocking.
 
     # where they agree, the integer scores are identical by construction
     exact_scores = {(r.query_id, r.neighbor_id): r.dot for r in exact}
-    for name, rows in (("lsh", lsh), ("ivf", ivf)):
+    for name, rows in (("lsh", lsh), ("lsh-multi", multi), ("ivf", ivf)):
         mismatches = [
             r for r in rows
             if (r.query_id, r.neighbor_id) in exact_scores
