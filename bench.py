@@ -47,9 +47,11 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "knn_topk_dot",
     "ann_lsh_topk",
+    "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "emb_neardup_pairs",
     "gopher_quality_flags",
+    "boilerplate_ngrams",
     "contamination_overlap",
     "curation_pipeline",
     "mixture_weighted_sample",

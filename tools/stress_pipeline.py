@@ -49,6 +49,7 @@ STRESS_QUERIES = (
     "dedup_simhash",
     "text_winnow_fingerprints",
     "gopher_quality_flags",
+    "boilerplate_ngrams",
     "contamination_overlap",
     "curation_pipeline",
     "mixture_weighted_sample",
@@ -56,6 +57,7 @@ STRESS_QUERIES = (
     "emb_int8_quantize",
     "knn_topk_dot",
     "ann_lsh_topk",
+    "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "emb_neardup_pairs",
 )
