@@ -904,3 +904,58 @@ def boilerplate_ngrams(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality proxy (model-free perplexity stand-in): score every
+# document by the corpus-level frequency of its own tokens. Low mean
+# frequency / high rare-token ratio ≈ high unigram surprisal — the
+# cheap first-pass quality filter pipelines run before any learned LM.
+# Exact-integer aggregates (token frequencies are counts) so the oracle
+# hash-matches; only the final ratios divide, identically in both
+# engines. Two keyed exchanges at scale: token (frequency table +
+# join-back) and doc_id (rollup) — the frequency side is Zipf-skewed,
+# which is fine: partial aggs absorb the head tokens map-side.
+# ---------------------------------------------------------------------------
+RARE_FREQ_THR = 5
+
+
+@query(
+    "rare_token_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> '')) AS token
+        FROM documents
+    ),
+    freq AS (
+        SELECT token, count(*) AS f FROM toks GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(f.f) AS BIGINT) AS sum_freq,
+           CAST(count(*) FILTER (WHERE f.f <= {RARE_FREQ_THR}) AS BIGINT)
+             AS n_rare,
+           CAST(CAST(sum(f.f) AS DOUBLE) / count(*) AS DOUBLE) AS mean_freq,
+           CAST(CAST(count(*) FILTER (WHERE f.f <= {RARE_FREQ_THR}) AS DOUBLE)
+                / count(*) AS DOUBLE) AS rare_ratio
+    FROM toks t JOIN freq f USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def rare_token_score(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count("*").alias("f"))
+    j = toks.join(freq, "token")
+    n = F.count("*")
+    rare = F.count(F.when(F.col("f") <= RARE_FREQ_THR, 1))
+    return j.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.sum("f").cast("long").alias("sum_freq"),
+        rare.cast("long").alias("n_rare"),
+        (F.sum("f").cast("double") / n).alias("mean_freq"),
+        (rare.cast("double") / n).alias("rare_ratio"),
+    )
