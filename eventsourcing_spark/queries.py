@@ -1132,3 +1132,102 @@ def hypertable_rollup(spark, sf_dir):
         "n_events",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — view → click → purchase, strictly time-ordered per user.
+# The A2 incremental-read-model family (projection/projection.go catch-up
+# fold) generalized to a multi-stage conversion metric. ONE shuffle: all
+# three stage computations are running conditional mins over the same
+# (user_id; ts, event_id) window, so they share a single exchange, and the
+# per-user rollup reuses that partitioning. The final one-row agg is a
+# trivial collapse. At 100 TB the plan is scan → window → two aggs, with
+# no self-joins (the naive 3-way self-join funnel would shuffle 3×).
+# Latency sums stay in exact integer milliseconds.
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_conversion",
+    """
+    WITH marked AS (
+        SELECT user_id,
+               epoch_ms(ts) AS ms,
+               event_type,
+               min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+                   OVER w AS first_view
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    marked2 AS (
+        SELECT user_id, ms, event_type, first_view,
+               min(CASE WHEN event_type = 'click' AND ms > first_view
+                        THEN ms END) OVER w AS first_click
+        FROM marked
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_type
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ms END) AS t1,
+               min(CASE WHEN event_type = 'click' AND ms > first_view
+                        THEN ms END) AS t2,
+               min(CASE WHEN event_type = 'purchase' AND ms > first_click
+                        THEN ms END) AS t3
+        FROM marked2
+        GROUP BY user_id
+    )
+    SELECT count(t1) AS n_viewed,
+           count(t2) AS n_clicked_after_view,
+           count(t3) AS n_purchased_after_click,
+           CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) AS sum_view_to_click_ms,
+           CAST(coalesce(sum(t3 - t2), 0) AS BIGINT) AS sum_click_to_purchase_ms
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ms = F.unix_millis("ts")
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "user_id",
+        ms.alias("ms"),
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", ms)).over(w1).alias("first_view"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click_after = (F.col("event_type") == "click") & (
+        F.col("ms") > F.col("first_view")
+    )
+    marked2 = marked.withColumn(
+        "first_click", F.min(F.when(is_click_after, F.col("ms"))).over(w2)
+    )
+    per_user = marked2.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ms"))).alias("t1"),
+        F.min(F.when(is_click_after, F.col("ms"))).alias("t2"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ms") > F.col("first_click")),
+                F.col("ms"),
+            )
+        ).alias("t3"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
+        F.coalesce(F.sum(F.col("t2") - F.col("t1")), F.lit(0))
+        .cast("long")
+        .alias("sum_view_to_click_ms"),
+        F.coalesce(F.sum(F.col("t3") - F.col("t2")), F.lit(0))
+        .cast("long")
+        .alias("sum_click_to_purchase_ms"),
+    )
