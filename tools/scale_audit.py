@@ -15,6 +15,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import eventsourcing_spark.pipeline.chunking  # noqa: F401
+import eventsourcing_spark.pipeline.clustering  # noqa: F401
 import eventsourcing_spark.pipeline.curation  # noqa: F401
 import eventsourcing_spark.pipeline.mixing  # noqa: F401
 import eventsourcing_spark.pipeline.queries  # noqa: F401
