@@ -57,10 +57,19 @@ HEADLINE = [
     "mixture_weighted_sample",
     "shuffle_shard_assign",
     "emb_int8_quantize",
+    "chunk_documents",
+    "kmeans_clusters",
+    "funnel_conversion",
+    "rolling_7d_value",
+    "pagerank_neardup",
 ]
 # registers the similarity/pipeline queries named above
 import eventsourcing_spark.pipeline.similarity  # noqa: E402,F401
 import eventsourcing_spark.pipeline.curation  # noqa: E402,F401
+import eventsourcing_spark.pipeline.chunking  # noqa: E402,F401
+import eventsourcing_spark.pipeline.clustering  # noqa: E402,F401
+import eventsourcing_spark.pipeline.graph  # noqa: E402,F401
+import eventsourcing_spark.analytics  # noqa: E402,F401
 import eventsourcing_spark.pipeline.mixing  # noqa: E402,F401
 
 

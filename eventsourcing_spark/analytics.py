@@ -1,0 +1,136 @@
+"""Event-log analytics: rolling range-frame windows, SCD2, robust outliers.
+
+Extends the reference's window family (SURVEY.md §2.5 — W1-W3 are all
+ROWS-frame or rank windows over ``(aggregate_id; version)``) with the
+time-based analytic shapes an event log grows once it feeds reporting:
+
+* ``rolling_7d_value`` — trailing-7-day sum/count per user via a RANGE
+  frame over epoch-ms.  Spark turns this into a single window exchange
+  on ``user_id``; no self-join, no explode of the time dimension.  The
+  running decimal sum is exact, so partial-frame evaluation order can't
+  drift the values.
+* ``scd2_intervals`` — slowly-changing-dimension type-2 build: each
+  event becomes a validity interval ``[ms, lead(ms))`` per user, the
+  standard warehouse pattern for reconstructing "state as of T" with a
+  plain range predicate instead of an as-of join (complements
+  operators/asof.py, eventstore.go:249-300's temporal lookup).
+* ``mad_outliers`` — robust per-user anomaly counts: median absolute
+  deviation with exact interpolated medians (Spark ``percentile`` ==
+  DuckDB ``quantile_cont``), flags |v − med| > 3·MAD.  The two
+  median passes and the join-back all hash on ``user_id``, so AQE
+  coalesces them onto one exchange footprint; at 100 TB this is
+  scan → one shuffle → two tiny per-user frames joined broadcast-free
+  on the same partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.queries import DEC, query
+
+WEEK_MS = 7 * 24 * 3600 * 1000
+
+
+@query(
+    "rolling_7d_value",
+    f"""
+    SELECT event_id, user_id, epoch_ms(ts) AS ms,
+           CAST(sum(CAST(value AS {DEC})) OVER w AS DOUBLE) AS rolling_sum,
+           CAST(count(*) OVER w AS BIGINT) AS rolling_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN {WEEK_MS} PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_7d_value(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rangeBetween(-WEEK_MS, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ms.alias("ms"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("rolling_sum"),
+        F.count("*").over(w).cast("long").alias("rolling_n"),
+    )
+
+
+@query(
+    "scd2_intervals",
+    """
+    SELECT event_id, user_id, event_type, value,
+           epoch_ms(ts) AS valid_from_ms,
+           lead(epoch_ms(ts)) OVER w AS valid_to_ms,
+           CASE WHEN lead(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0
+                END AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_intervals(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    valid_to = F.lead(ms).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        ms.alias("valid_from_ms"),
+        valid_to.alias("valid_to_ms"),
+        F.when(valid_to.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+@query(
+    "mad_outliers",
+    """
+    WITH med AS (
+        SELECT user_id, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY user_id
+    ),
+    dev AS (
+        SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (user_id)
+    ),
+    mad AS (
+        SELECT user_id, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           any_value(d.med) AS median_value,
+           any_value(m.mad) AS mad_value
+    FROM dev d JOIN mad m USING (user_id)
+    GROUP BY d.user_id
+    """,
+)
+def mad_outliers(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.first("med").alias("median_value"),
+            F.first("mad").alias("mad_value"),
+        )
+    )

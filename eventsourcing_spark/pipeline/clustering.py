@@ -148,6 +148,12 @@ def kmeans_clusters(spark, sf_dir):
             lambda acc, x: acc + x,
         ),
     )
+    # The quantized projection is read by every assignment round and every
+    # centroid update (2·ITERS − 1 passes). Persisting it is the standard
+    # iterative-ML trade (MLlib KMeans does the same): one scan of the raw
+    # table, then iterations run against the cached columnar projection,
+    # spilling to disk if the cluster can't hold it.
+    q = q.persist()
     seeds = q.orderBy("vec_id").limit(K).collect()
     cents = [(cid, [int(v) for v in r["qv"]], 1) for cid, r in enumerate(seeds)]
     assigned = None

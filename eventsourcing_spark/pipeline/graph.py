@@ -1,0 +1,142 @@
+"""Fixed-point PageRank over the LSH near-duplicate graph.
+
+Graph analytics as a training-data curation signal: documents/vectors
+that sit in dense near-duplicate neighborhoods (template farms, mirror
+sites) get high centrality; PageRank over the similarity graph is the
+standard way to find them (cf. web-spam literature).  This composes two
+engine layers that already exist: the hyperplane LSH bucketing from
+``pipeline.similarity`` builds the edge set, and an iterative scatter/
+gather runs over it — the same shape GraphX/Pregel executes, expressed
+as three joins-per-round on a persisted edge list.
+
+Scale shape: edges are generated only *within* LSH band buckets (two
+4-bit bands of the 8-plane signature, bucket size capped) — candidate
+generation is linear in corpus size, never all-pairs.  Each iteration
+is: per-node contribution (map on the rank table) → edge join (hash on
+``src``, edge list persisted and pre-partitioned) → ``groupBy(dst)``
+partial-agg sum → left join back onto the node set.  Rank mass is
+fixed-point *integer* arithmetic (micro-units, truncating division), so
+every iteration is bit-deterministic and the whole 3-round computation
+has a value-hash DuckDB oracle via chained CTEs — same trick as
+``pipeline.clustering``.
+
+Dangling-mass note: nodes without edges hold the teleport base rank
+(0.15); lost mass is NOT redistributed (documented simplification —
+ranks are a centrality *signal* here, not a probability distribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.pipeline.similarity import _bucket_expr, _bucket_sql, _quant, _quant_sql
+from eventsourcing_spark.queries import query
+
+SCALE = 1_000_000
+BASE = 150_000  # 0.15 teleport in micro-units
+ITERS = 3
+BUCKET_CAP = 100
+TOP_N = 50
+
+
+def _pagerank_oracle() -> str:
+    bucket = _bucket_sql(_quant_sql("embedding"))
+    parts = [
+        f"""
+    WITH bk AS (
+        SELECT vec_id, {bucket} AS bucket FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, 0 AS band, bucket % 16 AS bval FROM bk
+        UNION ALL
+        SELECT vec_id, 1 AS band, bucket // 16 AS bval FROM bk
+    ),
+    sz AS (SELECT band, bval, count(*) AS c FROM bands GROUP BY band, bval),
+    e AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                    AND a.vec_id <> b.vec_id
+        JOIN sz s ON s.band = a.band AND s.bval = a.bval
+        WHERE s.c <= {BUCKET_CAP}
+    ),
+    deg AS (SELECT src AS vec_id, count(*) AS degree FROM e GROUP BY src),
+    r0 AS (SELECT vec_id, CAST({SCALE} AS BIGINT) AS pr FROM embeddings)"""
+    ]
+    for it in range(1, ITERS + 1):
+        parts.append(f"""
+    r{it} AS (
+        SELECT n.vec_id,
+               CAST({BASE} + coalesce(sum(
+                   (85 * r.pr) // (100 * d.degree)), 0) AS BIGINT) AS pr
+        FROM r0 n
+        LEFT JOIN e ON e.dst = n.vec_id
+        LEFT JOIN r{it - 1} r ON r.vec_id = e.src
+        LEFT JOIN deg d ON d.vec_id = e.src
+        GROUP BY n.vec_id
+    )""")
+    parts.append(f"""
+    SELECT r.vec_id, coalesce(d.degree, 0) AS degree, r.pr AS rank_scaled
+    FROM r{ITERS} r LEFT JOIN deg d USING (vec_id)
+    ORDER BY r.pr DESC, r.vec_id LIMIT {TOP_N}""")
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+@query("pagerank_neardup", _pagerank_oracle())
+def pagerank_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    bk = emb.select(
+        "vec_id", _bucket_expr(_quant(F.col("embedding"))).alias("bucket")
+    )
+    bands = bk.select(
+        "vec_id", F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bval")
+    ).unionAll(
+        bk.select(
+            "vec_id",
+            F.lit(1).alias("band"),
+            (F.col("bucket") / 16).cast("long").alias("bval"),
+        )
+    )
+    sz = bands.groupBy("band", "bval").agg(F.count("*").alias("c"))
+    small = bands.join(sz.filter(F.col("c") <= BUCKET_CAP), ["band", "bval"])
+    e = (
+        small.alias("a")
+        .join(small.alias("b"), ["band", "bval"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+        # reused every iteration; materialized once so per-round joins don't
+        # re-derive (and re-shuffle) the candidate generation, and so the
+        # iterative lineage stays flat (same pattern as dedup_components)
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("degree"))
+    nodes = emb.select("vec_id")
+    ranks = nodes.withColumn("pr", F.lit(SCALE).cast("long")).localCheckpoint()
+    for _ in range(ITERS):
+        contribs = ranks.join(deg, ranks["vec_id"] == deg["src"]).select(
+            deg["src"].alias("csrc"),
+            F.expr("(85 * pr) div (100 * degree)").alias("contrib"),
+        )
+        gathered = (
+            e.join(contribs, F.col("src") == F.col("csrc"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("gathered"))
+        )
+        ranks = nodes.join(gathered, nodes["vec_id"] == gathered["dst"], "left").select(
+            "vec_id",
+            (F.lit(BASE) + F.coalesce(F.col("gathered"), F.lit(0)))
+            .cast("long")
+            .alias("pr"),
+        ).localCheckpoint()
+    out = ranks.join(deg.withColumnRenamed("src", "vec_id"), "vec_id", "left")
+    return (
+        out.select(
+            "vec_id",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.col("pr").alias("rank_scaled"),
+        )
+        .orderBy(F.desc("rank_scaled"), "vec_id")
+        .limit(TOP_N)
+    )

@@ -1,0 +1,70 @@
+"""Invariants for the event-analytics batch and near-dup PageRank.
+
+The oracle gate pins exact values at sf0.01; these pin the structure:
+rolling windows recount correctly against Python, SCD2 intervals tile
+each user's timeline, MAD outliers are bounded, and PageRank conserves
+the teleport floor and ranks high-degree hub nodes.
+"""
+
+from __future__ import annotations
+
+import eventsourcing_spark.analytics  # noqa: F401 — registers analytics ops
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.pipeline.graph import BASE, TOP_N
+from eventsourcing_spark.queries import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+WEEK_MS = 7 * 24 * 3600 * 1000
+
+
+def test_rolling_7d_matches_python_recount(spark):
+    rows = SPARK_QUERIES["rolling_7d_value"](spark, SF).collect()
+    ev = sorted(
+        (
+            (r["user_id"], int(r["ts"].timestamp() * 1000), r["value"], r["event_id"])
+            for r in load_table(spark, SF, "events").collect()
+        ),
+    )
+    by_user: dict[int, list] = {}
+    for u, ms, v, eid in ev:
+        by_user.setdefault(u, []).append((ms, v, eid))
+    got = {r["event_id"]: (r["rolling_n"], round(r["rolling_sum"], 2)) for r in rows}
+    assert len(got) == len(ev)
+    for u, evs in by_user.items():
+        for ms, _v, eid in evs:
+            frame = [w for (m2, w, _e) in evs if ms - WEEK_MS <= m2 <= ms]
+            assert got[eid] == (len(frame), round(sum(frame), 2))
+
+
+def test_scd2_tiles_each_user_timeline(spark):
+    rows = SPARK_QUERIES["scd2_intervals"](spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for _u, rs in by_user.items():
+        rs.sort(key=lambda r: (r["valid_from_ms"], r["event_id"]))
+        assert sum(r["is_current"] for r in rs) == 1
+        assert rs[-1]["is_current"] == 1 and rs[-1]["valid_to_ms"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to_ms"] == b["valid_from_ms"]
+
+
+def test_mad_outliers_bounded(spark):
+    rows = SPARK_QUERIES["mad_outliers"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_outliers"] <= r["n_events"]
+        assert r["mad_value"] >= 0
+        # MAD flags are a strict minority on any non-degenerate corpus
+        assert r["n_outliers"] < r["n_events"] / 2
+
+
+def test_pagerank_floor_and_hubs(spark):
+    rows = SPARK_QUERIES["pagerank_neardup"](spark, SF).collect()
+    assert len(rows) == TOP_N
+    ranks = [r["rank_scaled"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r["rank_scaled"] >= BASE for r in rows)
+    # the top of the centrality ranking must actually be connected
+    assert rows[0]["degree"] > 0
+    assert rows[0]["rank_scaled"] > BASE
