@@ -93,44 +93,45 @@ def scd2_intervals(spark, sf_dir):
 @query(
     "mad_outliers",
     """
-    WITH med AS (
-        SELECT user_id, quantile_cont(value, 0.5) AS med
-        FROM events GROUP BY user_id
+    WITH d AS (
+        SELECT user_id, value,
+               quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
+        FROM events
     ),
-    dev AS (
-        SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS adev
-        FROM events e JOIN med m USING (user_id)
-    ),
-    mad AS (
-        SELECT user_id, quantile_cont(adev, 0.5) AS mad
-        FROM dev GROUP BY user_id
+    d2 AS (
+        SELECT user_id, med, abs(value - med) AS adev,
+               quantile_cont(abs(value - med), 0.5)
+                   OVER (PARTITION BY user_id) AS mad
+        FROM d
     )
-    SELECT d.user_id,
+    SELECT user_id,
            count(*) AS n_events,
-           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
                AS n_outliers,
-           any_value(d.med) AS median_value,
-           any_value(m.mad) AS mad_value
-    FROM dev d JOIN mad m USING (user_id)
-    GROUP BY d.user_id
+           any_value(med) AS median_value,
+           any_value(mad) AS mad_value
+    FROM d2 GROUP BY user_id
     """,
 )
 def mad_outliers(spark, sf_dir):
+    # Both medians are window aggregates over the same partitioning, so the
+    # whole thing is ONE exchange on user_id and ONE scan of events — no
+    # groupBy-join-back (which re-scans the fact table per median pass).
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    med = ev.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
-    dev = ev.join(med, "user_id").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn("med", F.percentile("value", 0.5).over(w))
+    d2 = d.select(
+        "user_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    ).withColumn(
+        "mad", F.percentile(F.col("adev"), 0.5).over(w)
     )
-    mad = dev.groupBy("user_id").agg(F.percentile("adev", 0.5).alias("mad"))
-    return (
-        dev.join(mad, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_outliers"),
-            F.first("med").alias("median_value"),
-            F.first("mad").alias("mad_value"),
-        )
+    return d2.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.first("med").alias("median_value"),
+        F.first("mad").alias("mad_value"),
     )
