@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 import eventsourcing_spark.analytics  # noqa: F401 — registers event-analytics ops
 import eventsourcing_spark.pipeline.chunking  # noqa: F401 — registers chunking ops
 import eventsourcing_spark.pipeline.graph  # noqa: F401 — registers graph ops
+import eventsourcing_spark.pipeline.retrieval  # noqa: F401 — registers retrieval ops
 import eventsourcing_spark.pipeline.clustering  # noqa: F401 — registers k-means op
 import eventsourcing_spark.pipeline.queries  # noqa: F401 — registers pipeline ops
 import eventsourcing_spark.pipeline.similarity  # noqa: F401 — registers similarity ops

@@ -62,6 +62,8 @@ HEADLINE = [
     "funnel_conversion",
     "rolling_7d_value",
     "pagerank_neardup",
+    "term_match_retrieval",
+    "emb_random_projection",
 ]
 # registers the similarity/pipeline queries named above
 import eventsourcing_spark.pipeline.similarity  # noqa: E402,F401
@@ -70,6 +72,7 @@ import eventsourcing_spark.pipeline.chunking  # noqa: E402,F401
 import eventsourcing_spark.pipeline.clustering  # noqa: E402,F401
 import eventsourcing_spark.pipeline.graph  # noqa: E402,F401
 import eventsourcing_spark.analytics  # noqa: E402,F401
+import eventsourcing_spark.pipeline.retrieval  # noqa: E402,F401
 import eventsourcing_spark.pipeline.mixing  # noqa: E402,F401
 
 

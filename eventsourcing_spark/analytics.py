@@ -135,3 +135,29 @@ def mad_outliers(spark, sf_dir):
         F.first("med").alias("median_value"),
         F.first("mad").alias("mad_value"),
     )
+
+
+@query(
+    "value_histogram",
+    f"""
+    SELECT event_type,
+           CAST(floor(value / 25) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS bucket_sum
+    FROM events
+    GROUP BY event_type, CAST(floor(value / 25) AS BIGINT)
+    """,
+)
+def value_histogram(spark, sf_dir):
+    """Equi-width histogram per event type — the profiling/monitoring rollup.
+
+    One partial-aggregated shuffle on (event_type, bucket); bucket bounds
+    land on exactly-representable doubles (integral multiples of 25), so
+    floor(v/25) cannot straddle engines. Sums are exact decimals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("bucket_sum"),
+    )

@@ -1,0 +1,124 @@
+"""Sparse lexical retrieval + random-projection dimensionality reduction.
+
+* ``term_match_retrieval`` — the inverted-index scoring shape behind
+  BM25-class retrieval, with integer-exact weights so it can go through
+  the value-hash oracle: for a fixed query-term set, each document
+  scores ``Σ_t tf(t,d) · (N − df(t))`` — term frequency times an
+  integer rarity weight (corpus size minus document frequency; the
+  integer analogue of idf).  Plan shape at 100 TB: tokens explode
+  map-side and are immediately filtered to the query terms (the
+  "inverted-index probe" — candidate set shrinks before any shuffle),
+  df is a tiny per-term aggregate broadcast back, the per-doc score is
+  one partial-agg groupBy, and top-k is TakeOrderedAndProject.
+
+* ``emb_random_projection`` — Johnson-Lindenstrauss-style reduction
+  64 → 16 dims with a seeded ±1 projection matrix (Achlioptas 2001:
+  database-friendly random projections).  Pure integer dot products on
+  the quantized vectors (same determinism contract as
+  ``pipeline.similarity``), emitted in long form (vec_id, dim, val) so
+  the oracle compares scalars, map-only / zero shuffles.  This is the
+  standard pre-step that makes downstream LSH/IVF cheaper at scale.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.pipeline.similarity import _quant, _quant_sql
+from eventsourcing_spark.queries import query
+
+QUERY_TERMS = ["vector", "stream", "window", "merge", "scan"]
+TOP_DOCS = 20
+
+DIM = 64
+PROJ_DIMS = 16
+_rng = random.Random(20260813)
+PROJ_PLANES: list[list[int]] = [
+    [_rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(PROJ_DIMS)
+]
+
+_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + "]"
+
+
+@query(
+    "term_match_retrieval",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM toks
+        WHERE list_contains({_TERMS_SQL}, w)
+        GROUP BY doc_id, w
+    ),
+    df AS (
+        SELECT w, count(DISTINCT doc_id) AS df FROM hits GROUP BY w
+    ),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT h.doc_id,
+           CAST(sum(h.tf * (n.n - df.df)) AS BIGINT) AS score,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM hits h JOIN df USING (w) CROSS JOIN n
+    GROUP BY h.doc_id
+    ORDER BY score DESC, h.doc_id
+    LIMIT {TOP_DOCS}
+    """,
+)
+def term_match_retrieval(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # tiny scalar, becomes a literal weight term
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w").isin(QUERY_TERMS))
+    hits = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        hits.join(F.broadcast(df), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * (F.lit(n_docs) - F.col("df")))
+            .cast("long")
+            .alias("score"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(TOP_DOCS)
+
+
+def _proj_sql() -> str:
+    qv = _quant_sql("embedding")
+    rows = []
+    for j, plane in enumerate(PROJ_PLANES):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        rows.append(
+            f"SELECT vec_id, {j} AS dim, "
+            f"CAST(list_dot_product({qv}, {lit}) AS BIGINT) AS val "
+            "FROM embeddings"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@query("emb_random_projection", _proj_sql())
+def emb_random_projection(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    cols = []
+    for plane in PROJ_PLANES:
+        lit = F.array(*[F.lit(v) for v in plane])
+        cols.append(
+            F.aggregate(
+                F.zip_with("qv", lit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    # one pass computes all 16 projections, then unpivots in-task (explode
+    # of a 16-element array — no UNION re-scan, still zero shuffles)
+    return q.select(
+        "vec_id", F.posexplode(F.array(*cols)).alias("dim", "val")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "val")

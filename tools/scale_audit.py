@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import eventsourcing_spark.analytics  # noqa: F401
 import eventsourcing_spark.pipeline.chunking  # noqa: F401
 import eventsourcing_spark.pipeline.graph  # noqa: F401
+import eventsourcing_spark.pipeline.retrieval  # noqa: F401
 import eventsourcing_spark.pipeline.clustering  # noqa: F401
 import eventsourcing_spark.pipeline.curation  # noqa: F401
 import eventsourcing_spark.pipeline.mixing  # noqa: F401
