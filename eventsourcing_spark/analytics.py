@@ -161,3 +161,64 @@ def value_histogram(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("bucket_sum"),
     )
+
+
+@query(
+    "pivot_event_matrix",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_matrix(spark, sf_dir):
+    """PIVOT: user × event-type count matrix (the feature-matrix rollup).
+
+    Spark's ``pivot`` with an *explicit* value list — no extra distinct-scan
+    job to discover values, and Catalyst compiles it to exactly the
+    conditional-aggregation plan the oracle spells out: one partial-agg
+    shuffle on user_id, five packed counters per row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    p = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}") for k in kinds],
+    )
+
+
+@query(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark, sf_dir):
+    """Semi-structured path: schema-projected JSON parse + rollup.
+
+    The X8 body-codec pattern (encoding/jsoncodec/codec.go:46-49) applied
+    to the events table's JSON ``props``: ``from_json`` with an explicit
+    schema — Catalyst prunes the parse to the single referenced field
+    (JsonExpressionOptimization), so at 100 TB the scan decodes one int
+    per row, not the whole document. Integer aggregates keep it exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )

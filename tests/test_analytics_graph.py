@@ -68,3 +68,24 @@ def test_pagerank_floor_and_hubs(spark):
     # the top of the centrality ranking must actually be connected
     assert rows[0]["degree"] > 0
     assert rows[0]["rank_scaled"] > BASE
+
+
+def test_pivot_matrix_row_sums(spark):
+    rows = SPARK_QUERIES["pivot_event_matrix"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    total = ev.count()
+    assert sum(
+        r["n_view"] + r["n_click"] + r["n_purchase"] + r["n_signup"] + r["n_error"]
+        for r in rows
+    ) == total
+    assert len(rows) == ev.select("user_id").distinct().count()
+
+
+def test_json_props_stats_bounds(spark):
+    rows = SPARK_QUERIES["json_props_stats"](spark, SF).collect()
+    assert {r["event_type"] for r in rows} == {
+        "view", "click", "purchase", "signup", "error"
+    }
+    for r in rows:
+        assert r["min_k"] <= r["max_k"]
+        assert r["n"] * r["min_k"] <= r["sum_k"] <= r["n"] * r["max_k"]
