@@ -152,3 +152,70 @@ def stream_interval_join(
         )
     )
     return lf.join(rf, cond, how)
+
+
+def windowed_heavy_hitters(
+    events: DataFrame,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    time_col: str = "created_at",
+    key_col: str = "kind",
+) -> DataFrame:
+    """Top-k keys per event-time window (streaming heavy hitters).
+
+    Batch: windowed counts + one ``row_number`` pass (rank ties broken by
+    key for determinism). Stream: Structured Streaming forbids window
+    functions on an unfinished aggregation, so this returns the windowed
+    counts — rank them per micro-batch in the sink with
+    ``rank_heavy_hitters`` (see ``heavy_hitters_writer``). The aggregate
+    state Spark keeps is one counter per (window, key) — bounded by the
+    watermark, independent of event volume; the per-window top-k frame
+    the sink ranks is tiny.
+    """
+    counts = windowed_counts(
+        events, window=window, watermark=watermark,
+        time_col=time_col, key_col=key_col,
+    )
+    if events.isStreaming:
+        return counts
+    return rank_heavy_hitters(counts, k=k, key_col=key_col)
+
+
+def rank_heavy_hitters(counts: DataFrame, k: int = 3, key_col: str = "kind") -> DataFrame:
+    """Rank a (window_start, window_end, key, n_events) frame to top-k."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.col(key_col)
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def heavy_hitters_writer(
+    counts_stream: DataFrame, sink_path: str, checkpoint: str,
+    k: int = 3, key_col: str = "kind",
+):
+    """Stream writer: complete-mode windowed counts → per-trigger top-k.
+
+    Complete mode re-emits the full (small) aggregate each trigger; the
+    sink ranks and overwrites — idempotent by construction, so replays
+    after failure converge (C8 exactly-once-effect, projection/types.go:
+    129-153 analog). At larger key cardinality switch to update mode and
+    merge per-window deltas instead.
+    """
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        top = rank_heavy_hitters(batch_df, k=k, key_col=key_col)
+        top.write.mode("overwrite").parquet(sink_path)
+
+    return (
+        counts_stream.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -253,3 +253,28 @@ def test_stream_interval_join_left_outer(spark, tmp_path):
     # matched pair is emitted immediately; the unmatched y-2 row is held
     # until a later watermark advance, so only assert the matched subset
     assert {r.aggregate_id for r in rows if r.created_at_r is not None} == {"y-1"}
+
+
+def test_heavy_hitters_batch_and_stream_agree(spark, tmp_path):
+    from eventsourcing_spark.streaming.windows import (
+        heavy_hitters_writer,
+        windowed_heavy_hitters,
+    )
+
+    store = EventStore(spark, str(tmp_path / "hh"))
+    seed(store)
+
+    batch = windowed_heavy_hitters(store.events(), k=2, window="1 hour").collect()
+    batch_set = {(r.window_start, r.kind, r.n_events, r.rk) for r in batch}
+    assert batch_set and all(r.rk <= 2 for r in batch)
+
+    counts = windowed_heavy_hitters(
+        events_file_stream(store), k=2, window="1 hour"
+    )
+    q = heavy_hitters_writer(
+        counts, str(tmp_path / "hh_out"), str(tmp_path / "hh_cp"), k=2
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "hh_out")).collect()
+    stream_set = {(r.window_start, r.kind, r.n_events, r.rk) for r in got}
+    assert stream_set == batch_set
