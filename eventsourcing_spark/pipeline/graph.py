@@ -23,6 +23,14 @@ has a value-hash DuckDB oracle via chained CTEs — same trick as
 Dangling-mass note: nodes without edges hold the teleport base rank
 (0.15); lost mass is NOT redistributed (documented simplification —
 ranks are a centrality *signal* here, not a probability distribution).
+
+Sizing rule (measured in the 20× stress drive, BASELINE.md): the 4-bit
+bands here match the gate corpus (500–2 k vectors → E[bucket] ≈ 30–125,
+dense healthy graph). Band bits must grow with log₂(corpus/cap): past
+~1.6 k vectors every 4-bit bucket exceeds the cap and candidate
+generation — correctly — refuses the quadratic blow-up. At production
+scale pick ``bits ≈ log2(n / target_bucket)`` (e.g. 24-bit bands for
+10⁹ vectors), which keeps edge generation linear in the corpus.
 """
 
 from __future__ import annotations

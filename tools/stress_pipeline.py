@@ -33,6 +33,9 @@ import eventsourcing_spark.pipeline.curation  # noqa: F401
 import eventsourcing_spark.pipeline.mixing  # noqa: F401
 import eventsourcing_spark.pipeline.queries  # noqa: F401
 import eventsourcing_spark.pipeline.similarity  # noqa: F401
+import eventsourcing_spark.pipeline.clustering  # noqa: F401
+import eventsourcing_spark.pipeline.graph  # noqa: F401
+import eventsourcing_spark.pipeline.retrieval  # noqa: F401
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import load_table
@@ -60,6 +63,9 @@ STRESS_QUERIES = (
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "emb_neardup_pairs",
+    "emb_random_projection",
+    "kmeans_clusters",
+    "pagerank_neardup",
 )
 
 
