@@ -100,28 +100,39 @@ def main() -> None:
 
     # Best-of-two: the host VM throttles unpredictably (observed 170× on a
     # single run); min-of-runs measures the engine, not the hypervisor.
+    # Fault-isolated per query: one broken query must cost only its own
+    # entry, never the whole bench line (round 1 lost the entire bench to
+    # a single AnalysisException).
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = SPARK_QUERIES[name]
+        fn = SPARK_QUERIES.get(name)
+        if fn is None:
+            errors[name] = "not registered"
+            continue
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                break
             best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+        else:
+            times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

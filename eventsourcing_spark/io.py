@@ -1,10 +1,26 @@
 """Table loaders for the driver's synthetic datasets (TESTDATA.md).
 
-``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS); with
-``spark.sql.legacy.parquet.nanosAsLong=true`` Spark surfaces it as a
-long of nanoseconds. ``load_table`` normalizes it back to a proper
-TimestampType (µs precision — identical truncation to what DuckDB and
-pandas apply), so every operator downstream sees a clean schema.
+Timestamp normalization: the driver regenerates the parquet between
+rounds and the physical timestamp encoding has varied — TIMESTAMP(NANOS)
+(readable only as long-nanos under
+``spark.sql.legacy.parquet.nanosAsLong``), and plain ``timestamp[us]``
+with no timezone (surfaced as TIMESTAMP_NTZ by Spark 4's
+``inferTimestampNTZ`` default). Downstream operators assume a proper
+instant TimestampType (``unix_millis`` et al. reject NTZ), so
+``load_table`` normalizes every arrival shape to TimestampType:
+
+- ``bigint`` ts (nanos-as-long): integer ``div 1000`` to µs — double
+  division only carries ~0.25 µs precision at 1.7e18 ns and can round
+  across the microsecond boundary, diverging from DuckDB's truncation.
+- ``timestamp_ntz``: epoch µs via ``timestampdiff(MICROSECOND, epoch,
+  ts)`` — pure wall-clock arithmetic, *independent of the session
+  timezone* (a plain ``cast(ntz as timestamp)`` would shift by session
+  tz). The resulting instant equals the naive value read as UTC, which
+  is exactly how DuckDB's ``epoch_ms`` treats naive timestamps.
+
+This keeps the whole engine oblivious to which session created it — the
+correctness driver runs our ``queries()`` under *its own* SparkSession,
+so load-time normalization is the only seam we control.
 """
 
 from __future__ import annotations
@@ -13,6 +29,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -28,15 +45,22 @@ TABLES = (
 )
 
 
+def _ntz_to_instant(col: str):
+    """TIMESTAMP_NTZ → TimestampType instant, session-tz-independent."""
+    return F.timestamp_micros(
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)"
+        )
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # normalize any nanos-as-long timestamp columns back to TimestampType
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            # integer `div`, NOT `/`: double division of ~1.7e18 ns only
-            # carries ~0.25 µs precision and can round across the
-            # microsecond boundary, diverging from DuckDB's exact
-            # truncation
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, _ntz_to_instant(field.name))
+        elif field.name == "ts" and isinstance(field.dataType, LongType):
+            # nanos-as-long legacy encoding
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
