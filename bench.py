@@ -64,7 +64,11 @@ HEADLINE = [
     "pagerank_neardup",
     "term_match_retrieval",
     "emb_random_projection",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "asof_next_error",
 ]
+import eventsourcing_spark.sketches  # noqa: E402,F401 — registers sketch ops
 # registers the similarity/pipeline queries named above
 import eventsourcing_spark.pipeline.similarity  # noqa: E402,F401
 import eventsourcing_spark.pipeline.curation  # noqa: E402,F401

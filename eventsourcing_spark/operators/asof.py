@@ -82,3 +82,66 @@ def asof_join_backward(
         *[F.last(v, ignorenulls=True).over(w).alias(v) for v in value_cols],
     )
     return carried.filter(F.col(_SIDE) == 1).drop(_SIDE, "__ts")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    ts_out: str = "asof_ts",
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    ``right_ts >= left_ts`` on the same key (forward as-of, inclusive).
+
+    Mirror of :func:`asof_join_backward` with the window frame reversed:
+    the union is ordered ``(ts asc, left-before-right at ties)`` and the
+    nearest *future* right-side values are pulled back with
+    ``first(..., ignorenulls=True)`` over ``[currentRow,
+    unboundedFollowing]``. Same single-shuffle cost model — this is the
+    "next event after t" half of the point-in-time pattern (e.g. time
+    from click to the next error), which the reference can only express
+    as a per-aggregate replay loop (eventstore.go:279-293).
+    """
+    lcols = left.columns
+    # left sorts BEFORE right at equal timestamps (side 0 < 1) so the
+    # inclusive `right_ts >= left_ts` match lands inside the frame.
+    l_tagged = left.withColumn(_SIDE, F.lit(0)).withColumn(ts_out, F.lit(None))
+    for v in value_cols:
+        l_tagged = l_tagged.withColumn(v, F.lit(None))
+    r_tagged = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+        F.col(right_ts).alias(ts_out),
+        *value_cols,
+    )
+    l_norm = l_tagged.select(
+        *key_cols,
+        F.col(left_ts).alias("__ts"),
+        _SIDE,
+        ts_out,
+        *value_cols,
+        *[c for c in lcols if c not in key_cols],
+    )
+    r_norm = r_tagged
+    for c in [c for c in lcols if c not in key_cols]:
+        r_norm = r_norm.withColumn(c, F.lit(None))
+    unioned = l_norm.unionByName(r_norm)
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        *key_cols,
+        "__ts",
+        _SIDE,
+        *[c for c in lcols if c not in key_cols],
+        F.first(ts_out, ignorenulls=True).over(w).alias(ts_out),
+        *[F.first(v, ignorenulls=True).over(w).alias(v) for v in value_cols],
+    )
+    return carried.filter(F.col(_SIDE) == 0).drop(_SIDE, "__ts")

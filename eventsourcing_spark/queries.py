@@ -618,6 +618,62 @@ def asof_prior_error(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Forward as-of join — the other half of the point-in-time pattern: for
+# every click, the user's NEXT error at-or-after it (time-to-failure
+# analysis). Same union + one-shuffle window strategy as the backward
+# direction; oracle is DuckDB's native forward ASOF (`left.ts <= right.ts`).
+# ---------------------------------------------------------------------------
+@query(
+    "asof_next_error",
+    """
+    WITH err AS (
+        SELECT user_id, ts, max_by(value, event_id) AS next_error_value
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ),
+    c AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+           CAST(err.next_error_value AS DOUBLE) AS next_error_value,
+           epoch_ms(err.ts) AS next_error_ms
+    FROM c ASOF LEFT JOIN err
+      ON c.user_id = err.user_id AND c.ts <= err.ts
+    """,
+)
+def asof_next_error(spark, sf_dir):
+    from eventsourcing_spark.operators.asof import asof_join_forward
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # right side unique per (key, ts): ties at identical timestamps would
+    # otherwise make first()'s pick order-dependent
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("next_error_value"))
+    )
+    joined = asof_join_forward(
+        clicks,
+        errors,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["next_error_value"],
+        ts_out="next_error_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("next_error_value").cast("double").alias("next_error_value"),
+        F.unix_millis("next_error_ts").alias("next_error_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Range (interval) join — click attribution: for every purchase, the count
 # and value of the user's clicks in the preceding 10 minutes. The Spark
 # side uses the bucketized equi-join (operators/rangejoin.py) so per-task

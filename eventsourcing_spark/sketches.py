@@ -1,0 +1,320 @@
+"""Mergeable cardinality / frequency sketches, deterministic across engines.
+
+The reference counts things by replaying rows (projection/player.go's
+count handlers); at 100 TB you count with sketches. The three classic
+ones — KMV (k-minimum-values) for distinct counts, HyperLogLog for
+distinct counts at fixed memory, count-min for per-key frequencies —
+are implemented here as *pure DataFrame aggregations*:
+
+* all hashing is ``md5`` (bit-identical in Spark and DuckDB), widened
+  to a uint32 via ``conv(hex, 16, 10)`` / ``CAST('0x'||hex AS BIGINT)``;
+* every estimator is evaluated in INTEGER arithmetic end-to-end —
+  HLL's ``sum(2^-M_b)`` harmonic term is scaled by ``2^27`` so the
+  registers sum as exact BIGINTs and the final estimate is one integer
+  division. No float can round differently between engines, so the
+  driver's value-hash gate applies to the *estimates*, not just the
+  inputs.
+
+Scale shape: each sketch is a ``groupBy().agg()`` — partial aggregation
+IS the sketch merge (registers max-combine, counters add-combine), so
+the map-side combine Spark already does is exactly the distributed
+sketch union; no shuffle carries raw values, only O(registers) rows
+per group. That is the whole point of sketches on a 1000-executor
+cluster: the exact-distinct oracle columns computed alongside are the
+part that would not survive 100 TB, included here only to let the gate
+measure estimator error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Shared 32-bit hash: first 8 hex chars of md5, identical in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _h32(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def _h32_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# KMV — k minimum values. Keep the k smallest distinct hash values per
+# group; the k-th smallest h_k estimates density: n̂ = (k-1)·2^32 / h_k.
+# (Bar-Yossef et al. 2002.) Exact-count fallback when the group has
+# fewer than k distinct values (the sketch then IS the distinct set).
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+_U32 = 1 << 32
+
+
+@query(
+    "sketch_kmv_distinct",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT event_type, {_h32_sql("user_id")} AS h FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM pairs
+    ),
+    sk AS (
+        SELECT event_type, max(h) AS h_k, count(*) AS n_in_sketch
+        FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, count(*) AS n_exact FROM pairs GROUP BY event_type
+    )
+    SELECT sk.event_type AS event_type, ex.n_exact AS n_exact,
+           CAST(CASE WHEN sk.n_in_sketch < {KMV_K} THEN ex.n_exact
+                     ELSE ({KMV_K - 1} * {_U32}) // sk.h_k END AS BIGINT)
+             AS kmv_estimate
+    FROM sk JOIN ex ON sk.event_type = ex.event_type
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("event_type", _h32(F.col("user_id")).alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("h_k"), F.count("*").alias("n_in_sketch"))
+    )
+    exact = pairs.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    est = F.when(F.col("n_in_sketch") < KMV_K, F.col("n_exact")).otherwise(
+        F.expr(f"({KMV_K - 1} * {_U32}) div h_k")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            est.cast("long").alias("kmv_estimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — m = 64 registers (p = 6 bucket bits, q = 26 rank bits).
+# Register M_b = max over values of rho(w) (1 + leading zeros of the
+# 26-bit remainder). The harmonic mean is evaluated integer-exactly:
+# each register contributes 2^(27-M_b) ∈ BIGINT, empty registers 2^27,
+# and n̂ = α·m²·2^27 / Σ  =  709·2^39 / (1000·Σ) as one integer division
+# (α_64 = 0.709, Flajolet et al. 2007). The small-range linear-counting
+# correction (n̂ ≤ 5/2·m with V empty registers → m·ln(m/V)) needs ln(),
+# which can't be made bit-identical across engines as an *expression* —
+# but m is fixed, so the 64 possible values are precomputed in Python
+# and emitted as an identical literal CASE table on both sides.
+# ---------------------------------------------------------------------------
+
+import math
+
+_HLL_P = 6
+_HLL_M = 1 << _HLL_P          # 64 registers
+_HLL_Q = 32 - _HLL_P          # 26 rank bits
+_HLL_W = 1 << _HLL_Q          # 2^26
+_HLL_SCALE = 1 << (_HLL_Q + 1)  # 2^27: weight of an empty register
+# α·m²·2^27 scaled by 1000: 709 · 64² · 2^27 = 709 · 2^39
+_HLL_NUM = 709 * (1 << 39)
+# linear-counting lookup: V empty registers → round(m·ln(m/V))
+_HLL_LC = {v: round(_HLL_M * math.log(_HLL_M / v)) for v in range(1, _HLL_M + 1)}
+
+
+def _rho_sql() -> str:
+    arms = " ".join(
+        f"WHEN w >= {1 << (_HLL_Q - 1 - i)} THEN {i + 1}" for i in range(_HLL_Q)
+    )
+    return f"CASE {arms} ELSE {_HLL_Q + 1} END"
+
+
+def _lc_sql(v_expr: str) -> str:
+    arms = " ".join(f"WHEN {v} THEN {est}" for v, est in _HLL_LC.items())
+    return f"CASE {v_expr} {arms} ELSE 0 END"
+
+
+@query(
+    "sketch_hll_distinct",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT event_type, {_h32_sql("user_id")} AS h FROM events
+    ),
+    rw AS (
+        SELECT event_type, h // {_HLL_W} AS b, h % {_HLL_W} AS w FROM pairs
+    ),
+    regs AS (
+        SELECT event_type, b, max({_rho_sql()}) AS m_b
+        FROM rw GROUP BY event_type, b
+    ),
+    sums AS (
+        SELECT event_type,
+               sum(CAST(power(2, {_HLL_Q + 1} - m_b) AS BIGINT))
+                 + ({_HLL_M} - count(*)) * {_HLL_SCALE} AS s,
+               {_HLL_M} - count(*) AS v
+        FROM regs GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type, v,
+               CAST({_HLL_NUM} // (1000 * s) AS BIGINT) AS raw_est
+        FROM sums
+    ),
+    ex AS (
+        SELECT event_type, count(*) AS n_exact FROM pairs GROUP BY event_type
+    )
+    SELECT e.event_type AS event_type, ex.n_exact AS n_exact,
+           CAST(CASE WHEN e.raw_est <= {5 * _HLL_M // 2} AND e.v > 0
+                     THEN {_lc_sql("e.v")} ELSE e.raw_est END AS BIGINT)
+             AS hll_estimate
+    FROM est e JOIN ex ON e.event_type = ex.event_type
+    """,
+)
+def sketch_hll_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("event_type", _h32(F.col("user_id")).alias("h")).distinct()
+    rw = pairs.select(
+        "event_type",
+        F.expr(f"h div {_HLL_W}").alias("b"),
+        (F.col("h") % _HLL_W).alias("w"),
+    )
+    rho = F.expr(_rho_sql())
+    regs = rw.groupBy("event_type", "b").agg(F.max(rho).alias("m_b"))
+    sums = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), F.lit(_HLL_Q + 1) - F.col("m_b")).cast("long"))
+            + (F.lit(_HLL_M) - F.count("*")) * _HLL_SCALE
+        ).alias("s"),
+        (F.lit(_HLL_M) - F.count("*")).alias("v"),
+    )
+    est = sums.select(
+        "event_type",
+        "v",
+        F.expr(f"{_HLL_NUM} div (1000 * s)").cast("long").alias("raw_est"),
+    )
+    corrected = F.when(
+        (F.col("raw_est") <= 5 * _HLL_M // 2) & (F.col("v") > 0),
+        F.expr(_lc_sql("v")),
+    ).otherwise(F.col("raw_est"))
+    exact = pairs.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        corrected.cast("long").alias("hll_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min — depth 3 × width 64 counter matrix over per-user event
+# counts; point query = min over the 3 depth rows (Cormode &
+# Muthukrishnan 2005; always ≥ true count). Probed with the exact
+# top-20 users so the gate hash covers true count AND estimate.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 3
+_CMS_W = 64
+
+
+def _cms_bucket(d: int, col):
+    salted = F.concat(F.lit(f"cms{d}:"), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long") % _CMS_W
+    )
+
+
+def _cms_bucket_sql(d: int, expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cms{d}:' || CAST({expr} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % {_CMS_W}"
+    )
+
+
+_CMS_DEPTHS_SQL = " UNION ALL ".join(
+    f"SELECT {d} AS depth" for d in range(_CMS_D)
+)
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    f"""
+    WITH truec AS (
+        SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id
+    ),
+    probes AS (
+        SELECT user_id, true_n,
+               row_number() OVER (ORDER BY true_n DESC, user_id) AS rnk
+        FROM truec QUALIFY rnk <= 20
+    ),
+    counters AS (
+        {" UNION ALL ".join(
+            f'''SELECT {d} AS depth, {_cms_bucket_sql(d, "user_id")} AS bucket,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2'''
+            for d in range(_CMS_D)
+        )}
+    ),
+    probe_buckets AS (
+        {" UNION ALL ".join(
+            f'''SELECT user_id, true_n, {d} AS depth,
+                       {_cms_bucket_sql(d, "user_id")} AS bucket
+                FROM probes'''
+            for d in range(_CMS_D)
+        )}
+    )
+    SELECT pb.user_id, pb.true_n, min(c.cnt) AS cms_estimate
+    FROM probe_buckets pb
+    JOIN counters c ON pb.depth = c.depth AND pb.bucket = c.bucket
+    GROUP BY pb.user_id, pb.true_n
+    """,
+)
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    # one scan: stack the 3 depth-bucket assignments row-wise, then ONE
+    # grouped count — the (depth,bucket) space is 192 cells, so the
+    # partial agg collapses each task's contribution to ≤192 rows before
+    # the (tiny) exchange. This per-partition collapse is the CMS merge.
+    with_buckets = ev
+    for d in range(_CMS_D):
+        with_buckets = with_buckets.withColumn(
+            f"b{d}", _cms_bucket(d, F.col("user_id"))
+        )
+    stacked = with_buckets.select(
+        F.expr(
+            "stack({n}, {args}) as (depth, bucket)".format(
+                n=_CMS_D,
+                args=", ".join(f"{d}, b{d}" for d in range(_CMS_D)),
+            )
+        )
+    )
+    counters = stacked.groupBy("depth", "bucket").agg(F.count("*").alias("cnt"))
+
+    truec = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    w = Window.orderBy(F.desc("true_n"), F.asc("user_id"))
+    probes = (
+        truec.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .drop("rnk")
+    )
+    pb = None
+    for d in range(_CMS_D):
+        arm = probes.select(
+            "user_id",
+            "true_n",
+            F.lit(d).alias("depth"),
+            _cms_bucket(d, F.col("user_id")).alias("bucket"),
+        )
+        pb = arm if pb is None else pb.unionByName(arm)
+    return (
+        pb.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

@@ -1,0 +1,113 @@
+"""Sketch estimators (KMV / HLL / CMS) and the forward as-of join.
+
+The correctness gate already hash-matches the sketch *values* against
+DuckDB; these tests pin the estimator guarantees the hash can't express:
+KMV's exact-below-k fallback, HLL's error envelope, CMS's one-sided
+error, and forward as-of's tie/no-match semantics on a hand-built frame.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.operators.asof import asof_join_forward
+from eventsourcing_spark.sketches import (
+    sketch_cms_heavy_hitters,
+    sketch_hll_distinct,
+    sketch_kmv_distinct,
+)
+
+
+def test_kmv_exact_fallback_and_estimate(spark, sf_dir):
+    rows = {r.event_type: r for r in sketch_kmv_distinct(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        if r.n_exact < 32:  # sketch holds the whole distinct set
+            assert r.kmv_estimate == r.n_exact
+        else:  # standard KMV error ~ 1/sqrt(k) = 18%; allow 3x
+            assert 0.4 * r.n_exact <= r.kmv_estimate <= 2.5 * r.n_exact
+
+
+def test_hll_estimate_envelope(spark, sf_dir):
+    for r in sketch_hll_distinct(spark, sf_dir).collect():
+        assert r.hll_estimate > 0
+        # with the literal-table linear-counting correction the standard
+        # HLL error envelope applies at every cardinality (σ≈1.04/√64 =
+        # 13%; allow ~4σ)
+        assert 0.5 * r.n_exact <= r.hll_estimate <= 1.6 * r.n_exact
+
+
+def test_cms_estimate_is_one_sided(spark, sf_dir):
+    out = sketch_cms_heavy_hitters(spark, sf_dir).collect()
+    assert 0 < len(out) <= 20  # top-20 probe set (fewer users at tiny sf)
+    for r in out:
+        assert r.cms_estimate >= r.true_n  # CMS never underestimates
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_forward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T10:00:00"), 1),
+            ("a", _ts("2024-01-01T12:00:00"), 2),
+            ("a", _ts("2024-01-01T15:00:00"), 3),  # no future right row
+            ("b", _ts("2024-01-01T09:00:00"), 4),  # key with no right rows
+        ],
+        "k string, ts timestamp, left_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T09:00:00"), 100),  # before all left rows
+            ("a", _ts("2024-01-01T12:00:00"), 200),  # tie: inclusive match
+            ("a", _ts("2024-01-01T13:00:00"), 300),
+        ],
+        "k string, ts timestamp, rv int",
+    )
+    out = asof_join_forward(
+        left, right, ["k"], "ts", "ts", ["rv"], ts_out="matched_ts"
+    )
+    got = {r.left_id: (r.rv, r.matched_ts) for r in out.collect()}
+    assert got[1] == (200, _ts("2024-01-01T12:00:00"))  # earliest at-or-after
+    assert got[2] == (200, _ts("2024-01-01T12:00:00"))  # inclusive tie
+    assert got[3] == (None, None)  # nothing in the future
+    assert got[4] == (None, None)  # key absent on right
+    assert len(got) == 4  # every left row survives
+
+
+def test_asof_forward_matches_sql_oracle(spark, sf_dir):
+    """Forward as-of over real events == per-row correlated-min lookup."""
+    from eventsourcing_spark.io import register_views
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    register_views(spark, sf_dir)
+    ours = SPARK_QUERIES["asof_next_error"](spark, sf_dir)
+    ref = spark.sql(
+        """
+        WITH err AS (
+            SELECT user_id, ts, max_by(value, event_id) AS v
+            FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+        ),
+        c AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        nxt AS (
+            SELECT c.event_id, c.user_id, c.ts, min(err.ts) AS nts
+            FROM c LEFT JOIN err
+              ON c.user_id = err.user_id AND err.ts >= c.ts
+            GROUP BY c.event_id, c.user_id, c.ts
+        )
+        SELECT n.event_id, n.user_id, unix_millis(n.ts) AS ts_ms,
+               CAST(e2.v AS DOUBLE) AS next_error_value,
+               unix_millis(n.nts) AS next_error_ms
+        FROM nxt n LEFT JOIN err e2
+          ON n.user_id = e2.user_id AND n.nts = e2.ts
+        """
+    )
+    assert ours.count() == ref.count()
+    sym_diff = ours.exceptAll(ref).union(ref.exceptAll(ours))
+    assert sym_diff.count() == 0
