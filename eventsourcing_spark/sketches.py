@@ -144,6 +144,51 @@ def _lc_sql(v_expr: str) -> str:
     return f"CASE {v_expr} {arms} ELSE 0 END"
 
 
+def hll_registers(df, group_cols, value_col):
+    """HLL register frame ``group_cols + [b, m_b]`` for the values in
+    ``value_col``. Mergeable: registers of a union = max-combine of the
+    register frames — which is exactly what re-running this aggregation
+    over a union (or a streaming micro-batch + stored registers) does.
+    """
+    rw = df.select(*group_cols, _h32(F.col(value_col)).alias("h")).select(
+        *group_cols,
+        F.expr(f"h div {_HLL_W}").alias("b"),
+        (F.col("h") % _HLL_W).alias("w"),
+    )
+    rho = F.expr(_rho_sql())
+    return rw.groupBy(*group_cols, "b").agg(F.max(rho).alias("m_b"))
+
+
+def merge_hll_registers(*register_frames, group_cols):
+    """Union register frames and max-combine — the distributed HLL merge."""
+    out = register_frames[0]
+    for other in register_frames[1:]:
+        out = out.unionByName(other)
+    return out.groupBy(*group_cols, "b").agg(F.max("m_b").alias("m_b"))
+
+
+def hll_estimate(regs, group_cols):
+    """Estimate per group from a register frame, integer-exact, with the
+    literal-table linear-counting correction."""
+    sums = regs.groupBy(*group_cols).agg(
+        (
+            F.sum(F.pow(F.lit(2.0), F.lit(_HLL_Q + 1) - F.col("m_b")).cast("long"))
+            + (F.lit(_HLL_M) - F.count("*")) * _HLL_SCALE
+        ).alias("s"),
+        (F.lit(_HLL_M) - F.count("*")).alias("v"),
+    )
+    est = sums.select(
+        *group_cols,
+        "v",
+        F.expr(f"{_HLL_NUM} div (1000 * s)").cast("long").alias("raw_est"),
+    )
+    corrected = F.when(
+        (F.col("raw_est") <= 5 * _HLL_M // 2) & (F.col("v") > 0),
+        F.expr(_lc_sql("v")),
+    ).otherwise(F.col("raw_est"))
+    return est.select(*group_cols, corrected.cast("long").alias("hll_estimate"))
+
+
 @query(
     "sketch_hll_distinct",
     f"""
@@ -181,35 +226,16 @@ def _lc_sql(v_expr: str) -> str:
 )
 def sketch_hll_distinct(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    pairs = ev.select("event_type", _h32(F.col("user_id")).alias("h")).distinct()
-    rw = pairs.select(
-        "event_type",
-        F.expr(f"h div {_HLL_W}").alias("b"),
-        (F.col("h") % _HLL_W).alias("w"),
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    est = hll_estimate(regs, ["event_type"])
+    exact = (
+        ev.select("event_type", _h32(F.col("user_id")).alias("h"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_exact"))
     )
-    rho = F.expr(_rho_sql())
-    regs = rw.groupBy("event_type", "b").agg(F.max(rho).alias("m_b"))
-    sums = regs.groupBy("event_type").agg(
-        (
-            F.sum(F.pow(F.lit(2.0), F.lit(_HLL_Q + 1) - F.col("m_b")).cast("long"))
-            + (F.lit(_HLL_M) - F.count("*")) * _HLL_SCALE
-        ).alias("s"),
-        (F.lit(_HLL_M) - F.count("*")).alias("v"),
-    )
-    est = sums.select(
-        "event_type",
-        "v",
-        F.expr(f"{_HLL_NUM} div (1000 * s)").cast("long").alias("raw_est"),
-    )
-    corrected = F.when(
-        (F.col("raw_est") <= 5 * _HLL_M // 2) & (F.col("v") > 0),
-        F.expr(_lc_sql("v")),
-    ).otherwise(F.col("raw_est"))
-    exact = pairs.groupBy("event_type").agg(F.count("*").alias("n_exact"))
     return est.join(exact, "event_type").select(
-        "event_type",
-        "n_exact",
-        corrected.cast("long").alias("hll_estimate"),
+        "event_type", "n_exact", "hll_estimate"
     )
 
 

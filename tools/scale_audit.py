@@ -24,6 +24,7 @@ import eventsourcing_spark.pipeline.curation  # noqa: F401
 import eventsourcing_spark.pipeline.mixing  # noqa: F401
 import eventsourcing_spark.pipeline.queries  # noqa: F401
 import eventsourcing_spark.pipeline.similarity  # noqa: F401
+import eventsourcing_spark.sketches  # noqa: F401
 import eventsourcing_spark.tpch  # noqa: F401
 from eventsourcing_spark.plans import audit, formatted_plan, plan_stats
 from eventsourcing_spark.queries import SPARK_QUERIES
