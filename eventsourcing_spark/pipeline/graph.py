@@ -148,3 +148,128 @@ def pagerank_neardup(spark, sf_dir):
         .orderBy(F.desc("rank_scaled"), "vec_id")
         .limit(TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the same near-dup graph — the standard density
+# signal (a template farm is a near-clique; triangles explode there long
+# before degree does). Algorithm: canonical edge orientation (src < dst)
+# then ONE two-hop join closed by an edge-existence join — the classic
+# distributed formulation (cf. Suri & Vassilvitskii, "Counting triangles
+# and the curse of the last reducer", WWW'11). Orientation alone cuts
+# the join fan-out ~2× and makes each triangle count exactly once.
+#
+# Scale shape: both joins hash-shuffle on a vertex key; the wedge set
+# (two-hop paths) is the quadratic-risk intermediate, but it is bounded
+# per bucket by the same BUCKET_CAP that bounds edge generation — at
+# production scale you'd additionally orient by (degree, id) so hubs
+# never fan out (the "last reducer" fix, noted not needed at gate size).
+# ---------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    bucket = _bucket_sql(_quant_sql("embedding"))
+    return f"""
+    WITH bk AS (
+        SELECT vec_id, {bucket} AS bucket FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, 0 AS band, bucket % 16 AS bval FROM bk
+        UNION ALL
+        SELECT vec_id, 1 AS band, bucket // 16 AS bval FROM bk
+    ),
+    sz AS (SELECT band, bval, count(*) AS c FROM bands GROUP BY band, bval),
+    e AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                    AND a.vec_id < b.vec_id
+        JOIN sz s ON s.band = a.band AND s.bval = a.bval
+        WHERE s.c <= {BUCKET_CAP}
+    ),
+    tri AS (
+        SELECT w.x, w.y, w.z FROM (
+            SELECT a.src AS x, a.dst AS y, b.dst AS z
+            FROM e a JOIN e b ON b.src = a.dst
+        ) w JOIN e c ON c.src = w.x AND c.dst = w.z
+    ),
+    per_node AS (
+        SELECT v, count(*) AS n_triangles FROM (
+            SELECT x AS v FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY v
+    ),
+    deg AS (
+        SELECT v, count(*) AS degree FROM (
+            SELECT src AS v FROM e UNION ALL SELECT dst FROM e
+        ) GROUP BY v
+    )
+    SELECT p.v AS vec_id, d.degree AS degree, p.n_triangles AS n_triangles
+    FROM per_node p JOIN deg d USING (v)
+    ORDER BY p.n_triangles DESC, p.v LIMIT {TOP_N}
+    """
+
+
+@query("triangle_count_neardup", _triangle_oracle())
+def triangle_count_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    bk = emb.select(
+        "vec_id", _bucket_expr(_quant(F.col("embedding"))).alias("bucket")
+    )
+    bands = bk.select(
+        "vec_id", F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bval")
+    ).unionAll(
+        bk.select(
+            "vec_id",
+            F.lit(1).alias("band"),
+            (F.col("bucket") / 16).cast("long").alias("bval"),
+        )
+    )
+    sz = bands.groupBy("band", "bval").agg(F.count("*").alias("c"))
+    small = bands.join(sz.filter(F.col("c") <= BUCKET_CAP), ["band", "bval"])
+    # canonical orientation src < dst: every undirected edge once
+    e = (
+        small.alias("a")
+        .join(small.alias("b"), ["band", "bval"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+        # read by the wedge join AND the closing join: materialize once
+        .localCheckpoint()
+    )
+    wedges = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("b.src") == F.col("a.dst"))
+        .select(
+            F.col("a.src").alias("x"),
+            F.col("a.dst").alias("y"),
+            F.col("b.dst").alias("z"),
+        )
+    )
+    tri = wedges.join(
+        e.select(F.col("src").alias("x"), F.col("dst").alias("z")), ["x", "z"]
+    )
+    per_node = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        per_node.join(deg, "v")
+        .select(
+            F.col("v").alias("vec_id"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+        .orderBy(F.desc("n_triangles"), "vec_id")
+        .limit(TOP_N)
+    )

@@ -89,3 +89,15 @@ def test_json_props_stats_bounds(spark):
     for r in rows:
         assert r["min_k"] <= r["max_k"]
         assert r["n"] * r["min_k"] <= r["sum_k"] <= r["n"] * r["max_k"]
+
+
+def test_triangle_counts_are_consistent(spark):
+    rows = SPARK_QUERIES["triangle_count_neardup"](spark, SF).collect()
+    assert rows, "gate corpus is in the dense-graph regime; triangles exist"
+    for r in rows:
+        # a node in t triangles needs at least 2 neighbors, and its
+        # triangle count is bounded by pairs of neighbors
+        assert r["degree"] >= 2
+        assert r["n_triangles"] <= r["degree"] * (r["degree"] - 1) // 2
+    tris = [r["n_triangles"] for r in rows]
+    assert tris == sorted(tris, reverse=True)
