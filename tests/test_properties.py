@@ -75,3 +75,71 @@ def test_ulid_millis_column_matches_python(spark, pairs):
     )
     for row in df.select("id", ulid_millis("id").alias("ms")).collect():
         assert row.ms == ulid_millis_py(row.id)
+
+
+# ---------------------------------------------------------------------------
+# As-of joins vs a brute-force python reference on random tiny frames.
+# Catches frame/tie/null mistakes the fixed scenarios can't enumerate.
+# ---------------------------------------------------------------------------
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=20),   # ts (small range → ties)
+    ),
+    min_size=0, max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(lrows=_asof_rows, rrows=_asof_rows)
+def test_asof_directions_match_bruteforce(spark, lrows, rrows):
+    import datetime as dt
+
+    from eventsourcing_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    def ts(t):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=t)
+
+    left = spark.createDataFrame(
+        [(k, ts(t), i) for i, (k, t) in enumerate(lrows)],
+        "k long, ts timestamp, lid long",
+    )
+    # unique (key, ts) on the right — the operator contract
+    seen, runiq = set(), []
+    for k, t in rrows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            runiq.append((k, t))
+    right = spark.createDataFrame(
+        [(k, ts(t), k * 1000 + t) for k, t in runiq],
+        "k long, ts timestamp, rv long",
+    )
+
+    back = {
+        r.lid: r.rv
+        for r in asof_join_backward(
+            left, right, ["k"], "ts", "ts", ["rv"]
+        ).collect()
+    }
+    fwd = {
+        r.lid: r.rv
+        for r in asof_join_forward(
+            left, right, ["k"], "ts", "ts", ["rv"]
+        ).collect()
+    }
+
+    assert set(back) == set(range(len(lrows)))
+    assert set(fwd) == set(range(len(lrows)))
+    for i, (k, t) in enumerate(lrows):
+        prior = [(tt, rv) for (kk, tt, rv) in
+                 ((k2, t2, k2 * 1000 + t2) for k2, t2 in runiq)
+                 if kk == k and tt <= t]
+        nxt = [(tt, rv) for (kk, tt, rv) in
+               ((k2, t2, k2 * 1000 + t2) for k2, t2 in runiq)
+               if kk == k and tt >= t]
+        assert back[i] == (max(prior)[1] if prior else None), (i, k, t)
+        assert fwd[i] == (min(nxt)[1] if nxt else None), (i, k, t)
