@@ -70,3 +70,38 @@ def export_documents(
 ) -> None:
     """Convenience: shard-export the driver documents table."""
     write_training_shards(load_table(spark, sf_dir, "documents"), path, **kwargs)
+
+
+def write_jsonl_shards(
+    docs: DataFrame,
+    path: str,
+    *,
+    shard_hex_chars: int = SHARD_HEX_CHARS,
+    max_records_per_file: int = 100_000,
+    compression: str | None = "gzip",
+) -> None:
+    """JSONL variant of the shard export — the interchange format most
+    training loaders consume directly (one JSON object per line).
+
+    Same layout contract as :func:`write_training_shards`
+    (``path/shard=XX/``, rows in shuffle order, bounded files); Spark's
+    native json writer streams line-delimited output without any
+    driver-side formatting, so this is the identical distributed write
+    with a different encoder. ``pos`` is kept in the payload so a reader
+    can re-assert order after any concatenation.
+    """
+    layout = shard_layout(docs, shard_hex_chars)
+    writer = (
+        layout.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.partitionBy("shard").json(path)
+
+
+def read_jsonl_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read a JSONL shard export; order restored by (shard, pos)."""
+    return spark.read.json(path)

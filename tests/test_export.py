@@ -47,3 +47,30 @@ def test_shard_export_roundtrip(spark, tmp_path):
         for f in files:
             n = spark.read.parquet(os.path.join(out, d, f)).count()
             assert n <= 50
+
+
+def test_jsonl_export_roundtrip(spark, sf_dir, tmp_path):
+    import os
+
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.pipeline.export import (
+        read_jsonl_shards,
+        write_jsonl_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "jsonl")
+    write_jsonl_shards(docs, out, shard_hex_chars=1, compression=None)
+
+    # one directory per shard, line-delimited json inside
+    shards = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert shards
+    back = read_jsonl_shards(spark, out)
+    assert back.count() == docs.count()
+    # same content (doc_id set) and a total order under (shard, pos)
+    assert (
+        back.select("doc_id").distinct().count()
+        == docs.select("doc_id").distinct().count()
+    )
+    ordered = back.orderBy("shard", "pos").select("doc_id").collect()
+    assert len(ordered) == docs.count()
