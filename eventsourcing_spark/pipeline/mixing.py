@@ -275,3 +275,56 @@ def emb_int8_quantize(spark, sf_dir):
         ).alias("q_l1"),
         F.array_max("qvec").alias("q_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement — priority sampling (Duffield,
+# Lund & Thorup 2007): per item draw u ~ U(0,1] (here the md5 hash,
+# deterministic) and keep the k items with the smallest u/w. Inclusion
+# probability is ∝ weight for the retained set; the whole draw is one
+# TakeOrdered over a map-side expression — no shuffle of the corpus, no
+# per-item state, and the same top-k under any partitioning.
+#
+# Cross-engine exactness: priority = CAST(h AS DOUBLE)/w is one IEEE
+# division of exactly-representable integers (h < 2^32, w int) — Spark
+# and DuckDB produce the identical double, same argument as the k-means
+# d/c² ordering. Ties break on doc_id.
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 100
+
+
+@query(
+    "weighted_priority_sample",
+    f"""
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (
+               ORDER BY CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) + 1 AS DOUBLE) / n_chars, doc_id
+           ) AS BIGINT) AS rank
+    FROM documents
+    WHERE n_chars > 0
+    QUALIFY rank <= {SAMPLE_K}
+    """,
+)
+def weighted_priority_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    )
+    prio = h.cast("double") / F.col("n_chars")
+    # distributed top-k (TakeOrderedAndProject) over the corpus; the
+    # global rank window runs only on the k survivors
+    topk = (
+        docs.select("doc_id", "n_chars", prio.alias("p"))
+        .orderBy("p", "doc_id")
+        .limit(SAMPLE_K)
+    )
+    w = Window.orderBy("p", "doc_id")
+    return topk.select(
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -344,3 +344,159 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
         .groupBy("user_id", "true_n")
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — set membership at fixed memory. 4 words × 62 usable
+# bits (DuckDB's checked `<<` forbids shifts ≥ 63, so positions stay in
+# 0..61; m = 248 bits), 3 salted hashes per value: word = h % 4,
+# bit = (h ÷ 4) % 62. Build = bit_or aggregate over per-row masks —
+# partial-agg OR is the distributed Bloom merge, the same algebra as
+# the HLL max-merge. Probe: AND over the 3 depths of (word & mask ≠ 0);
+# one-sided like CMS (no false negatives; false positives counted
+# against the exact set in the output). Everything is int64 bit math,
+# so the false-positive COUNT itself is oracle-hashed.
+# ---------------------------------------------------------------------------
+
+_BF_WORDS = 4
+_BF_BITS = 62
+_BF_D = 3
+_BF_PROBE_N = 200
+
+
+def _bf_word_sql(d: int, expr: str) -> str:
+    h = f"CAST('0x' || substr(md5('bf{d}:' || CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT)"
+    return f"({h} % {_BF_WORDS})"
+
+
+def _bf_mask_sql(d: int, expr: str) -> str:
+    h = f"CAST('0x' || substr(md5('bf{d}:' || CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT)"
+    return f"(CAST(1 AS BIGINT) << CAST(({h} // {_BF_WORDS}) % {_BF_BITS} AS INT))"
+
+
+def _bf_hash_expr(d: int, col_name: str) -> str:
+    return (
+        f"cast(conv(substring(md5(concat('bf{d}:', cast({col_name} as string)))"
+        f", 1, 8), 16, 10) as bigint)"
+    )
+
+
+def _bf_word(d: int, col_name: str):
+    return F.expr(f"{_bf_hash_expr(d, col_name)} % {_BF_WORDS}")
+
+
+def _bf_mask(d: int, col_name: str):
+    # F.shiftleft takes only a literal bit count; SQL shiftleft accepts an
+    # expression, which the bit position is
+    return F.expr(
+        f"shiftleft(1L, cast(({_bf_hash_expr(d, col_name)} div {_BF_WORDS})"
+        f" % {_BF_BITS} as int))"
+    )
+
+
+@query(
+    "sketch_bloom_membership",
+    f"""
+    WITH contrib AS (
+        {" UNION ALL ".join(
+            f'''SELECT event_type, {_bf_word_sql(d, "user_id")} AS word,
+                       {_bf_mask_sql(d, "user_id")} AS mask
+                FROM events'''
+            for d in range(_BF_D)
+        )}
+    ),
+    bf AS (
+        SELECT event_type, word, bit_or(mask) AS bits
+        FROM contrib GROUP BY event_type, word
+    ),
+    probes AS (SELECT range AS probe_id FROM range({_BF_PROBE_N})),
+    probe_bits AS (
+        {" UNION ALL ".join(
+            f'''SELECT probe_id, {d} AS depth, {_bf_word_sql(d, "probe_id")} AS word,
+                       {_bf_mask_sql(d, "probe_id")} AS mask
+                FROM probes'''
+            for d in range(_BF_D)
+        )}
+    ),
+    hits AS (
+        SELECT t.event_type, pb.probe_id,
+               CASE WHEN count(*) FILTER (WHERE (f.bits & pb.mask) != 0)
+                    = {_BF_D} THEN 1 ELSE 0 END AS in_filter
+        FROM probe_bits pb
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        LEFT JOIN bf f ON f.event_type = t.event_type AND f.word = pb.word
+        GROUP BY t.event_type, pb.probe_id
+    ),
+    truth AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    )
+    SELECT h.event_type AS event_type,
+           count(*) FILTER (WHERE h.in_filter = 1) AS n_pass,
+           count(*) FILTER (WHERE tr.user_id IS NOT NULL) AS n_true,
+           count(*) FILTER (WHERE h.in_filter = 1 AND tr.user_id IS NULL)
+             AS n_false_pos,
+           count(*) FILTER (WHERE h.in_filter = 0 AND tr.user_id IS NOT NULL)
+             AS n_false_neg
+    FROM hits h
+    LEFT JOIN truth tr ON tr.event_type = h.event_type
+                      AND tr.user_id = h.probe_id
+    GROUP BY h.event_type
+    """,
+)
+def sketch_bloom_membership(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    contrib = None
+    for d in range(_BF_D):
+        arm = ev.select(
+            "event_type",
+            _bf_word(d, "user_id").alias("word"),
+            _bf_mask(d, "user_id").alias("mask"),
+        )
+        contrib = arm if contrib is None else contrib.unionByName(arm)
+    bf = contrib.groupBy("event_type", "word").agg(
+        F.expr("bit_or(mask)").alias("bits")
+    )
+
+    probes = spark.range(_BF_PROBE_N).select(F.col("id").alias("probe_id"))
+    pb = None
+    for d in range(_BF_D):
+        arm = probes.select(
+            "probe_id",
+            F.lit(d).alias("depth"),
+            _bf_word(d, "probe_id").alias("word"),
+            _bf_mask(d, "probe_id").alias("mask"),
+        )
+        pb = arm if pb is None else pb.unionByName(arm)
+    types = ev.select("event_type").distinct()
+    hits = (
+        pb.crossJoin(F.broadcast(types))
+        .join(F.broadcast(bf), ["event_type", "word"], "left")
+        .groupBy("event_type", "probe_id")
+        .agg(
+            F.when(
+                F.count(
+                    F.when(F.expr("(bits & mask) != 0"), 1)
+                )
+                == _BF_D,
+                1,
+            )
+            .otherwise(0)
+            .alias("in_filter")
+        )
+    )
+    truth = ev.distinct().withColumnRenamed("user_id", "probe_id")
+    joined = hits.join(
+        F.broadcast(truth.withColumn("present", F.lit(1))),
+        ["event_type", "probe_id"],
+        "left",
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.when(F.col("in_filter") == 1, 1)).alias("n_pass"),
+        F.count(F.when(F.col("present") == 1, 1)).alias("n_true"),
+        F.count(
+            F.when((F.col("in_filter") == 1) & F.col("present").isNull(), 1)
+        ).alias("n_false_pos"),
+        F.count(
+            F.when((F.col("in_filter") == 0) & (F.col("present") == 1), 1)
+        ).alias("n_false_neg"),
+    )

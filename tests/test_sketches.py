@@ -111,3 +111,35 @@ def test_asof_forward_matches_sql_oracle(spark, sf_dir):
     assert ours.count() == ref.count()
     sym_diff = ours.exceptAll(ref).union(ref.exceptAll(ours))
     assert sym_diff.count() == 0
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    from eventsourcing_spark.sketches import sketch_bloom_membership
+
+    rows = sketch_bloom_membership(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_false_neg == 0          # Bloom's one-sided guarantee
+        assert r.n_pass >= r.n_true        # pass = true + false positives
+        assert r.n_pass == r.n_true + r.n_false_pos
+
+
+def test_weighted_priority_sample_prefers_heavy_docs(spark, sf_dir):
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.pipeline.mixing import (
+        SAMPLE_K,
+        weighted_priority_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter("n_chars > 0")
+    n_docs = docs.count()
+    sample = weighted_priority_sample(spark, sf_dir).collect()
+    k = min(SAMPLE_K, n_docs)
+    assert len(sample) == k
+    assert sorted(r.rank for r in sample) == list(range(1, k + 1))
+    if n_docs > 2 * SAMPLE_K:
+        # weighted inclusion: the sampled mean length must exceed the
+        # corpus mean (weights = n_chars)
+        corpus_mean = docs.agg({"n_chars": "avg"}).first()[0]
+        sample_mean = sum(r.n_chars for r in sample) / len(sample)
+        assert sample_mean > corpus_mean
