@@ -23,6 +23,7 @@ import eventsourcing_spark.pipeline.queries  # noqa: F401 — registers pipeline
 import eventsourcing_spark.pipeline.similarity  # noqa: F401 — registers similarity ops
 import eventsourcing_spark.pipeline.curation  # noqa: F401 — registers curation ops
 import eventsourcing_spark.pipeline.mixing  # noqa: F401 — registers mixing ops
+import eventsourcing_spark.pipeline.setjoin  # noqa: F401 — registers set-similarity join
 import eventsourcing_spark.sketches  # noqa: F401 — registers sketch estimators
 import eventsourcing_spark.tpch  # noqa: F401 — registers extended TPC-H ops
 from eventsourcing_spark.queries import ORACLE_SQL, SPARK_QUERIES

@@ -66,6 +66,8 @@ HEADLINE = [
     "emb_random_projection",
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
+    "sketch_bloom_membership",
+    "weighted_priority_sample",
     "asof_next_error",
 ]
 import eventsourcing_spark.sketches  # noqa: E402,F401 — registers sketch ops
