@@ -222,3 +222,72 @@ def json_props_stats(spark, sf_dir):
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS trend — per-user slope of event value over time, computed
+# entirely from per-group SUFFICIENT STATISTICS (n, Σx, Σy, Σxy, Σx²):
+# the textbook "regression as aggregation" formulation that scales
+# because each group's fit is one map-side-combinable agg — no per-group
+# iteration, no driver loop, any number of groups.
+#
+# Integer discipline: x = seconds since the user's first event (window
+# min over the same shuffle key — rebasing keeps Σx² within int64 where
+# raw epoch-ms would overflow), y = value in cents. The slope
+# numerator/denominator (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) stay exact
+# int64; the slope itself is their single IEEE division (identical in
+# both engines, same argument as k-means' d/c²).
+# ---------------------------------------------------------------------------
+@query(
+    "trend_user_value",
+    """
+    WITH base AS (
+        SELECT user_id,
+               (epoch_ms(ts) - min(epoch_ms(ts)) OVER (PARTITION BY user_id))
+                 // 1000 AS x,
+               CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM base GROUP BY user_id
+    )
+    SELECT user_id, n,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+           END AS slope_cents_per_sec
+    FROM s
+    """,
+)
+def trend_user_value(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        F.expr("(unix_millis(ts) - min(unix_millis(ts)) OVER "
+               "(PARTITION BY user_id)) div 1000").alias("x"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    s = base.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "user_id",
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(num.cast("double") / den)
+        .alias("slope_cents_per_sec"),
+    )

@@ -101,3 +101,30 @@ def test_triangle_counts_are_consistent(spark):
         assert r["n_triangles"] <= r["degree"] * (r["degree"] - 1) // 2
     tris = [r["n_triangles"] for r in rows]
     assert tris == sorted(tris, reverse=True)
+
+
+def test_trend_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    rows = SPARK_QUERIES["trend_user_value"](spark, SF).collect()
+    assert rows
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "value").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts.timestamp(), round((r.value or 0.0) * 100))
+        )
+    checked = 0
+    for r in rows:
+        pts = by_user[r.user_id]
+        if r.slope_den == 0 or len(pts) < 2:
+            continue
+        x0 = min(p[0] for p in pts)
+        xs = np.array([int(p[0] - x0) for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope = np.polyfit(xs, ys, 1)[0]
+        assert abs(slope - r.slope_cents_per_sec) < 1e-6 * max(1.0, abs(slope)), (
+            r.user_id, slope, r.slope_cents_per_sec
+        )
+        checked += 1
+    assert checked > 0
