@@ -31,6 +31,17 @@ semantics, as in the paper). Unigrams over the synthetic corpus's tiny
 vocabulary would make nearly every pair similar (measured: 71 k pairs
 at t = 0.6) — shingling is what the dedup literature actually joins on,
 and it keeps prefix tokens rare, which is the whole filter.
+
+Regime note (the honest scale boundary): prefix filtering's win is
+proportional to how rare the rarest tokens are. On natural-language
+corpora shingle dfs are zipfian and prefixes prune candidates by orders
+of magnitude; on this synthetic corpus the bigram vocabulary is only
+~900, so at sf0.1 (50 k docs) even the rarest shingles have df in the
+thousands and candidate generation degrades toward quadratic (measured
+~30 s vs 1-2 s for the LSH dedup family). When token frequencies are
+dense, LSH (dedup_lsh_*) is the right tool and this operator is the
+exact-verification complement for the shortlist — which is precisely
+how the two are paired in production dedup stacks.
 """
 
 from __future__ import annotations
@@ -79,12 +90,23 @@ def setjoin_prefix_jaccard(spark, sf_dir):
         F.size("t") >= 2
     )
     # word bigram shingles; Spark [] array access is 0-based
-    toks = words.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], '_', t[i + 1]))")
-        ).alias("tok"),
-    ).distinct()
+    toks = (
+        words.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat(t[i], '_', t[i + 1]))"
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+        # read 4× downstream (df ranking, prefix, both verification sides):
+        # materialize the token table once instead of re-exploding the
+        # corpus per consumer — at scale this is a persisted/bucketed
+        # intermediate table, the standard PPJoin preprocessing step
+        .localCheckpoint()
+    )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     # global document frequency → deterministic total token order

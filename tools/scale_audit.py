@@ -23,6 +23,7 @@ import eventsourcing_spark.pipeline.clustering  # noqa: F401
 import eventsourcing_spark.pipeline.curation  # noqa: F401
 import eventsourcing_spark.pipeline.mixing  # noqa: F401
 import eventsourcing_spark.pipeline.queries  # noqa: F401
+import eventsourcing_spark.pipeline.setjoin  # noqa: F401
 import eventsourcing_spark.pipeline.similarity  # noqa: F401
 import eventsourcing_spark.sketches  # noqa: F401
 import eventsourcing_spark.tpch  # noqa: F401
