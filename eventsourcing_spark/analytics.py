@@ -291,3 +291,73 @@ def trend_user_value(spark, sf_dir):
         .otherwise(num.cast("double") / den)
         .alias("slope_cents_per_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint score — per-user maximum cumulative deviation from
+# the user's own mean, fully integer: with S = Σy (cents) and n events,
+# the exact CUSUM at position i is Σ_{j≤i}(y_j − S/n); scaling by n
+# gives  C_i = n·Σ_{j≤i} y_j − i·S  ∈ int64, so the max |C_i| and its
+# position are order-exact in both engines. A large |C_i| marks a
+# sustained level shift (the classic Page 1954 statistic); emitting the
+# scaled integer avoids the float mean entirely. One window pass per
+# user — same shuffle as every other per-user analytic.
+# ---------------------------------------------------------------------------
+@query(
+    "cusum_changepoint",
+    """
+    WITH base AS (
+        SELECT user_id, event_id,
+               CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS y,
+               row_number() OVER w AS i,
+               sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) OVER w
+                 AS prefix_y
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tot AS (
+        SELECT user_id, count(*) AS n, sum(y) AS s FROM base GROUP BY user_id
+    ),
+    scored AS (
+        SELECT b.user_id,
+               b.event_id,
+               t.n * b.prefix_y - b.i * t.s AS c_scaled
+        FROM base b JOIN tot t ON b.user_id = t.user_id
+    )
+    SELECT user_id,
+           max(a) AS max_cusum_scaled,
+           min(event_id) FILTER (WHERE a = mx) AS changepoint_event_id
+    FROM (
+        SELECT user_id, event_id, abs(c_scaled) AS a,
+               max(abs(c_scaled)) OVER (PARTITION BY user_id) AS mx
+        FROM scored
+    )
+    GROUP BY user_id
+    """,
+)
+def cusum_changepoint(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    y = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        y.alias("y"),
+        F.row_number().over(w).alias("i"),
+        F.sum(y).over(w).alias("prefix_y"),
+    )
+    tot = base.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    scored = base.join(tot, "user_id").select(
+        "user_id",
+        "event_id",
+        (F.col("n") * F.col("prefix_y") - F.col("i") * F.col("s")).alias(
+            "c_scaled"
+        ),
+    )
+    return scored.groupBy("user_id").agg(
+        F.max(F.abs("c_scaled")).alias("max_cusum_scaled"),
+        F.min_by("event_id", F.struct(-F.abs(F.col("c_scaled")), F.col("event_id")))
+        .alias("changepoint_event_id"),
+    )

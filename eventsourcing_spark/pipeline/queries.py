@@ -959,3 +959,72 @@ def rare_token_score(spark, sf_dir):
         (F.sum("f").cast("double") / n).alias("mean_freq"),
         (rare.cast("double") / n).alias("rare_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Word co-occurrence / PMI — which words travel together across
+# documents (collocation mining; the scaled-integer PMI score makes the
+# ranking hash-exact). score = 10^6 · n_ab · N / (n_a · n_b), i.e. PMI
+# without the log — monotone in PMI, so the top-k is identical. Pair
+# generation is a within-document self-join on the (distinct) word
+# sets; the explode is map-side, the pair count is one keyed shuffle.
+# At 100 TB you'd pre-filter to a vocabulary (df bounds) first — here
+# the corpus vocabulary is already small.
+# ---------------------------------------------------------------------------
+@query(
+    "cooccur_pmi_topk",
+    """
+    WITH dw AS (
+        SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE length(text) > 0
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS nd FROM dw),
+    wc AS (SELECT w, count(*) AS n_w FROM dw GROUP BY w),
+    pairs AS (
+        SELECT a.w AS w_a, b.w AS w_b, count(*) AS n_ab
+        FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY a.w, b.w
+    )
+    SELECT w_a, w_b, n_ab,
+           (1000000 * p.n_ab * nd.nd) // (ca.n_w * cb.n_w) AS pmi_scaled
+    FROM pairs p
+    JOIN wc ca ON ca.w = p.w_a
+    JOIN wc cb ON cb.w = p.w_b
+    CROSS JOIN n_docs nd
+    ORDER BY pmi_scaled DESC, w_a, w_b
+    LIMIT 50
+    """,
+)
+def cooccur_pmi_topk(spark, sf_dir):
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
+    dw = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    ).distinct()
+    n_docs = dw.select("doc_id").distinct().count()  # scalar: tiny, plan-time
+    wc = dw.groupBy("w").agg(F.count("*").alias("n_w"))
+    pairs = (
+        dw.alias("a")
+        .join(dw.alias("b"), "doc_id")
+        .filter(F.col("a.w") < F.col("b.w"))
+        .groupBy(F.col("a.w").alias("w_a"), F.col("b.w").alias("w_b"))
+        .agg(F.count("*").alias("n_ab"))
+    )
+    scored = (
+        pairs.join(F.broadcast(wc.withColumnRenamed("w", "w_a")
+                   .withColumnRenamed("n_w", "n_a")), "w_a")
+        .join(F.broadcast(wc.withColumnRenamed("w", "w_b")
+              .withColumnRenamed("n_w", "n_b")), "w_b")
+        .select(
+            "w_a",
+            "w_b",
+            "n_ab",
+            F.expr(f"(1000000 * n_ab * {n_docs}) div (n_a * n_b)").alias(
+                "pmi_scaled"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_scaled"), "w_a", "w_b"
+    ).limit(50)

@@ -9,6 +9,7 @@ the teleport floor and ranks high-degree hub nodes.
 from __future__ import annotations
 
 import eventsourcing_spark.analytics  # noqa: F401 — registers analytics ops
+import eventsourcing_spark.pipeline.queries  # noqa: F401 — registers pipeline ops
 from eventsourcing_spark.io import load_table
 from eventsourcing_spark.pipeline.graph import BASE, TOP_N
 from eventsourcing_spark.queries import SPARK_QUERIES
@@ -128,3 +129,44 @@ def test_trend_matches_numpy_polyfit(spark):
         )
         checked += 1
     assert checked > 0
+
+
+def test_cusum_flags_shifted_series(spark):
+    # synthetic: user 1 flat, user 2 with a hard level shift mid-series
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(40):
+        rows.append((100 + i, t0 + dt.timedelta(minutes=i), 1, "view", 10.0, "{}"))
+        val = 10.0 if i < 20 else 90.0
+        rows.append((200 + i, t0 + dt.timedelta(minutes=i), 2, "view", val, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.createOrReplaceTempView("events_cusum_probe")
+    import eventsourcing_spark.analytics as ana
+
+    orig = ana.load_table  # analytics binds the name at import time
+    try:
+        ana.load_table = lambda spark, sf, name: df  # probe the operator
+        out = {
+            r.user_id: r for r in ana.cusum_changepoint(spark, "ignored").collect()
+        }
+    finally:
+        ana.load_table = orig
+    # flat series: zero deviation; shifted series: large, at the shift
+    assert out[1].max_cusum_scaled == 0
+    assert out[2].max_cusum_scaled > 0
+    assert out[2].changepoint_event_id == 219  # last pre-shift event
+
+
+def test_pmi_pairs_are_canonical_and_scored(spark):
+    rows = SPARK_QUERIES["cooccur_pmi_topk"](spark, SF).collect()
+    assert len(rows) == 50
+    scores = [r.pmi_scaled for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.w_a < r.w_b and r.n_ab > 0
