@@ -69,6 +69,8 @@ HEADLINE = [
     "sketch_bloom_membership",
     "weighted_priority_sample",
     "asof_next_error",
+    "cusum_changepoint",
+    "cooccur_pmi_topk",
 ]
 import eventsourcing_spark.sketches  # noqa: E402,F401 — registers sketch ops
 # registers the similarity/pipeline queries named above
