@@ -219,3 +219,32 @@ def heavy_hitters_writer(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    time_col: str = "created_at",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Drop at-least-once redelivery duplicates with BOUNDED state.
+
+    The C2 checkpoint anti-join deduplicates against the *whole* history
+    (exact, but state grows with the table); for transport-level
+    duplicates — a Kafka producer retry, a feed reconnect replaying the
+    tail (store/postgresql/listener_logrepl.go re-subscribe path) — the
+    duplicate always arrives within a bounded delay, and Spark's
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes it. The two compose: this operator absorbs the
+    transport noise cheaply; the checkpoint rule guarantees effect-
+    exactly-once behind it.
+
+    On a batch frame the same call degrades to plain ``dropDuplicates``
+    semantics (watermark is a no-op), so batch/stream parity holds.
+    """
+    keys = list(key_cols or ["id"])
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)

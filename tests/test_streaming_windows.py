@@ -278,3 +278,42 @@ def test_heavy_hitters_batch_and_stream_agree(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "hh_out")).collect()
     stream_set = {(r.window_start, r.kind, r.n_events, r.rk) for r in got}
     assert stream_set == batch_set
+
+
+def test_dedup_within_watermark_absorbs_redelivery(spark, tmp_path):
+    import datetime as dt
+
+    from eventsourcing_spark.streaming.windows import dedup_within_watermark
+
+    src, out, cp = (str(tmp_path / d) for d in ("src", "out", "cp"))
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "id string, aggregate_id string, created_at timestamp, v long"
+    batch1 = [(f"e{i}", f"a{i % 3}", t0 + dt.timedelta(seconds=i), i) for i in range(10)]
+    # batch 2 redelivers half of batch 1 (transport retry) + new events
+    batch2 = batch1[5:] + [
+        (f"e{10 + i}", f"a{i % 3}", t0 + dt.timedelta(seconds=10 + i), 10 + i)
+        for i in range(5)
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        dedup_within_watermark(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == sorted({r[0] for r in batch1 + batch2})  # each id exactly once
+
+    # batch frame: same call, plain dropDuplicates semantics
+    batch_df = spark.createDataFrame(batch1 + batch2, schema)
+    assert dedup_within_watermark(batch_df).count() == 15
