@@ -122,3 +122,124 @@ def emb_random_projection(spark, sf_dir):
     return q.select(
         "vec_id", F.posexplode(F.array(*cols)).alias("dim", "val")
     ).select("vec_id", F.col("dim").cast("int").alias("dim"), "val")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion — the standard way to combine heterogeneous
+# retrievers (Cormack, Clarke & Buettcher, SIGIR'09; the default hybrid
+# dense+sparse fusion in modern RAG stacks): each ranking contributes
+# 1/(K + rank) per document, K = 60. Here a lexical ranking (the
+# term_match weights) fuses with a quality prior (longest documents
+# first — the stand-in for whatever second retriever produces ranks);
+# the point under test is the FUSION operator: two cheap rankings, a
+# full-outer join on doc_id, and an integer-scaled score
+# Σ 1_000_000 // (60 + rank). Missing-from-one-list documents get only
+# the other list's contribution — the property that makes RRF robust.
+#
+# Scale shape: each input ranking is top-N via TakeOrderedAndProject
+# (N = 100 candidates per retriever — fusion operates on shortlists,
+# never corpora); the join is a tiny shortlist-to-shortlist full outer.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_POOL = 100
+
+
+@query(
+    "retrieval_rrf_fusion",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    df AS (
+        SELECT w, count(DISTINCT doc_id) AS dfreq FROM toks
+        WHERE w IN (SELECT unnest({_TERMS_SQL})) GROUP BY w
+    ),
+    n AS (SELECT count(*) AS nd FROM documents),
+    lex AS (
+        SELECT doc_id, sum(cnt * (nd - dfreq)) AS score
+        FROM (
+            SELECT t.doc_id, t.w, count(*) AS cnt FROM toks t
+            WHERE t.w IN (SELECT unnest({_TERMS_SQL}))
+            GROUP BY t.doc_id, t.w
+        ) tf JOIN df ON tf.w = df.w CROSS JOIN n
+        GROUP BY doc_id
+    ),
+    lex_rank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM lex QUALIFY r <= {RRF_POOL}
+    ),
+    len_rank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        FROM documents QUALIFY r <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               coalesce(1000000 // ({RRF_K} + a.r), 0)
+             + coalesce(1000000 // ({RRF_K} + b.r), 0) AS rrf_scaled
+        FROM lex_rank a FULL OUTER JOIN len_rank b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, rrf_scaled,
+           CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS BIGINT)
+             AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {TOP_DOCS}
+    """,
+)
+def retrieval_rrf_fusion(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w").isin(QUERY_TERMS))
+    dfreq = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("dfreq"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    lex = (
+        tf.join(F.broadcast(dfreq), "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * (F.lit(n_docs) - F.col("dfreq"))).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    # shortlists via distributed TakeOrdered, then rank the tiny results
+    lex_top = lex.orderBy(F.desc("score"), "doc_id").limit(RRF_POOL)
+    lex_rank = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("r_a"),
+    )
+    len_top = docs.orderBy(F.desc("n_chars"), "doc_id").limit(RRF_POOL)
+    len_rank = len_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+        .alias("r_b"),
+    )
+    fused = (
+        lex_rank.join(len_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({RRF_K} + r_a)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({RRF_K} + r_b)"), F.lit(0)
+                )
+            ).alias("rrf_scaled"),
+        )
+    )
+    out_rank = Window.orderBy(F.desc("rrf_scaled"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf_scaled"), "doc_id")
+        .limit(TOP_DOCS)
+        .select(
+            "doc_id",
+            "rrf_scaled",
+            F.row_number().over(out_rank).cast("long").alias("fused_rank"),
+        )
+    )
