@@ -361,3 +361,71 @@ def cusum_changepoint(spark, sf_dir):
         F.min_by("event_id", F.struct(-F.abs(F.col("c_scaled")), F.col("event_id")))
         .alias("changepoint_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic fabricated-data screen: natural
+# multi-scale magnitudes follow P(d) = log10(1 + 1/d). The literal-table
+# trick from the HLL correction applies again: the nine expected ppm
+# values are Python-computed constants emitted identically into both
+# engines, so the whole audit (counts, observed ppm, deviation) is
+# integer-exact. First significant digit comes from the cents string —
+# digits of value·100 equal the digits of value, no float log10 needed.
+# One groupBy, map-side combinable; an audit you can afford on 100 TB.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_PPM = {
+    d: round(1_000_000 * _math.log10(1 + 1 / d)) for d in range(1, 10)
+}
+_BENFORD_CASE = (
+    "CASE first_digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "benford_value_audit",
+    f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                           1, 1) AS BIGINT) AS first_digit
+        FROM events
+        WHERE value IS NOT NULL AND round(value * 100) >= 1
+    ),
+    counts AS (
+        SELECT event_type, first_digit, count(*) AS n
+        FROM base GROUP BY event_type, first_digit
+    ),
+    tot AS (SELECT event_type, sum(n) AS total FROM counts GROUP BY event_type)
+    SELECT c.event_type, c.first_digit, c.n,
+           (1000000 * c.n) // t.total AS observed_ppm,
+           {_BENFORD_CASE} AS benford_ppm,
+           abs((1000000 * c.n) // t.total - {_BENFORD_CASE}) AS deviation_ppm
+    FROM counts c JOIN tot t ON c.event_type = t.event_type
+    """,
+)
+def benford_value_audit(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.filter(F.col("value").isNotNull() & (cents >= 1)).select(
+        "event_type",
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("first_digit"),
+    )
+    counts = base.groupBy("event_type", "first_digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("n").alias("total"))
+    obs = F.expr("(1000000 * n) div total")
+    ben = F.expr(_BENFORD_CASE)
+    return counts.join(tot, "event_type").select(
+        "event_type",
+        "first_digit",
+        "n",
+        obs.alias("observed_ppm"),
+        ben.alias("benford_ppm"),
+        F.abs(obs - ben).alias("deviation_ppm"),
+    )

@@ -243,3 +243,67 @@ def retrieval_rrf_fusion(spark, sf_dir):
             F.row_number().over(out_rank).cast("long").alias("fused_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching — per-probe top-k nearest documents by Levenshtein
+# distance of 40-char prefixes (entity-resolution / spell-bridge shape;
+# both engines implement the identical classic DP, so raw distances are
+# hash-exact). Plan: the probe set (10 rows) BROADCASTS against the
+# corpus — edit distance runs corpus-parallel in one map stage, then
+# top-k per probe is a small partitioned window. At 100 TB you'd bound
+# candidates first (q-gram or length blocking — same prefix-filter idea
+# as pipeline/setjoin.py); the gate pins the exact-verification kernel
+# those blockers feed.
+# ---------------------------------------------------------------------------
+
+FUZZY_PROBES = 10
+FUZZY_PREFIX = 40
+FUZZY_TOPK = 3
+
+
+@query(
+    "fuzzy_match_topk",
+    f"""
+    WITH pref AS (
+        SELECT doc_id, substr(text, 1, {FUZZY_PREFIX}) AS p FROM documents
+    ),
+    probes AS (SELECT doc_id AS probe_id, p AS pp FROM pref
+               WHERE doc_id < {FUZZY_PROBES}),
+    scored AS (
+        SELECT pr.probe_id, c.doc_id AS candidate_id,
+               levenshtein(pr.pp, c.p) AS dist
+        FROM probes pr JOIN pref c ON c.doc_id != pr.probe_id
+    )
+    SELECT probe_id, candidate_id, dist,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY dist, candidate_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {FUZZY_TOPK}
+    """,
+)
+def fuzzy_match_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id", F.substring("text", 1, FUZZY_PREFIX).alias("p")
+    )
+    probes = (
+        pref.filter(F.col("doc_id") < FUZZY_PROBES)
+        .select(F.col("doc_id").alias("probe_id"), F.col("p").alias("pp"))
+    )
+    scored = (
+        pref.crossJoin(F.broadcast(probes))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("doc_id").alias("candidate_id"),
+            F.levenshtein("pp", "p").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist", "candidate_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= FUZZY_TOPK)
+    )
