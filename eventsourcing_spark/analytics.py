@@ -429,3 +429,92 @@ def benford_value_audit(spark, sf_dir):
         ben.alias("benford_ppm"),
         F.abs(obs - ben).alias("deviation_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly gap-fill with LOCF — regularize each user's event series onto
+# an hourly grid carrying the last observed value forward (the resample
+# step every time-series feature pipeline starts with). Two engine
+# pieces compose: ``sequence()`` explodes each user's [first, last]
+# hour span map-side (no time-dimension table, no cross join), and the
+# grid ⋈ events lookup is ``asof_join_backward`` — the same one-shuffle
+# union+window operator the rehydration path uses, here joining a
+# GENERATED left side. Value carried as integer cents; grid timestamps
+# are hour-aligned epoch-ms. The oracle states the same semantics with
+# DuckDB's lateral generate_series + native ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+_HOUR_MS = 3600 * 1000
+
+
+@query(
+    "locf_hourly_series",
+    f"""
+    WITH ev AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ),
+    latest AS (  -- unique per (user, ms): last event wins, as in LOCF
+        SELECT user_id, ms, max_by(cents, event_id) AS cents
+        FROM ev GROUP BY user_id, ms
+    ),
+    span AS (
+        SELECT user_id,
+               (min(ms) // {_HOUR_MS}) * {_HOUR_MS} AS lo,
+               (max(ms) // {_HOUR_MS}) * {_HOUR_MS} AS hi
+        FROM ev GROUP BY user_id
+    ),
+    grid AS (
+        SELECT s.user_id, u.g AS hour_ms
+        FROM span s, unnest(generate_series(s.lo, s.hi, {_HOUR_MS})) u(g)
+    )
+    SELECT g.user_id, g.hour_ms, l.cents AS locf_cents,
+           epoch_ms(l.ms_ts) AS observed_ms
+    FROM (SELECT user_id, hour_ms FROM grid) g
+    ASOF LEFT JOIN (SELECT user_id, ms,
+                           make_timestamp(ms * 1000) AS ms_ts, cents
+                    FROM latest) l
+      ON g.user_id = l.user_id AND g.hour_ms >= l.ms
+    """,
+)
+def locf_hourly_series(spark, sf_dir):
+    from eventsourcing_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("cents"),
+        "event_id",
+    )
+    latest = ev.groupBy("user_id", "ms").agg(
+        F.max_by("cents", "event_id").alias("cents")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.expr(f"(min(ms) div {_HOUR_MS}) * {_HOUR_MS}").alias("lo"),
+        F.expr(f"(max(ms) div {_HOUR_MS}) * {_HOUR_MS}").alias("hi"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.lit(_HOUR_MS).cast("long"))
+        ).alias("hour_ms"),
+    )
+    joined = asof_join_backward(
+        grid,
+        latest,
+        key_cols=["user_id"],
+        left_ts="hour_ms",
+        right_ts="ms",
+        value_cols=["cents"],
+        ts_out="observed_ms",
+    )
+    return joined.select(
+        "user_id",
+        "hour_ms",
+        F.col("cents").alias("locf_cents"),
+        "observed_ms",
+    )

@@ -1028,3 +1028,64 @@ def cooccur_pmi_topk(spark, sf_dir):
     return scored.orderBy(
         F.desc("pmi_scaled"), "w_a", "w_b"
     ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM familiarity — the word-ORDER quality signal that unigram
+# rarity (rare_token_score) can't see: score each document by the mean
+# corpus frequency of its adjacent word pairs, integer-scaled. A doc of
+# common words in an unusual order scores low — the model-free stand-in
+# for LM perplexity filtering (CCNet-style), with the corpus itself as
+# the LM. Plan: bigram explode map-side, corpus pair-count aggregate
+# (bounded by vocab², tiny here) broadcast back onto the doc pairs, one
+# partial-agg groupBy per doc.
+# ---------------------------------------------------------------------------
+@query(
+    "bigram_lm_score",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents WHERE length(text) > 0
+    ),
+    pairs AS (
+        SELECT doc_id, t[i] || '_' || t[i + 1] AS bg
+        FROM words, unnest(generate_series(1, len(t) - 1)) u(i)
+        WHERE len(t) >= 2
+    ),
+    corpus AS (SELECT bg, count(*) AS c FROM pairs GROUP BY bg),
+    scored AS (
+        SELECT p.doc_id, count(*) AS n_pairs, sum(c.c) AS fam
+        FROM pairs p JOIN corpus c ON p.bg = c.bg
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_pairs, (1000000 * fam) // n_pairs AS lm_familiarity
+    FROM scored
+    """,
+)
+def bigram_lm_score(spark, sf_dir):
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
+    words = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], '_', t[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    corpus = pairs.groupBy("bg").agg(F.count("*").alias("c"))
+    scored = (
+        pairs.join(F.broadcast(corpus), "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"), F.sum("c").alias("fam"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_pairs",
+        F.expr("(1000000 * fam) div n_pairs").alias("lm_familiarity"),
+    )
