@@ -518,3 +518,85 @@ def locf_hourly_series(spark, sf_dir):
         F.col("cents").alias("locf_cents"),
         "observed_ms",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — the product-analytics staple: bucket users by
+# first-seen week, count how many are active k weeks later. Two
+# aggregates: per-user first week (one shuffle on user), then distinct
+# (cohort, offset, user) → counts. Weeks are epoch-ms divided by a
+# 7-day constant — no calendar lib, identical arithmetic both engines.
+# ---------------------------------------------------------------------------
+
+_WEEK_MS_I = 7 * 24 * 3600 * 1000
+
+
+@query(
+    "cohort_retention",
+    f"""
+    WITH ev AS (
+        SELECT user_id, epoch_ms(ts) // {_WEEK_MS_I} AS week FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               e.week - f.cohort_week AS week_offset
+        FROM ev e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_active
+    FROM active GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_millis(ts) div {_WEEK_MS_I}").alias("week")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix — first-order Markov counts over each
+# user's ordered event sequence (lead window on the user shuffle), with
+# per-source totals so transition probabilities are a downstream
+# division. The sequence-mining primitive behind session-flow analysis.
+# ---------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    )
+    SELECT src, dst, count(*) AS n,
+           sum(count(*)) OVER (PARTITION BY src) AS src_total
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    return counts.withColumn(
+        "src_total", F.sum("n").over(Window.partitionBy("src"))
+    )
