@@ -500,3 +500,70 @@ def sketch_bloom_membership(spark, sf_dir):
             F.when((F.col("in_filter") == 0) & (F.col("present") == 1), 1)
         ).alias("n_false_neg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL over time buckets — the hypertable × sketch composition: distinct
+# users per hour, one 64-register sketch per bucket. This is the
+# monitoring shape (distinct-per-window dashboards at 100 TB/day):
+# buckets aggregate independently, REGISTERS roll up across buckets by
+# max-merge — so an hourly register table answers daily/weekly distinct
+# questions WITHOUT re-reading events (asserted by the merge law test
+# and the streaming maintenance parity). Exact per-hour distinct counts
+# are computed alongside for the gate's error measurement.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sketch_hll_hourly",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT epoch_ms(date_trunc('hour', ts)) AS bucket_hour,
+               {_h32_sql("user_id")} AS h
+        FROM events
+    ),
+    rw AS (
+        SELECT bucket_hour, h // {_HLL_W} AS b, h % {_HLL_W} AS w FROM pairs
+    ),
+    regs AS (
+        SELECT bucket_hour, b, max({_rho_sql()}) AS m_b
+        FROM rw GROUP BY bucket_hour, b
+    ),
+    sums AS (
+        SELECT bucket_hour,
+               sum(CAST(power(2, {_HLL_Q + 1} - m_b) AS BIGINT))
+                 + ({_HLL_M} - count(*)) * {_HLL_SCALE} AS s,
+               {_HLL_M} - count(*) AS v
+        FROM regs GROUP BY bucket_hour
+    ),
+    est AS (
+        SELECT bucket_hour, v,
+               CAST({_HLL_NUM} // (1000 * s) AS BIGINT) AS raw_est
+        FROM sums
+    ),
+    ex AS (
+        SELECT bucket_hour, count(*) AS n_exact FROM pairs GROUP BY bucket_hour
+    )
+    SELECT e.bucket_hour, ex.n_exact,
+           CAST(CASE WHEN e.raw_est <= {5 * _HLL_M // 2} AND e.v > 0
+                     THEN {_lc_sql("e.v")} ELSE e.raw_est END AS BIGINT)
+             AS hll_estimate
+    FROM est e JOIN ex ON e.bucket_hour = ex.bucket_hour
+    """,
+)
+def sketch_hll_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_millis(F.date_trunc("hour", "ts")).alias("bucket_hour"),
+        "user_id",
+    )
+    regs = hll_registers(ev, ["bucket_hour"], "user_id")
+    est = hll_estimate(regs, ["bucket_hour"])
+    exact = (
+        ev.select("bucket_hour", _h32(F.col("user_id")).alias("h"))
+        .distinct()
+        .groupBy("bucket_hour")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return est.join(exact, "bucket_hour").select(
+        "bucket_hour", "n_exact", "hll_estimate"
+    )
