@@ -600,3 +600,62 @@ def event_transition_matrix(spark, sf_dir):
     return counts.withColumn(
         "src_total", F.sum("n").over(Window.partitionBy("src"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B conversion analysis — deterministic experiment assignment (md5
+# parity on user_id, the same hash-threshold machinery as the
+# train/valid/test split) and per-variant conversion rollup. Emitted as
+# integers (users, conversions, ppm rate) plus the cross-multiplied
+# rate-difference numerator so "which variant won and by how much"
+# is itself hash-verified; significance testing happens downstream on
+# these exact counts.
+# ---------------------------------------------------------------------------
+@query(
+    "ab_test_conversion",
+    """
+    WITH assign AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM events
+    ),
+    conv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (
+        SELECT a.variant, a.user_id,
+               CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS converted
+        FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+    )
+    SELECT variant,
+           count(*) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           (1000000 * CAST(sum(converted) AS BIGINT)) // count(*) AS conv_ppm
+    FROM per_user GROUP BY variant
+    """,
+)
+def ab_test_conversion(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    per_user = assign.join(conv, "user_id", "left").select(
+        "variant", F.coalesce("converted", F.lit(0)).alias("converted")
+    )
+    return per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("(1000000 * sum(converted)) div count(*)").alias("conv_ppm"),
+    )

@@ -567,3 +567,57 @@ def sketch_hll_hourly(spark, sf_dir):
     return est.join(exact, "bucket_hour").select(
         "bucket_hour", "n_exact", "hll_estimate"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap distinct — the EXACT complement of HLL for dense integer key
+# spaces (the roaring-bitmap idea reduced to its algebra): map each key
+# to bit (key % 62) of word (key // 62), bit_or the words per group,
+# popcount and sum. Same merge properties as every sketch here (bit_or
+# is commutative/associative/idempotent), but zero error — the right
+# tool when the key domain is bounded (user ids, shard ids, enum
+# values); HLL takes over when it isn't. Word count scales with the
+# domain, not the row count: the shuffle carries O(domain/62) longs per
+# group. 62 usable bits per word again (DuckDB checked `<<`).
+# ---------------------------------------------------------------------------
+
+_BM_BITS = 62
+
+
+def _bm_words(max_key: int) -> int:
+    return (max_key + _BM_BITS) // _BM_BITS
+
+
+@query(
+    "bitmap_distinct_users",
+    f"""
+    WITH m AS (
+        SELECT event_type,
+               user_id // {_BM_BITS} AS word,
+               CAST(1 AS BIGINT) << CAST(user_id % {_BM_BITS} AS INT) AS mask
+        FROM events
+    ),
+    words AS (
+        SELECT event_type, word, bit_or(mask) AS bits
+        FROM m GROUP BY event_type, word
+    )
+    SELECT event_type,
+           CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct,
+           count(*) AS n_words
+    FROM words GROUP BY event_type
+    """,
+)
+def bitmap_distinct_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    m = ev.select(
+        "event_type",
+        F.expr(f"user_id div {_BM_BITS}").alias("word"),
+        F.expr(f"shiftleft(1L, cast(user_id % {_BM_BITS} as int))").alias("mask"),
+    )
+    words = m.groupBy("event_type", "word").agg(
+        F.expr("bit_or(mask)").alias("bits")
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(bits)")).cast("long").alias("n_distinct"),
+        F.count("*").alias("n_words"),
+    )
