@@ -1,0 +1,95 @@
+"""Semantic invariants for the product-analytics batch (cohorts,
+transitions, Benford, LOCF, A/B) — the oracle gate pins exact values;
+these pin the relationships the hash can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import eventsourcing_spark.analytics  # noqa: F401
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.queries import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cohort_retention_monotone_bounds(spark):
+    rows = SPARK_QUERIES["cohort_retention"](spark, SF).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_active
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs  # week 0 = the cohort itself
+        for off, n in offs.items():
+            assert n <= offs[0]  # retention never exceeds cohort size
+
+
+def test_transition_matrix_accounting(spark):
+    rows = SPARK_QUERIES["event_transition_matrix"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user's sequence of k events yields k-1 transitions
+    assert sum(r.n for r in rows) == n_events - n_users
+    for src in {r.src for r in rows}:
+        total = next(r.src_total for r in rows if r.src == src)
+        assert sum(r.n for r in rows if r.src == src) == total
+
+
+def test_benford_accounting(spark):
+    rows = SPARK_QUERIES["benford_value_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.first_digit <= 9
+        assert 0 <= r.observed_ppm <= 1_000_000
+        assert r.deviation_ppm == abs(r.observed_ppm - r.benford_ppm)
+
+
+def test_locf_grid_is_dense_and_carried(spark):
+    out = SPARK_QUERIES["locf_hourly_series"](spark, SF)
+    ev = load_table(spark, SF, "events")
+    HOUR = 3600 * 1000
+    spans = (
+        ev.select("user_id", F.unix_millis("ts").alias("ms"))
+        .groupBy("user_id")
+        .agg(
+            (F.expr(f"max(ms) div {HOUR}") - F.expr(f"min(ms) div {HOUR}") + 1)
+            .alias("hours")
+        )
+        .collect()
+    )
+    assert out.count() == sum(r.hours for r in spans)  # dense grid per user
+    # only a user's FIRST grid point may be null (hour-floor lands before
+    # the first observation); every later point carries a value
+    firsts = out.groupBy("user_id").agg(F.min("hour_ms").alias("first_h"))
+    nulls = out.filter(F.col("locf_cents").isNull()).join(
+        firsts, "user_id"
+    )
+    assert nulls.filter(F.col("hour_ms") != F.col("first_h")).count() == 0
+
+
+def test_ab_assignment_is_exhaustive(spark):
+    rows = {r.variant: r for r in SPARK_QUERIES["ab_test_conversion"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert set(rows) <= {"A", "B"}
+    assert sum(r.n_users for r in rows.values()) == n_users
+    for r in rows.values():
+        assert 0 <= r.n_converted <= r.n_users
+        assert r.conv_ppm == (1_000_000 * r.n_converted) // r.n_users
+
+
+def test_bitmap_distinct_is_exact(spark):
+    import eventsourcing_spark.sketches  # noqa: F401
+
+    rows = SPARK_QUERIES["bitmap_distinct_users"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    for r in rows:
+        true_n = (
+            ev.filter(F.col("event_type") == r.event_type)
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert r.n_distinct == true_n  # zero error, unlike HLL
