@@ -659,3 +659,35 @@ def ab_test_conversion(spark, sf_dir):
         F.sum("converted").cast("long").alias("n_converted"),
         F.expr("(1000000 * sum(converted)) div count(*)").alias("conv_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode — most frequent event type per user. The built-in
+# ``mode()`` aggregate picks an ARBITRARY value on ties (both engines
+# document this), which a value-hash gate cannot tolerate; the
+# deterministic form is max_by over (count, tie-break key) — one extra
+# tiny aggregate, total order guaranteed.
+# ---------------------------------------------------------------------------
+@query(
+    "modal_event_type",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS modal_n
+    FROM (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type DESC) AS rn
+        FROM c
+    ) WHERE rn = 1
+    """,
+)
+def modal_event_type(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    return c.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("n", "event_type")).alias("modal_type"),
+        F.max("n").cast("long").alias("modal_n"),
+    )

@@ -1076,3 +1076,42 @@ def tpch_q20_excess_stock_suppliers(spark, sf_dir):
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — the full 2^k grouping-set lattice (ROLLUP's big sibling,
+# rollup_revenue above pins the hierarchical prefix sets). One pass,
+# grouping() flags disambiguate NULL group cells exactly as there.
+# ---------------------------------------------------------------------------
+@query(
+    "cube_volume",
+    f"""
+    SELECT coalesce(l_returnflag, '*') AS returnflag,
+           coalesce(l_linestatus, '*') AS linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_volume(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("linestatus"),
+            "g_rf",
+            "g_ls",
+            "sum_qty",
+            "n_items",
+        )
+    )
