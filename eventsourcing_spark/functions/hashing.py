@@ -72,3 +72,30 @@ def split_predicate(
     if splits <= 1 or len(set(split_ids)) >= splits:
         return F.lit(True)
     return F.pmod(c, F.lit(splits)).isin(list(split_ids))
+
+
+def _morton_terms(col_expr: str, shift: int, bits: int) -> str:
+    """SQL for interleaving ``bits`` low bits of ``col_expr`` into even
+    (shift=0) or odd (shift=1) positions — generated identically for
+    Spark and DuckDB (both accept & | << >> on BIGINT)."""
+    # every term fully parenthesized: DuckDB gives `<<` and `|` equal
+    # precedence (left-assoc), so `a << 3 | b << 5` groups as
+    # `((a << 3) | b) << 5` and overflows the checked shift
+    terms = [
+        f"(((({col_expr}) >> {i}) & 1) << {2 * i + shift})" for i in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def morton_key_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """Z-order (Morton) key: bit-interleave two dimensions so records
+    close in BOTH dimensions are close in the one-dimensional sort order
+    — the layout trick behind multi-dimensional data skipping (Delta
+    OPTIMIZE ZORDER, Hudi clustering): sort/partition by this key and
+    min/max file stats prune range predicates on either dimension.
+    Pure integer bit algebra → identical in Spark and DuckDB.
+    """
+    return (
+        f"({_morton_terms(x_expr, 0, bits)}"
+        f" | {_morton_terms(y_expr, 1, bits)})"
+    )

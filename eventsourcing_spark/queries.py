@@ -1287,3 +1287,40 @@ def funnel_conversion(spark, sf_dir):
         .cast("long")
         .alias("sum_click_to_purchase_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key — multi-dimensional clustering for data skipping:
+# interleave (user, hour) bits so sorting by ONE key co-locates records
+# that are close in EITHER dimension; parquet min/max stats then prune
+# range predicates on user AND on time from the same layout (the Delta
+# OPTIMIZE ZORDER / Hudi clustering primitive, here as an inspectable
+# column expression). The locality payoff is asserted structurally in
+# tests: consecutive z-sorted records differ by small user/hour deltas.
+# ---------------------------------------------------------------------------
+from eventsourcing_spark.functions.hashing import morton_key_sql
+
+
+@query(
+    "x_zorder_key",
+    f"""
+    SELECT event_id,
+           user_id % 65536 AS ux,
+           (epoch_ms(ts) // 3600000) % 65536 AS hy,
+           {morton_key_sql("user_id % 65536", "(epoch_ms(ts) // 3600000) % 65536")}
+             AS zkey
+    FROM events
+    """,
+)
+def x_zorder_key(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.expr("user_id % 65536").alias("ux"),
+        F.expr("(unix_millis(ts) div 3600000) % 65536").alias("hy"),
+        F.expr(
+            morton_key_sql(
+                "user_id % 65536", "(unix_millis(ts) div 3600000) % 65536"
+            )
+        ).alias("zkey"),
+    )
