@@ -36,6 +36,8 @@ import eventsourcing_spark.pipeline.similarity  # noqa: F401
 import eventsourcing_spark.pipeline.clustering  # noqa: F401
 import eventsourcing_spark.pipeline.graph  # noqa: F401
 import eventsourcing_spark.pipeline.retrieval  # noqa: F401
+import eventsourcing_spark.analytics  # noqa: F401
+import eventsourcing_spark.sketches  # noqa: F401
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import load_table
@@ -66,6 +68,18 @@ STRESS_QUERIES = (
     "emb_random_projection",
     "kmeans_clusters",
     "pagerank_neardup",
+    # event-analytics family over the replicated events table
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_membership",
+    "bitmap_distinct_users",
+    "sessionize_events",
+    "asof_prior_error",
+    "asof_next_error",
+    "cusum_changepoint",
+    "trend_user_value",
+    "cohort_retention",
+    "locf_hourly_series",
 )
 
 
@@ -73,8 +87,11 @@ def build_stress_dir(spark, sf_dir: str, replicas: int) -> str:
     out = tempfile.mkdtemp(prefix="stress_sf_")
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    ev = load_table(spark, sf_dir, "events")
     n_docs = docs.count()
     n_vecs = emb.count()
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
     copies = spark.range(replicas).withColumnRenamed("id", "copy")
     big_docs = (
         docs.crossJoin(copies)
@@ -95,8 +112,20 @@ def build_stress_dir(spark, sf_dir: str, replicas: int) -> str:
         "embedding",
         "label",
     )
+    # events: each copy shifts ids AND users, so streams multiply (the
+    # per-key row count stays constant — what grows at 100 TB is the
+    # number of streams, not one stream's length)
+    big_ev = ev.crossJoin(copies).select(
+        (F.col("event_id") + F.col("copy") * n_ev).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("copy") * n_users).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
     big_docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     big_emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    big_ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
     return out
 
 
