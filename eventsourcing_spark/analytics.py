@@ -691,3 +691,65 @@ def modal_event_type(spark, sf_dir):
         F.max_by("event_type", F.struct("n", "event_type")).alias("modal_type"),
         F.max("n").cast("long").alias("modal_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency — the sweep-line algorithm family: sessions become
+# (+1 at start, −1 after end) deltas; a running sum ordered by time is
+# the number of concurrent sessions; max per day is the capacity-
+# planning number. Partitioned by DAY so the window never goes global
+# (the scale rule all our windows follow) — sessions are attributed to
+# their start day, a documented simplification that keeps the sweep
+# embarrassingly parallel across days at any volume. Ties: starts sort
+# before ends at the same ms (order by delta DESC), matching the
+# half-open [start, end) convention.
+# ---------------------------------------------------------------------------
+@query(
+    "concurrent_sessions_peak",
+    """
+    WITH sess2 AS (  -- one session per user per calendar day
+        SELECT user_id,
+               epoch_ms(ts) // 86400000 AS day,
+               min(epoch_ms(ts)) AS start_ms,
+               max(epoch_ms(ts)) AS end_ms
+        FROM events
+        GROUP BY user_id, epoch_ms(ts) // 86400000
+    ),
+    deltas AS (
+        SELECT day, start_ms AS t, 1 AS d FROM sess2
+        UNION ALL
+        SELECT day, end_ms AS t, -1 AS d FROM sess2
+    ),
+    swept AS (
+        SELECT day, t, d,
+               sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+                            ROWS UNBOUNDED PRECEDING) AS concurrency
+        FROM deltas
+    )
+    SELECT day, max(concurrency) AS peak_concurrency,
+           count(*) / 2 AS n_sessions
+    FROM swept GROUP BY day
+    """,
+)
+def concurrent_sessions_peak(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    day_ms = 86400000
+    ms = F.unix_millis("ts")
+    sess = ev.groupBy(
+        "user_id", F.expr(f"unix_millis(ts) div {day_ms}").alias("day")
+    ).agg(F.min(ms).alias("start_ms"), F.max(ms).alias("end_ms"))
+    deltas = sess.select(
+        "day", F.col("start_ms").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        sess.select("day", F.col("end_ms").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.withColumn("concurrency", F.sum("d").over(w))
+    return swept.groupBy("day").agg(
+        F.max("concurrency").alias("peak_concurrency"),
+        (F.count("*") / 2).alias("n_sessions"),
+    )
