@@ -753,3 +753,86 @@ def concurrent_sessions_peak(spark, sf_dir):
         F.max("concurrency").alias("peak_concurrency"),
         (F.count("*") / 2).alias("n_sessions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-engagement matrix — exact audience overlap between event types:
+# |users(A) ∩ users(B)| for every unordered type pair, plus each side's
+# size so Jaccard is one downstream division. Distinct (type, user)
+# pairs first (one shuffle), then a self-join keyed on user — the pair
+# space is bounded by (types choose 2), the join is the "who does both"
+# rollup every engagement dashboard runs. The KMV sketch family
+# (sketches.py) answers the same question approximately when the
+# distinct sets no longer fit; this is the exact baseline.
+# ---------------------------------------------------------------------------
+@query(
+    "coengagement_matrix",
+    """
+    WITH tu AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sz AS (SELECT event_type, count(*) AS n FROM tu GROUP BY event_type)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_both, any_value(sa.n) AS n_a, any_value(sb.n) AS n_b
+    FROM tu a
+    JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN sz sa ON sa.event_type = a.event_type
+    JOIN sz sb ON sb.event_type = b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def coengagement_matrix(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sz = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    pairs = (
+        tu.alias("a")
+        .join(tu.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sz.withColumnRenamed("event_type", "type_a")
+                        .withColumnRenamed("n", "n_a")), "type_a")
+        .join(
+            F.broadcast(sz.withColumnRenamed("event_type", "type_b")
+                        .withColumnRenamed("n", "n_b")), "type_b")
+        .select("type_a", "type_b", "n_both", "n_a", "n_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily percentile bands — p50/p95 of value per (event_type, day): the
+# monitoring time-series behind latency/size dashboards. Exact
+# interpolated percentiles (Spark ``percentile`` == DuckDB
+# ``quantile_cont``, the equivalence mad_outliers already pins), one
+# grouped aggregate keyed by (type, day) — at 100 TB each day×type cell
+# aggregates independently, and coarser bands roll up by re-aggregating
+# the day level, never the raw events.
+# ---------------------------------------------------------------------------
+@query(
+    "daily_value_percentiles",
+    """
+    SELECT event_type,
+           epoch_ms(ts) // 86400000 AS day,
+           count(*) AS n,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events
+    GROUP BY event_type, epoch_ms(ts) // 86400000
+    """,
+)
+def daily_value_percentiles(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
