@@ -836,3 +836,129 @@ def daily_value_percentiles(spark, sf_dir):
         F.percentile("value", 0.5).alias("p50"),
         F.percentile("value", 0.95).alias("p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top event paths — sequence/path mining with DETERMINISTIC ordered
+# collection: collect_list order is undefined under parallel merge, so
+# the path string is built from array_sort over (ts, event_id, type)
+# structs — total order, partition-count independent — then joined.
+# Paths are truncated to the first 8 events per user (bounded string,
+# the "user journey prefix" product teams actually read). One shuffle
+# to the per-user list, one tiny count agg on the path strings.
+# ---------------------------------------------------------------------------
+@query(
+    "top_event_paths",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 8 GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def top_event_paths(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 8)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth quartiles — the histogram family's other half (equi-width
+# lives in value_histogram): ntile(4) assigns each event its per-type
+# value quartile, then per-cell stats. ntile's distribution rule (first
+# cells get the remainder) is specified identically in both engines;
+# ties order by (value, event_id) so the assignment is total.
+# ---------------------------------------------------------------------------
+@query(
+    "equidepth_quartiles",
+    f"""
+    WITH q AS (
+        SELECT event_type, value, event_id,
+               ntile(4) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS quartile
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, quartile, count(*) AS n,
+           min(value) AS lo, max(value) AS hi,
+           CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS total
+    FROM q GROUP BY event_type, quartile
+    """,
+)
+def equidepth_quartiles(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    q = ev.select(
+        "event_type", "value", F.ntile(4).over(w).alias("quartile")
+    )
+    return q.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival stats — burstiness per user: count, min/max/total gap in
+# ms between consecutive events (lag window, integer ms end to end).
+# The max gap is what sessionization thresholds are calibrated from.
+# ---------------------------------------------------------------------------
+@query(
+    "interarrival_stats",
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        FROM events
+    )
+    SELECT user_id, count(gap_ms) AS n_gaps,
+           min(gap_ms) AS min_gap_ms, max(gap_ms) AS max_gap_ms,
+           sum(gap_ms) AS total_gap_ms
+    FROM g WHERE gap_ms IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def interarrival_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    g = ev.select(
+        "user_id", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_ms").alias("n_gaps"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.sum("gap_ms").alias("total_gap_ms"),
+    )
