@@ -99,3 +99,230 @@ def bpe_merge_pairs(spark, sf_dir):
         .orderBy(F.desc("n_pair"), "pair")
         .limit(TOP_PAIRS)
     )
+
+
+# ---------------------------------------------------------------------------
+# LM training pairs — (context, next token) supervision extracted from
+# each document: position i yields (tokens[0..i) joined, tokens[i]).
+# Bounded to the first 6 positions per doc (the training-objective prep
+# demo, not a corpus explosion). Pure explode over an index sequence —
+# map-side, zero shuffles before the (tiny) output.
+# ---------------------------------------------------------------------------
+
+PAIR_POSITIONS = 6
+
+
+@query(
+    "lm_next_token_pairs",
+    f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE length(text) > 0
+    )
+    SELECT doc_id, i AS pos,
+           array_to_string(t[1:i], ' ') AS context,
+           t[i + 1] AS target
+    FROM words, unnest(generate_series(1, least(len(t) - 1, {PAIR_POSITIONS}))) u(i)
+    WHERE len(t) >= 2
+    """,
+)
+def lm_next_token_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    # Spark arrays are 0-based; DuckDB 1-based — the oracle's t[1:i]
+    # (first i tokens) is slice(t, 1, i) here, and t[i+1] is t[i] (0-based)
+    return words.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.size("t") - 1, F.lit(PAIR_POSITIONS)),
+            )
+        ).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(F.slice("t", 1, F.col("pos")), " ").alias("context"),
+        F.element_at("t", F.col("pos") + 1).alias("target"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic word-dropout augmentation — the reproducibility-critical
+# form of text augmentation: token at position p of doc d drops iff
+# md5(d:p) lands in the dropout band (10%). Same hash → same augmented
+# corpus on every run, any cluster size, either engine; emitted as the
+# augmented text plus kept/dropped accounting so the gate hashes the
+# actual output strings.
+# ---------------------------------------------------------------------------
+@query(
+    "word_dropout_augment",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE length(text) > 0
+    ),
+    toks AS (
+        SELECT doc_id, i, t[i] AS w,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                          CAST(i AS VARCHAR)), 1, 1) AS h
+        FROM words, unnest(generate_series(1, len(t))) u(i)
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN h != '0' THEN w END, ' ' ORDER BY i)
+             AS augmented,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN h = '0' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM toks GROUP BY doc_id
+    """,
+)
+def word_dropout_augment(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = docs.select("doc_id", F.split("text", " ").alias("t"))
+    toks = words.select(
+        "doc_id",
+        F.posexplode("t").alias("i0", "w"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),  # 1-based to match the oracle
+        "w",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"),
+                    (F.col("i0") + 1).cast("string"),
+                )
+            ),
+            1,
+            1,
+        ).alias("h"),
+    )
+    kept = F.when(F.col("h") != "0", F.col("w"))
+    return toks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("h") != "0", F.struct("i", "w"))
+                    )
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("augmented"),
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("h") == "0", 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span corruption (T5-style) — masked-LM data prep: length-2 spans
+# start wherever md5(doc:pos) lands in the start band (1/8); a position
+# is masked iff a span starts at it or at its predecessor. Every flag
+# is CLOSED-FORM per position (two hash lookups) — no sequential scan,
+# so the whole corruption is a map-side expression. The input drops the
+# span for a sentinel at its first masked position; the target collects
+# the masked-out tokens. Same hash → same corruption everywhere.
+# ---------------------------------------------------------------------------
+
+
+def _span_start_sql(p: str) -> str:
+    return (
+        f"substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST({p} AS VARCHAR)),"
+        f" 1, 1) IN ('0', '1')"
+    )
+
+
+@query(
+    "span_corruption_mask",
+    f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE length(text) > 0
+    ),
+    toks AS (
+        SELECT doc_id, i, t[i] AS w,
+               {_span_start_sql("i")} AS s_here,
+               CASE WHEN i > 1 THEN {_span_start_sql("i - 1")}
+                    ELSE FALSE END AS s_prev
+        FROM words, unnest(generate_series(1, len(t))) u(i)
+    ),
+    flagged AS (
+        SELECT doc_id, i, w,
+               (s_here OR s_prev) AS masked,
+               (s_here AND NOT s_prev) AS span_head
+        FROM toks
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN NOT masked THEN w
+                           WHEN span_head THEN '<X>' END, ' ' ORDER BY i)
+             AS corrupted,
+           coalesce(string_agg(CASE WHEN masked THEN w END, ' ' ORDER BY i),
+                    '') AS target,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked,
+           count(*) AS n_tokens
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def span_corruption_mask(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = docs.select("doc_id", F.split("text", " ").alias("t"))
+
+    def start_at(pos_col):
+        return F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    pos_col.cast("string"),
+                )
+            ),
+            1,
+            1,
+        ).isin("0", "1")
+
+    toks = words.select("doc_id", F.posexplode("t").alias("i0", "w")).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        "w",
+        start_at(F.col("i0") + 1).alias("s_here"),
+        F.when(F.col("i0") + 1 > 1, start_at(F.col("i0")))
+        .otherwise(F.lit(False))
+        .alias("s_prev"),
+    )
+    flagged = toks.select(
+        "doc_id",
+        "i",
+        "w",
+        (F.col("s_here") | F.col("s_prev")).alias("masked"),
+        (F.col("s_here") & ~F.col("s_prev")).alias("span_head"),
+    )
+
+    def ordered_join(cond_value):
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(cond_value)),
+                lambda s: s["w"],
+            ),
+            " ",
+        )
+
+    corrupted_tok = F.when(
+        ~F.col("masked"), F.struct("i", "w")
+    ).when(F.col("span_head"), F.struct("i", F.lit("<X>").alias("w")))
+    target_tok = F.when(F.col("masked"), F.struct("i", "w"))
+    return flagged.groupBy("doc_id").agg(
+        ordered_join(corrupted_tok).alias("corrupted"),
+        ordered_join(target_tok).alias("target"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_masked"),
+        F.count("*").alias("n_tokens"),
+    )
