@@ -26,6 +26,7 @@ reference").
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import load_table
@@ -326,3 +327,61 @@ def span_corruption_mask(spark, sf_dir):
         .alias("n_masked"),
         F.count("*").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pairs — embedding-model training data: anchor = first half
+# of a document, positive = its second half (same-source continuity),
+# negative = the second half of the NEXT document in a deterministic
+# md5 shuffle order (lead window — an unbiased random partner that is
+# reproducible at any parallelism; at corpus scale you'd take k
+# negatives from the +1..+k successors the same way). Emitted as md5 of
+# each text part so the gate hashes the pairing itself, not megabytes
+# of text.
+# ---------------------------------------------------------------------------
+@query(
+    "contrastive_pairs",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE length(text) > 0
+    ),
+    halves AS (
+        SELECT doc_id,
+               md5(array_to_string(t[1:len(t) // 2], ' ')) AS anchor_md5,
+               md5(array_to_string(t[len(t) // 2 + 1:len(t)], ' '))
+                 AS positive_md5
+        FROM words WHERE len(t) >= 4
+    ),
+    shuffled AS (
+        SELECT doc_id, anchor_md5, positive_md5,
+               lead(positive_md5) OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS negative_md5
+        FROM halves
+    )
+    SELECT doc_id, anchor_md5, positive_md5, negative_md5
+    FROM shuffled WHERE negative_md5 IS NOT NULL
+    """,
+)
+def contrastive_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 4
+    )
+    half = F.expr("size(t) div 2")
+    halves = words.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("t", 1, half), " ")).alias("anchor_md5"),
+        F.md5(
+            F.array_join(
+                F.expr("slice(t, size(t) div 2 + 1, size(t) - size(t) div 2)"),
+                " ",
+            )
+        ).alias("positive_md5"),
+    )
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    shuffled = halves.withColumn(
+        "negative_md5", F.lead("positive_md5").over(w)
+    )
+    return shuffled.filter(F.col("negative_md5").isNotNull())
