@@ -202,7 +202,6 @@ def word_dropout_augment(spark, sf_dir):
             1,
         ).alias("h"),
     )
-    kept = F.when(F.col("h") != "0", F.col("w"))
     return toks.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -356,6 +355,7 @@ def span_corruption_mask(spark, sf_dir):
     shuffled AS (
         SELECT doc_id, anchor_md5, positive_md5,
                lead(positive_md5) OVER (
+                   PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                ) AS negative_md5
         FROM halves
@@ -380,7 +380,11 @@ def contrastive_pairs(spark, sf_dir):
             )
         ).alias("positive_md5"),
     )
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    # partitioned by hash prefix: the shuffle order is still uniform-random
+    # but the window never goes global (16 independent partitions; the last
+    # row of each loses its negative — 16 rows at any corpus size)
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(F.substring(h, 1, 1)).orderBy(h, "doc_id")
     shuffled = halves.withColumn(
         "negative_md5", F.lead("positive_md5").over(w)
     )
