@@ -626,3 +626,206 @@ def ann_lsh_multiprobe(spark, sf_dir):
     return pairs.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= 3
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) encode — the vector-DB compression step
+# beyond int8 (Jégou et al. 2011): split the 64-dim vector into M=8
+# subspaces of 8 dims, pick the nearest of K=4 seeded centroids per
+# subspace (integer squared-L2, ties to the lowest code), emit the
+# 8-code word plus the total quantization error. 64 floats → 8 codes =
+# 2 bits/dim here (toy K; production uses K=256 = 1 byte/subspace —
+# same plan shape, bigger CASE). Assignment is map-only against literal
+# codebooks, exactly like the k-means assignment stage; at serving time
+# distances come from per-subspace lookup tables and never touch the
+# raw vectors. The argmin CASE chains are generated once and shared
+# verbatim between the Spark plan and the oracle.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_SUBDIM = 8     # dims per subspace
+PQ_K = 4          # centroids per subspace
+_pq_rng = random.Random(20260814)
+PQ_CODEBOOKS: list[list[list[int]]] = [
+    [[_pq_rng.randint(-1500, 1500) for _ in range(PQ_SUBDIM)] for _ in range(PQ_K)]
+    for _ in range(PQ_M)
+]
+
+
+def _pq_dist_sql(m: int, c: int, base: int) -> str:
+    """Squared L2 of subspace m vs centroid c; base = engine's array origin."""
+    terms = []
+    for d in range(PQ_SUBDIM):
+        idx = m * PQ_SUBDIM + d + base
+        cb = PQ_CODEBOOKS[m][c][d]
+        terms.append(f"(qv[{idx}] - ({cb})) * (qv[{idx}] - ({cb}))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_exprs(base: int) -> tuple[list[str], str]:
+    """Per-subspace code expressions + total-error expression."""
+    codes, errs = [], []
+    for m in range(PQ_M):
+        ds = [_pq_dist_sql(m, c, base) for c in range(PQ_K)]
+        mn = f"least({', '.join(ds)})"
+        arms = " ".join(
+            f"WHEN {ds[c]} = __mn{m} THEN {c}" for c in range(PQ_K)
+        )
+        codes.append(f"CASE {arms} END")
+        errs.append(f"__mn{m}")
+    return codes, " + ".join(errs)
+
+
+def _pq_mins_sql(base: int) -> str:
+    return ", ".join(
+        f"least({', '.join(_pq_dist_sql(m, c, base) for c in range(PQ_K))})"
+        f" AS __mn{m}"
+        for m in range(PQ_M)
+    )
+
+
+_PQ_CODES_DUCK, _PQ_ERR_DUCK = _pq_exprs(base=1)
+_PQ_CODES_SPARK, _PQ_ERR_SPARK = _pq_exprs(base=0)
+
+
+@query(
+    "pq_encode",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    mins AS (
+        SELECT vec_id, qv, {_pq_mins_sql(base=1)} FROM q
+    )
+    SELECT vec_id,
+           {", ".join(f"CAST({c} AS BIGINT) AS code{m}"
+                      for m, c in enumerate(_PQ_CODES_DUCK))},
+           CAST({_PQ_ERR_DUCK} AS BIGINT) AS quant_err
+    FROM mins
+    """,
+)
+def pq_encode(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    mins = q.select(
+        "vec_id",
+        "qv",
+        *[
+            F.expr(
+                "least("
+                + ", ".join(_pq_dist_sql(m, c, base=0) for c in range(PQ_K))
+                + ")"
+            ).alias(f"__mn{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    return mins.select(
+        "vec_id",
+        *[
+            F.expr(c).cast("long").alias(f"code{m}")
+            for m, c in enumerate(_PQ_CODES_SPARK)
+        ],
+        F.expr(_PQ_ERR_SPARK).cast("long").alias("quant_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ ADC search — asymmetric distance computation over the codes:
+# approx dist(query, x) = Σ_m table_m[code_m(x)], where table_m[c] is
+# the exact distance from the query's m-th subvector to centroid c.
+# Here the per-pair CASE dispatch recomputes table entries inline (the
+# plan-visible form of the lookup); a production kernel materializes
+# each query's 8×K table once and the scan only gathers — same
+# arithmetic, this shape keeps it oracle-checkable. Probes broadcast;
+# candidates never leave their partition until the per-probe top-k.
+# ---------------------------------------------------------------------------
+
+PQ_PROBES = 5
+PQ_TOPK = 5
+
+
+def _adc_sql(base: int, pq: str, code_prefix: str) -> str:
+    per_m = []
+    for m in range(PQ_M):
+        arms = " ".join(
+            f"WHEN {c} THEN {_pq_dist_sql(m, c, base).replace('qv[', pq + '[')}"
+            for c in range(PQ_K)
+        )
+        per_m.append(f"(CASE {code_prefix}{m} {arms} END)")
+    return " + ".join(per_m)
+
+
+@query(
+    "pq_adc_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    mins AS (
+        SELECT vec_id, qv, {_pq_mins_sql(base=1)} FROM q
+    ),
+    codes AS (
+        SELECT vec_id,
+               {", ".join(f"CAST({c} AS BIGINT) AS code{m}"
+                          for m, c in enumerate(_PQ_CODES_DUCK))}
+        FROM mins
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < {PQ_PROBES}
+    ),
+    scored AS (
+        SELECT p.probe_id, c.vec_id AS candidate_id,
+               CAST({_adc_sql(base=1, pq="p.pq", code_prefix="c.code")}
+                    AS BIGINT) AS adc_dist
+        FROM probes p CROSS JOIN codes c
+        WHERE c.vec_id != p.probe_id
+    )
+    SELECT probe_id, candidate_id, adc_dist,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY adc_dist, candidate_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= {PQ_TOPK}
+    """,
+)
+def pq_adc_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    mins = q.select(
+        "vec_id",
+        "qv",
+        *[
+            F.expr(
+                "least("
+                + ", ".join(_pq_dist_sql(m, c, base=0) for c in range(PQ_K))
+                + ")"
+            ).alias(f"__mn{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    codes = mins.select(
+        "vec_id",
+        *[
+            F.expr(c).cast("long").alias(f"code{m}")
+            for m, c in enumerate(_PQ_CODES_SPARK)
+        ],
+    )
+    probes = q.filter(F.col("vec_id") < PQ_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pq")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("candidate_id"),
+            F.expr(_adc_sql(base=0, pq="pq", code_prefix="code"))
+            .cast("long")
+            .alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "candidate_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOPK)
+    )
