@@ -307,3 +307,51 @@ def fuzzy_match_topk(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= FUZZY_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Postings-list build — materializing the inverted index the probe
+# queries (term_match_retrieval) assume: per term, document frequency
+# and the SORTED posting list (deterministic ordered collect — the same
+# array_sort idiom as top_event_paths, because collect_list order is
+# undefined). Postings are emitted as an md5 over the comma-joined list
+# so the gate hashes the exact list content at constant output width.
+# At 100 TB the build is one explode + one shuffle on term, and the
+# lists would be delta-encoded per bucket — the sort within each
+# posting is what makes that compression and skip-scan merging work.
+# ---------------------------------------------------------------------------
+@query(
+    "build_postings_lists",
+    """
+    WITH td AS (
+        SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS term, doc_id
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT term,
+           count(*) AS df,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS postings_md5
+    FROM td GROUP BY term
+    """,
+)
+def build_postings_lists(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    td = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term"), "doc_id"
+    ).distinct()
+    return td.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("postings_md5"),
+    )
