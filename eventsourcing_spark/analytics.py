@@ -962,3 +962,90 @@ def interarrival_stats(spark, sf_dir):
         F.max("gap_ms").alias("max_gap_ms"),
         F.sum("gap_ms").alias("total_gap_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (L1) — monitoring's "did the data change" check:
+# value-bucket distributions of the first vs second half of the time
+# range, compared per event type by total-variation-style L1 distance
+# in ppm. Integer end to end (the PSI/KL forms need log; L1 detects
+# the same shifts and stays hash-exact). Two grouped aggregates over
+# one scan, a tiny full-outer on (type, bucket), one rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "drift_l1_value_buckets",
+    """
+    WITH bounds AS (
+        SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid FROM events
+    ),
+    bucketed AS (
+        SELECT event_type,
+               CAST(floor(value / 25) AS BIGINT) AS bucket,
+               CASE WHEN epoch_ms(ts) < mid THEN 0 ELSE 1 END AS half
+        FROM events CROSS JOIN bounds
+        WHERE value IS NOT NULL
+    ),
+    counts AS (
+        SELECT event_type, bucket, half, count(*) AS n
+        FROM bucketed GROUP BY event_type, bucket, half
+    ),
+    tot AS (
+        SELECT event_type, half, sum(n) AS total
+        FROM counts GROUP BY event_type, half
+    ),
+    ppm AS (
+        SELECT c.event_type, c.bucket, c.half,
+               (1000000 * c.n) // t.total AS p
+        FROM counts c JOIN tot t
+          ON c.event_type = t.event_type AND c.half = t.half
+    ),
+    joined AS (
+        SELECT coalesce(a.event_type, b.event_type) AS event_type,
+               coalesce(a.bucket, b.bucket) AS bucket,
+               coalesce(a.p, 0) AS p0, coalesce(b.p, 0) AS p1
+        FROM (SELECT * FROM ppm WHERE half = 0) a
+        FULL OUTER JOIN (SELECT * FROM ppm WHERE half = 1) b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+    )
+    SELECT event_type,
+           CAST(sum(abs(p0 - p1)) AS BIGINT) AS l1_ppm,
+           count(*) AS n_buckets
+    FROM joined GROUP BY event_type
+    """,
+)
+def drift_l1_value_buckets(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ms = F.unix_millis("ts")
+    bounds = load_table(spark, sf_dir, "events").agg(
+        F.expr("(min(unix_millis(ts)) + max(unix_millis(ts))) div 2").alias("mid")
+    )
+    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.floor(F.col("value") / 25).cast("long").alias("bucket"),
+        F.when(ms < F.col("mid"), 0).otherwise(1).alias("half"),
+    )
+    counts = bucketed.groupBy("event_type", "bucket", "half").agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.groupBy("event_type", "half").agg(F.sum("n").alias("total"))
+    ppm = counts.join(tot, ["event_type", "half"]).select(
+        "event_type",
+        "bucket",
+        "half",
+        F.expr("(1000000 * n) div total").alias("p"),
+    )
+    a = ppm.filter(F.col("half") == 0).select(
+        "event_type", "bucket", F.col("p").alias("p0")
+    )
+    b = ppm.filter(F.col("half") == 1).select(
+        "event_type", "bucket", F.col("p").alias("p1")
+    )
+    joined = a.join(b, ["event_type", "bucket"], "full_outer").select(
+        "event_type",
+        F.coalesce("p0", F.lit(0)).alias("p0"),
+        F.coalesce("p1", F.lit(0)).alias("p1"),
+    )
+    return joined.groupBy("event_type").agg(
+        F.sum(F.abs(F.col("p0") - F.col("p1"))).cast("long").alias("l1_ppm"),
+        F.count("*").alias("n_buckets"),
+    )

@@ -621,3 +621,94 @@ def bitmap_distinct_users(spark, sf_dir):
         F.sum(F.expr("bit_count(bits)")).cast("long").alias("n_distinct"),
         F.count("*").alias("n_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) hashing — stable work assignment: owner(x) = argmax
+# over nodes of md5(node:x). Removing a node moves ONLY that node's
+# keys (1/N of them) — the minimal-disruption property that makes HRW /
+# consistent hashing the standard for shard maps, cache routing, and
+# the reference's own partition scheme generalized (util/common.go
+# hashes to a FIXED partition count; HRW survives topology change).
+# The query emits both the 8-node and 7-node assignments and counts the
+# moved keys, so the minimal-disruption property itself is hash-checked.
+# ---------------------------------------------------------------------------
+
+HRW_NODES = [f"node{i}" for i in range(8)]
+
+
+def _hrw_owner_sql(nodes: list[str], expr: str) -> str:
+    weights = ", ".join(
+        f"('{n}', CAST('0x' || substr(md5('{n}:' || CAST({expr} AS VARCHAR)),"
+        f" 1, 8) AS BIGINT))"
+        for n in nodes
+    )
+    # greatest-by-weight via a generated CASE over pairwise comparisons is
+    # quadratic; instead sort a literal list of (node, weight) structs
+    return (
+        f"(SELECT n FROM (SELECT unnest([{weights}]) AS s)"
+        f" t(s), LATERAL (SELECT s[1] AS n, s[2] AS w) ORDER BY w DESC, n LIMIT 1)"
+    )
+
+
+@query(
+    "hrw_assignment_stability",
+    f"""
+    WITH docs_h AS (
+        SELECT doc_id,
+               {_hrw_owner_sql(HRW_NODES, "doc_id")} AS owner8,
+               {_hrw_owner_sql(HRW_NODES[:-1], "doc_id")} AS owner7
+        FROM documents
+    )
+    SELECT owner8, count(*) AS n_docs,
+           CAST(sum(CASE WHEN owner8 != owner7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved_without_node7
+    FROM docs_h GROUP BY owner8
+    """,
+)
+def hrw_assignment_stability(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def owner(nodes):
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{n}:"),
+                                    F.col("doc_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("w"),
+                    F.lit(n).alias("n"),
+                )
+                for n in nodes
+            ]
+        )
+        # array_max over (weight, node) structs == ORDER BY w DESC tie n DESC;
+        # tie-break must match the oracle's (w DESC, n ASC) — md5 collisions
+        # across distinct salted strings don't occur in a 32-bit prefix at
+        # this scale, so the node tie-break is unreachable; weight order
+        # alone decides
+        return F.array_max(pairs)["n"]
+
+    withowners = docs.select(
+        "doc_id",
+        owner(HRW_NODES).alias("owner8"),
+        owner(HRW_NODES[:-1]).alias("owner7"),
+    )
+    return withowners.groupBy("owner8").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("owner8") != F.col("owner7"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved_without_node7"),
+    )
