@@ -1049,3 +1049,126 @@ def drift_l1_value_buckets(spark, sf_dir):
         F.sum(F.abs(F.col("p0") - F.col("p1"))).cast("long").alias("l1_ppm"),
         F.count("*").alias("n_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket lift — unordered co-occurrence (the transition matrix's
+# order-free sibling): baskets are user-days; for each event-type pair,
+# lift = P(A,B)/(P(A)·P(B)) as the integer cross-multiplication
+# 10^6·n_both·N / (n_a·n_b). Lift > 10^6 means the pair attracts.
+# Distinct (basket, type) first, then the within-basket pair join —
+# bounded by types-per-basket, never corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "basket_lift_pairs",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day, event_type
+        FROM events
+    ),
+    nb AS (SELECT count(DISTINCT (user_id, day)) AS n FROM baskets),
+    per_type AS (
+        SELECT event_type, count(*) AS n_t FROM baskets
+        GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both
+        FROM baskets a
+        JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                      AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ta.n_t AS n_a, tb.n_t AS n_b,
+           (1000000 * p.n_both * nb.n) // (ta.n_t * tb.n_t) AS lift_ppm
+    FROM pairs p
+    JOIN per_type ta ON ta.event_type = p.type_a
+    JOIN per_type tb ON tb.event_type = p.type_b
+    CROSS JOIN nb
+    """,
+)
+def basket_lift_pairs(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id",
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        "event_type",
+    ).distinct()
+    n_baskets = baskets.select("user_id", "day").distinct().count()
+    per_type = baskets.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    pairs = (
+        baskets.alias("a")
+        .join(baskets.alias("b"), ["user_id", "day"])
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_type.withColumnRenamed("event_type", "type_a")
+                        .withColumnRenamed("n_t", "n_a")), "type_a")
+        .join(
+            F.broadcast(per_type.withColumnRenamed("event_type", "type_b")
+                        .withColumnRenamed("n_t", "n_b")), "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.expr(f"(1000000 * n_both * {n_baskets}) div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Churn flags — engagement recency classes relative to the corpus's own
+# end of time (no wall clock — deterministic on any run date): per user,
+# days since last activity and a churn class at 7/14-day thresholds,
+# plus lifetime accounting. One grouped aggregate; the corpus max is a
+# broadcast scalar.
+# ---------------------------------------------------------------------------
+@query(
+    "churn_risk_users",
+    """
+    WITH eom AS (SELECT max(epoch_ms(ts)) AS end_ms FROM events),
+    per_user AS (
+        SELECT user_id,
+               max(epoch_ms(ts)) AS last_ms,
+               min(epoch_ms(ts)) AS first_ms,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           (end_ms - last_ms) // 86400000 AS days_inactive,
+           (last_ms - first_ms) // 86400000 AS tenure_days,
+           CASE WHEN end_ms - last_ms >= 14 * 86400000 THEN 'churned'
+                WHEN end_ms - last_ms >= 7 * 86400000 THEN 'at_risk'
+                ELSE 'active' END AS churn_class
+    FROM per_user CROSS JOIN eom
+    """,
+)
+def churn_risk_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    eom = ev.agg(F.max(ms).alias("end_ms"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max(ms).alias("last_ms"),
+        F.min(ms).alias("first_ms"),
+        F.count("*").alias("n_events"),
+    )
+    day = 86400000
+    j = per_user.crossJoin(F.broadcast(eom))
+    inactive = F.col("end_ms") - F.col("last_ms")
+    return j.select(
+        "user_id",
+        "n_events",
+        F.expr(f"(end_ms - last_ms) div {day}").alias("days_inactive"),
+        F.expr(f"(last_ms - first_ms) div {day}").alias("tenure_days"),
+        F.when(inactive >= 14 * day, "churned")
+        .when(inactive >= 7 * day, "at_risk")
+        .otherwise("active")
+        .alias("churn_class"),
+    )
