@@ -14,19 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import eventsourcing_spark.analytics  # noqa: F401 — registers event-analytics ops
-import eventsourcing_spark.pipeline.chunking  # noqa: F401 — registers chunking ops
-import eventsourcing_spark.pipeline.graph  # noqa: F401 — registers graph ops
-import eventsourcing_spark.pipeline.retrieval  # noqa: F401 — registers retrieval ops
-import eventsourcing_spark.pipeline.clustering  # noqa: F401 — registers k-means op
-import eventsourcing_spark.pipeline.queries  # noqa: F401 — registers pipeline ops
-import eventsourcing_spark.pipeline.similarity  # noqa: F401 — registers similarity ops
-import eventsourcing_spark.pipeline.curation  # noqa: F401 — registers curation ops
-import eventsourcing_spark.pipeline.mixing  # noqa: F401 — registers mixing ops
-import eventsourcing_spark.pipeline.setjoin  # noqa: F401 — registers set-similarity join
-import eventsourcing_spark.sketches  # noqa: F401 — registers sketch estimators
-import eventsourcing_spark.tpch  # noqa: F401 — registers extended TPC-H ops
-from eventsourcing_spark.queries import ORACLE_SQL, SPARK_QUERIES
+from eventsourcing_spark.registry import ORACLE_SQL, SPARK_QUERIES
 
 SF0001 = "/root/testdata/sf0.001"
 

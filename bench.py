@@ -18,9 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import eventsourcing_spark.pipeline.queries  # noqa: F401 — register pipeline ops
-import eventsourcing_spark.tpch  # noqa: F401 — register extended TPC-H ops
-from eventsourcing_spark.queries import SPARK_QUERIES
+from eventsourcing_spark.registry import SPARK_QUERIES
 from eventsourcing_spark.session import get_spark
 
 HEADLINE = [
@@ -72,16 +70,6 @@ HEADLINE = [
     "cusum_changepoint",
     "cooccur_pmi_topk",
 ]
-import eventsourcing_spark.sketches  # noqa: E402,F401 — registers sketch ops
-# registers the similarity/pipeline queries named above
-import eventsourcing_spark.pipeline.similarity  # noqa: E402,F401
-import eventsourcing_spark.pipeline.curation  # noqa: E402,F401
-import eventsourcing_spark.pipeline.chunking  # noqa: E402,F401
-import eventsourcing_spark.pipeline.clustering  # noqa: E402,F401
-import eventsourcing_spark.pipeline.graph  # noqa: E402,F401
-import eventsourcing_spark.analytics  # noqa: E402,F401
-import eventsourcing_spark.pipeline.retrieval  # noqa: E402,F401
-import eventsourcing_spark.pipeline.mixing  # noqa: E402,F401
 
 
 def main() -> None:

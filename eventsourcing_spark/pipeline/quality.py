@@ -1,0 +1,259 @@
+"""Second-order text-quality operators: n-gram repetition, linear quality
+scoring, Zipf profiling, per-stratum sampling.
+
+Complements curation.py's Gopher rule battery (token-level flags) with
+the *structural* signals a 100 TB curation run adds next:
+
+* ``doc_bigram_repetition`` — Gopher's "fraction of characters in
+  duplicated n-grams" analog at bigram level. Token-uniqueness (already
+  in ``gopher_quality_flags``) misses looping *phrases*; bigram
+  duplication catches them. Shape: map-side bigram explode → one count
+  keyed by ``(doc_id, bigram)`` → per-doc rollup. Both aggregations
+  hash on ``doc_id`` (the second is a prefix of the first's key), so
+  AQE plans one real exchange; linear in emitted bigrams, which is the
+  floor for any n-gram statistic.
+* ``quality_linear_score`` — a fasttext-style *linear* quality
+  classifier with fixed integer weights over per-doc features. The
+  features are the same single-pass HOF metrics as the Gopher battery,
+  so the whole model evaluates map-only inside the scan stage; scores
+  are integer dot products (no float threshold can flip between
+  engines). At scale this is the cheap scoring pass that gates the
+  expensive model-based scorer.
+* ``zipf_rank_freq`` — corpus rank-frequency profile: top-30 tokens
+  with their Zipf constant ``rank·freq``. Map-side explode +
+  partial-agg combine, then a 30-row TakeOrdered — no global sort. The
+  deviation of ``rank·freq`` across ranks is the standard corpus-health
+  check (natural text ≈ constant; synthetic/boilerplate corpora skew).
+* ``per_group_bottomk_sample`` — deterministic uniform k-per-stratum
+  sample: bottom-k by ``md5(doc_id)`` within each language. The hash
+  *is* the random order, so the sample is reproducible at any
+  parallelism and any history of the table (same property as
+  mixing.py's rate-based sampler, but with an exact per-stratum count
+  guarantee). Per-group window top-k, one exchange on ``lang``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Bigram repetition: phrase-level duplication per document.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_bigram_repetition",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM t
+    ),
+    c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(max(cnt) AS BIGINT) AS top_bigram_n,
+           CAST((sum(cnt) - count(*)) * 1000000 // sum(cnt) AS BIGINT)
+               AS dup_bigram_ppm
+    FROM c GROUP BY doc_id
+    """,
+)
+def doc_bigram_repetition(spark, sf_dir):
+    """Per-doc bigram duplication: total/distinct bigram counts, the
+    top bigram's multiplicity, and the duplicated-bigram fraction in
+    ppm (integer floor-div, exact in both engines). The explode is
+    map-side; the two aggregations share the ``doc_id`` hash so the
+    plan carries one keyed exchange — linear in bigrams at any scale."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    b = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    c = b.groupBy("doc_id", "bg").agg(F.count("*").alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct_bigrams"),
+        F.max("cnt").cast("long").alias("top_bigram_n"),
+        F.expr("CAST((sum(cnt) - count(*)) * 1000000 div sum(cnt) AS BIGINT)").alias(
+            "dup_bigram_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier with fixed integer weights.
+# ---------------------------------------------------------------------------
+STOPWORDS = ["the", "a", "of", "to", "and"]
+# weights on (n_tok, mean-word-len(×10), stopword-rate(‰), uniq-rate(‰))
+W_TOK, W_MWL, W_STOP, W_UNIQ = 2, -3, 5, 1
+SCORE_HI, SCORE_LO = 1000, 700
+
+
+@query(
+    "quality_linear_score",
+    f"""
+    WITH m AS (
+        SELECT doc_id, source,
+               len(string_split(lower(text), ' ')) AS n_tok,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+               list_aggregate(list_transform(string_split(lower(text), ' '),
+                                             x -> len(x)), 'sum') AS sum_len,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> list_contains({STOPWORDS!r}, x))) AS n_stop
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source,
+               {W_TOK} * n_tok
+                 + {W_MWL} * (sum_len * 10 // n_tok)
+                 + {W_STOP} * (n_stop * 1000 // n_tok)
+                 + {W_UNIQ} * (n_uniq * 1000 // n_tok) AS score
+        FROM m
+    )
+    SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+           CASE WHEN score >= {SCORE_HI} THEN 'high'
+                WHEN score >= {SCORE_LO} THEN 'mid'
+                ELSE 'low' END AS quality_class
+    FROM s
+    """,
+)
+def quality_linear_score(spark, sf_dir):
+    """Integer linear quality model: score = w·(n_tok, mean-word-len,
+    stopword-rate, uniq-rate), all rates pre-scaled to integers with
+    floor division so the dot product is exact. Map-only — the model
+    evaluates inside the scan stage with zero exchanges; at 100 TB
+    this is the cheap gate before any model-based scorer."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, x))).alias(
+            "n_stop"
+        ),
+    )
+    score = (
+        F.lit(W_TOK) * F.col("n_tok")
+        + F.lit(W_MWL) * F.expr("sum_len * 10 div n_tok")
+        + F.lit(W_STOP) * F.expr("n_stop * 1000 div n_tok")
+        + F.lit(W_UNIQ) * F.expr("n_uniq * 1000 div n_tok")
+    )
+    s = m.select("doc_id", "source", score.alias("score"))
+    return s.select(
+        "doc_id",
+        "source",
+        F.col("score").cast("long").alias("score"),
+        F.when(F.col("score") >= SCORE_HI, "high")
+        .when(F.col("score") >= SCORE_LO, "mid")
+        .otherwise("low")
+        .alias("quality_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency profile of the corpus vocabulary.
+# ---------------------------------------------------------------------------
+ZIPF_TOPK = 30
+
+
+@query(
+    "zipf_rank_freq",
+    f"""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+    ranked AS (
+        SELECT token, freq,
+               row_number() OVER (ORDER BY freq DESC, token) AS rank
+        FROM freq
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, token, CAST(freq AS BIGINT) AS freq,
+           CAST(rank * freq AS BIGINT) AS zipf_c
+    FROM ranked WHERE rank <= {ZIPF_TOPK}
+    """,
+)
+def zipf_rank_freq(spark, sf_dir):
+    """Corpus Zipf profile: top-30 tokens with rank·freq. Explode +
+    map-side partial counts, then a 30-row TakeOrdered; the rank
+    window runs over 30 rows on one task. Natural corpora hold
+    rank·freq ≈ constant — drift flags boilerplate or synthetic text."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(ZIPF_TOPK)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return freq.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        F.col("freq").cast("long").alias("freq"),
+    ).select(
+        "rank", "token", "freq", (F.col("rank") * F.col("freq")).alias("zipf_c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-per-stratum sample (exact count per language).
+# ---------------------------------------------------------------------------
+SAMPLE_K = 20
+
+
+@query(
+    "per_group_bottomk_sample",
+    f"""
+    WITH h AS (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hkey
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang, hkey,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY hkey, doc_id) AS rk
+        FROM h
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
+    FROM r WHERE rk <= {SAMPLE_K}
+    """,
+)
+def per_group_bottomk_sample(spark, sf_dir):
+    """Exactly-k uniform sample per language: bottom-k of md5(doc_id)
+    within each stratum. The hash is the shuffle-independent random
+    order, so the sample is reproducible on any cluster layout and
+    stable under appends that don't displace the k smallest hashes.
+    One exchange on ``lang``; the per-group window truncates to k rows
+    early (rank predicate pushes into the window's sort as top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("hkey")
+    )
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("sample_rank"))
+    )

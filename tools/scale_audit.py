@@ -15,20 +15,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import eventsourcing_spark.analytics  # noqa: F401
-import eventsourcing_spark.pipeline.chunking  # noqa: F401
-import eventsourcing_spark.pipeline.graph  # noqa: F401
-import eventsourcing_spark.pipeline.retrieval  # noqa: F401
-import eventsourcing_spark.pipeline.clustering  # noqa: F401
-import eventsourcing_spark.pipeline.curation  # noqa: F401
-import eventsourcing_spark.pipeline.mixing  # noqa: F401
-import eventsourcing_spark.pipeline.queries  # noqa: F401
-import eventsourcing_spark.pipeline.setjoin  # noqa: F401
-import eventsourcing_spark.pipeline.similarity  # noqa: F401
-import eventsourcing_spark.sketches  # noqa: F401
-import eventsourcing_spark.tpch  # noqa: F401
 from eventsourcing_spark.plans import audit, formatted_plan, plan_stats
-from eventsourcing_spark.queries import SPARK_QUERIES
+from eventsourcing_spark.registry import SPARK_QUERIES
 from eventsourcing_spark.session import get_spark
 
 
