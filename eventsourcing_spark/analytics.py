@@ -1172,3 +1172,205 @@ def churn_risk_users(spark, sf_dir):
         .otherwise("active")
         .alias("churn_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA over the last 8 events per user (alpha = 1/2, dyadic integer weights).
+# A recursive EWMA is order-dependent float state; the 8-tap truncated form
+# (weights 128..1, >99.2% of the mass) is a *windowed dot product* — exact in
+# integer cents, shuffle-once on user_id, and identical in any engine.
+# ---------------------------------------------------------------------------
+_EWMA_TAPS = 8
+_EWMA_W = [2 ** (_EWMA_TAPS - 1 - k) for k in range(_EWMA_TAPS)]  # 128..1
+
+
+def _ewma_oracle() -> str:
+    lag_cols = ",\n               ".join(
+        f"lag(cents, {k}) OVER w AS l{k}" for k in range(1, _EWMA_TAPS)
+    )
+    num = " + ".join(
+        [f"{_EWMA_W[0]} * cents"]
+        + [f"{_EWMA_W[k]} * coalesce(l{k}, 0)" for k in range(1, _EWMA_TAPS)]
+    )
+    den = " + ".join(
+        [str(_EWMA_W[0])]
+        + [
+            f"{_EWMA_W[k]} * CAST(l{k} IS NOT NULL AS BIGINT)"
+            for k in range(1, _EWMA_TAPS)
+        ]
+    )
+    return f"""
+    WITH c AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ms,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    l AS (
+        SELECT event_id, user_id, cents,
+               {lag_cols}
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(({num}) // ({den}) AS BIGINT) AS ewma_cents
+    FROM l
+    """
+
+
+@query("ewma_user_value", _ewma_oracle())
+def ewma_user_value(spark, sf_dir):
+    """8-tap EWMA (alpha=1/2) per user as an exact integer dot product
+    over lag taps. One window exchange on user_id; at 100 TB each
+    stream's taps stay inside its sorted partition — no state, no
+    iteration, no float accumulation order to diverge."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy(ms, "event_id")
+    lag_exprs = [
+        F.lag(cents, k).over(w).alias(f"l{k}") for k in range(1, _EWMA_TAPS)
+    ]
+    l = ev.select("event_id", "user_id", cents.alias("cents"), *lag_exprs)
+    return l.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "CAST(({}) div ({}) AS BIGINT)".format(
+                " + ".join(
+                    [f"{_EWMA_W[0]} * cents"]
+                    + [
+                        f"{_EWMA_W[k]} * coalesce(l{k}, 0)"
+                        for k in range(1, _EWMA_TAPS)
+                    ]
+                ),
+                " + ".join(
+                    [str(_EWMA_W[0])]
+                    + [
+                        f"{_EWMA_W[k]} * CAST(l{k} IS NOT NULL AS BIGINT)"
+                        for k in range(1, _EWMA_TAPS)
+                    ]
+                ),
+            )
+        ).alias("ewma_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral diversity: Gini impurity of the event-type mix.
+# Entropy needs log (float); Gini = 1 − Σ pᵢ² is rational, so the ppm form
+# (n² − Σcᵢ²)·10⁶ / n² is integer-exact. Two aggs on a shared key prefix.
+# ---------------------------------------------------------------------------
+@query(
+    "user_event_gini",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST((sum(cnt) * sum(cnt) - sum(cnt * cnt)) * 1000000
+                // (sum(cnt) * sum(cnt)) AS BIGINT) AS gini_ppm
+    FROM c GROUP BY user_id
+    """,
+)
+def user_event_gini(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    return c.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.expr(
+            "CAST((sum(cnt) * sum(cnt) - sum(cnt * cnt)) * 1000000"
+            " div (sum(cnt) * sum(cnt)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded funnel: clicks that had a view within the prior 30 minutes.
+# The unbounded funnel (funnel_conversion) says *ever converted*; real
+# attribution wants a conversion window. A RANGE frame over epoch-ms carries
+# the "view seen in the last 30 min" marker to every row — one window
+# exchange, no self-join, no explode of the time axis.
+# ---------------------------------------------------------------------------
+_FUNNEL_WIN_MS = 30 * 60 * 1000
+
+
+@query(
+    "funnel_time_bounded",
+    f"""
+    WITH m AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ms,
+               max(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                         RANGE BETWEEN {_FUNNEL_WIN_MS} PRECEDING
+                                   AND CURRENT ROW) AS recent_view_ms
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_clicks,
+           CAST(count(*) FILTER (event_type = 'click'
+                                 AND recent_view_ms IS NOT NULL) AS BIGINT)
+               AS n_converted_clicks
+    FROM m GROUP BY user_id
+    """,
+)
+def funnel_time_bounded(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rangeBetween(-_FUNNEL_WIN_MS, Window.currentRow)
+    )
+    recent_view = F.max(
+        F.when(F.col("event_type") == "view", ms)
+    ).over(w)
+    m = ev.select(
+        "user_id", "event_type", recent_view.alias("recent_view_ms")
+    )
+    is_click = F.col("event_type") == "click"
+    return m.groupBy("user_id").agg(
+        F.sum(is_click.cast("long")).cast("long").alias("n_clicks"),
+        F.sum(
+            (is_click & F.col("recent_view_ms").isNotNull()).cast("long")
+        )
+        .cast("long")
+        .alias("n_converted_clicks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day × value-bucket heat grid: the standard ops dashboard matrix.
+# Both bucketings are exact integer floors; one agg keyed by the grid cell.
+# ---------------------------------------------------------------------------
+_HEAT_BUCKET = 25
+
+
+@query(
+    "value_hour_heatmap",
+    f"""
+    SELECT CAST(hour(ts) AS BIGINT) AS hh,
+           CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                // {_HEAT_BUCKET * 100} AS BIGINT) AS value_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def value_hour_heatmap(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    return ev.groupBy(
+        F.hour("ts").cast("long").alias("hh"),
+        F.expr(
+            f"CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" div {_HEAT_BUCKET * 100} AS BIGINT)"
+        ).alias("value_bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )

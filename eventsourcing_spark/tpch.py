@@ -1115,3 +1115,44 @@ def cube_volume(spark, sf_dir):
             "n_items",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly revenue with year-over-year delta. The YoY lookup is a key-shifted
+# self-join of the *aggregated* month table (≤ one row per month) rather than
+# lag(12) — gap-safe, and the join side is trivially broadcast. The pattern
+# (aggregate first, then window/join over the tiny result) is the scalable
+# form: the shuffle moves ~100 rows however large the fact table is.
+# ---------------------------------------------------------------------------
+@query(
+    "monthly_revenue_yoy",
+    f"""
+    WITH m AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+               sum(CAST(o_totalprice AS {DEC})) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(cur.ym AS BIGINT) AS ym,
+           CAST(cur.rev AS DOUBLE) AS revenue,
+           CAST(prev.rev AS DOUBLE) AS prev_year_revenue,
+           CAST(cur.rev - coalesce(prev.rev, 0) AS DOUBLE) AS yoy_delta
+    FROM m cur LEFT JOIN m prev ON prev.ym = cur.ym - 12
+    """,
+)
+def monthly_revenue_yoy(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym")
+    m = orders.groupBy(ym).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    prev = m.select(
+        (F.col("ym") + 12).alias("ym_next"), F.col("rev").alias("prev_rev")
+    )
+    return m.join(
+        F.broadcast(prev), m.ym == prev.ym_next, "left"
+    ).select(
+        F.col("ym").cast("long").alias("ym"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("prev_rev").cast("double").alias("prev_year_revenue"),
+        (F.col("rev") - F.coalesce(F.col("prev_rev"), F.lit(0).cast(DEC)))
+        .cast("double")
+        .alias("yoy_delta"),
+    )
