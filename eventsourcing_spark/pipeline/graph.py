@@ -273,3 +273,168 @@ def triangle_count_neardup(spark, sf_dir):
         .orderBy(F.desc("n_triangles"), "vec_id")
         .limit(TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient: 2·tri(v) / (deg(v)·(deg(v)−1)) in ppm.
+# Completes the triangle family: triangle_count_neardup ranks the densest
+# nodes; the coefficient *normalizes* by degree, separating "hub" (high
+# degree, low closure — e.g. a boilerplate template shared everywhere)
+# from "clique member" (near-duplicate family, closure → 1). Reuses the
+# same capped LSH edge set; every node with degree ≥ 2 is emitted, with 0
+# for triangle-free nodes (an outcome triangle_count's top-k never shows).
+# ---------------------------------------------------------------------------
+
+
+def _edges_sql() -> str:
+    bucket = _bucket_sql(_quant_sql("embedding"))
+    return f"""
+    bk AS (SELECT vec_id, {bucket} AS bucket FROM embeddings),
+    bands AS (
+        SELECT vec_id, 0 AS band, bucket % 16 AS bval FROM bk
+        UNION ALL
+        SELECT vec_id, 1 AS band, bucket // 16 AS bval FROM bk
+    ),
+    sz AS (SELECT band, bval, count(*) AS c FROM bands GROUP BY band, bval),
+    e AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                    AND a.vec_id < b.vec_id
+        JOIN sz s ON s.band = a.band AND s.bval = a.bval
+        WHERE s.c <= {BUCKET_CAP}
+    )
+    """
+
+
+def _edges_df(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    bk = emb.select(
+        "vec_id", _bucket_expr(_quant(F.col("embedding"))).alias("bucket")
+    )
+    bands = bk.select(
+        "vec_id", F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bval")
+    ).unionAll(
+        bk.select(
+            "vec_id",
+            F.lit(1).alias("band"),
+            (F.col("bucket") / 16).cast("long").alias("bval"),
+        )
+    )
+    sz = bands.groupBy("band", "bval").agg(F.count("*").alias("c"))
+    small = bands.join(sz.filter(F.col("c") <= BUCKET_CAP), ["band", "bval"])
+    return (
+        small.alias("a")
+        .join(small.alias("b"), ["band", "bval"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+@query(
+    "local_clustering_coeff",
+    f"""
+    WITH {_edges_sql()},
+    tri AS (
+        SELECT w.x, w.y, w.z FROM (
+            SELECT a.src AS x, a.dst AS y, b.dst AS z
+            FROM e a JOIN e b ON b.src = a.dst
+        ) w JOIN e c ON c.src = w.x AND c.dst = w.z
+    ),
+    per_node AS (
+        SELECT v, count(*) AS n_triangles FROM (
+            SELECT x AS v FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY v
+    ),
+    deg AS (
+        SELECT v, count(*) AS degree FROM (
+            SELECT src AS v FROM e UNION ALL SELECT dst FROM e
+        ) GROUP BY v
+    )
+    SELECT d.v AS vec_id,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * coalesce(p.n_triangles, 0) * 1000000
+                // (d.degree * (d.degree - 1)) AS BIGINT) AS clustering_ppm
+    FROM deg d LEFT JOIN per_node p ON p.v = d.v
+    WHERE d.degree >= 2
+    """,
+)
+def local_clustering_coeff(spark, sf_dir):
+    """Per-node closure: triangles over possible wedges, ppm integer.
+    Same capped edge set and wedge-close joins as triangle counting;
+    the left join keeps zero-closure nodes (hubs), which is the signal
+    the coefficient exists to expose."""
+    e = _edges_df(spark, sf_dir)
+    wedges = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("b.src") == F.col("a.dst"))
+        .select(
+            F.col("a.src").alias("x"),
+            F.col("a.dst").alias("y"),
+            F.col("b.dst").alias("z"),
+        )
+    )
+    tri = wedges.join(
+        e.select(F.col("src").alias("x"), F.col("dst").alias("z")), ["x", "z"]
+    )
+    per_node = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    j = deg.filter(F.col("degree") >= 2).join(per_node, "v", "left")
+    ntri = F.coalesce(F.col("n_triangles"), F.lit(0))
+    return j.select(
+        F.col("v").alias("vec_id"),
+        F.col("degree").cast("long").alias("degree"),
+        ntri.cast("long").alias("n_triangles"),
+        F.expr(
+            "CAST(2 * coalesce(n_triangles, 0) * 1000000"
+            " div (degree * (degree - 1)) AS BIGINT)"
+        ).alias("clustering_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the near-dup graph: nodes per degree. The one-line
+# health check that catches LSH mis-sizing (cap saturation shows up as a
+# spike at the bucket-cap degree) before any expensive graph pass runs.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_degree_distribution",
+    f"""
+    WITH {_edges_sql()},
+    deg AS (
+        SELECT v, count(*) AS degree FROM (
+            SELECT src AS v FROM e UNION ALL SELECT dst FROM e
+        ) GROUP BY v
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    e = _edges_df(spark, sf_dir)
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )

@@ -829,3 +829,88 @@ def pq_adc_topk(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= PQ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup inside coarse-quantizer
+# cells. The paper drops all-but-one of each near-identical pair within a
+# k-means cluster; the cluster-scale-safe form (same reasoning as
+# dedup_lsh_clusters) is keeper-star: one keeper per cell (min vec_id),
+# every member compared to the keeper only — linear in corpus, never
+# quadratic in cell size. cos(v,k) >= 0.9 is evaluated in integer
+# cross-multiplied form: dot > 0 AND 100·dot² >= 81·|v|²·|k|², exact in
+# both engines on the ×1000-quantized vectors.
+# ---------------------------------------------------------------------------
+SEMDEDUP_NUM2, SEMDEDUP_DEN2 = 81, 100  # cos² threshold = 0.9²
+
+
+@query(
+    "semdedup_ivf",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    cent AS ({_CENT_SQL}),
+    assign AS ({_ASSIGN_SQL}),
+    members AS (SELECT vec_id, qv, cid FROM assign WHERE crank = 1),
+    k AS (SELECT cid, min(vec_id) AS keeper_id FROM members GROUP BY cid),
+    kv AS (
+        SELECT k.cid, k.keeper_id, m.qv AS kqv
+        FROM k JOIN members m ON m.vec_id = k.keeper_id AND m.cid = k.cid
+    ),
+    d AS (
+        SELECT m.vec_id, m.cid, kv.keeper_id,
+               CAST(list_dot_product(m.qv, kv.kqv) AS BIGINT) AS dot,
+               CAST(list_dot_product(m.qv, m.qv) AS BIGINT) AS n2v,
+               CAST(list_dot_product(kv.kqv, kv.kqv) AS BIGINT) AS n2k
+        FROM members m JOIN kv ON kv.cid = m.cid
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cell, keeper_id,
+           CAST(CASE WHEN vec_id <> keeper_id AND dot > 0
+                      AND {SEMDEDUP_DEN2} * dot * dot >= {SEMDEDUP_NUM2} * n2v * n2k
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM d
+    """,
+)
+def semdedup_ivf(spark, sf_dir):
+    """Keeper-star semantic dedup within IVF cells: each vector is
+    compared to its cell's keeper (min vec_id) by exact integer cosine
+    cross-multiplication. One broadcast of the ≤N_CELLS keeper set;
+    the member side never self-joins, so the pass is linear in corpus
+    size — the property that makes SemDeDup runnable at 100 TB."""
+    members = _ivf_assign(spark, sf_dir).filter(F.col("crank") == 1)
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    keepers = members.groupBy("cid").agg(F.min("vec_id").alias("keeper_id"))
+    kv = keepers.join(
+        members.select(F.col("vec_id").alias("keeper_id"), F.col("cid"), F.col("qv").alias("kqv")),
+        ["cid", "keeper_id"],
+    )
+    d = members.join(F.broadcast(kv), "cid").select(
+        "vec_id",
+        "cid",
+        "keeper_id",
+        _dot(F.col("qv"), F.col("kqv")).alias("dot"),
+        _dot(F.col("qv"), F.col("qv")).alias("n2v"),
+        _dot(F.col("kqv"), F.col("kqv")).alias("n2k"),
+    )
+    dup = (
+        (F.col("vec_id") != F.col("keeper_id"))
+        & (F.col("dot") > 0)
+        & (
+            F.lit(SEMDEDUP_DEN2) * F.col("dot") * F.col("dot")
+            >= F.lit(SEMDEDUP_NUM2) * F.col("n2v") * F.col("n2k")
+        )
+    )
+    return d.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cell"),
+        "keeper_id",
+        dup.cast("long").alias("is_dup"),
+    )

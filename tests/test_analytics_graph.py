@@ -170,3 +170,45 @@ def test_pmi_pairs_are_canonical_and_scored(spark):
     assert scores == sorted(scores, reverse=True)
     for r in rows:
         assert r.w_a < r.w_b and r.n_ab > 0
+
+
+def test_semdedup_keeper_never_dup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.pipeline.similarity import semdedup_ivf
+
+    d = semdedup_ivf(spark, sf_dir)
+    assert d.count() == load_table(spark, sf_dir, "embeddings").count()
+    assert d.filter((F.col("vec_id") == F.col("keeper_id")) & (F.col("is_dup") != 0)).count() == 0
+    assert d.filter((F.col("cell") < 0) | (F.col("cell") > 15)).count() == 0
+    # keeper is the min id of its cell
+    mins = d.groupBy("cell").agg(F.min("vec_id").alias("m"), F.first("keeper_id").alias("k"))
+    assert mins.filter(F.col("m") != F.col("k")).count() == 0
+
+
+def test_clustering_coeff_bounds_and_triangle_consistency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.pipeline.graph import (
+        local_clustering_coeff,
+        triangle_count_neardup,
+    )
+
+    c = local_clustering_coeff(spark, sf_dir)
+    assert c.filter((F.col("clustering_ppm") < 0) | (F.col("clustering_ppm") > 1_000_000)).count() == 0
+    assert c.filter((F.col("n_triangles") == 0) & (F.col("clustering_ppm") != 0)).count() == 0
+    top = triangle_count_neardup(spark, sf_dir).select("vec_id", F.col("n_triangles").alias("t"))
+    j = top.join(c, "vec_id")
+    assert j.filter(F.col("t") != F.col("n_triangles")).count() == 0
+
+
+def test_degree_distribution_handshake(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.pipeline.graph import _edges_df, graph_degree_distribution
+
+    dist = graph_degree_distribution(spark, sf_dir)
+    total_degree = dist.agg(F.sum(F.col("degree") * F.col("n_nodes"))).first()[0]
+    n_edges = _edges_df(spark, sf_dir).count()
+    assert total_degree == 2 * n_edges
