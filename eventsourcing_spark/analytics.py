@@ -1374,3 +1374,52 @@ def value_hour_heatmap(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Running distinct-type count per user: "how much of the product has this
+# user touched by time T". COUNT(DISTINCT) over a running frame isn't
+# supported by either engine; the standard decomposition is first-occurrence
+# marking (rank 1 within (user, type)) + a running sum of the markers. Two
+# window exchanges — (user_id, event_type) then user_id — both pruned to
+# the same column set.
+# ---------------------------------------------------------------------------
+@query(
+    "running_distinct_types",
+    """
+    WITH m AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ms,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_ms(ts), event_id) AS rn_type
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN rn_type = 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ms, event_id)
+                AS BIGINT) AS distinct_types_seen
+    FROM m
+    """,
+)
+def running_distinct_types(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(ms, "event_id")
+    m = ev.select(
+        "event_id",
+        "user_id",
+        ms.alias("ms"),
+        F.row_number().over(w_type).alias("rn_type"),
+    )
+    w_user = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        F.sum(F.when(F.col("rn_type") == 1, 1).otherwise(0))
+        .over(w_user)
+        .cast("long")
+        .alias("distinct_types_seen"),
+    )

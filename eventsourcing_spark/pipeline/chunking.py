@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table
 from eventsourcing_spark.queries import query
 
 CHUNK_SIZE = 120
@@ -389,3 +389,137 @@ def contrastive_pairs(spark, sf_dir):
         "negative_md5", F.lead("positive_md5").over(w)
     )
     return shuffled.filter(F.col("negative_md5").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application — the *encode* step that pairs with
+# ``bpe_merge_pairs`` (the count step). Each word is exploded to a
+# space-separated char sequence (regexp boundary insertion), then a fixed
+# ordered merge list is applied as left-to-right non-overlapping string
+# replaces — byte-identical semantics in Spark and DuckDB (verified).
+# Map-only: tokenization compresses inside the scan stage; per-doc subword
+# counts before/after measure the merge table's compression.
+# ---------------------------------------------------------------------------
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def _apply_merges_sql(expr: str) -> str:
+    out = f"trim(regexp_replace({expr}, '(.)', '\\1 ', 'g'))"
+    for a, b in BPE_MERGES:
+        out = f"replace({out}, '{a} {b}', '{a}{b}')"
+    return out
+
+
+@query(
+    "bpe_apply_merges",
+    f"""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, word,
+               len(word) AS n_chars,
+               len(string_split({_apply_merges_sql('word')}, ' '))
+                   AS n_subwords
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+           CAST((sum(n_chars) - sum(n_subwords)) * 1000000
+                // sum(n_chars) AS BIGINT) AS compression_ppm
+    FROM m GROUP BY doc_id
+    """,
+)
+def bpe_apply_merges(spark, sf_dir):
+    """Apply a fixed 8-entry BPE merge table per word and account the
+    subword compression per document. The merge chain is plain string
+    replaces over an exploded char sequence — all inside the scan
+    stage; one keyed agg back to doc granularity. At 100 TB this is
+    the shape of tokenizer application: embarrassingly parallel text
+    transform + one rollup."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    seq = "trim(regexp_replace(word, '(.)', '$1 '))"
+    for a, b in BPE_MERGES:
+        seq = f"replace({seq}, '{a} {b}', '{a}{b}')"
+    m = t.select(
+        "doc_id",
+        F.length("word").alias("n_chars"),
+        F.size(F.split(F.expr(seq), " ")).alias("n_subwords"),
+    )
+    return m.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"),
+        F.expr(
+            "CAST((sum(n_chars) - sum(n_subwords)) * 1000000"
+            " div sum(n_chars) AS BIGINT)"
+        ).alias("compression_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate against a top-K corpus vocabulary: the vocabulary-coverage
+# audit run before fixing a tokenizer/vocab. Vocab = top-100 tokens by
+# global frequency (deterministic tie order); per-doc fraction of tokens
+# outside it. Two aggregations + one broadcast join of the 100-row vocab.
+# ---------------------------------------------------------------------------
+VOCAB_K = 100
+
+
+@query(
+    "oov_rate_topk_vocab",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS freq,
+                   row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+            FROM tok GROUP BY token
+        ) WHERE rk <= {VOCAB_K}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(count(*) FILTER (v.token IS NULL) AS BIGINT) AS n_oov,
+           CAST(count(*) FILTER (v.token IS NULL) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM tok t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.doc_id
+    """,
+)
+def oov_rate_topk_vocab(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate vs the corpus top-100 vocab.
+    The vocab is a 100-row TakeOrdered — broadcast to the token
+    explode, so the expensive side never shuffles for the membership
+    test; one rollup keyed by doc_id."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "token", "left")
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.sum(F.col("in_vocab").isNull().cast("long")).cast("long").alias("n_oov"),
+        F.expr(
+            "CAST(sum(CAST(in_vocab IS NULL AS BIGINT)) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("oov_ppm"),
+    )

@@ -104,3 +104,49 @@ def test_kmeans_inertia_non_increasing(spark):
     assert inertias == sorted(inertias, reverse=True) or all(
         a >= b - 1e-6 for a, b in zip(inertias, inertias[1:])
     )
+
+
+def test_bpe_apply_compression_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.pipeline.chunking import bpe_apply_merges
+
+    r = bpe_apply_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    assert r.count() == docs.count()
+    # merges only ever shrink: n_words <= n_subwords <= n_chars
+    bad = r.filter(
+        (F.col("n_subwords") > F.col("n_chars"))
+        | (F.col("n_subwords") < F.col("n_words"))
+        | (F.col("compression_ppm") < 0)
+        | (F.col("compression_ppm") >= 1_000_000)
+    )
+    assert bad.count() == 0
+
+
+def test_oov_rate_bounds_and_vocab_covers_common(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.pipeline.chunking import oov_rate_topk_vocab
+
+    r = oov_rate_topk_vocab(spark, sf_dir)
+    assert r.filter(F.col("n_oov") > F.col("n_tok")).count() == 0
+    assert r.filter((F.col("oov_ppm") < 0) | (F.col("oov_ppm") > 1_000_000)).count() == 0
+
+
+def test_running_distinct_types_monotone_final(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.analytics import running_distinct_types
+    from eventsourcing_spark.io import load_table
+
+    r = running_distinct_types(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # final value per user equals the true distinct-type count
+    final = r.groupBy("user_id").agg(F.max("distinct_types_seen").alias("got"))
+    truth = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("want")
+    )
+    assert final.join(truth, "user_id").filter(F.col("got") != F.col("want")).count() == 0
+    assert r.filter(F.col("distinct_types_seen") < 1).count() == 0
