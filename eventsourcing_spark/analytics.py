@@ -1423,3 +1423,96 @@ def running_distinct_types(spark, sf_dir):
         .cast("long")
         .alias("distinct_types_seen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness: the canonical engagement ratio. Two distinct-count
+# aggregations at different grains joined on the month key — the month side
+# is ≤ a few dozen rows, so the join broadcasts; ppm integer division keeps
+# the ratio engine-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "dau_mau_stickiness",
+    """
+    WITH d AS (
+        SELECT epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num,
+               year(ts) * 12 + month(ts) - 1 AS ym,
+               count(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT year(ts) * 12 + month(ts) - 1 AS ym,
+               count(DISTINCT user_id) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(d.day_num AS BIGINT) AS day_num,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+    FROM d JOIN m ON m.ym = d.ym
+    """,
+)
+def dau_mau_stickiness(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    day_num = F.expr("unix_millis(date_trunc('day', ts)) div 86400000")
+    ym = F.year("ts") * 12 + F.month("ts") - 1
+    d = ev.groupBy(day_num.alias("day_num"), ym.alias("ym")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    m = ev.groupBy(ym.alias("ym")).agg(F.countDistinct("user_id").alias("mau"))
+    return d.join(F.broadcast(m), "ym").select(
+        F.col("day_num").cast("long").alias("day_num"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("mau").cast("long").alias("mau"),
+        F.expr("CAST(dau * 1000000 div mau AS BIGINT)").alias("stickiness_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language × source contingency: independence audit of the corpus mix.
+# Integer form of the chi-square numerator: dev = N·n_ls − row·col per cell
+# (positive ⇒ over-represented). One count agg + two tiny marginal aggs
+# broadcast back — the fact table shuffles once.
+# ---------------------------------------------------------------------------
+@query(
+    "lang_source_contingency",
+    """
+    WITH c AS (
+        SELECT lang, source, count(*) AS n
+        FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, sum(n) AS row_total FROM c GROUP BY lang),
+    s AS (SELECT source, sum(n) AS col_total FROM c GROUP BY source),
+    t AS (SELECT sum(n) AS n_total FROM c)
+    SELECT c.lang, c.source,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(r.row_total AS BIGINT) AS row_total,
+           CAST(s.col_total AS BIGINT) AS col_total,
+           CAST(t.n_total AS BIGINT) AS n_total,
+           CAST(t.n_total * c.n - r.row_total * s.col_total AS BIGINT)
+               AS dev_scaled
+    FROM c JOIN r USING (lang) JOIN s USING (source) CROSS JOIN t
+    """,
+)
+def lang_source_contingency(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    r = c.groupBy("lang").agg(F.sum("n").alias("row_total"))
+    s = c.groupBy("source").agg(F.sum("n").alias("col_total"))
+    t = c.agg(F.sum("n").alias("n_total"))
+    return (
+        c.join(F.broadcast(r), "lang")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            F.col("n").cast("long").alias("n"),
+            F.col("row_total").cast("long").alias("row_total"),
+            F.col("col_total").cast("long").alias("col_total"),
+            F.col("n_total").cast("long").alias("n_total"),
+            (F.col("n_total") * F.col("n") - F.col("row_total") * F.col("col_total"))
+            .cast("long")
+            .alias("dev_scaled"),
+        )
+    )

@@ -523,3 +523,66 @@ def oov_rate_topk_vocab(spark, sf_dir):
             " div count(*) AS BIGINT)"
         ).alias("oov_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: corpus-token coverage at several vocab sizes.
+# Four top-K sums over the (small) frequency table unioned — no global
+# window over the vocabulary (which at web scale is 10⁸ terms); each branch
+# is a TakeOrdered of K rows + a scalar agg, and the total is one scalar.
+# ---------------------------------------------------------------------------
+COVERAGE_KS = [10, 50, 100, 500]
+
+
+def _coverage_oracle() -> str:
+    branches = "\n    UNION ALL\n".join(
+        f"""    SELECT {k} AS vocab_k,
+           (SELECT sum(freq) FROM
+             (SELECT freq FROM f ORDER BY freq DESC, token LIMIT {k}))
+               AS covered"""
+        for k in COVERAGE_KS
+    )
+    return f"""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    f AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+    t AS (SELECT sum(freq) AS total_tokens FROM f),
+    ks AS (
+{branches}
+    )
+    SELECT CAST(vocab_k AS BIGINT) AS vocab_k,
+           CAST(covered AS BIGINT) AS covered,
+           CAST(t.total_tokens AS BIGINT) AS total_tokens,
+           CAST(covered * 1000000 // t.total_tokens AS BIGINT)
+               AS coverage_ppm
+    FROM ks CROSS JOIN t
+    """
+
+
+@query("vocab_coverage_curve", _coverage_oracle())
+def vocab_coverage_curve(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    f = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    total = f.agg(F.sum("freq").alias("total_tokens"))
+    branches = None
+    for k in COVERAGE_KS:
+        topk = (
+            f.orderBy(F.desc("freq"), F.asc("token"))
+            .limit(k)
+            .agg(F.sum("freq").alias("covered"))
+            .select(F.lit(k).cast("long").alias("vocab_k"), "covered")
+        )
+        branches = topk if branches is None else branches.unionAll(topk)
+    return branches.crossJoin(F.broadcast(total)).select(
+        "vocab_k",
+        F.col("covered").cast("long").alias("covered"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.expr("CAST(covered * 1000000 div total_tokens AS BIGINT)").alias(
+            "coverage_ppm"
+        ),
+    )

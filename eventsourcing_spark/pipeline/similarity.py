@@ -914,3 +914,46 @@ def semdedup_ivf(spark, sf_dir):
         "keeper_id",
         dup.cast("long").alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimension-wise embedding statistics: the QA pass that catches dead or
+# exploding dimensions before any index build. posexplode → one agg keyed
+# by dimension (64 groups); all moments are exact integer sums over the
+# ×1000-quantized values, so the variance numerator n·Σx²−(Σx)² is
+# engine-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "emb_dimension_stats",
+    f"""
+    WITH x AS (
+        SELECT g.i AS dim,
+               CAST(round(embedding[g.i] * 1000) AS BIGINT) AS q
+        FROM embeddings CROSS JOIN generate_series(1, {DIM}) g(i)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(q * q) AS BIGINT) AS sumsq_q,
+           CAST(min(q) AS BIGINT) AS min_q,
+           CAST(max(q) AS BIGINT) AS max_q,
+           CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS BIGINT)
+               AS var_numerator
+    FROM x GROUP BY dim
+    """,
+)
+def emb_dimension_stats(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    x = emb.select(
+        F.posexplode(_quant(F.col("embedding"))).alias("pos", "q")
+    ).select((F.col("pos") + 1).alias("dim"), "q")
+    return x.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sumsq_q"),
+        F.min("q").cast("long").alias("min_q"),
+        F.max("q").cast("long").alias("max_q"),
+        F.expr(
+            "CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS BIGINT)"
+        ).alias("var_numerator"),
+    )

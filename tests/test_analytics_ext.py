@@ -74,3 +74,52 @@ def test_yoy_delta_identity_and_total(spark, sf_dir):
     expect = orders.agg(F.sum(F.col("o_totalprice").cast(DEC))).first()[0]
     got = y.agg(F.sum(F.col("revenue").cast(DEC))).first()[0]
     assert float(got) == float(expect)
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    from eventsourcing_spark.analytics import dau_mau_stickiness
+
+    r = dau_mau_stickiness(spark, sf_dir)
+    assert r.filter(F.col("dau") > F.col("mau")).count() == 0
+    assert r.filter(
+        (F.col("stickiness_ppm") < 0) | (F.col("stickiness_ppm") > 1_000_000)
+    ).count() == 0
+
+
+def test_contingency_marginals(spark, sf_dir):
+    from eventsourcing_spark.analytics import lang_source_contingency
+
+    c = lang_source_contingency(spark, sf_dir)
+    # cell counts per lang must sum to the row_total carried on each cell
+    rows = c.groupBy("lang").agg(
+        F.sum("n").alias("s"), F.first("row_total").alias("rt")
+    )
+    assert rows.filter(F.col("s") != F.col("rt")).count() == 0
+    # n_total on every cell equals the corpus size, and cell counts sum to it
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert c.filter(F.col("n_total") != n_docs).count() == 0
+    assert c.agg(F.sum("n")).first()[0] == n_docs
+
+
+def test_dimension_stats_shape(spark, sf_dir):
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.pipeline.similarity import emb_dimension_stats
+
+    d = emb_dimension_stats(spark, sf_dir)
+    rows = d.collect()
+    assert len(rows) == 64
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    for r in rows:
+        assert r.n == n_vec
+        assert r.min_q <= r.max_q
+        assert r.var_numerator >= 0
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    from eventsourcing_spark.pipeline.chunking import vocab_coverage_curve
+
+    rows = vocab_coverage_curve(spark, sf_dir).orderBy("vocab_k").collect()
+    cov = [r.coverage_ppm for r in rows]
+    assert cov == sorted(cov)
+    assert all(0 <= c <= 1_000_000 for c in cov)
+    assert all(r.covered <= r.total_tokens for r in rows)
