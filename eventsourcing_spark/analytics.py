@@ -1516,3 +1516,64 @@ def lang_source_contingency(spark, sf_dir):
             .alias("dev_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration: the top-decile users' share of total value (one
+# Lorenz-curve point). No global ntile over all users (an unpartitioned
+# window — the anti-pattern at 10⁹ users); the top decile is a TakeOrdered
+# of k rows + two scalar aggregates. k is computed from a count action at
+# plan-build time — a metadata-sized read, same technique as the inlined
+# k-means centroids.
+# ---------------------------------------------------------------------------
+@query(
+    "value_pareto_share",
+    """
+    WITH u AS (
+        SELECT user_id,
+               sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM events GROUP BY user_id
+    ),
+    n AS (SELECT count(*) AS n_users FROM u),
+    k AS (SELECT (n_users + 9) // 10 AS k FROM n),
+    top AS (
+        SELECT sum(cents) AS top_cents FROM (
+            SELECT cents FROM u ORDER BY cents DESC, user_id
+            LIMIT (SELECT k FROM k)
+        )
+    ),
+    tot AS (SELECT sum(cents) AS total_cents FROM u)
+    SELECT CAST(n.n_users AS BIGINT) AS n_users,
+           CAST(k.k AS BIGINT) AS top_users,
+           CAST(top.top_cents AS BIGINT) AS top_cents,
+           CAST(tot.total_cents AS BIGINT) AS total_cents,
+           CAST(top.top_cents * 1000000 // tot.total_cents AS BIGINT)
+               AS share_ppm
+    FROM n CROSS JOIN k CROSS JOIN top CROSS JOIN tot
+    """,
+)
+def value_pareto_share(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    u = ev.groupBy("user_id").agg(F.sum(cents).alias("cents"))
+    n_users = u.count()
+    k = (n_users + 9) // 10
+    top = (
+        u.orderBy(F.desc("cents"), F.asc("user_id"))
+        .limit(k)
+        .agg(F.sum("cents").alias("top_cents"))
+    )
+    tot = u.agg(F.sum("cents").alias("total_cents"))
+    return (
+        top.crossJoin(tot)
+        .select(
+            F.lit(n_users).cast("long").alias("n_users"),
+            F.lit(k).cast("long").alias("top_users"),
+            F.col("top_cents").cast("long").alias("top_cents"),
+            F.col("total_cents").cast("long").alias("total_cents"),
+            F.expr(
+                "CAST(top_cents * 1000000 div total_cents AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

@@ -1156,3 +1156,102 @@ def monthly_revenue_yoy(spark, sf_dir):
         .cast("double")
         .alias("yoy_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join fan-out profile: the lines-per-order distribution. This is the
+# statistic a planner (or a human sizing a 100 TB join) reads to predict
+# join multiplicity and skew — two cheap aggregations, the second over
+# the already-tiny distinct-fanout domain.
+# ---------------------------------------------------------------------------
+@query(
+    "join_fanout_profile",
+    """
+    WITH f AS (
+        SELECT l_orderkey, count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM f GROUP BY n_lines
+    """,
+)
+def join_fanout_profile(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return f.groupBy(F.col("n_lines").cast("long").alias("n_lines")).agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-segment account-balance quartiles: ntile *partitioned* by market
+# segment (bounded per-partition sort), with a total tie order so bucket
+# boundaries are engine-identical; rollup emits the quartile summary.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_balance_quartiles",
+    f"""
+    WITH q AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer
+    )
+    SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(max(c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(sum(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS sum_bal
+    FROM q GROUP BY c_mktsegment, quartile
+    """,
+)
+def customer_balance_quartiles(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    q = cust.select(
+        "c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+    return q.groupBy(
+        "c_mktsegment", F.col("quartile").cast("long").alias("quartile")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-priority mix per year with within-year share: the composition
+# trend report. Fact table shuffles once on (year, priority); the year
+# totals are a tiny agg broadcast back — never a window over the facts.
+# ---------------------------------------------------------------------------
+@query(
+    "priority_mix_by_year",
+    """
+    WITH c AS (
+        SELECT year(o_orderdate) AS yr, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    t AS (SELECT yr, sum(n) AS yr_total FROM c GROUP BY yr)
+    SELECT CAST(c.yr AS BIGINT) AS yr, c.o_orderpriority,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(t.yr_total AS BIGINT) AS yr_total,
+           CAST(c.n * 1000000 // t.yr_total AS BIGINT) AS share_ppm
+    FROM c JOIN t USING (yr)
+    """,
+)
+def priority_mix_by_year(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+    t = c.groupBy("yr").agg(F.sum("n").alias("yr_total"))
+    return c.join(F.broadcast(t), "yr").select(
+        F.col("yr").cast("long").alias("yr"),
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.col("yr_total").cast("long").alias("yr_total"),
+        F.expr("CAST(n * 1000000 div yr_total AS BIGINT)").alias("share_ppm"),
+    )

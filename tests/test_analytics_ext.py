@@ -123,3 +123,50 @@ def test_vocab_coverage_monotone(spark, sf_dir):
     assert cov == sorted(cov)
     assert all(0 <= c <= 1_000_000 for c in cov)
     assert all(r.covered <= r.total_tokens for r in rows)
+
+
+def test_pareto_share_bounds(spark, sf_dir):
+    from eventsourcing_spark.analytics import value_pareto_share
+
+    r = value_pareto_share(spark, sf_dir).first()
+    assert r.top_users == (r.n_users + 9) // 10
+    assert 0 < r.top_cents <= r.total_cents
+    # top decile must hold at least its proportional share
+    assert r.share_ppm >= 100_000
+
+
+def test_fanout_profile_accounts_all_lines(spark, sf_dir):
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.tpch import join_fanout_profile
+
+    p = join_fanout_profile(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    total = p.agg(F.sum(F.col("n_lines") * F.col("n_orders"))).first()[0]
+    assert total == li.count()
+
+
+def test_quartiles_cover_segments(spark, sf_dir):
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.tpch import customer_balance_quartiles
+
+    q = customer_balance_quartiles(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    assert q.agg(F.sum("n")).first()[0] == cust.count()
+    # quartile boundaries are ordered within each segment
+    rows = q.orderBy("c_mktsegment", "quartile").collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for seg_rows in by_seg.values():
+        for a, b in zip(seg_rows, seg_rows[1:]):
+            assert a.min_bal <= b.min_bal
+
+
+def test_priority_mix_shares_sum(spark, sf_dir):
+    from eventsourcing_spark.tpch import priority_mix_by_year
+
+    m = priority_mix_by_year(spark, sf_dir)
+    per_year = m.groupBy("yr").agg(
+        F.sum("n").alias("s"), F.first("yr_total").alias("t")
+    )
+    assert per_year.filter(F.col("s") != F.col("t")).count() == 0
