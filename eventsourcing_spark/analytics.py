@@ -1577,3 +1577,115 @@ def value_pareto_share(spark, sf_dir):
             ).alias("share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekend lift per event type: weekday-vs-weekend mean comparison without
+# floats — both means stay as (cents, n) pairs and the lift compares by
+# cross-multiplication; the reported lift is ppm of the weekday mean,
+# computed in one integer expression. One conditional aggregation pass.
+# ---------------------------------------------------------------------------
+@query(
+    "weekend_lift_by_type",
+    """
+    WITH c AS (
+        SELECT event_type,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wkend,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN wkend = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekday,
+           CAST(sum(CASE WHEN wkend = 0 THEN cents ELSE 0 END) AS BIGINT) AS weekday_cents,
+           CAST(sum(CASE WHEN wkend = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+           CAST(sum(CASE WHEN wkend = 1 THEN cents ELSE 0 END) AS BIGINT) AS weekend_cents,
+           CAST(sum(CASE WHEN wkend = 1 THEN cents ELSE 0 END)
+                * sum(CASE WHEN wkend = 0 THEN 1 ELSE 0 END) * 1000000
+                // (sum(CASE WHEN wkend = 0 THEN cents ELSE 0 END)
+                    * sum(CASE WHEN wkend = 1 THEN 1 ELSE 0 END))
+               AS BIGINT) AS lift_ppm
+    FROM c GROUP BY event_type
+    """,
+)
+def weekend_lift_by_type(spark, sf_dir):
+    """DuckDB dayofweek: Sunday=0..Saturday=6; Spark dayofweek:
+    Sunday=1..Saturday=7 — normalized here to the same weekend set."""
+    ev = load_table(spark, sf_dir, "events")
+    wkend = F.dayofweek("ts").isin(1, 7).cast("long")  # Sun=1, Sat=7
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    c = ev.select("event_type", wkend.alias("wkend"), cents.alias("cents"))
+    n_wd = F.sum(F.when(F.col("wkend") == 0, 1).otherwise(0))
+    c_wd = F.sum(F.when(F.col("wkend") == 0, F.col("cents")).otherwise(0))
+    n_we = F.sum(F.when(F.col("wkend") == 1, 1).otherwise(0))
+    c_we = F.sum(F.when(F.col("wkend") == 1, F.col("cents")).otherwise(0))
+    return c.groupBy("event_type").agg(
+        n_wd.cast("long").alias("n_weekday"),
+        c_wd.cast("long").alias("weekday_cents"),
+        n_we.cast("long").alias("n_weekend"),
+        c_we.cast("long").alias("weekend_cents"),
+        F.expr(
+            "CAST(sum(CASE WHEN wkend = 1 THEN cents ELSE 0 END)"
+            " * sum(CASE WHEN wkend = 0 THEN 1 ELSE 0 END) * 1000000"
+            " div (sum(CASE WHEN wkend = 0 THEN cents ELSE 0 END)"
+            "      * sum(CASE WHEN wkend = 1 THEN 1 ELSE 0 END))"
+            " AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-conversion per signup cohort week: per user the first signup and
+# the first purchase at-or-after it; cohort rollup emits conversion counts
+# and the exact median lag in hours. Conditional-min aggregation per user
+# (one shuffle) + a small cohort agg — no self-join of the fact table.
+# ---------------------------------------------------------------------------
+@query(
+    "time_to_conversion_stats",
+    """
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+                   AS signup_ms
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               min(epoch_ms(e.ts)) AS first_purchase_ms
+        FROM events e JOIN u ON u.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_ms(e.ts) >= u.signup_ms
+        GROUP BY e.user_id
+    )
+    SELECT CAST(u.signup_ms // 604800000 AS BIGINT) AS cohort_week,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(p.first_purchase_ms) AS BIGINT) AS n_converted,
+           CAST(quantile_cont((p.first_purchase_ms - u.signup_ms) // 3600000,
+                              0.5) AS DOUBLE) AS median_hours
+    FROM u LEFT JOIN p ON p.user_id = u.user_id
+    WHERE u.signup_ms IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def time_to_conversion_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", ms)).alias("signup_ms")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", ms.alias("pms"))
+        .join(u, "user_id")
+        .filter(F.col("pms") >= F.col("signup_ms"))
+        .groupBy("user_id")
+        .agg(F.min("pms").alias("first_purchase_ms"))
+    )
+    j = u.filter(F.col("signup_ms").isNotNull()).join(p, "user_id", "left")
+    lag_hours = F.expr("(first_purchase_ms - signup_ms) div 3600000")
+    return j.groupBy(
+        F.expr("signup_ms div 604800000").cast("long").alias("cohort_week")
+    ).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("first_purchase_ms").cast("long").alias("n_converted"),
+        F.percentile(lag_hours, 0.5).cast("double").alias("median_hours"),
+    )

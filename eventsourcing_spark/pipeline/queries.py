@@ -1089,3 +1089,51 @@ def bigram_lm_score(spark, sf_dir):
         "n_pairs",
         F.expr("(1000000 * fam) div n_pairs").alias("lm_familiarity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup rate per source: the exact-dedup sweep rolled up to the source
+# dimension — the per-provider quality scorecard a curation run reports.
+# Reuses the dedup_exact shape (one shuffle on the content hash) and joins
+# the keeper verdict back to source granularity.
+# ---------------------------------------------------------------------------
+@query(
+    "dup_rate_by_source",
+    """
+    WITH h AS (
+        SELECT doc_id, source, md5(text) AS text_hash FROM documents
+    ),
+    g AS (
+        SELECT text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM h GROUP BY text_hash
+    )
+    SELECT h.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (h.doc_id <> g.keeper_id) AS BIGINT)
+               AS n_dropped,
+           CAST(count(*) FILTER (g.n_copies > 1) AS BIGINT)
+               AS n_in_dup_families,
+           CAST(count(*) FILTER (h.doc_id <> g.keeper_id) * 1000000
+                // count(*) AS BIGINT) AS drop_ppm
+    FROM h JOIN g USING (text_hash)
+    GROUP BY h.source
+    """,
+)
+def dup_rate_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5("text").alias("text_hash"))
+    g = h.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+    j = h.join(g, "text_hash")
+    dropped = (F.col("doc_id") != F.col("keeper_id")).cast("long")
+    in_fam = (F.col("n_copies") > 1).cast("long")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(dropped).cast("long").alias("n_dropped"),
+        F.sum(in_fam).cast("long").alias("n_in_dup_families"),
+        F.expr(
+            "CAST(sum(CAST(doc_id <> keeper_id AS BIGINT)) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("drop_ppm"),
+    )

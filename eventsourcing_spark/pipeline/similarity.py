@@ -957,3 +957,59 @@ def emb_dimension_stats(spark, sf_dir):
             "CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS BIGINT)"
         ).alias("var_numerator"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-label centroid distances: the class-separability audit. Centroids
+# are floor-quantized integer vectors (sum·1000 div n per dimension — the
+# same trick that makes k-means oracle-exact), and the pairwise stage runs
+# on the 10-label long form: |labels|²·DIM tiny rows, never touching the
+# corpus again.
+# ---------------------------------------------------------------------------
+@query(
+    "label_centroid_distances",
+    f"""
+    WITH x AS (
+        SELECT label, g.i AS dim,
+               CAST(round(embedding[g.i] * 1000) AS BIGINT) AS q
+        FROM embeddings CROSS JOIN generate_series(1, {DIM}) g(i)
+    ),
+    c AS (
+        SELECT label, dim,
+               sum(q) * 1000 // count(*) AS cq
+        FROM x GROUP BY label, dim
+    )
+    SELECT CAST(a.label AS BIGINT) AS label_a,
+           CAST(b.label AS BIGINT) AS label_b,
+           CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS dist2_q
+    FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def label_centroid_distances(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    x = emb.select(
+        "label", F.posexplode(_quant(F.col("embedding"))).alias("pos", "q")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "q")
+    c = x.groupBy("label", "dim").agg(
+        F.expr("sum(q) * 1000 div count(*)").alias("cq")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").cast("long").alias("label_a"),
+            F.col("b.label").cast("long").alias("label_b"),
+        )
+        .agg(
+            F.sum(
+                (F.col("a.cq") - F.col("b.cq")) * (F.col("a.cq") - F.col("b.cq"))
+            )
+            .cast("long")
+            .alias("dist2_q")
+        )
+    )

@@ -170,3 +170,47 @@ def test_priority_mix_shares_sum(spark, sf_dir):
         F.sum("n").alias("s"), F.first("yr_total").alias("t")
     )
     assert per_year.filter(F.col("s") != F.col("t")).count() == 0
+
+
+def test_weekend_lift_accounts_all(spark, sf_dir):
+    from eventsourcing_spark.analytics import weekend_lift_by_type
+
+    w = weekend_lift_by_type(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    assert w.agg(F.sum(F.col("n_weekday") + F.col("n_weekend"))).first()[0] == ev.count()
+    assert w.filter(F.col("lift_ppm") <= 0).count() == 0
+
+
+def test_time_to_conversion_counts(spark, sf_dir):
+    from eventsourcing_spark.analytics import time_to_conversion_stats
+
+    t = time_to_conversion_stats(spark, sf_dir)
+    assert t.filter(F.col("n_converted") > F.col("n_users")).count() == 0
+    ev = load_table(spark, sf_dir, "events")
+    n_signup_users = (
+        ev.filter(F.col("event_type") == "signup").select("user_id").distinct().count()
+    )
+    assert t.agg(F.sum("n_users")).first()[0] == n_signup_users
+
+
+def test_dup_rate_consistency(spark, sf_dir):
+    from eventsourcing_spark.pipeline.queries import dedup_exact, dup_rate_by_source
+
+    d = dup_rate_by_source(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    assert d.agg(F.sum("n_docs")).first()[0] == docs.count()
+    # total dropped across sources == corpus minus distinct contents
+    n_distinct = dedup_exact(spark, sf_dir).count()
+    assert d.agg(F.sum("n_dropped")).first()[0] == docs.count() - n_distinct
+    assert d.filter(F.col("n_dropped") > F.col("n_in_dup_families")).count() == 0
+
+
+def test_label_centroid_distances_symmetric_complete(spark, sf_dir):
+    from eventsourcing_spark.io import load_table as lt
+    from eventsourcing_spark.pipeline.similarity import label_centroid_distances
+
+    d = label_centroid_distances(spark, sf_dir)
+    n_labels = lt(spark, sf_dir, "embeddings").select("label").distinct().count()
+    assert d.count() == n_labels * (n_labels - 1) // 2
+    assert d.filter(F.col("dist2_q") < 0).count() == 0
+    assert d.filter(F.col("label_a") >= F.col("label_b")).count() == 0
