@@ -635,11 +635,20 @@ def ann_lsh_multiprobe(spark, sf_dir):
 # subspace (integer squared-L2, ties to the lowest code), emit the
 # 8-code word plus the total quantization error. 64 floats → 8 codes =
 # 2 bits/dim here (toy K; production uses K=256 = 1 byte/subspace —
-# same plan shape, bigger CASE). Assignment is map-only against literal
-# codebooks, exactly like the k-means assignment stage; at serving time
-# distances come from per-subspace lookup tables and never touch the
-# raw vectors. The argmin CASE chains are generated once and shared
-# verbatim between the Spark plan and the oracle.
+# same plan shape, bigger codebook). Assignment is map-only against
+# literal codebooks, exactly like the k-means assignment stage; at
+# serving time distances come from per-subspace lookup tables and never
+# touch the raw vectors.
+#
+# Spark side uses higher-order array functions (transform/zip_with/
+# aggregate over a literal codebook array) instead of an unrolled CASE
+# chain: the unrolled form exceeded the JVM's 64 KB method limit, so
+# whole-stage codegen failed to compile and execution silently fell
+# back to interpreted mode — correct but the slow path at scale. The
+# HOF form stays tiny regardless of M×K, which is exactly what matters
+# when K grows to the production 256. The DuckDB oracle keeps the
+# expanded arithmetic; both sides are exact int64, ties to the lowest
+# code (array_position returns the FIRST index of the min).
 # ---------------------------------------------------------------------------
 
 PQ_M = 8          # subspaces
@@ -685,7 +694,29 @@ def _pq_mins_sql(base: int) -> str:
 
 
 _PQ_CODES_DUCK, _PQ_ERR_DUCK = _pq_exprs(base=1)
-_PQ_CODES_SPARK, _PQ_ERR_SPARK = _pq_exprs(base=0)
+
+
+def _pq_sub_dists(qv, m: int):
+    """Array of K squared-L2 distances: subspace m of qv vs each centroid.
+
+    Compact higher-order-function form — O(1) generated code regardless
+    of K, unlike the unrolled arithmetic (which broke codegen).
+    """
+    cb = F.array(
+        *[
+            F.array(*[F.lit(v).cast("long") for v in PQ_CODEBOOKS[m][c]])
+            for c in range(PQ_K)
+        ]
+    )
+    sub = F.slice(qv, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    return F.transform(
+        cb,
+        lambda cent: F.aggregate(
+            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 @query(
@@ -707,25 +738,25 @@ _PQ_CODES_SPARK, _PQ_ERR_SPARK = _pq_exprs(base=0)
 def pq_encode(spark, sf_dir):
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    mins = q.select(
+    d = q.select(
         "vec_id",
-        "qv",
+        *[_pq_sub_dists(F.col("qv"), m).alias(f"d{m}") for m in range(PQ_M)],
+    )
+    err = F.array_min(F.col("d0"))
+    for m in range(1, PQ_M):
+        err = err + F.array_min(F.col(f"d{m}"))
+    return d.select(
+        "vec_id",
         *[
-            F.expr(
-                "least("
-                + ", ".join(_pq_dist_sql(m, c, base=0) for c in range(PQ_K))
-                + ")"
-            ).alias(f"__mn{m}")
+            (
+                F.array_position(F.col(f"d{m}"), F.array_min(F.col(f"d{m}")))
+                - 1
+            )
+            .cast("long")
+            .alias(f"code{m}")
             for m in range(PQ_M)
         ],
-    )
-    return mins.select(
-        "vec_id",
-        *[
-            F.expr(c).cast("long").alias(f"code{m}")
-            for m, c in enumerate(_PQ_CODES_SPARK)
-        ],
-        F.expr(_PQ_ERR_SPARK).cast("long").alias("quant_err"),
+        err.cast("long").alias("quant_err"),
     )
 
 
@@ -791,37 +822,43 @@ def pq_adc_topk(spark, sf_dir):
 
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    mins = q.select(
+    codes = q.select(
         "vec_id",
-        "qv",
         *[
-            F.expr(
-                "least("
-                + ", ".join(_pq_dist_sql(m, c, base=0) for c in range(PQ_K))
-                + ")"
-            ).alias(f"__mn{m}")
+            (
+                F.array_position(
+                    _pq_sub_dists(F.col("qv"), m),
+                    F.array_min(_pq_sub_dists(F.col("qv"), m)),
+                )
+                - 1
+            )
+            .cast("long")
+            .alias(f"code{m}")
             for m in range(PQ_M)
         ],
     )
-    codes = mins.select(
-        "vec_id",
+    # Each probe's 8×K distance table is materialized as array columns
+    # once on the (broadcast) probe side; the big scan only gathers
+    # table[code] per subspace — the real ADC access pattern.
+    probes = q.filter(F.col("vec_id") < PQ_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
         *[
-            F.expr(c).cast("long").alias(f"code{m}")
-            for m, c in enumerate(_PQ_CODES_SPARK)
+            _pq_sub_dists(F.col("qv"), m).alias(f"tbl{m}")
+            for m in range(PQ_M)
         ],
     )
-    probes = q.filter(F.col("vec_id") < PQ_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pq")
-    )
+    adc = F.element_at("tbl0", (F.col("code0") + 1).cast("int"))
+    for m in range(1, PQ_M):
+        adc = adc + F.element_at(
+            f"tbl{m}", (F.col(f"code{m}") + 1).cast("int")
+        )
     scored = (
         codes.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             F.col("vec_id").alias("candidate_id"),
-            F.expr(_adc_sql(base=0, pq="pq", code_prefix="code"))
-            .cast("long")
-            .alias("adc_dist"),
+            adc.cast("long").alias("adc_dist"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy("adc_dist", "candidate_id")
