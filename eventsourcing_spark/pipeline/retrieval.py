@@ -355,3 +355,324 @@ def build_postings_lists(spark, sf_dir):
             )
         ).alias("postings_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage ANN serving pipeline: approximate shortlist → exact rerank.
+# The canonical vector-retrieval architecture (FAISS coarse+refine,
+# DiskANN's PQ-then-full-precision pass): stage 1 scores EVERY candidate
+# in the cheap 16-dim random-projection space (¼ the flops, ¼ the bytes
+# moved) and keeps a per-probe shortlist; stage 2 re-scores only the
+# shortlist with the exact 64-dim dot product.
+#
+# Scale shape — the part that matters at 100 TB: the stage-1 ranking
+# shuffle carries (probe_id, candidate_id, approx_score) — 3 scalars per
+# row, never the vectors; the shortlist (probes × 25 rows) is then
+# joined BACK to the vector table for exact scoring, so full-precision
+# vectors are only ever read for shortlist members (broadcast semi-join
+# drives partition pruning on a bucketed-by-vec_id layout). Integer-
+# exact both stages, ties to the lowest candidate id.
+# ---------------------------------------------------------------------------
+
+RERANK_PROBES = 3
+RERANK_SHORTLIST = 25
+RERANK_K = 5
+
+_PV_SQL = "[" + ", ".join(
+    "CAST(list_dot_product("
+    + _quant_sql("embedding")
+    + ", ["
+    + ", ".join(str(v) for v in plane)
+    + "]) AS BIGINT)"
+    for plane in PROJ_PLANES
+) + "]"
+
+
+@query(
+    "ann_rerank_pipeline",
+    f"""
+    WITH pv AS (SELECT vec_id, {_PV_SQL} AS pv FROM embeddings),
+    q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, pv AS ppv FROM pv
+        WHERE vec_id < {RERANK_PROBES}
+    ),
+    s1 AS (
+        SELECT p.probe_id, c.vec_id AS candidate_id,
+               CAST(list_dot_product(c.pv, p.ppv) AS BIGINT) AS approx_score
+        FROM pv c CROSS JOIN probes p WHERE c.vec_id != p.probe_id
+    ),
+    r1 AS (
+        SELECT probe_id, candidate_id, approx_score,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                    ORDER BY approx_score DESC, candidate_id) AS BIGINT)
+                 AS stage1_rank
+        FROM s1 QUALIFY stage1_rank <= {RERANK_SHORTLIST}
+    ),
+    s2 AS (
+        SELECT r1.probe_id, r1.candidate_id, r1.approx_score, r1.stage1_rank,
+               CAST(list_dot_product(cq.qv, pq.qv) AS BIGINT) AS exact_score
+        FROM r1
+        JOIN q cq ON cq.vec_id = r1.candidate_id
+        JOIN q pq ON pq.vec_id = r1.probe_id
+    )
+    SELECT probe_id, candidate_id, approx_score, stage1_rank, exact_score,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY exact_score DESC, candidate_id) AS BIGINT)
+             AS final_rank
+    FROM s2 QUALIFY final_rank <= {RERANK_K}
+    """,
+)
+def ann_rerank_pipeline(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    pvcols = []
+    for plane in PROJ_PLANES:
+        lit = F.array(*[F.lit(v) for v in plane])
+        pvcols.append(
+            F.aggregate(
+                F.zip_with("qv", lit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    pv = q.select("vec_id", F.array(*pvcols).alias("pv"))
+    probes = pv.filter(F.col("vec_id") < RERANK_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("pv").alias("ppv")
+    )
+    s1 = (
+        pv.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("candidate_id"),
+            F.aggregate(
+                F.zip_with("pv", "ppv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("approx_score"),
+        )
+    )
+    w1 = Window.partitionBy("probe_id").orderBy(
+        F.desc("approx_score"), F.asc("candidate_id")
+    )
+    r1 = (
+        s1.withColumn("stage1_rank", F.row_number().over(w1).cast("long"))
+        .filter(F.col("stage1_rank") <= RERANK_SHORTLIST)
+    )
+    # exact vectors fetched only for shortlist members: broadcast the
+    # tiny shortlist, let it semi-drive the vector-table join
+    cq = q.select(F.col("vec_id").alias("candidate_id"), F.col("qv").alias("cqv"))
+    pq = q.filter(F.col("vec_id") < RERANK_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
+    )
+    s2 = (
+        cq.join(F.broadcast(r1), "candidate_id")
+        .join(F.broadcast(pq), "probe_id")
+        .select(
+            "probe_id",
+            "candidate_id",
+            "approx_score",
+            "stage1_rank",
+            F.aggregate(
+                F.zip_with("cqv", "pqv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("exact_score"),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.desc("exact_score"), F.asc("candidate_id")
+    )
+    return (
+        s2.withColumn("final_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("final_rank") <= RERANK_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR — Maximal Marginal Relevance diversified top-k (Carbonell &
+# Goldstein, SIGIR'98): greedily pick argmax of
+#   mmr(c) = 7·rel(c) − 3·max_{s ∈ selected} sim(c, s)      (λ = 0.7)
+# over a per-probe shortlist, so the result set trades pure relevance
+# for novelty. This is the standard last-step reranker for RAG context
+# assembly and dedup-aware search UIs.
+#
+# Scale shape: the DISTRIBUTED work is shortlist generation (same plan
+# as ann_rerank_pipeline — rank shuffle carries scalars only); the
+# greedy loop is inherently sequential in k but runs per probe on ≤20
+# candidates, so it parallelizes across probes via applyInPandas (one
+# tiny Arrow batch per probe — millions of concurrent queries would
+# each be one group). Integer-exact: rel and sim are int64 dots of the
+# ×1000-quantized vectors, ties to the lowest candidate id.
+#
+# The DuckDB oracle unrolls the k greedy steps as generated CTEs
+# (pick-1 … pick-5), each step joining the selected rows back for the
+# max-sim term — same arithmetic, flat SQL.
+# ---------------------------------------------------------------------------
+
+MMR_PROBES = 3
+MMR_POOL = 20
+MMR_K = 5
+MMR_LNUM, MMR_LDEN = 7, 3  # λ = 0.7 as integer weights
+
+
+def _mmr_oracle_sql() -> str:
+    dot = "CAST(list_dot_product({a}, {b}) AS BIGINT)"
+    parts = [
+        f"""
+    q AS (SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings),
+    probes AS (
+        SELECT vec_id AS probe_id, qv AS pqv FROM q
+        WHERE vec_id < {MMR_PROBES}
+    ),
+    rel AS (
+        SELECT probe_id, cid, rel, qv FROM (
+            SELECT p.probe_id, c.vec_id AS cid,
+                   {dot.format(a="c.qv", b="p.pqv")} AS rel, c.qv,
+                   row_number() OVER (PARTITION BY p.probe_id
+                        ORDER BY {dot.format(a="c.qv", b="p.pqv")} DESC,
+                                 c.vec_id) AS rn
+            FROM q c CROSS JOIN probes p WHERE c.vec_id != p.probe_id
+        ) WHERE rn <= {MMR_POOL}
+    ),
+    p1 AS (
+        SELECT probe_id, cid, rel FROM (
+            SELECT probe_id, cid, rel,
+                   row_number() OVER (PARTITION BY probe_id
+                        ORDER BY rel DESC, cid) AS rn
+            FROM rel
+        ) WHERE rn = 1
+    )"""
+    ]
+    for i in range(2, MMR_K + 1):
+        joins, excls, dots = [], [], []
+        for j in range(1, i):
+            joins.append(
+                f"JOIN p{j} pj{j} ON pj{j}.probe_id = r.probe_id "
+                f"JOIN rel s{j} ON s{j}.probe_id = r.probe_id "
+                f"AND s{j}.cid = pj{j}.cid"
+            )
+            excls.append(f"r.cid != pj{j}.cid")
+            dots.append(dot.format(a="r.qv", b=f"s{j}.qv"))
+        greatest = dots[0] if len(dots) == 1 else f"GREATEST({', '.join(dots)})"
+        parts.append(
+            f"""
+    m{i} AS (
+        SELECT r.probe_id, r.cid, r.rel, {greatest} AS max_sim
+        FROM rel r {' '.join(joins)}
+        WHERE {' AND '.join(excls)}
+    ),
+    p{i} AS (
+        SELECT probe_id, cid, rel, max_sim FROM (
+            SELECT probe_id, cid, rel, max_sim,
+                   row_number() OVER (PARTITION BY probe_id
+                        ORDER BY {MMR_LNUM}*rel - {MMR_LDEN}*max_sim DESC,
+                                 cid) AS rn
+            FROM m{i}
+        ) WHERE rn = 1
+    )"""
+        )
+    selects = [
+        f"SELECT probe_id, CAST(1 AS BIGINT) AS pick_order,"
+        f" cid AS candidate_id, rel AS rel_score,"
+        f" CAST(0 AS BIGINT) AS max_sim,"
+        f" CAST({MMR_LNUM}*rel AS BIGINT) AS mmr_score FROM p1"
+    ]
+    for i in range(2, MMR_K + 1):
+        selects.append(
+            f"SELECT probe_id, CAST({i} AS BIGINT), cid, rel,"
+            f" CAST(max_sim AS BIGINT),"
+            f" CAST({MMR_LNUM}*rel - {MMR_LDEN}*max_sim AS BIGINT) FROM p{i}"
+        )
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("mmr_diversify_topk", _mmr_oracle_sql())
+def mmr_diversify_topk(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    probes = q.filter(F.col("vec_id") < MMR_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
+    )
+    scored = (
+        q.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cid"),
+            F.aggregate(
+                F.zip_with("qv", "pqv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("rel"),
+            "qv",
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("rel"), F.asc("cid"))
+    pool = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= MMR_POOL
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("cid", ignore_index=True)
+        vecs = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        rel = pdf["rel"].to_numpy(dtype=np.int64)
+        cids = pdf["cid"].to_numpy(dtype=np.int64)
+        n = len(pdf)
+        picked: list[int] = []
+        # max_sim over the SELECTED set only — None before the first
+        # pick (sims can be negative, so a zero init would clamp them)
+        max_sim = None
+        out = []
+        for order in range(1, MMR_K + 1):
+            if max_sim is None:
+                mmr = MMR_LNUM * rel
+            else:
+                mmr = MMR_LNUM * rel - MMR_LDEN * max_sim
+            best, best_key = None, None
+            for i in range(n):
+                if i in picked:
+                    continue
+                key = (-int(mmr[i]), int(cids[i]))
+                if best_key is None or key < best_key:
+                    best, best_key = i, key
+            out.append(
+                (
+                    int(pdf["probe_id"].iloc[0]),
+                    order,
+                    int(cids[best]),
+                    int(rel[best]),
+                    int(max_sim[best]) if max_sim is not None else 0,
+                    int(mmr[best]),
+                )
+            )
+            picked.append(best)
+            sims = vecs @ vecs[best]
+            max_sim = sims if max_sim is None else np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            out,
+            columns=[
+                "probe_id",
+                "pick_order",
+                "candidate_id",
+                "rel_score",
+                "max_sim",
+                "mmr_score",
+            ],
+        )
+
+    schema = (
+        "probe_id long, pick_order long, candidate_id long, "
+        "rel_score long, max_sim long, mmr_score long"
+    )
+    return pool.groupBy("probe_id").applyInPandas(greedy, schema)

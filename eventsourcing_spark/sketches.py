@@ -107,6 +107,150 @@ def sketch_kmv_distinct(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# KMV sketch COMPOSITION — pairwise set-intersection estimation.
+# The property that makes KMV the right sketch for audience-overlap /
+# cross-corpus-contamination questions is that sketches COMBINE:
+#   union sketch  = k smallest of S_A ∪ S_B   (τ = its k-th value)
+#   Ĵ(A,B)       = |{h ∈ S_A ∩ S_B : h ≤ τ}| / k
+#   |A∩B|^       = Ĵ · |A∪B|^,  |A∪B|^ = (k-1)·2³² / τ
+# (Beyer et al., SIGMOD'07.) Everything below the per-type sketch is
+# O(|types|²·k) driver-scale arithmetic: the single big-data pass is the
+# distinct-(type, hash) aggregation; each sketch is ≤ k rows, and at
+# 100 TB you'd persist the sketches and answer every pairwise overlap
+# question without touching the corpus again — that is the operator
+# being demonstrated. Estimates integer-exact, same contract as above;
+# the exact intersection is computed alongside so the gate measures the
+# estimator, small-set pairs fall back to exact (sketch = whole set).
+# ---------------------------------------------------------------------------
+
+_U32_ = 1 << 32
+
+
+@query(
+    "kmv_intersection_pairs",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT event_type, {_h32_sql("user_id")} AS h FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM pairs
+    ),
+    sk AS (SELECT event_type, h FROM ranked WHERE rn <= {KMV_K}),
+    tt AS (SELECT DISTINCT event_type FROM pairs),
+    tp AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM tt a JOIN tt b ON a.event_type < b.event_type
+    ),
+    un AS (
+        SELECT tp.ta, tp.tb, s.h FROM tp JOIN sk s ON s.event_type = tp.ta
+        UNION
+        SELECT tp.ta, tp.tb, s.h FROM tp JOIN sk s ON s.event_type = tp.tb
+    ),
+    unr AS (
+        SELECT ta, tb, h,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        FROM un
+    ),
+    tau AS (
+        SELECT ta, tb, max(h) AS tau, count(*) AS k_used
+        FROM unr WHERE rn <= {KMV_K} GROUP BY ta, tb
+    ),
+    com AS (
+        SELECT t.ta, t.tb, count(*) AS n_common
+        FROM tau t
+        JOIN sk sa ON sa.event_type = t.ta AND sa.h <= t.tau
+        JOIN sk sb ON sb.event_type = t.tb AND sb.h = sa.h
+        GROUP BY t.ta, t.tb
+    ),
+    ex AS (
+        SELECT t.ta, t.tb, count(*) AS n_exact
+        FROM tp t
+        JOIN pairs pa ON pa.event_type = t.ta
+        JOIN pairs pb ON pb.event_type = t.tb AND pb.h = pa.h
+        GROUP BY t.ta, t.tb
+    )
+    SELECT t.ta AS type_a, t.tb AS type_b,
+           CAST(t.k_used AS BIGINT) AS k_used,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           CAST(CASE WHEN t.k_used < {KMV_K} THEN COALESCE(c.n_common, 0)
+                     ELSE (COALESCE(c.n_common, 0)
+                           * (({KMV_K - 1} * {_U32_}) // t.tau)) // {KMV_K}
+                END AS BIGINT) AS inter_est,
+           CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact
+    FROM tau t
+    LEFT JOIN com c ON c.ta = t.ta AND c.tb = t.tb
+    LEFT JOIN ex e ON e.ta = t.ta AND e.tb = t.tb
+    """,
+)
+def kmv_intersection_pairs(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("event_type", _h32(F.col("user_id")).alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    tt = pairs.select("event_type").distinct()
+    tp = (
+        tt.alias("a")
+        .join(tt.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+    )
+    un = (
+        tp.join(sk, sk["event_type"] == tp["ta"]).select("ta", "tb", "h")
+        .union(tp.join(sk, sk["event_type"] == tp["tb"]).select("ta", "tb", "h"))
+        .distinct()
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("h")
+    tau = (
+        un.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(F.max("h").alias("tau"), F.count("*").alias("k_used"))
+    )
+    sa = sk.select(F.col("event_type").alias("ea"), F.col("h").alias("ha"))
+    sb = sk.select(F.col("event_type").alias("eb"), F.col("h").alias("hb"))
+    com = (
+        tau.join(sa, (F.col("ea") == F.col("ta")) & (F.col("ha") <= F.col("tau")))
+        .join(sb, (F.col("eb") == F.col("tb")) & (F.col("hb") == F.col("ha")))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    pa = pairs.select(F.col("event_type").alias("ea"), F.col("h").alias("ha"))
+    pb = pairs.select(F.col("event_type").alias("eb"), F.col("h").alias("hb"))
+    ex = (
+        tp.join(pa, F.col("ea") == F.col("ta"))
+        .join(pb, (F.col("eb") == F.col("tb")) & (F.col("hb") == F.col("ha")))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    est = F.when(F.col("k_used") < KMV_K, n_common).otherwise(
+        F.expr(
+            f"(coalesce(n_common, 0) * (({KMV_K - 1} * {_U32_}) div tau))"
+            f" div {KMV_K}"
+        )
+    )
+    return (
+        tau.join(com, ["ta", "tb"], "left")
+        .join(ex, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("k_used").cast("long").alias("k_used"),
+            n_common.cast("long").alias("n_common"),
+            est.cast("long").alias("inter_est"),
+            F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog — m = 64 registers (p = 6 bucket bits, q = 26 rank bits).
 # Register M_b = max over values of rho(w) (1 + leading zeros of the
 # 26-bit remainder). The harmonic mean is evaluated integer-exactly:

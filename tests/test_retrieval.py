@@ -51,3 +51,50 @@ def test_histogram_partitions_events(spark):
     exact = round(sum(r["value"] for r in ev.select("value").collect()), 2)
     assert abs(total - exact) < 0.05
     assert all(r["bucket"] >= 0 for r in rows)
+
+
+def test_ann_rerank_two_stage_invariants(spark):
+    from collections import defaultdict
+
+    from eventsourcing_spark.pipeline.retrieval import (
+        RERANK_K,
+        RERANK_PROBES,
+        RERANK_SHORTLIST,
+    )
+
+    rows = SPARK_QUERIES["ann_rerank_pipeline"](spark, SF).collect()
+    per_probe = defaultdict(list)
+    for r in rows:
+        per_probe[r["probe_id"]].append(r)
+    assert set(per_probe) == set(range(RERANK_PROBES))
+    for probe, rs in per_probe.items():
+        assert len(rs) == RERANK_K
+        rs.sort(key=lambda r: r["final_rank"])
+        assert [r["final_rank"] for r in rs] == list(range(1, RERANK_K + 1))
+        # rerank order = exact score desc (ties by candidate id asc)
+        keys = [(-r["exact_score"], r["candidate_id"]) for r in rs]
+        assert keys == sorted(keys)
+        assert all(1 <= r["stage1_rank"] <= RERANK_SHORTLIST for r in rs)
+        assert all(r["candidate_id"] != probe for r in rs)
+
+
+def test_mmr_picks_are_diverse_and_monotone(spark):
+    from collections import defaultdict
+
+    from eventsourcing_spark.pipeline.retrieval import MMR_K, MMR_PROBES
+
+    rows = SPARK_QUERIES["mmr_diversify_topk"](spark, SF).collect()
+    per_probe = defaultdict(list)
+    for r in rows:
+        per_probe[r["probe_id"]].append(r)
+    assert set(per_probe) == set(range(MMR_PROBES))
+    for _, rs in per_probe.items():
+        rs.sort(key=lambda r: r["pick_order"])
+        assert [r["pick_order"] for r in rs] == list(range(1, MMR_K + 1))
+        assert len({r["candidate_id"] for r in rs}) == MMR_K
+        # first pick is pure-relevance argmax; subsequent marginal scores
+        # can only shrink (max_sim to the selected set is non-decreasing)
+        assert rs[0]["max_sim"] == 0
+        assert rs[0]["mmr_score"] == 7 * rs[0]["rel_score"]
+        mmr = [r["mmr_score"] for r in rs]
+        assert all(a >= b for a, b in zip(mmr, mmr[1:]))

@@ -143,3 +143,24 @@ def test_weighted_priority_sample_prefers_heavy_docs(spark, sf_dir):
         corpus_mean = docs.agg({"n_chars": "avg"}).first()[0]
         sample_mean = sum(r.n_chars for r in sample) / len(sample)
         assert sample_mean > corpus_mean
+
+
+def test_kmv_intersection_estimator(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+    from eventsourcing_spark.sketches import KMV_K
+
+    rows = SPARK_QUERIES["kmv_intersection_pairs"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    types = set()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        types.update((r["type_a"], r["type_b"]))
+        assert 0 <= r["n_common"] <= r["k_used"] <= KMV_K
+        if r["k_used"] < KMV_K:
+            # sketch holds the whole union -> estimate is exact
+            assert r["inter_est"] == r["n_exact"] == r["n_common"]
+        else:
+            assert r["inter_est"] >= 0
+    n = len(types)
+    assert len(rows) == n * (n - 1) // 2
