@@ -1689,3 +1689,103 @@ def time_to_conversion_stats(spark, sf_dir):
         F.count("first_purchase_ms").cast("long").alias("n_converted"),
         F.percentile(lag_hours, 0.5).cast("double").alias("median_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance — partial-aggregate state merge. The
+# lakehouse pattern behind every "refresh the materialized view without
+# recomputing it": per-key agg states (count, sum) computed over the
+# base partition and over the newly-arrived delta partition MERGE by
+# addition into the same state the full recompute would produce. The
+# split is by event_id (the append axis — exactly what a streaming
+# ingest boundary looks like); the ok column proves merge == recompute
+# per key, so the gate hashes the algebraic identity itself. At 100 TB
+# the base states live in the view table and only the delta is scanned;
+# here both sides scan the same parquet to keep the oracle one query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_agg_merge",
+    """
+    WITH th AS (SELECT (max(event_id) * 4) // 5 AS cut FROM events),
+    base AS (
+        SELECT user_id, count(*) AS n_b,
+               sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS s_b
+        FROM events, th WHERE event_id < th.cut GROUP BY user_id
+    ),
+    delta AS (
+        SELECT user_id, count(*) AS n_d,
+               sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS s_d
+        FROM events, th WHERE event_id >= th.cut GROUP BY user_id
+    ),
+    merged AS (
+        SELECT coalesce(b.user_id, d.user_id) AS user_id,
+               coalesce(b.n_b, 0) AS n_base,
+               coalesce(d.n_d, 0) AS n_delta,
+               coalesce(b.n_b, 0) + coalesce(d.n_d, 0) AS n_total,
+               coalesce(b.s_b, 0) + coalesce(d.s_d, 0) AS sum_cents
+        FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+    ),
+    full_agg AS (
+        SELECT user_id, count(*) AS n_f,
+               sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS s_f
+        FROM events GROUP BY user_id
+    )
+    SELECT m.user_id AS user_id,
+           CAST(m.n_base AS BIGINT) AS n_base,
+           CAST(m.n_delta AS BIGINT) AS n_delta,
+           CAST(m.n_total AS BIGINT) AS n_total,
+           CAST(m.sum_cents AS BIGINT) AS sum_cents,
+           CAST(CASE WHEN m.n_total = f.n_f AND m.sum_cents = f.s_f
+                     THEN 1 ELSE 0 END AS BIGINT) AS ok
+    FROM merged m JOIN full_agg f ON f.user_id = m.user_id
+    """,
+)
+def incremental_agg_merge(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+    th = ev.agg(F.expr("(max(event_id) * 4) div 5").alias("cut"))
+    tagged = ev.crossJoin(F.broadcast(th))
+    base = (
+        tagged.filter(F.col("event_id") < F.col("cut"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_b"), F.sum(cents).alias("s_b"))
+    )
+    delta = (
+        tagged.filter(F.col("event_id") >= F.col("cut"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_d"), F.sum(cents).alias("s_d"))
+    )
+    merged = (
+        base.join(delta, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_b", F.lit(0)).alias("n_base"),
+            F.coalesce("n_d", F.lit(0)).alias("n_delta"),
+            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias(
+                "n_total"
+            ),
+            (F.coalesce("s_b", F.lit(0)) + F.coalesce("s_d", F.lit(0))).alias(
+                "sum_cents"
+            ),
+        )
+    )
+    full_agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_f"), F.sum(cents).alias("s_f")
+    )
+    return merged.join(full_agg, "user_id").select(
+        "user_id",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_delta").cast("long").alias("n_delta"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.when(
+            (F.col("n_total") == F.col("n_f"))
+            & (F.col("sum_cents") == F.col("s_f")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("ok"),
+    )

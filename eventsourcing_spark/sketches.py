@@ -856,3 +856,131 @@ def hrw_assignment_stability(spark, sf_dir):
         .cast("long")
         .alias("n_moved_without_node7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned semi-join — the APPLICATION of the Bloom sketch that
+# matters at 100 TB: a runtime filter. The selective build side (hot
+# orders) compresses to 4 int64 words; the probe side tests membership
+# MAP-SIDE before any join shuffle, so only pass rows (true matches +
+# a counted false-positive tail) ever reach the exchange. Spark's AQE
+# injects exactly this (spark.sql.optimizer.runtimeFilter.*); building
+# it explicitly makes the pruning measurable — the output row reports
+# the selectivity the filter achieved and the false-positive overhead.
+# The single-row bloom frame rides a broadcast nested-loop join (1 row,
+# zero cost); the exact hot-key join is broadcast hash. One lineitem
+# scan, no shuffle at all before the final 1-row aggregate.
+# ---------------------------------------------------------------------------
+
+BLOOM_HOT_PRICE = 400000  # build-side predicate: o_totalprice above this
+
+
+def _bf_word_pick_sql(d: int, expr: str, pfx: str) -> str:
+    w = _bf_word_sql(d, expr)
+    return (
+        f"(CASE {w} WHEN 0 THEN {pfx}w0 WHEN 1 THEN {pfx}w1 "
+        f"WHEN 2 THEN {pfx}w2 WHEN 3 THEN {pfx}w3 END)"
+    )
+
+
+@query(
+    "bloom_semijoin_prune",
+    f"""
+    WITH hot AS (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > {BLOOM_HOT_PRICE}
+    ),
+    contrib AS (
+        {" UNION ALL ".join(
+            f'''SELECT {_bf_word_sql(d, "o_orderkey")} AS word,
+                       {_bf_mask_sql(d, "o_orderkey")} AS mask FROM hot'''
+            for d in range(_BF_D)
+        )}
+    ),
+    bf AS (
+        SELECT
+          {", ".join(
+            f"bit_or(CASE WHEN word = {w} THEN mask ELSE 0 END) AS w{w}"
+            for w in range(_BF_WORDS)
+          )}
+        FROM contrib
+    ),
+    probe AS (
+        SELECT
+          CASE WHEN {" AND ".join(
+            f"({_bf_word_pick_sql(d, 'l.l_orderkey', 'bf.')}"
+            f" & {_bf_mask_sql(d, 'l.l_orderkey')}) != 0"
+            for d in range(_BF_D)
+          )} THEN 1 ELSE 0 END AS in_filter,
+          CASE WHEN h.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS is_hot
+        FROM lineitem l CROSS JOIN bf
+        LEFT JOIN hot h ON h.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(in_filter) AS BIGINT) AS n_pass,
+           CAST(sum(is_hot) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN in_filter = 1 AND is_hot = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST((sum(in_filter) * 1000000) // count(*) AS BIGINT) AS pass_ppm
+    FROM probe
+    """,
+)
+def bloom_semijoin_prune(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    hot = orders.filter(F.col("o_totalprice") > BLOOM_HOT_PRICE).select(
+        "o_orderkey"
+    )
+    contrib = None
+    for d in range(_BF_D):
+        arm = hot.select(
+            _bf_word(d, "o_orderkey").alias("word"),
+            _bf_mask(d, "o_orderkey").alias("mask"),
+        )
+        contrib = arm if contrib is None else contrib.unionByName(arm)
+    bf = contrib.agg(
+        *[
+            F.expr(f"bit_or(CASE WHEN word = {w} THEN mask ELSE 0 END)").alias(
+                f"w{w}"
+            )
+            for w in range(_BF_WORDS)
+        ]
+    )
+    tests = []
+    for d in range(_BF_D):
+        word = _bf_word(d, "l_orderkey")
+        pick = (
+            F.when(word == 0, F.col("w0"))
+            .when(word == 1, F.col("w1"))
+            .when(word == 2, F.col("w2"))
+            .otherwise(F.col("w3"))
+        )
+        tests.append(pick.bitwiseAND(_bf_mask(d, "l_orderkey")) != 0)
+    in_filter = tests[0]
+    for t in tests[1:]:
+        in_filter = in_filter & t
+    probe = (
+        li.crossJoin(F.broadcast(bf))
+        .join(
+            F.broadcast(hot.withColumn("is_hot", F.lit(1))),
+            li["l_orderkey"] == hot["o_orderkey"],
+            "left",
+        )
+        .select(
+            F.when(in_filter, 1).otherwise(0).alias("in_filter"),
+            F.coalesce(F.col("is_hot"), F.lit(0)).alias("is_hot"),
+        )
+    )
+    return probe.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("in_filter").cast("long").alias("n_pass"),
+        F.sum("is_hot").cast("long").alias("n_true"),
+        F.sum(
+            F.when((F.col("in_filter") == 1) & (F.col("is_hot") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.expr("(sum(in_filter) * 1000000) div count(*)")
+        .cast("long")
+        .alias("pass_ppm"),
+    )

@@ -214,3 +214,17 @@ def test_label_centroid_distances_symmetric_complete(spark, sf_dir):
     assert d.count() == n_labels * (n_labels - 1) // 2
     assert d.filter(F.col("dist2_q") < 0).count() == 0
     assert d.filter(F.col("label_a") >= F.col("label_b")).count() == 0
+
+
+def test_incremental_merge_equals_recompute(spark):
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = SPARK_QUERIES["incremental_agg_merge"](spark, sf).collect()
+    assert rows and all(r["ok"] == 1 for r in rows)
+    n_events = load_table(spark, sf, "events").count()
+    assert sum(r["n_total"] for r in rows) == n_events
+    # the split is real: both sides non-empty
+    assert sum(r["n_base"] for r in rows) > 0
+    assert sum(r["n_delta"] for r in rows) > 0

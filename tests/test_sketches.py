@@ -164,3 +164,15 @@ def test_kmv_intersection_estimator(spark):
             assert r["inter_est"] >= 0
     n = len(types)
     assert len(rows) == n * (n - 1) // 2
+
+
+def test_bloom_semijoin_prune_one_sided(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    row = SPARK_QUERIES["bloom_semijoin_prune"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    # one-sided error: every true match passes the filter
+    assert row["n_true"] <= row["n_pass"] <= row["n_rows"]
+    assert row["n_false_pos"] == row["n_pass"] - row["n_true"]
+    assert row["pass_ppm"] == row["n_pass"] * 1_000_000 // row["n_rows"]
