@@ -257,3 +257,97 @@ def per_group_bottomk_sample(spark, sf_dir):
         .filter(F.col("rk") <= SAMPLE_K)
         .select("doc_id", "lang", F.col("rk").cast("long").alias("sample_rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity-bucket partitioning (Wenzek et al. 2020): split
+# each language's corpus into LM-score quantiles (CCNet: head/middle/
+# tail thirds by wikipedia-LM perplexity; here 5 ntile buckets by the
+# integer bigram-familiarity proxy — low familiarity ≈ high perplexity,
+# so bucket 1 is the "tail"). Downstream pipelines sample by bucket
+# (keep head, subsample tail) — this query emits the partition manifest.
+#
+# Scale shape: the familiarity score is the bigram_lm_score plan (one
+# keyed exchange on doc_id + a broadcast corpus-frequency join); the
+# ntile is per-language (|langs| independent sorts, never global) and
+# the result is a |langs|×5 manifest. Deterministic total order
+# (familiarity, doc_id) makes ntile reproducible at any parallelism.
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = 5
+
+
+@query(
+    "perplexity_bucket_partition",
+    f"""
+    WITH words AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents WHERE length(text) > 0
+    ),
+    pairs AS (
+        SELECT doc_id, t[i] || '_' || t[i + 1] AS bg
+        FROM words, unnest(generate_series(1, len(t) - 1)) u(i)
+        WHERE len(t) >= 2
+    ),
+    corpus AS (SELECT bg, count(*) AS c FROM pairs GROUP BY bg),
+    scored AS (
+        SELECT p.doc_id, count(*) AS n_pairs, sum(c.c) AS fam
+        FROM pairs p JOIN corpus c ON p.bg = c.bg
+        GROUP BY p.doc_id
+    ),
+    fam AS (
+        SELECT s.doc_id, d.lang,
+               (1000000 * s.fam) // s.n_pairs AS lm_familiarity
+        FROM scored s JOIN documents d USING (doc_id)
+    ),
+    b AS (
+        SELECT lang, lm_familiarity,
+               ntile({PPL_BUCKETS}) OVER (PARTITION BY lang
+                    ORDER BY lm_familiarity, doc_id) AS bucket
+        FROM fam
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(lm_familiarity) AS BIGINT) AS min_fam,
+           CAST(max(lm_familiarity) AS BIGINT) AS max_fam
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def perplexity_bucket_partition(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
+    words = docs.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = words.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], '_', t[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    corpus = pairs.groupBy("bg").agg(F.count("*").alias("c"))
+    fam = (
+        pairs.join(F.broadcast(corpus), "bg")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_pairs"), F.sum("c").alias("fam"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("(1000000 * fam) div n_pairs").alias("lm_familiarity"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("lm_familiarity", "doc_id")
+    b = fam.withColumn("bucket", F.ntile(PPL_BUCKETS).over(w))
+    return b.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("lm_familiarity").cast("long").alias("min_fam"),
+        F.max("lm_familiarity").cast("long").alias("max_fam"),
+    ).select("lang", F.col("bucket").cast("long").alias("bucket"),
+             "n_docs", "min_fam", "max_fam")

@@ -1137,3 +1137,143 @@ def dup_rate_by_source(spark, sf_dir):
             " div count(*) AS BIGINT)"
         ).alias("drop_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster representative selection — the step AFTER dedup
+# clustering that every curation pipeline runs: of each near-dup
+# family, keep the best document by an explicit quality model, not an
+# arbitrary min-id. Cluster label = one min-label step over the
+# keeper-star edges (each doc's smallest keeper; dedup_components is
+# the fixpoint variant); representative = argmax integer quality score
+# (quality_linear_score weights), ties to the lowest doc_id.
+# Singleton clusters are dropped — the output is the keep-list for
+# duplicate families only. One window per cluster over ≤family-size
+# rows; everything upstream is the linear keeper-edge plan.
+# ---------------------------------------------------------------------------
+
+
+def _qscore_sql() -> str:
+    from eventsourcing_spark.pipeline.quality import (
+        STOPWORDS,
+        W_MWL,
+        W_STOP,
+        W_TOK,
+        W_UNIQ,
+    )
+
+    return f"""
+    qm AS (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_tok,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+               list_aggregate(list_transform(string_split(lower(text), ' '),
+                                             x -> len(x)), 'sum') AS sum_len,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> list_contains({STOPWORDS!r}, x))) AS n_stop
+        FROM documents
+    ),
+    qs AS (
+        SELECT doc_id,
+               {W_TOK} * n_tok
+                 + {W_MWL} * (sum_len * 10 // n_tok)
+                 + {W_STOP} * (n_stop * 1000 // n_tok)
+                 + {W_UNIQ} * (n_uniq * 1000 // n_tok) AS score
+        FROM qm
+    )"""
+
+
+@query(
+    "cluster_rep_selection",
+    _BANDS_SQL
+    + """,
+    k AS (
+        SELECT band_id, band_key, min(doc_id) AS keeper
+        FROM bands GROUP BY band_id, band_key
+    ),
+    e AS (
+        SELECT DISTINCT b.doc_id AS member, k.keeper
+        FROM bands b
+        JOIN k ON b.band_id = k.band_id AND b.band_key = k.band_key
+        WHERE b.doc_id > k.keeper
+    ),
+    lab AS (
+        SELECT d.doc_id, coalesce(min(e.keeper), d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN e ON e.member = d.doc_id
+        GROUP BY d.doc_id
+    ),
+"""
+    + _qscore_sql()
+    + """,
+    j AS (
+        SELECT lab.cluster_id, lab.doc_id, qs.score,
+               count(*) OVER (PARTITION BY lab.cluster_id) AS n_members,
+               row_number() OVER (PARTITION BY lab.cluster_id
+                    ORDER BY qs.score DESC, lab.doc_id) AS rn
+        FROM lab JOIN qs ON qs.doc_id = lab.doc_id
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id,
+           CAST(score AS BIGINT) AS rep_score,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM j WHERE rn = 1 AND n_members >= 2
+    """,
+)
+def cluster_rep_selection(spark, sf_dir):
+    from eventsourcing_spark.pipeline.quality import (
+        STOPWORDS,
+        W_MWL,
+        W_STOP,
+        W_TOK,
+        W_UNIQ,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    edges = _keeper_edges(docs)
+    lab = (
+        docs.select("doc_id")
+        .join(edges, docs["doc_id"] == edges["member"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.min("keeper"), F.first("doc_id")).alias("cluster_id")
+        )
+    )
+    toks = F.split(F.lower("text"), " ")
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
+    qm = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, x))).alias(
+            "n_stop"
+        ),
+    )
+    qs = qm.select(
+        "doc_id",
+        (
+            F.lit(W_TOK) * F.col("n_tok")
+            + F.lit(W_MWL) * F.expr("sum_len * 10 div n_tok")
+            + F.lit(W_STOP) * F.expr("n_stop * 1000 div n_tok")
+            + F.lit(W_UNIQ) * F.expr("n_uniq * 1000 div n_tok")
+        ).alias("score"),
+    )
+    j = lab.join(qs, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("n_members", F.count("*").over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("score").cast("long").alias("rep_score"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )

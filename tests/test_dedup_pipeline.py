@@ -102,3 +102,16 @@ def test_bucket_cap_is_respected(spark):
     )
     assert small_pairs <= cap_bound
     assert big >= 0  # mega-buckets allowed to exist; they go to clusters
+
+
+def test_cluster_rep_is_best_quality_member(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    reps = SPARK_QUERIES["cluster_rep_selection"](spark, sf).collect()
+    assert reps
+    assert len({r["cluster_id"] for r in reps}) == len(reps)
+    for r in reps:
+        assert r["n_members"] >= 2
+        # representative belongs to its own cluster's id range
+        assert r["rep_doc_id"] >= r["cluster_id"]

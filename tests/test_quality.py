@@ -82,3 +82,28 @@ def test_bottomk_sample_exact_count_and_deterministic(spark, sf_dir):
         .collect()
     }
     assert ids_a == ids_b
+
+
+def test_perplexity_buckets_ordered_within_lang(spark):
+    from collections import defaultdict
+
+    from eventsourcing_spark.pipeline.quality import PPL_BUCKETS
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["perplexity_bucket_partition"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert 1 <= r["bucket"] <= PPL_BUCKETS
+        assert r["min_fam"] <= r["max_fam"]
+        by_lang[r["lang"]].append(r)
+    for _, rs in by_lang.items():
+        rs.sort(key=lambda r: r["bucket"])
+        # quantile boundaries are monotone: bucket b's ceiling never
+        # exceeds bucket b+1's floor
+        for a, b in zip(rs, rs[1:]):
+            assert a["max_fam"] <= b["min_fam"]
+        # ntile balance: sizes differ by at most 1
+        sizes = [r["n_docs"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1
