@@ -1050,3 +1050,164 @@ def label_centroid_distances(spark, sf_dir):
             .alias("dist2_q")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF cell ↔ label purity — the clustering-QA rollup run before trusting
+# a coarse quantizer: per cell, the majority ground-truth label and the
+# purity fraction. Low purity = cells cut across semantic groups = bad
+# recall at serving time. Same assign plan as ann_ivf_cells (broadcast
+# codebook, exact integer L2, one keyed exchange on the cell id); the
+# purity rollup is two tiny aggregations over |cells| rows. Majority
+# ties break to the lowest label — deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ivf_cell_label_purity",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    cent AS ({_CENT_SQL}),
+    assign AS ({_ASSIGN_SQL}),
+    mem AS (
+        SELECT a.cid, e.label FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.crank = 1
+    ),
+    lc AS (SELECT cid, label, count(*) AS c FROM mem GROUP BY cid, label),
+    top AS (
+        SELECT cid, label, c,
+               row_number() OVER (PARTITION BY cid
+                    ORDER BY c DESC, label) AS rn,
+               sum(c) OVER (PARTITION BY cid) AS n
+        FROM lc
+    )
+    SELECT cid AS cell, CAST(n AS BIGINT) AS n_vectors,
+           CAST(label AS BIGINT) AS majority_label,
+           CAST(c AS BIGINT) AS n_majority,
+           CAST((c * 1000000) // n AS BIGINT) AS purity_ppm
+    FROM top WHERE rn = 1
+    """,
+)
+def ivf_cell_label_purity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    mem = (
+        _ivf_assign(spark, sf_dir)
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "cid")
+        .join(emb, "vec_id")
+    )
+    lc = mem.groupBy("cid", "label").agg(F.count("*").alias("c"))
+    wr = Window.partitionBy("cid").orderBy(F.desc("c"), F.asc("label"))
+    wn = Window.partitionBy("cid")
+    return (
+        lc.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.sum("c").over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cid").alias("cell"),
+            F.col("n").cast("long").alias("n_vectors"),
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("c").cast("long").alias("n_majority"),
+            F.expr("(c * 1000000) div n").cast("long").alias("purity_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dimension-truncation recall — the Matryoshka-representation question
+# (Kusupati et al. 2022): if serving truncates embeddings to the first
+# 16 of 64 dims (4× cheaper scans, what ann_rerank_pipeline's stage 1
+# banks on), how much of the true top-k survives? Per probe: exact
+# top-k under the full dot vs top-k under the prefix dot, recall =
+# |overlap|/k. All ranking integer-exact; the overlap count itself is
+# what the oracle hashes. At scale both rankings are
+# TakeOrderedAndProject over one scan — the scan is shared, scores are
+# two HOF dots over the same array.
+# ---------------------------------------------------------------------------
+
+TRUNC_DIMS = 16
+TRUNC_PROBES = 5
+TRUNC_K = 10
+
+
+@query(
+    "dim_truncation_recall",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, qv AS pqv FROM q
+        WHERE vec_id < {TRUNC_PROBES}
+    ),
+    scored AS (
+        SELECT p.probe_id, c.vec_id AS cid,
+               CAST(list_dot_product(c.qv, p.pqv) AS BIGINT) AS full_dot,
+               CAST(list_dot_product(c.qv[1:{TRUNC_DIMS}],
+                                     p.pqv[1:{TRUNC_DIMS}]) AS BIGINT)
+                 AS trunc_dot
+        FROM q c CROSS JOIN probes p WHERE c.vec_id != p.probe_id
+    ),
+    rk AS (
+        SELECT probe_id, cid,
+               row_number() OVER (PARTITION BY probe_id
+                    ORDER BY full_dot DESC, cid) AS fr,
+               row_number() OVER (PARTITION BY probe_id
+                    ORDER BY trunc_dot DESC, cid) AS tr
+        FROM scored
+    )
+    SELECT probe_id, CAST({TRUNC_K} AS BIGINT) AS k,
+           CAST(count(*) FILTER (WHERE fr <= {TRUNC_K} AND tr <= {TRUNC_K})
+                AS BIGINT) AS n_overlap,
+           CAST((count(*) FILTER (WHERE fr <= {TRUNC_K} AND tr <= {TRUNC_K})
+                 * 1000000) // {TRUNC_K} AS BIGINT) AS recall_ppm
+    FROM rk GROUP BY probe_id
+    """,
+)
+def dim_truncation_recall(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    probes = q.filter(F.col("vec_id") < TRUNC_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        q.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cid"),
+            _dot(F.col("qv"), F.col("pqv")).alias("full_dot"),
+            _dot(
+                F.slice("qv", 1, TRUNC_DIMS), F.slice("pqv", 1, TRUNC_DIMS)
+            ).alias("trunc_dot"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.desc("full_dot"), F.asc("cid"))
+    wt = Window.partitionBy("probe_id").orderBy(F.desc("trunc_dot"), F.asc("cid"))
+    rk = scored.select(
+        "probe_id",
+        F.row_number().over(wf).alias("fr"),
+        F.row_number().over(wt).alias("tr"),
+    )
+    hit = F.when((F.col("fr") <= TRUNC_K) & (F.col("tr") <= TRUNC_K), 1).otherwise(0)
+    return rk.groupBy("probe_id").agg(
+        F.lit(TRUNC_K).cast("long").alias("k"),
+        F.sum(hit).cast("long").alias("n_overlap"),
+        F.expr(
+            f"(sum(CASE WHEN fr <= {TRUNC_K} AND tr <= {TRUNC_K} THEN 1 ELSE 0 END)"
+            f" * 1000000) div {TRUNC_K}"
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )

@@ -446,16 +446,19 @@ _CMS_DEPTHS_SQL = " UNION ALL ".join(
     GROUP BY pb.user_id, pb.true_n
     """,
 )
-def sketch_cms_heavy_hitters(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").select("user_id")
-    # one scan: stack the 3 depth-bucket assignments row-wise, then ONE
-    # grouped count — the (depth,bucket) space is 192 cells, so the
-    # partial agg collapses each task's contribution to ≤192 rows before
-    # the (tiny) exchange. This per-partition collapse is the CMS merge.
-    with_buckets = ev
+def cms_counters(df, value_col: str):
+    """(depth, bucket, cnt) count-min counters over ``value_col``.
+
+    One scan: stack the depth-bucket assignments row-wise, then ONE
+    grouped count — the (depth,bucket) space is D×W cells, so the
+    partial agg collapses each task's contribution to ≤D·W rows before
+    the (tiny) exchange. This per-partition collapse IS the CMS merge;
+    counter frames from disjoint inputs combine by per-cell addition.
+    """
+    with_buckets = df.select(F.col(value_col).alias("__v"))
     for d in range(_CMS_D):
         with_buckets = with_buckets.withColumn(
-            f"b{d}", _cms_bucket(d, F.col("user_id"))
+            f"b{d}", _cms_bucket(d, F.col("__v"))
         )
     stacked = with_buckets.select(
         F.expr(
@@ -465,7 +468,12 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
             )
         )
     )
-    counters = stacked.groupBy("depth", "bucket").agg(F.count("*").alias("cnt"))
+    return stacked.groupBy("depth", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counters = cms_counters(ev, "user_id")
 
     truec = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
     w = Window.orderBy(F.desc("true_n"), F.asc("user_id"))

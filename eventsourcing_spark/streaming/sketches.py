@@ -89,3 +89,99 @@ def streaming_distinct_estimate(
     """Current distinct-count estimate from the maintained registers."""
     regs = read_registers(spark, registers_dir, group_cols, registers_schema)
     return hll_estimate(regs, group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min maintenance. Unlike HLL's max-merge, CMS counters
+# ADD-combine — which is NOT idempotent: re-merging a replayed batch
+# double-counts. So the maintainer applies the reference's checkpoint-
+# rejection rule (projection/checkpoints.go:75-91 — reject anything at
+# or below the last applied position) to sketch state: the stored frame
+# carries the last applied epoch id, and a batch whose epoch is not
+# strictly greater is dropped. Counters + epoch commit in ONE directory
+# overwrite (the epoch rides as a depth=-1 marker row), so state and
+# watermark can't diverge; a cluster deployment swaps the directory for
+# a Delta MERGE in one txn and keeps the same algebra.
+# ---------------------------------------------------------------------------
+
+CMS_SCHEMA = "depth int, bucket bigint, cnt bigint"
+_EPOCH_DEPTH = -1
+
+
+def _split_cms(df: DataFrame):
+    from pyspark.sql import functions as F
+
+    counters = df.filter(F.col("depth") != _EPOCH_DEPTH)
+    epoch_rows = df.filter(F.col("depth") == _EPOCH_DEPTH).collect()
+    epoch = epoch_rows[0]["cnt"] if epoch_rows else -1
+    return counters, epoch
+
+
+def cms_maintain(
+    stream_df: DataFrame,
+    counters_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+):
+    """Maintain count-min counters over a stream (availableNow drain)."""
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.sketches import cms_counters
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stored_all = read_registers(spark, counters_dir, [], CMS_SCHEMA)
+        stored, applied_epoch = _split_cms(stored_all)
+        if epoch_id <= applied_epoch:
+            return  # replayed batch: add-merge is not idempotent, reject
+        batch_counters = cms_counters(batch_df, value_col).select(
+            F.col("depth").cast("int"),
+            F.col("bucket").cast("long"),
+            F.col("cnt").cast("long"),
+        )
+        merged = (
+            stored.unionByName(batch_counters)
+            .groupBy("depth", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        rows = merged.collect()  # bounded: O(D×W) cells by construction
+        out = spark.createDataFrame(rows, CMS_SCHEMA).unionByName(
+            spark.createDataFrame(
+                [(_EPOCH_DEPTH, -1, int(epoch_id))], CMS_SCHEMA
+            )
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(counters_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_cms_estimate(spark, counters_dir: str, keys) -> DataFrame:
+    """Point-query the maintained counters: min over depths per key."""
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.sketches import _CMS_D, _cms_bucket
+
+    counters, _ = _split_cms(
+        read_registers(spark, counters_dir, [], CMS_SCHEMA)
+    )
+    probes = spark.createDataFrame([(k,) for k in keys], "key long")
+    pb = None
+    for d in range(_CMS_D):
+        arm = probes.select(
+            "key",
+            F.lit(d).alias("depth"),
+            _cms_bucket(d, F.col("key")).alias("bucket"),
+        )
+        pb = arm if pb is None else pb.unionByName(arm)
+    return (
+        pb.join(counters, ["depth", "bucket"], "left")
+        .groupBy("key")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
+        )
+    )

@@ -77,3 +77,65 @@ def test_replay_is_idempotent(spark, sf_dir, dirs):
     _drain(spark, dirs)
     after = _frame_set(read_registers(spark, dirs["reg"], ["event_type"], REG_SCHEMA))
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# Streaming CMS: add-merge parity with one-shot batch counters, and the
+# epoch guard that makes the non-idempotent merge effectively-once.
+# ---------------------------------------------------------------------------
+
+
+def _drain_cms(spark, dirs, cp=None):
+    from eventsourcing_spark.streaming.sketches import cms_maintain
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["src"])
+    )
+    q = cms_maintain(stream, dirs["reg"], cp or dirs["cp"], "user_id")
+    q.awaitTermination(180)
+
+
+def test_cms_stream_counters_match_batch(spark, sf_dir, dirs):
+    from eventsourcing_spark.sketches import cms_counters
+    from eventsourcing_spark.streaming.sketches import (
+        CMS_SCHEMA,
+        _split_cms,
+        streaming_cms_estimate,
+    )
+
+    ev = _stage_in_chunks(spark, sf_dir, dirs["src"])
+    _drain_cms(spark, dirs)
+
+    stored, epoch = _split_cms(
+        read_registers(spark, dirs["reg"], [], CMS_SCHEMA)
+    )
+    assert epoch >= 0
+    want = _frame_set(cms_counters(ev, "user_id"))
+    assert _frame_set(stored) == want
+
+    # point estimates are upper bounds on true counts (one-sided error)
+    truec = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    keys = sorted(truec)[:10]
+    est = {
+        r["key"]: r["cms_estimate"]
+        for r in streaming_cms_estimate(spark, dirs["reg"], keys).collect()
+    }
+    assert all(est[k] >= truec[k] for k in keys)
+
+
+def test_cms_epoch_guard_rejects_replay(spark, sf_dir, dirs, tmp_path):
+    from eventsourcing_spark.streaming.sketches import CMS_SCHEMA
+
+    _stage_in_chunks(spark, sf_dir, dirs["src"])
+    _drain_cms(spark, dirs)
+    before = _frame_set(read_registers(spark, dirs["reg"], [], CMS_SCHEMA))
+
+    # force a FULL replay with a fresh checkpoint: every batch re-fires
+    # with epoch ids <= the stored epoch and must be rejected
+    _drain_cms(spark, dirs, cp=str(tmp_path / "cp2"))
+    after = _frame_set(read_registers(spark, dirs["reg"], [], CMS_SCHEMA))
+    assert after == before
