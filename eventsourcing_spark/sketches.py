@@ -413,6 +413,31 @@ _CMS_DEPTHS_SQL = " UNION ALL ".join(
 )
 
 
+def cms_counters(df, value_col: str):
+    """(depth, bucket, cnt) count-min counters over ``value_col``.
+
+    One scan: stack the depth-bucket assignments row-wise, then ONE
+    grouped count — the (depth,bucket) space is D×W cells, so the
+    partial agg collapses each task's contribution to ≤D·W rows before
+    the (tiny) exchange. This per-partition collapse IS the CMS merge;
+    counter frames from disjoint inputs combine by per-cell addition.
+    """
+    with_buckets = df.select(F.col(value_col).alias("__v"))
+    for d in range(_CMS_D):
+        with_buckets = with_buckets.withColumn(
+            f"b{d}", _cms_bucket(d, F.col("__v"))
+        )
+    stacked = with_buckets.select(
+        F.expr(
+            "stack({n}, {args}) as (depth, bucket)".format(
+                n=_CMS_D,
+                args=", ".join(f"{d}, b{d}" for d in range(_CMS_D)),
+            )
+        )
+    )
+    return stacked.groupBy("depth", "bucket").agg(F.count("*").alias("cnt"))
+
+
 @query(
     "sketch_cms_heavy_hitters",
     f"""
@@ -446,31 +471,6 @@ _CMS_DEPTHS_SQL = " UNION ALL ".join(
     GROUP BY pb.user_id, pb.true_n
     """,
 )
-def cms_counters(df, value_col: str):
-    """(depth, bucket, cnt) count-min counters over ``value_col``.
-
-    One scan: stack the depth-bucket assignments row-wise, then ONE
-    grouped count — the (depth,bucket) space is D×W cells, so the
-    partial agg collapses each task's contribution to ≤D·W rows before
-    the (tiny) exchange. This per-partition collapse IS the CMS merge;
-    counter frames from disjoint inputs combine by per-cell addition.
-    """
-    with_buckets = df.select(F.col(value_col).alias("__v"))
-    for d in range(_CMS_D):
-        with_buckets = with_buckets.withColumn(
-            f"b{d}", _cms_bucket(d, F.col("__v"))
-        )
-    stacked = with_buckets.select(
-        F.expr(
-            "stack({n}, {args}) as (depth, bucket)".format(
-                n=_CMS_D,
-                args=", ".join(f"{d}, b{d}" for d in range(_CMS_D)),
-            )
-        )
-    )
-    return stacked.groupBy("depth", "bucket").agg(F.count("*").alias("cnt"))
-
-
 def sketch_cms_heavy_hitters(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("user_id")
     counters = cms_counters(ev, "user_id")
