@@ -1789,3 +1789,93 @@ def incremental_agg_merge(spark, sf_dir):
         .cast("long")
         .alias("ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning advisor — quantifies what the id-ordered layout buys
+# a time-range query. Buckets of 256 consecutive event_ids stand in for
+# parquet row groups; their (min_ts, max_ts) zone maps decide skip/scan
+# for a fixed one-day window (day 3 of the corpus, derived from the
+# data so it's deterministic at any sf). The summary row reports how
+# many buckets the zone maps prune, the scan saving, and the
+# false-positive rows a candidate bucket still carries — the number
+# that tells you whether the layout's ts/id correlation is tight
+# enough before you bet a 100 TB scan on it. One scan, one keyed
+# exchange on the bucket id, then a single-row rollup.
+# ---------------------------------------------------------------------------
+
+ZM_BUCKET = 256
+_DAY_MS = 86_400_000
+
+
+@query(
+    "zonemap_prune_stats",
+    f"""
+    WITH e AS (
+        SELECT event_id, epoch_ms(ts) AS ms,
+               event_id // {ZM_BUCKET} AS bucket
+        FROM events
+    ),
+    th AS (
+        SELECT min(ms) + 2 * {_DAY_MS} AS lo, min(ms) + 3 * {_DAY_MS} AS hi
+        FROM e
+    ),
+    zm AS (
+        SELECT e.bucket, min(e.ms) AS mn, max(e.ms) AS mx,
+               count(*) AS n,
+               sum(CASE WHEN e.ms >= th.lo AND e.ms < th.hi
+                        THEN 1 ELSE 0 END) AS n_match
+        FROM e, th GROUP BY e.bucket
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN zm.mx < th.lo OR zm.mn >= th.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           CAST(sum(zm.n) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN zm.mx < th.lo OR zm.mn >= th.hi
+                         THEN 0 ELSE zm.n END) AS BIGINT) AS rows_scanned,
+           CAST(sum(zm.n_match) AS BIGINT) AS rows_matching,
+           CAST((sum(CASE WHEN zm.mx < th.lo OR zm.mn >= th.hi
+                          THEN zm.n ELSE 0 END) * 1000000) // sum(zm.n)
+                AS BIGINT) AS scan_saving_ppm
+    FROM zm, th
+    """,
+)
+def zonemap_prune_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr(f"event_id div {ZM_BUCKET}").alias("bucket"),
+        F.unix_millis("ts").alias("ms"),
+    )
+    th = e.agg(
+        (F.min("ms") + 2 * _DAY_MS).alias("lo"),
+        (F.min("ms") + 3 * _DAY_MS).alias("hi"),
+    )
+    in_range = (F.col("ms") >= F.col("lo")) & (F.col("ms") < F.col("hi"))
+    zm = (
+        e.crossJoin(F.broadcast(th))
+        .groupBy("bucket")
+        .agg(
+            F.min("ms").alias("mn"),
+            F.max("ms").alias("mx"),
+            F.count("*").alias("n"),
+            F.sum(F.when(in_range, 1).otherwise(0)).alias("n_match"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+    )
+    pruned = (F.col("mx") < F.col("lo")) | (F.col("mn") >= F.col("hi"))
+    return zm.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.when(pruned, 1).otherwise(0)).cast("long").alias("n_pruned"),
+        F.sum("n").cast("long").alias("rows_total"),
+        F.sum(F.when(pruned, 0).otherwise(F.col("n")))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("rows_matching"),
+        F.expr(
+            "(sum(CASE WHEN mx < lo OR mn >= hi THEN n ELSE 0 END) * 1000000)"
+            " div sum(n)"
+        )
+        .cast("long")
+        .alias("scan_saving_ppm"),
+    )

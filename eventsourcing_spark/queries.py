@@ -1324,3 +1324,118 @@ def x_zorder_key(spark, sf_dir):
             )
         ).alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join — both directions at once: each purchase annotated
+# with the user's CLOSEST error event in time (prior or next), ties to
+# the prior side. The incident-correlation question ("what error is this
+# purchase nearest to?") that neither directional as-of answers alone.
+# Composition of the two one-shuffle directional operators + an
+# event_id equi-join of their outputs — still no range cross-product
+# anywhere. Oracle: DuckDB native backward + forward ASOF, same CASE.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_nearest_error",
+    """
+    WITH err AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'error'
+        GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+        SELECT p.event_id, p.user_id, p.ts, err.ts AS pts
+        FROM p ASOF LEFT JOIN err
+          ON p.user_id = err.user_id AND p.ts >= err.ts
+    ),
+    f AS (
+        SELECT p.event_id, err.ts AS nts
+        FROM p ASOF LEFT JOIN err
+          ON p.user_id = err.user_id AND p.ts <= err.ts
+    ),
+    j AS (
+        SELECT b.event_id, b.user_id, epoch_ms(b.ts) AS ts_ms,
+               epoch_ms(b.pts) AS pms, epoch_ms(f.nts) AS nms
+        FROM b JOIN f ON f.event_id = b.event_id
+    )
+    SELECT event_id, user_id, ts_ms,
+           CASE WHEN pms IS NULL AND nms IS NULL THEN NULL
+                WHEN nms IS NULL THEN pms
+                WHEN pms IS NULL THEN nms
+                WHEN ts_ms - pms <= nms - ts_ms THEN pms
+                ELSE nms END AS nearest_error_ms,
+           CASE WHEN pms IS NULL AND nms IS NULL THEN NULL
+                WHEN nms IS NULL THEN ts_ms - pms
+                WHEN pms IS NULL THEN nms - ts_ms
+                ELSE least(ts_ms - pms, nms - ts_ms) END AS gap_ms,
+           CASE WHEN pms IS NULL AND nms IS NULL THEN 'none'
+                WHEN nms IS NULL THEN 'prior'
+                WHEN pms IS NULL THEN 'next'
+                WHEN ts_ms - pms <= nms - ts_ms THEN 'prior'
+                ELSE 'next' END AS direction
+    FROM j
+    """,
+)
+def asof_nearest_error(spark, sf_dir):
+    from eventsourcing_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.lit(1).alias("__one"))
+        .select("user_id", "ts")
+    )
+    b = asof_join_backward(
+        purchases, errors, key_cols=["user_id"], left_ts="ts",
+        right_ts="ts", value_cols=[], ts_out="pts",
+    ).select(
+        "event_id", "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis("pts").alias("pms"),
+    )
+    f = asof_join_forward(
+        purchases, errors, key_cols=["user_id"], left_ts="ts",
+        right_ts="ts", value_cols=[], ts_out="nts",
+    ).select("event_id", F.unix_millis("nts").alias("nms"))
+    j = b.join(f, "event_id")
+    pms, nms, ts_ms = F.col("pms"), F.col("nms"), F.col("ts_ms")
+    both_null = pms.isNull() & nms.isNull()
+    prior_wins = (ts_ms - pms) <= (nms - ts_ms)
+    nearest = (
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(nms.isNull(), pms)
+        .when(pms.isNull(), nms)
+        .when(prior_wins, pms)
+        .otherwise(nms)
+    )
+    gap = (
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(nms.isNull(), ts_ms - pms)
+        .when(pms.isNull(), nms - ts_ms)
+        .otherwise(F.least(ts_ms - pms, nms - ts_ms))
+    )
+    direction = (
+        F.when(both_null, F.lit("none"))
+        .when(nms.isNull(), F.lit("prior"))
+        .when(pms.isNull(), F.lit("next"))
+        .when(prior_wins, F.lit("prior"))
+        .otherwise(F.lit("next"))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        nearest.alias("nearest_error_ms"),
+        gap.alias("gap_ms"),
+        direction.alias("direction"),
+    )

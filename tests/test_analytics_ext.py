@@ -228,3 +228,20 @@ def test_incremental_merge_equals_recompute(spark):
     # the split is real: both sides non-empty
     assert sum(r["n_base"] for r in rows) > 0
     assert sum(r["n_delta"] for r in rows) > 0
+
+
+def test_zonemap_advisor_accounting(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    row = SPARK_QUERIES["zonemap_prune_stats"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["n_pruned"] <= row["n_buckets"]
+    assert row["rows_matching"] <= row["rows_scanned"] <= row["rows_total"]
+    # zone maps are safe: every matching row lives in a scanned bucket,
+    # and on the id-ordered event log a 1-day window prunes most buckets
+    assert row["n_pruned"] > 0
+    assert row["scan_saving_ppm"] == (
+        (row["rows_total"] - row["rows_scanned"]) * 1_000_000
+        // row["rows_total"]
+    )

@@ -102,3 +102,22 @@ def test_bucketed_range_join_semantics(spark):
         .agg(F.count("rv").alias("n"))
     )
     assert {r.tag: r.n for r in theta.collect()} == {t: n for t, (n, _) in agg.items()}
+
+
+def test_nearest_asof_picks_closer_side(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["asof_nearest_error"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["direction"] == "none":
+            assert r["nearest_error_ms"] is None and r["gap_ms"] is None
+        else:
+            assert r["gap_ms"] >= 0
+            assert abs(r["ts_ms"] - r["nearest_error_ms"]) == r["gap_ms"]
+            if r["direction"] == "prior":
+                assert r["nearest_error_ms"] <= r["ts_ms"]
+            else:
+                assert r["nearest_error_ms"] > r["ts_ms"]
