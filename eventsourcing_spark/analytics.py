@@ -1879,3 +1879,134 @@ def zonemap_prune_stats(spark, sf_dir):
         .cast("long")
         .alias("scan_saving_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item cosine similarity — the Amazon-style collaborative-filter
+# build (Linden et al. 2003): items (event types) as vectors of
+# per-user engagement counts, pairwise cosine over the user dimension.
+# Scale shape — the reason item-item beats user-user at 100 TB: the
+# per-(user, item) profile is one keyed aggregate, the pair explosion
+# happens per user with fan-out |items|² (bounded, tiny), never |users|²,
+# and the final rollup is |items|² rows. cos is emitted ppm-scaled:
+# dot and norms stay exact int64; sqrt is IEEE exactly-rounded and
+# floor() lands both engines on the same integer.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "item_item_cosine",
+    """
+    WITH ui AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    norms AS (
+        SELECT event_type, sum(c * c) AS n2 FROM ui GROUP BY event_type
+    ),
+    dots AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               sum(a.c * b.c) AS dot, count(*) AS n_users
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT d.type_a, d.type_b,
+           CAST(d.dot AS BIGINT) AS dot,
+           CAST(d.n_users AS BIGINT) AS n_users,
+           CAST(floor(d.dot * 1000000 / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)))
+                AS BIGINT) AS cos_ppm
+    FROM dots d
+    JOIN norms na ON na.event_type = d.type_a
+    JOIN norms nb ON nb.event_type = d.type_b
+    """,
+)
+def item_item_cosine(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    norms = ui.groupBy("event_type").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a = ui.select("user_id", F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    b = ui.select("user_id", F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.count("*").alias("n_users"),
+        )
+    )
+    return (
+        dots.join(
+            F.broadcast(norms.select(F.col("event_type").alias("type_a"),
+                                     F.col("n2").alias("na2"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("event_type").alias("type_b"),
+                                     F.col("n2").alias("nb2"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("dot").cast("long").alias("dot"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.floor(
+                F.col("dot") * 1000000
+                / F.sqrt((F.col("na2") * F.col("nb2")).cast("double"))
+            )
+            .cast("long")
+            .alias("cos_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-arrival audit — measures the exact disorder the reference's
+# StartOffset guards against ("records might not become available in ID
+# order", README.md:367-387): per user, how often does wall-clock time
+# run BACKWARDS along the event_id axis, and by how much? The max
+# backwards jump is the empirical lower bound for a safe watermark /
+# catch-up offset. One window per user (lag over the id order), then a
+# per-user rollup — linear, id-sorted scan order makes the lag cheap.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "late_arrival_audit",
+    """
+    WITH s AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                    ORDER BY event_id) AS prev_ms
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN prev_ms IS NOT NULL AND ms < prev_ms
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+           CAST(coalesce(max(CASE WHEN prev_ms IS NOT NULL AND ms < prev_ms
+                                  THEN prev_ms - ms END), 0) AS BIGINT)
+             AS max_backwards_ms
+    FROM s GROUP BY user_id
+    """,
+)
+def late_arrival_audit(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.lag(F.unix_millis("ts")).over(w).alias("prev_ms"),
+    )
+    late = F.col("prev_ms").isNotNull() & (F.col("ms") < F.col("prev_ms"))
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_inversions"),
+        F.coalesce(
+            F.max(F.when(late, F.col("prev_ms") - F.col("ms"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("max_backwards_ms"),
+    )

@@ -245,3 +245,31 @@ def test_zonemap_advisor_accounting(spark):
         (row["rows_total"] - row["rows_scanned"]) * 1_000_000
         // row["rows_total"]
     )
+
+
+def test_item_item_cosine_bounds(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["item_item_cosine"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 <= r["cos_ppm"] <= 1_000_000
+        assert r["dot"] > 0 and r["n_users"] > 0
+
+
+def test_late_arrival_audit_bounds(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["late_arrival_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_inversions"] < r["n_events"]
+        if r["n_inversions"] == 0:
+            assert r["max_backwards_ms"] == 0
+        else:
+            assert r["max_backwards_ms"] > 0
