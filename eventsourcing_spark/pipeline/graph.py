@@ -438,3 +438,90 @@ def graph_degree_distribution(spark, sf_dir):
     return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
         F.count("*").cast("long").alias("n_nodes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction — Resource Allocation index (Zhou, Lü & Zhang 2009),
+# the integer-friendly member of the common-neighbor family (Adamic-Adar
+# needs a log; RA's Σ 1/deg(z) becomes Σ 1_000_000 // deg(z), exact in
+# both engines): for every NON-adjacent pair sharing ≥1 neighbor, score
+# by how "exclusive" their common neighbors are. Top-20 predicted links.
+#
+# Scale shape: the candidate explosion is the wedge join (two hops
+# through the same bucket-capped near-dup edge list — the cap bounds
+# per-neighbor fan-out exactly as in the triangle count); degrees are a
+# tiny broadcast; existing edges are removed with a broadcast anti-join;
+# final top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+RA_TOPK = 20
+
+
+@query(
+    "link_prediction_ra",
+    f"""
+    WITH {_edges_sql()},
+    und AS (
+        SELECT src AS u, dst AS v FROM e
+        UNION ALL SELECT dst AS u, src AS v FROM e
+    ),
+    deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+    cand AS (
+        SELECT a.u AS u, b.u AS w, a.v AS z
+        FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+    ),
+    nonadj AS (
+        SELECT c.u, c.w, c.z FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.src = c.u AND e.dst = c.w
+        )
+    ),
+    ra AS (
+        SELECT n.u, n.w, count(*) AS n_common,
+               sum(1000000 // d.d) AS ra_score
+        FROM nonadj n JOIN deg d ON d.u = n.z
+        GROUP BY n.u, n.w
+    )
+    SELECT u, w, CAST(n_common AS BIGINT) AS n_common,
+           CAST(ra_score AS BIGINT) AS ra_score,
+           CAST(row_number() OVER (ORDER BY ra_score DESC, u, w)
+                AS BIGINT) AS rank
+    FROM ra QUALIFY rank <= {RA_TOPK}
+    """,
+)
+def link_prediction_ra(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _edges_df(spark, sf_dir)
+    und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("z")).agg(F.count("*").alias("d"))
+    a = und.select(F.col("u"), F.col("v").alias("z"))
+    b = und.select(F.col("u").alias("w"), F.col("v").alias("z"))
+    cand = a.join(b, "z").filter(F.col("u") < F.col("w"))
+    nonadj = cand.join(
+        F.broadcast(e),
+        (cand["u"] == e["src"]) & (cand["w"] == e["dst"]),
+        "left_anti",
+    )
+    ra = (
+        nonadj.join(F.broadcast(deg), "z")
+        .groupBy("u", "w")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(F.expr("1000000 div d")).alias("ra_score"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("ra_score"), F.asc("u"), F.asc("w"))
+    return (
+        ra.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= RA_TOPK)
+        .select(
+            "u",
+            "w",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("ra_score").cast("long").alias("ra_score"),
+            "rank",
+        )
+    )

@@ -1255,3 +1255,44 @@ def priority_mix_by_year(spark, sf_dir):
         F.col("yr_total").cast("long").alias("yr_total"),
         F.expr("CAST(n * 1000000 div yr_total AS BIGINT)").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS — the general grouping lattice (rollup_revenue
+# and cube_volume are the two fixed shapes; this is the mixed form a
+# reporting layer actually emits: (year, priority) detail + each
+# one-dimension margin + grand total, tagged by grouping_id so the
+# consumer can route rows without NULL-sniffing). One pass, one
+# exchange: Spark expands the sets map-side exactly like rollup/cube.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_kpis",
+    """
+    SELECT year(o_orderdate) AS o_year, o_orderpriority,
+           CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                            (year(o_orderdate)), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_kpis(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return orders.groupingSets(
+        [["o_year", "o_orderpriority"], ["o_year"], ["o_orderpriority"], []],
+        "o_year",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

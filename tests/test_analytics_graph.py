@@ -212,3 +212,19 @@ def test_degree_distribution_handshake(spark, sf_dir):
     total_degree = dist.agg(F.sum(F.col("degree") * F.col("n_nodes"))).first()[0]
     n_edges = _edges_df(spark, sf_dir).count()
     assert total_degree == 2 * n_edges
+
+
+def test_link_prediction_ra_nonadjacent(spark):
+    from eventsourcing_spark.pipeline.graph import _edges_df
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = SPARK_QUERIES["link_prediction_ra"](spark, sf).collect()
+    assert rows
+    edges = {(r["src"], r["dst"]) for r in _edges_df(spark, sf).collect()}
+    for r in rows:
+        assert r["u"] < r["w"]
+        assert (r["u"], r["w"]) not in edges  # predicted, not existing
+        assert r["n_common"] >= 1 and r["ra_score"] > 0
+    scores = [r["ra_score"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)

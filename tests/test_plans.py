@@ -241,3 +241,24 @@ def test_curation_pipeline_is_one_bounded_plan(plans):
     p = plans["curation_pipeline"]
     assert "SinglePartition" not in p, p
     assert count_nodes(p, "Exchange") <= 3, p
+
+
+def test_grouping_sets_lattice_accounting(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["grouping_sets_kpis"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # 4 grouping sets: detail(0), year-margin(1), priority-margin(2), total(3)
+    assert set(by_gid) == {0, 1, 2, 3}
+    total = by_gid[3][0]
+    assert len(by_gid[3]) == 1
+    for gid in (0, 1, 2):
+        assert sum(r["n_orders"] for r in by_gid[gid]) == total["n_orders"]
+        assert (
+            sum(r["revenue_cents"] for r in by_gid[gid])
+            == total["revenue_cents"]
+        )
