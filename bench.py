@@ -69,6 +69,17 @@ HEADLINE = [
     "asof_next_error",
     "cusum_changepoint",
     "cooccur_pmi_topk",
+    "pq_encode",
+    "ann_rerank_pipeline",
+    "mmr_diversify_topk",
+    "kmv_intersection_pairs",
+    "bloom_semijoin_prune",
+    "incremental_agg_merge",
+    "zonemap_prune_stats",
+    "perplexity_bucket_partition",
+    "cluster_rep_selection",
+    "item_item_cosine",
+    "link_prediction_ra",
 ]
 
 

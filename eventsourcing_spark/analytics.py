@@ -2010,3 +2010,92 @@ def late_arrival_audit(spark, sf_dir):
         .cast("long")
         .alias("max_backwards_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — the data-quality sweep a lakehouse runs
+# after every ingest batch, expressed as one row per FK relation:
+# child rows whose parent key is missing (orphans) and parents with no
+# children (childless — informational for fan-out relations). Each
+# relation is a pair of anti-join counts; small parent sides broadcast,
+# the lineitem→orders check shuffles once on the key. At 100 TB you'd
+# run exactly this plan nightly and alert on orphans > 0.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey))
+                AS BIGINT) AS n_childless
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM nation n
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_nationkey = n.n_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           CAST((SELECT count(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM nation n
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_nationkey = n.n_nationkey))
+                AS BIGINT)
+    """,
+)
+def fk_integrity_audit(spark, sf_dir):
+    def pair(name, child, ckey, parent, pkey, broadcast_parent=True):
+        p = parent.select(pkey)
+        pb = F.broadcast(p) if broadcast_parent else p
+        orphans = child.select(ckey).join(
+            pb, child[ckey] == p[pkey], "left_anti"
+        ).count()
+        childless = p.join(
+            child.select(ckey).distinct(),
+            p[pkey] == child[ckey],
+            "left_anti",
+        ).count()
+        return (name, orphans, childless)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rows = [
+        pair("lineitem.l_orderkey->orders", li, "l_orderkey",
+             orders, "o_orderkey", broadcast_parent=False),
+        pair("orders.o_custkey->customer", orders, "o_custkey",
+             customer, "c_custkey"),
+        pair("customer.c_nationkey->nation", customer, "c_nationkey",
+             nation, "n_nationkey"),
+        pair("supplier.s_nationkey->nation", supplier, "s_nationkey",
+             nation, "n_nationkey"),
+    ]
+    return spark.createDataFrame(
+        rows, "relation string, n_orphans long, n_childless long"
+    )

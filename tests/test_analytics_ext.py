@@ -273,3 +273,17 @@ def test_late_arrival_audit_bounds(spark):
             assert r["max_backwards_ms"] == 0
         else:
             assert r["max_backwards_ms"] > 0
+
+
+def test_fk_integrity_clean_on_synthetic_data(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["fk_integrity_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 4
+    by_rel = {r["relation"]: r for r in rows}
+    # TPC-H-shaped generators produce no orphans
+    assert all(r["n_orphans"] == 0 for r in rows)
+    # but childless parents are legitimate (customers without orders)
+    assert by_rel["customer.c_nationkey->nation"]["n_childless"] >= 0
