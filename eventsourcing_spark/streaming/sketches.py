@@ -185,3 +185,71 @@ def streaming_cms_estimate(spark, counters_dir: str, keys) -> DataFrame:
             F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV maintenance — the third merge algebra: the k smallest
+# distinct hashes per group. Union-then-take-k-smallest is commutative,
+# associative, AND idempotent (re-merging any batch is a no-op, like
+# HLL's max and unlike CMS's add), so no epoch guard is needed; the
+# stored state is ≤ k rows per group regardless of stream volume.
+# ---------------------------------------------------------------------------
+
+KMV_STATE_SCHEMA = "grp string, h bigint"
+
+
+def kmv_maintain(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+):
+    """Maintain per-group k-minimum-value sketches over a stream."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.sketches import KMV_K, _h32
+
+    def process(batch_df: DataFrame, _epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = batch_df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            _h32(F.col(value_col)).alias("h"),
+        ).distinct()
+        stored = read_registers(spark, state_dir, [], KMV_STATE_SCHEMA)
+        w = Window.partitionBy("grp").orderBy("h")
+        merged = (
+            stored.unionByName(batch_sk)
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_K)
+            .select("grp", "h")
+        )
+        rows = merged.collect()  # bounded: ≤ k rows per group
+        spark.createDataFrame(rows, KMV_STATE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_kmv_estimate(spark, state_dir: str) -> DataFrame:
+    """Distinct-count estimates from the maintained per-group sketches."""
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.sketches import KMV_K, _U32
+
+    sk = read_registers(spark, state_dir, [], KMV_STATE_SCHEMA)
+    agg = sk.groupBy("grp").agg(
+        F.max("h").alias("h_k"), F.count("*").alias("n_in_sketch")
+    )
+    est = F.when(
+        F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch")
+    ).otherwise(F.expr(f"({KMV_K - 1} * {_U32}) div h_k"))
+    return agg.select("grp", est.cast("long").alias("kmv_estimate"))

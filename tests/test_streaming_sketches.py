@@ -139,3 +139,60 @@ def test_cms_epoch_guard_rejects_replay(spark, sf_dir, dirs, tmp_path):
     _drain_cms(spark, dirs, cp=str(tmp_path / "cp2"))
     after = _frame_set(read_registers(spark, dirs["reg"], [], CMS_SCHEMA))
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV: min-set merge parity with the batch sketch, and
+# guard-free replay idempotence (the algebra absorbs re-merges).
+# ---------------------------------------------------------------------------
+
+
+def _drain_kmv(spark, dirs, cp=None):
+    from eventsourcing_spark.streaming.sketches import kmv_maintain
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["src"])
+    )
+    q = kmv_maintain(
+        stream, dirs["reg"], cp or dirs["cp"], "event_type", "user_id"
+    )
+    q.awaitTermination(180)
+
+
+def test_kmv_stream_state_matches_batch(spark, sf_dir, dirs):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.sketches import KMV_K, _h32
+    from eventsourcing_spark.streaming.sketches import KMV_STATE_SCHEMA
+
+    ev = _stage_in_chunks(spark, sf_dir, dirs["src"])
+    _drain_kmv(spark, dirs)
+
+    w = Window.partitionBy("grp").orderBy("h")
+    want = _frame_set(
+        ev.select(
+            F.col("event_type").cast("string").alias("grp"),
+            _h32(F.col("user_id")).alias("h"),
+        )
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("grp", "h")
+    )
+    got = _frame_set(read_registers(spark, dirs["reg"], [], KMV_STATE_SCHEMA))
+    assert got == want
+
+
+def test_kmv_replay_idempotent_without_guard(spark, sf_dir, dirs, tmp_path):
+    from eventsourcing_spark.streaming.sketches import KMV_STATE_SCHEMA
+
+    _stage_in_chunks(spark, sf_dir, dirs["src"])
+    _drain_kmv(spark, dirs)
+    before = _frame_set(read_registers(spark, dirs["reg"], [], KMV_STATE_SCHEMA))
+    # full replay with a fresh checkpoint: min-set merge absorbs it
+    _drain_kmv(spark, dirs, cp=str(tmp_path / "cp3"))
+    after = _frame_set(read_registers(spark, dirs["reg"], [], KMV_STATE_SCHEMA))
+    assert after == before
