@@ -2099,3 +2099,69 @@ def fk_integrity_audit(spark, sf_dir):
     return spark.createDataFrame(
         rows, "relation string, n_orphans long, n_childless long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense calendar spine — the gap-filling twin of LOCF: generate every
+# day between the corpus bounds, left-join the daily revenue rollup,
+# zero-fill the gaps, and carry a cumulative total so downstream charts
+# and window calcs never see missing rows. Scale note: the spine and
+# everything after the rollup is |days| rows (thousands), so the
+# ordered cumulative window runs over a tiny single-partition frame —
+# the 100 TB work is only the one groupBy(day) pass over orders.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "daily_revenue_spine",
+    """
+    WITH bounds AS (
+        SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM bounds
+    ),
+    d AS (
+        SELECT o_orderdate AS day, count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT s.day,
+           CAST(coalesce(d.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(d.cents, 0) AS BIGINT) AS revenue_cents,
+           CAST(sum(coalesce(d.cents, 0)) OVER (ORDER BY s.day) AS BIGINT)
+             AS cum_revenue_cents,
+           CAST(CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM spine s LEFT JOIN d ON d.day = s.day
+    """,
+)
+def daily_revenue_spine(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    d = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    j = spine.join(d, "day", "left")
+    w = Window.orderBy("day")
+    return j.select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("cents", F.lit(0)).cast("long").alias("revenue_cents"),
+        F.sum(F.coalesce("cents", F.lit(0)))
+        .over(w)
+        .cast("long")
+        .alias("cum_revenue_cents"),
+        F.when(F.col("cents").isNull(), 1).otherwise(0)
+        .cast("long")
+        .alias("is_gap"),
+    )

@@ -287,3 +287,25 @@ def test_fk_integrity_clean_on_synthetic_data(spark):
     assert all(r["n_orphans"] == 0 for r in rows)
     # but childless parents are legitimate (customers without orders)
     assert by_rel["customer.c_nationkey->nation"]["n_childless"] >= 0
+
+
+def test_daily_spine_is_dense_and_cumulative(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = sorted(
+        SPARK_QUERIES["daily_revenue_spine"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    # dense: consecutive days, no holes
+    days = [r["day"] for r in rows]
+    assert all((b - a).days == 1 for a, b in zip(days, days[1:]))
+    # cumulative matches running sum; gaps carry zero revenue
+    run = 0
+    for r in rows:
+        run += r["revenue_cents"]
+        assert r["cum_revenue_cents"] == run
+        if r["is_gap"] == 1:
+            assert r["n_orders"] == 0 and r["revenue_cents"] == 0
