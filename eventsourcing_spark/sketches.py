@@ -992,3 +992,113 @@ def bloom_semijoin_prune(spark, sf_dir):
         .cast("long")
         .alias("pass_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct via register algebra — the payoff of keeping
+# HOURLY HLL registers (sketch_hll_hourly): any wider window's distinct
+# count is a max-merge of the per-hour register frames, NO re-scan of
+# raw events. Here: trailing-6-hour distinct users for every hour with
+# data. Spark side expresses the merge as a RANGE-frame window max per
+# register lane (partition by b — 64 independent lanes, each a tiny
+# ordered frame over |hours| rows); the raw table is scanned once to
+# build the hourly registers and once more only for the exact-count
+# audit column. At 100 TB the registers live in a table and this query
+# never touches the events at all. Oracle states the identical merge as
+# a bounded range join. Estimates integer-exact as everywhere else.
+# ---------------------------------------------------------------------------
+
+_SLIDE_H = 5  # 5 preceding + current = 6-hour window
+
+
+@query(
+    "sketch_hll_sliding",
+    f"""
+    WITH up AS (
+        SELECT DISTINCT epoch_ms(ts) // 3600000 AS hr,
+               {_h32_sql("user_id")} AS h
+        FROM events
+    ),
+    hours AS (SELECT DISTINCT hr FROM up),
+    rw AS (SELECT hr, h // {_HLL_W} AS b, h % {_HLL_W} AS w FROM up),
+    regs AS (
+        SELECT hr, b, max({_rho_sql()}) AS m_b FROM rw GROUP BY hr, b
+    ),
+    bs AS (SELECT DISTINCT b FROM regs),
+    grid AS (SELECT ho.hr, bs.b FROM hours ho CROSS JOIN bs),
+    sl AS (
+        SELECT g.hr, g.b, max(r.m_b) AS m_b
+        FROM grid g
+        LEFT JOIN regs r
+          ON r.b = g.b AND r.hr BETWEEN g.hr - {_SLIDE_H} AND g.hr
+        GROUP BY g.hr, g.b
+    ),
+    live AS (SELECT hr, b, m_b FROM sl WHERE m_b IS NOT NULL),
+    sums AS (
+        SELECT hr,
+               sum(CAST(power(2, {_HLL_Q + 1} - m_b) AS BIGINT))
+                 + ({_HLL_M} - count(*)) * {_HLL_SCALE} AS s,
+               {_HLL_M} - count(*) AS v
+        FROM live GROUP BY hr
+    ),
+    est AS (
+        SELECT hr, v,
+               CAST({_HLL_NUM} // (1000 * s) AS BIGINT) AS raw_est
+        FROM sums
+    ),
+    ex AS (
+        SELECT ho.hr, count(DISTINCT u.h) AS n_exact
+        FROM hours ho
+        JOIN up u ON u.hr BETWEEN ho.hr - {_SLIDE_H} AND ho.hr
+        GROUP BY ho.hr
+    )
+    SELECT e.hr AS hr, ex.n_exact AS n_exact,
+           CAST(CASE WHEN e.raw_est <= {5 * _HLL_M // 2} AND e.v > 0
+                     THEN {_lc_sql("e.v")} ELSE e.raw_est END AS BIGINT)
+             AS hll_estimate
+    FROM est e JOIN ex ON ex.hr = e.hr
+    """,
+)
+def sketch_hll_sliding(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    up = (
+        ev.select(
+            F.expr("unix_millis(ts) div 3600000").alias("hr"),
+            _h32(F.col("user_id")).alias("h"),
+        ).distinct()
+    )
+    hours = up.select("hr").distinct()
+    regs = (
+        up.select(
+            "hr",
+            F.expr(f"h div {_HLL_W}").alias("b"),
+            (F.col("h") % _HLL_W).alias("w"),
+        )
+        .groupBy("hr", "b")
+        .agg(F.max(F.expr(_rho_sql())).alias("m_b"))
+    )
+    bs = regs.select("b").distinct()
+    grid = hours.crossJoin(F.broadcast(bs))
+    g = grid.join(regs, ["hr", "b"], "left")
+    w = (
+        Window.partitionBy("b")
+        .orderBy("hr")
+        .rangeBetween(-_SLIDE_H, 0)
+    )
+    sl = g.select("hr", "b", F.max("m_b").over(w).alias("m_b")).filter(
+        F.col("m_b").isNotNull()
+    )
+    est = hll_estimate(sl, ["hr"]).withColumnRenamed(
+        "hll_estimate", "hll_estimate"
+    )
+    hr_lo = (F.col("u_hr") >= F.col("hr") - _SLIDE_H) & (
+        F.col("u_hr") <= F.col("hr")
+    )
+    exact = (
+        hours.join(
+            up.select(F.col("hr").alias("u_hr"), "h"), hr_lo
+        )
+        .groupBy("hr")
+        .agg(F.countDistinct("h").alias("n_exact"))
+    )
+    return est.join(exact, "hr").select("hr", "n_exact", "hll_estimate")

@@ -176,3 +176,19 @@ def test_bloom_semijoin_prune_one_sided(spark):
     assert row["n_true"] <= row["n_pass"] <= row["n_rows"]
     assert row["n_false_pos"] == row["n_pass"] - row["n_true"]
     assert row["pass_ppm"] == row["n_pass"] * 1_000_000 // row["n_rows"]
+
+
+def test_sliding_hll_tracks_exact_within_error(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["sketch_hll_sliding"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] >= 1
+        # 64-register HLL with linear-counting correction: generous
+        # envelope, mostly exercised in the small-range regime here
+        assert abs(r["hll_estimate"] - r["n_exact"]) <= max(
+            10, r["n_exact"] * 0.35
+        )
