@@ -1102,3 +1102,162 @@ def sketch_hll_sliding(spark, sf_dir):
         .agg(F.countDistinct("h").alias("n_exact"))
     )
     return est.join(exact, "hr").select("hr", "n_exact", "hll_estimate")
+
+
+# ---------------------------------------------------------------------------
+# HLL set operations — inclusion-exclusion over register merges:
+# |A∩B|^ = n̂(A) + n̂(B) − n̂(A∪B), where the union estimate comes from
+# max-merging the two register frames (exact sketch algebra, no data
+# re-scan). The complement of kmv_intersection_pairs: KMV intersects
+# by common-minima counting (unbiased, needs the hash sets), HLL by
+# inclusion-exclusion (register-only — what you can do when only the
+# 64-register summaries were kept). Negative differences clamp to 0 —
+# the known failure mode for small overlaps, which is why the exact
+# column rides along. Everything is the same integer estimator.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hll_intersection_pairs",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT event_type, {_h32_sql("user_id")} AS h FROM events
+    ),
+    rw AS (
+        SELECT event_type, h // {_HLL_W} AS b, h % {_HLL_W} AS w FROM pairs
+    ),
+    regs AS (
+        SELECT event_type, b, max({_rho_sql()}) AS m_b
+        FROM rw GROUP BY event_type, b
+    ),
+    tt AS (SELECT DISTINCT event_type FROM pairs),
+    tp AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM tt a JOIN tt b ON a.event_type < b.event_type
+    ),
+    uregs AS (
+        SELECT tp.ta, tp.tb, r.b, max(r.m_b) AS m_b
+        FROM tp JOIN regs r ON r.event_type IN (tp.ta, tp.tb)
+        GROUP BY tp.ta, tp.tb, r.b
+    ),
+    single_est AS (
+        SELECT event_type,
+               CAST(CASE WHEN raw_est <= {5 * _HLL_M // 2} AND v > 0
+                         THEN {_lc_sql("v")} ELSE raw_est END AS BIGINT)
+                 AS n_est
+        FROM (
+            SELECT event_type, v,
+                   CAST({_HLL_NUM} // (1000 * s) AS BIGINT) AS raw_est
+            FROM (
+                SELECT event_type,
+                       sum(CAST(power(2, {_HLL_Q + 1} - m_b) AS BIGINT))
+                         + ({_HLL_M} - count(*)) * {_HLL_SCALE} AS s,
+                       {_HLL_M} - count(*) AS v
+                FROM regs GROUP BY event_type
+            )
+        )
+    ),
+    union_est AS (
+        SELECT ta, tb,
+               CAST(CASE WHEN raw_est <= {5 * _HLL_M // 2} AND v > 0
+                         THEN {_lc_sql("v")} ELSE raw_est END AS BIGINT)
+                 AS n_union
+        FROM (
+            SELECT ta, tb, v,
+                   CAST({_HLL_NUM} // (1000 * s) AS BIGINT) AS raw_est
+            FROM (
+                SELECT ta, tb,
+                       sum(CAST(power(2, {_HLL_Q + 1} - m_b) AS BIGINT))
+                         + ({_HLL_M} - count(*)) * {_HLL_SCALE} AS s,
+                       {_HLL_M} - count(*) AS v
+                FROM uregs GROUP BY ta, tb
+            )
+        )
+    ),
+    ex AS (
+        SELECT t.ta, t.tb, count(*) AS n_exact
+        FROM tp t
+        JOIN pairs pa ON pa.event_type = t.ta
+        JOIN pairs pb ON pb.event_type = t.tb AND pb.h = pa.h
+        GROUP BY t.ta, t.tb
+    )
+    SELECT u.ta AS type_a, u.tb AS type_b,
+           sa.n_est AS est_a, sb.n_est AS est_b, u.n_union AS est_union,
+           CAST(greatest(sa.n_est + sb.n_est - u.n_union, 0) AS BIGINT)
+             AS inter_est,
+           CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact
+    FROM union_est u
+    JOIN single_est sa ON sa.event_type = u.ta
+    JOIN single_est sb ON sb.event_type = u.tb
+    LEFT JOIN ex e ON e.ta = u.ta AND e.tb = u.tb
+    """,
+)
+def hll_intersection_pairs(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("event_type", _h32(F.col("user_id")).alias("h")).distinct()
+    # hll_registers hashes its value column; hashing the already-hashed
+    # column would diverge from the oracle — build registers directly
+    # from the shared hash instead.
+    regs = (
+        pairs.select(
+            "event_type",
+            F.expr(f"h div {_HLL_W}").alias("b"),
+            (F.col("h") % _HLL_W).alias("w"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.max(F.expr(_rho_sql())).alias("m_b"))
+    )
+    tt = pairs.select("event_type").distinct()
+    tp = (
+        tt.alias("a")
+        .join(tt.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+    )
+    uregs = (
+        tp.join(regs, regs["event_type"] == tp["ta"]).select("ta", "tb", "b", "m_b")
+        .union(
+            tp.join(regs, regs["event_type"] == tp["tb"]).select(
+                "ta", "tb", "b", "m_b"
+            )
+        )
+        .groupBy("ta", "tb", "b")
+        .agg(F.max("m_b").alias("m_b"))
+    )
+    single = hll_estimate(regs, ["event_type"])
+    union = hll_estimate(uregs, ["ta", "tb"]).withColumnRenamed(
+        "hll_estimate", "n_union"
+    )
+    pa = pairs.select(F.col("event_type").alias("ea"), F.col("h").alias("ha"))
+    pb = pairs.select(F.col("event_type").alias("eb"), F.col("h").alias("hb"))
+    ex = (
+        tp.join(pa, F.col("ea") == F.col("ta"))
+        .join(pb, (F.col("eb") == F.col("tb")) & (F.col("hb") == F.col("ha")))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    sa = single.select(
+        F.col("event_type").alias("ta"), F.col("hll_estimate").alias("est_a")
+    )
+    sb = single.select(
+        F.col("event_type").alias("tb"), F.col("hll_estimate").alias("est_b")
+    )
+    return (
+        union.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .join(ex, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "est_a",
+            "est_b",
+            F.col("n_union").alias("est_union"),
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("n_union"), F.lit(0)
+            )
+            .cast("long")
+            .alias("inter_est"),
+            F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
+        )
+    )

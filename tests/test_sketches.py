@@ -192,3 +192,22 @@ def test_sliding_hll_tracks_exact_within_error(spark):
         assert abs(r["hll_estimate"] - r["n_exact"]) <= max(
             10, r["n_exact"] * 0.35
         )
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["hll_intersection_pairs"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        # the identity the query implements, with the clamp
+        assert r["inter_est"] == max(
+            r["est_a"] + r["est_b"] - r["est_union"], 0
+        )
+        # union can never be estimated smaller than either side
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) - max(
+            2, r["est_union"] * 0.1
+        )
