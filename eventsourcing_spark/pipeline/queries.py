@@ -1277,3 +1277,132 @@ def cluster_rep_selection(spark, sf_dir):
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash accuracy audit — the estimator-vs-truth sweep for the dedup
+# family, mirroring what the sketch queries do for counts: on every LSH
+# candidate pair, the K=16-permutation MinHash Jaccard estimate
+# (matching-minima fraction, Broder 1997) next to the true token-set
+# Jaccard, both ppm-scaled integers. This is the number you tune band/
+# row parameters against before a 100 TB dedup run. The 16-hash
+# signature is computed once per doc map-side; candidates come from the
+# same capped LSH buckets as dedup_lsh_pairs; true Jaccard touches only
+# candidate pairs, never the corpus cross-product.
+# ---------------------------------------------------------------------------
+
+MH_EST_K = 16
+
+
+@query(
+    "minhash_jaccard_estimate",
+    _BANDS_SQL
+    + f"""
+    , sized AS (
+        SELECT doc_id, band_id, band_key,
+               count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sized a
+        JOIN sized b ON a.band_key = b.band_key AND a.band_id = b.band_id
+                    AND a.doc_id < b.doc_id
+        WHERE a.bucket_n <= {MAX_BUCKET}
+    ),
+    sig16 AS (
+        SELECT doc_id,
+               {", ".join(_minhash_oracle(j).replace(f"AS mh{j}", f"AS m{j}")
+                          for j in range(MH_EST_K))}
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS t
+        FROM documents
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({" + ".join(f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+                            for j in range(MH_EST_K))} AS BIGINT) AS n_match,
+           CAST(({" + ".join(f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+                             for j in range(MH_EST_K))})
+                * 1000000 // {MH_EST_K} AS BIGINT) AS est_ppm,
+           CAST(len(list_intersect(ta.t, tb.t)) * 1000000
+                // (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)))
+                AS BIGINT) AS true_ppm
+    FROM cand c
+    JOIN sig16 sa ON sa.doc_id = c.doc_a
+    JOIN sig16 sb ON sb.doc_id = c.doc_b
+    JOIN toks ta ON ta.doc_id = c.doc_a
+    JOIN toks tb ON tb.doc_id = c.doc_b
+    """,
+)
+def minhash_jaccard_estimate(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    buckets = (
+        _bands(docs)
+        .groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
+    )
+    cand = (
+        buckets.select("ids", F.posexplode("ids").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias(
+                "doc_b"
+            ),
+        )
+        .distinct()
+    )
+    def _mh(j: int):
+        # factory, not a default-arg lambda: transform() interprets a
+        # two-parameter lambda as (element, index) and would shadow j
+        return F.array_min(
+            F.transform(
+                _tokens(F.col("text")),
+                lambda t: F.md5(F.concat(t, F.lit(str(j)))),
+            )
+        )
+
+    sig16 = docs.select(
+        "doc_id",
+        F.array(*[_mh(j) for j in range(MH_EST_K)]).alias("sig"),
+        F.array_distinct(_tokens(F.col("text"))).alias("t"),
+    )
+    sa = sig16.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("t").alias("t_a"),
+    )
+    sb = sig16.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("t").alias("t_b"),
+    )
+    n_match = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda a, b: F.when(a == b, 1).otherwise(0)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("t_a", "t_b")).cast("long")
+    union = F.size("t_a").cast("long") + F.size("t_b").cast("long") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            (inter * 1000000).alias("__num"),
+            union.alias("__den"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            F.expr(f"n_match * 1000000 div {MH_EST_K}").alias("est_ppm"),
+            F.expr("__num div __den").alias("true_ppm"),
+        )
+    )

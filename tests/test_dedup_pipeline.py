@@ -115,3 +115,22 @@ def test_cluster_rep_is_best_quality_member(spark):
         assert r["n_members"] >= 2
         # representative belongs to its own cluster's id range
         assert r["rep_doc_id"] >= r["cluster_id"]
+
+
+def test_minhash_estimator_tracks_true_jaccard(spark):
+    from eventsourcing_spark.pipeline.queries import MH_EST_K
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["minhash_jaccard_estimate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    errs = []
+    for r in rows:
+        assert 0 <= r["n_match"] <= MH_EST_K
+        assert r["est_ppm"] == r["n_match"] * 1_000_000 // MH_EST_K
+        assert 0 <= r["true_ppm"] <= 1_000_000
+        errs.append(abs(r["est_ppm"] - r["true_ppm"]))
+    # K=16 permutations: std error ~1/4; the MEAN error over candidate
+    # pairs should be well inside that envelope
+    assert sum(errs) / len(errs) < 250_000
