@@ -2165,3 +2165,64 @@ def daily_revenue_spine(spark, sf_dir):
         .cast("long")
         .alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics — the robust-mean complement of mad_outliers:
+# clamp each type's values into [p05, p95] (exact interpolated
+# percentiles, identical in Spark and DuckDB) before averaging, so a
+# handful of extreme rows can't move the metric. Output keeps raw vs
+# winsorized side by side ×100-scaled to integers. Two passes over one
+# keyed exchange: the percentile frame is |types| rows broadcast back.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "winsorized_value_stats",
+    """
+    WITH p AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) // count(*)
+                AS BIGINT) AS mean_x100,
+           CAST(sum(CAST(round(least(greatest(e.value, p.p05), p.p95) * 100)
+                         AS BIGINT)) // count(*)
+                AS BIGINT) AS winsor_mean_x100,
+           CAST(sum(CASE WHEN e.value < p.p05 OR e.value > p.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM events e JOIN p ON p.event_type = e.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    out_of_band = (F.col("value") < F.col("p05")) | (
+        F.col("value") > F.col("p95")
+    )
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                "sum(CAST(round(value * 100) AS BIGINT)) div count(*)"
+            ).cast("long").alias("mean_x100"),
+            F.expr(
+                "sum(CAST(round(least(greatest(value, p05), p95) * 100)"
+                " AS BIGINT)) div count(*)"
+            ).cast("long").alias("winsor_mean_x100"),
+            F.sum(F.when(out_of_band, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped"),
+        )
+    )

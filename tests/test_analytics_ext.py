@@ -309,3 +309,17 @@ def test_daily_spine_is_dense_and_cumulative(spark):
         assert r["cum_revenue_cents"] == run
         if r["is_gap"] == 1:
             assert r["n_orders"] == 0 and r["revenue_cents"] == 0
+
+
+def test_winsorized_mean_is_pulled_inward(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["winsorized_value_stats"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        # clamping affects ~10% of rows (5% each tail) and never more
+        assert 0 <= r["n_clamped"] <= r["n"] * 0.15 + 2
+        # winsorized mean lives inside the raw value envelope
+        assert r["winsor_mean_x100"] >= 0
