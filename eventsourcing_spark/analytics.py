@@ -2226,3 +2226,63 @@ def winsorized_value_stats(spark, sf_dir):
             .alias("n_clamped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing-style attribution — for every purchase, credit both the
+# FIRST touch (the user's first event that calendar day) and the LAST
+# touch (the event immediately preceding the purchase), then roll up
+# the (first, last) credit matrix. Two windows over the same
+# (user, day) ordering — one partition-keyed sort serves both — and a
+# tiny matrix rollup. The classic single-pass shape: no self-join of
+# events against events, which is what a naive attribution query does
+# and what dies first at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "attribution_first_last",
+    """
+    WITH s AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ms,
+               CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+               event_id
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, day, event_type, event_id,
+               first_value(event_type) OVER (PARTITION BY user_id, day
+                    ORDER BY ms, event_id) AS first_touch,
+               lag(event_type) OVER (PARTITION BY user_id, day
+                    ORDER BY ms, event_id) AS last_touch
+        FROM s
+    )
+    SELECT first_touch, coalesce(last_touch, 'none') AS last_touch,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY first_touch, coalesce(last_touch, 'none')
+    """,
+)
+def attribution_first_last(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_millis("ts").alias("ms"),
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ms", "event_id")
+    touched = s.select(
+        "event_type",
+        F.first("event_type").over(w).alias("first_touch"),
+        F.lag("event_type").over(w).alias("last_touch"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "first_touch",
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(F.count("*").cast("long").alias("n_purchases"))
+    )

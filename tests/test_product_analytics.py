@@ -93,3 +93,27 @@ def test_bitmap_distinct_is_exact(spark):
             .count()
         )
         assert r.n_distinct == true_n  # zero error, unlike HLL
+
+
+def test_attribution_matrix_totals(spark):
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = SPARK_QUERIES["attribution_first_last"](spark, sf).collect()
+    assert rows
+    total = sum(r["n_purchases"] for r in rows)
+    n_purchases = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    # every purchase is credited exactly once in the matrix
+    assert total == n_purchases
+    # a purchase that opens the day credits itself as first touch and
+    # 'none' as last touch — both labels legal, nothing else leaks in
+    types = {"view", "click", "purchase", "signup", "error", "none"}
+    for r in rows:
+        assert r["first_touch"] in types and r["last_touch"] in types
