@@ -40,7 +40,7 @@ K = 8
 ITERS = 3
 DIM = 64
 
-_Q = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+_Q = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 
 def _kmeans_oracle() -> str:

@@ -642,14 +642,14 @@ def lang_id_heuristic(spark, sf_dir):
     """
     WITH q AS (
         SELECT vec_id AS query_id,
-               list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
         FROM embeddings WHERE vec_id < 5
     ),
     pairs AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                CAST(list_dot_product(
                     qv,
-                    list_transform(e.embedding, x -> CAST(round(x * 1000) AS BIGINT))
+                    list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
                ) AS BIGINT) AS dot
         FROM q JOIN embeddings e ON e.vec_id != q.query_id
     )
@@ -714,8 +714,8 @@ def knn_topk_dot(spark, sf_dir):
     SELECT label,
            count(*) AS n_vectors,
            CAST(sum(CAST(list_dot_product(
-                list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)),
-                list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
            ) AS BIGINT)) AS BIGINT) AS sum_sq_norm_q
     FROM embeddings
     GROUP BY label

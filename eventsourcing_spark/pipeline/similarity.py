@@ -37,7 +37,7 @@ def _quant(col):
 
 
 def _quant_sql(expr: str) -> str:
-    return f"list_transform({expr}, x -> CAST(round(x * 1000) AS BIGINT))"
+    return f"list_transform({expr}, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 
 def _bucket_expr(qcol):
@@ -965,7 +965,7 @@ def semdedup_ivf(spark, sf_dir):
     f"""
     WITH x AS (
         SELECT g.i AS dim,
-               CAST(round(embedding[g.i] * 1000) AS BIGINT) AS q
+               CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000) AS BIGINT) AS q
         FROM embeddings CROSS JOIN generate_series(1, {DIM}) g(i)
     )
     SELECT CAST(dim AS BIGINT) AS dim,
@@ -1008,7 +1008,7 @@ def emb_dimension_stats(spark, sf_dir):
     f"""
     WITH x AS (
         SELECT label, g.i AS dim,
-               CAST(round(embedding[g.i] * 1000) AS BIGINT) AS q
+               CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000) AS BIGINT) AS q
         FROM embeddings CROSS JOIN generate_series(1, {DIM}) g(i)
     ),
     c AS (
