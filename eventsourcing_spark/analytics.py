@@ -2286,3 +2286,94 @@ def attribution_first_last(spark, sf_dir):
         )
         .agg(F.count("*").cast("long").alias("n_purchases"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the standard customer-value grid: per user,
+# Recency (days since last purchase vs corpus end), Frequency (purchase
+# count), Monetary (purchase cents), each scored into quartiles over a
+# deterministic total order, then the classic segment labels. One
+# per-user rollup + three ntile windows over the tiny |users| frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rfm_segmentation",
+    """
+    WITH p AS (
+        SELECT user_id,
+               max(epoch_ms(ts)) AS last_ms,
+               count(*) AS freq,
+               sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    eot AS (SELECT max(epoch_ms(ts)) AS end_ms FROM events),
+    m AS (
+        SELECT p.user_id,
+               CAST((eot.end_ms - p.last_ms) // 86400000 AS BIGINT)
+                 AS recency_days,
+               p.freq, p.cents
+        FROM p, eot
+    ),
+    s AS (
+        SELECT user_id, recency_days, freq, cents,
+               ntile(4) OVER (ORDER BY recency_days, user_id) AS r_score,
+               ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_score,
+               ntile(4) OVER (ORDER BY cents DESC, user_id) AS m_score
+        FROM m
+    )
+    SELECT user_id, recency_days,
+           CAST(freq AS BIGINT) AS freq, cents,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'loyal'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'
+                WHEN r_score >= 4 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM s
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_millis("ts")).alias("last_ms"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast(
+                    "long"
+                )
+            ).alias("cents"),
+        )
+    )
+    eot = ev.agg(F.max(F.unix_millis("ts")).alias("end_ms"))
+    m = p.crossJoin(F.broadcast(eot)).select(
+        "user_id",
+        F.expr("(end_ms - last_ms) div 86400000").alias("recency_days"),
+        "freq",
+        "cents",
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.desc("freq"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("cents"), F.asc("user_id"))
+    s = m.select(
+        "user_id",
+        "recency_days",
+        F.col("freq").cast("long").alias("freq"),
+        "cents",
+        F.ntile(4).over(wr).cast("long").alias("r_score"),
+        F.ntile(4).over(wf).cast("long").alias("f_score"),
+        F.ntile(4).over(wm).cast("long").alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "at_risk")
+        .when(F.col("r_score") >= 4, "hibernating")
+        .otherwise("regular")
+    )
+    return s.withColumn("segment", segment)

@@ -117,3 +117,22 @@ def test_attribution_matrix_totals(spark):
     types = {"view", "click", "purchase", "signup", "error", "none"}
     for r in rows:
         assert r["first_touch"] in types and r["last_touch"] in types
+
+
+def test_rfm_scores_balanced_and_labeled(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["rfm_segmentation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in rows:
+            assert 1 <= r[col] <= 4
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        assert max(counts.values()) - min(counts.values()) <= 1  # ntile balance
+    labels = {r["segment"] for r in rows}
+    assert labels <= {"champion", "loyal", "at_risk", "hibernating", "regular"}
+    assert n == len({r["user_id"] for r in rows})
