@@ -1211,3 +1211,74 @@ def dim_truncation_recall(spark, sf_dir):
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-≤1 pairing — the web-scale near-dup LOOKUP (Manku,
+# Jain & Das Sarma, WWW'07): instead of comparing signatures pairwise,
+# each doc also registers its signature with every single bit flipped;
+# any Hamming-distance-≤1 pair then collides on an EXACT key. The join
+# is a plain equi-join on the probed signature — |docs|·(1+bits) probe
+# rows, one shuffle, no quadratic candidate generation anywhere (the
+# production trick for 64-bit signatures splits them into blocks; the
+# 8-bit gate signature needs only the direct flips). Output pairs carry
+# the exact Hamming distance (0 = identical signature, 1 = one flip).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "simhash_hamming_pairs",
+    f"""
+    WITH sig AS (
+        SELECT doc_id, {_simhash_votes_sql()} AS s FROM documents
+    ),
+    probes AS (
+        SELECT doc_id, s, s AS probe FROM sig
+        UNION ALL
+        {" UNION ALL ".join(
+            f"SELECT doc_id, s, xor(s, {1 << j}) AS probe FROM sig"
+            for j in range(N_PLANES)
+        )}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        FROM probes a JOIN sig b
+          ON a.probe = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 1
+    """,
+)
+def simhash_hamming_pairs(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), " ")
+    sig = docs.select(
+        "doc_id", _simhash_votes_spark(toks).alias("s")
+    )
+    probes = sig.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(
+                F.col("s"),
+                *[
+                    F.col("s").bitwiseXOR(F.lit(1 << j)).cast("long")
+                    for j in range(N_PLANES)
+                ],
+            )
+        ).alias("probe"),
+    )
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    return (
+        probes.join(b, probes["probe"] == b["sb"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.bit_count(F.col("s").bitwiseXOR(F.col("sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 1)
+    )

@@ -134,3 +134,26 @@ def test_minhash_estimator_tracks_true_jaccard(spark):
     # K=16 permutations: std error ~1/4; the MEAN error over candidate
     # pairs should be well inside that envelope
     assert sum(errs) / len(errs) < 250_000
+
+
+def test_simhash_hamming_pairs_complete_at_radius_one(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in SPARK_QUERIES["dedup_simhash"](spark, sf).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in SPARK_QUERIES["simhash_hamming_pairs"](spark, sf).collect()
+    }
+    # brute-force ground truth over all pairs
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 1:
+                want[(a, b)] = h
+    assert got == want  # probe scheme is lossless at radius 1
