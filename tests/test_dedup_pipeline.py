@@ -137,7 +137,7 @@ def test_minhash_estimator_tracks_true_jaccard(spark):
 
 
 def test_simhash_hamming_pairs_complete_at_radius_one(spark):
-    from eventsourcing_spark.queries import SPARK_QUERIES
+    from eventsourcing_spark.registry import SPARK_QUERIES
 
     sf = "/root/testdata/sf0.001"
     sigs = {
