@@ -525,3 +525,75 @@ def link_prediction_ra(spark, sf_dir):
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-depth BFS — multi-source shortest hops over the near-dup
+# graph: distance from the seed set (vec_id < 3) for every node within
+# MAX_HOPS. The canonical iterative-join formulation: frontier ⋈ edges
+# per round, min-distance kept per node; each round is one keyed
+# shuffle and the frontier is localCheckpointed so lineage stays flat
+# (same discipline as dedup_components / pagerank). Oracle: bounded
+# recursive CTE + min() rollup. The depth bound is what makes BFS
+# shippable at 100 TB — unbounded reachability is dedup_components'
+# fixpoint job.
+# ---------------------------------------------------------------------------
+
+BFS_SEEDS = 3
+MAX_HOPS = 3
+
+
+@query(
+    "graph_bfs_depth",
+    f"""
+    WITH RECURSIVE {_edges_sql()},
+    und AS (
+        SELECT src AS u, dst AS v FROM e
+        UNION ALL SELECT dst AS u, src AS v FROM e
+    ),
+    seeds AS (
+        SELECT DISTINCT vec_id AS node FROM embeddings
+        WHERE vec_id < {BFS_SEEDS}
+    ),
+    walk AS (
+        SELECT node, 0 AS hops FROM seeds
+        UNION ALL
+        SELECT und.v AS node, w.hops + 1
+        FROM walk w JOIN und ON und.u = w.node
+        WHERE w.hops < {MAX_HOPS}
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_depth(spark, sf_dir):
+    e = _edges_df(spark, sf_dir)
+    und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    ).localCheckpoint()
+    emb = load_table(spark, sf_dir, "embeddings")
+    dist = (
+        emb.select(F.col("vec_id").alias("node"))
+        .filter(F.col("node") < BFS_SEEDS)
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(MAX_HOPS):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select(F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+        frontier = nxt.groupBy("node").agg(F.min("hops").alias("hops"))
+    return dist.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("hops").cast("long").alias("hops"),
+    )

@@ -228,3 +228,24 @@ def test_link_prediction_ra_nonadjacent(spark):
         assert r["n_common"] >= 1 and r["ra_score"] > 0
     scores = [r["ra_score"] for r in sorted(rows, key=lambda r: r["rank"])]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bfs_hops_are_consistent(spark):
+    from eventsourcing_spark.pipeline.graph import BFS_SEEDS, MAX_HOPS, _edges_df
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["node"]: r["hops"] for r in
+            SPARK_QUERIES["graph_bfs_depth"](spark, sf).collect()}
+    # seeds at distance 0
+    for s in range(BFS_SEEDS):
+        assert rows.get(s) == 0
+    assert all(0 <= h <= MAX_HOPS for h in rows.values())
+    # triangle inequality along every edge: hop labels of adjacent
+    # reachable nodes differ by at most 1 (unless the larger one was
+    # only reached at the depth bound)
+    edges = _edges_df(spark, sf).collect()
+    for e in edges:
+        a, b = rows.get(e["src"]), rows.get(e["dst"])
+        if a is not None and b is not None and max(a, b) < MAX_HOPS:
+            assert abs(a - b) <= 1
