@@ -2377,3 +2377,133 @@ def rfm_segmentation(spark, sf_dir):
         .otherwise("regular")
     )
     return s.withColumn("segment", segment)
+
+
+# ---------------------------------------------------------------------------
+# Order-total reconciliation — the TPC-H flavored financial-integrity
+# audit: does o_totalprice equal the sum of its lineitems'
+# extendedprice·(1−discount)·(1+tax)? All arithmetic in scaled int64
+# "micro-cents" (cents × basis-point factors), because decimal
+# intermediate-rounding rules differ between engines while integer
+# products cannot. Whether the generator maintains the invariant is
+# exactly what the audit reports; the operator is the point: per-order
+# rollup (one shuffle on the natural key), tiny bucket summary.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_total_reconciliation",
+    """
+    WITH li AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                 AS computed_micro
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+                 - li.computed_micro AS diff_micro
+        FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE WHEN abs(diff_micro) < 10000 THEN 'within_1c'
+                WHEN abs(diff_micro) <= 50000 THEN 'within_5c'
+                WHEN abs(diff_micro) <= 10000000 THEN 'within_10d'
+                ELSE 'off' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(diff_micro) AS BIGINT) AS min_diff_micro,
+           CAST(max(diff_micro) AS BIGINT) AS max_diff_micro
+    FROM j GROUP BY 1
+    """,
+)
+def order_total_reconciliation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    computed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            cents("l_extendedprice")
+            * (F.lit(100) - cents("l_discount"))
+            * (F.lit(100) + cents("l_tax"))
+        ).alias("computed_micro")
+    )
+    j = orders.join(
+        computed, orders["o_orderkey"] == computed["l_orderkey"]
+    ).select(
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long") * 10000
+            - F.col("computed_micro")
+        ).alias("diff_micro")
+    )
+    bucket = (
+        F.when(F.abs("diff_micro") < 10000, "within_1c")
+        .when(F.abs("diff_micro") <= 50000, "within_5c")
+        .when(F.abs("diff_micro") <= 10000000, "within_10d")
+        .otherwise("off")
+    )
+    return j.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.min("diff_micro").cast("long").alias("min_diff_micro"),
+        F.max("diff_micro").cast("long").alias("max_diff_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor) — dispersion of per-user hourly event counts:
+# variance-to-mean in exact integer numerator form (n·Σx² − (Σx)² over
+# n·Σx), the overdispersion test that separates steady heartbeats from
+# bursty humans. Hours with zero events count as zeros via the user's
+# observed-hour span. One rollup per (user, hour), one per user.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_burstiness_fano",
+    """
+    WITH h AS (
+        SELECT user_id, epoch_ms(ts) // 3600000 AS hr, count(*) AS c
+        FROM events GROUP BY user_id, epoch_ms(ts) // 3600000
+    ),
+    span AS (
+        SELECT user_id, max(hr) - min(hr) + 1 AS n_hours,
+               sum(c) AS sx, sum(c * c) AS sxx, count(*) AS n_live
+        FROM h GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(sx AS BIGINT) AS n_events,
+           CAST(n_hours * sxx - sx * sx AS BIGINT) AS var_numer,
+           CAST(n_hours * sx AS BIGINT) AS var_denom,
+           CAST((n_hours * sxx - sx * sx) * 1000 // (n_hours * sx) AS BIGINT)
+             AS fano_x1000
+    FROM span
+    """,
+)
+def user_burstiness_fano(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "user_id", F.expr("unix_millis(ts) div 3600000").alias("hr")
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.count("*").alias("c"))
+    )
+    span = h.groupBy("user_id").agg(
+        (F.max("hr") - F.min("hr") + 1).alias("n_hours"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+    )
+    return span.select(
+        "user_id",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("sx").cast("long").alias("n_events"),
+        (F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("var_numer"),
+        (F.col("n_hours") * F.col("sx")).cast("long").alias("var_denom"),
+        F.expr("(n_hours * sxx - sx * sx) * 1000 div (n_hours * sx)")
+        .cast("long")
+        .alias("fano_x1000"),
+    )

@@ -323,3 +323,36 @@ def test_winsorized_mean_is_pulled_inward(spark):
         assert 0 <= r["n_clamped"] <= r["n"] * 0.15 + 2
         # winsorized mean lives inside the raw value envelope
         assert r["winsor_mean_x100"] >= 0
+
+
+def test_reconciliation_buckets_cover_all_orders(spark):
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = SPARK_QUERIES["order_total_reconciliation"](spark, sf).collect()
+    assert rows
+    n_with_lines = (
+        load_table(spark, sf, "orders")
+        .join(
+            load_table(spark, sf, "lineitem").select("l_orderkey").distinct(),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    assert sum(r["n_orders"] for r in rows) == n_with_lines
+
+
+def test_fano_factor_identity(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["user_burstiness_fano"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_events"] >= 1 and r["n_hours"] >= 1
+        assert r["var_denom"] == r["n_hours"] * r["n_events"]
+        assert r["fano_x1000"] == r["var_numer"] * 1000 // r["var_denom"]
