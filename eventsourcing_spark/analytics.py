@@ -2507,3 +2507,136 @@ def user_burstiness_fano(spark, sf_dir):
         .cast("long")
         .alias("fano_x1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shipping SLA by priority — per-order ALL-lineitems semantics: an order
+# meets the SLA iff its LAST lineitem shipped within the window. The
+# per-order max(ship − order) is one keyed rollup; priority classes are
+# a tiny second agg. The days arithmetic stays in integer date_diff.
+# ---------------------------------------------------------------------------
+
+SLA_DAYS = 60
+
+
+@query(
+    "shipping_sla_by_priority",
+    f"""
+    WITH lag AS (
+        SELECT l.l_orderkey,
+               max(date_diff('day', o.o_orderdate, l.l_shipdate))
+                 AS worst_lag_days,
+               any_value(o.o_orderpriority) AS pri
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY l.l_orderkey
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN worst_lag_days <= {SLA_DAYS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_met,
+           CAST(max(worst_lag_days) AS BIGINT) AS worst_lag_days,
+           CAST(sum(CASE WHEN worst_lag_days <= {SLA_DAYS}
+                         THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS met_ppm
+    FROM lag GROUP BY pri
+    """,
+)
+def shipping_sla_by_priority(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.datediff("l_shipdate", "o_orderdate")).alias(
+                "worst_lag_days"
+            ),
+            F.first("o_orderpriority").alias("pri"),
+        )
+    )
+    met = F.when(F.col("worst_lag_days") <= SLA_DAYS, 1).otherwise(0)
+    return lag.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(met).cast("long").alias("n_met"),
+        F.max("worst_lag_days").cast("long").alias("worst_lag_days"),
+        F.expr(
+            f"sum(CASE WHEN worst_lag_days <= {SLA_DAYS} THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*)"
+        )
+        .cast("long")
+        .alias("met_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution — the fractional-credit complement of
+# attribution_first_last: each purchase splits 1,000,000 credit points
+# equally among the user's SAME-DAY prior events, with the integer
+# remainder assigned to the most recent touch (deterministic — no
+# floats anywhere). Rolled up to credit per touching event_type. Two
+# windows over one (user, day) sort, an explode-free credit map, one
+# final rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multi_touch_linear_attribution",
+    """
+    WITH s AS (
+        SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms,
+               epoch_ms(ts) // 86400000 AS day
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, day, event_type, event_id, ms,
+               row_number() OVER (PARTITION BY user_id, day
+                    ORDER BY ms, event_id) AS rn
+        FROM s
+    ),
+    purchases AS (
+        SELECT user_id, day, rn AS prn FROM r WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.user_id, p.day, p.prn, t.event_type, t.rn
+        FROM purchases p
+        JOIN r t ON t.user_id = p.user_id AND t.day = p.day AND t.rn < p.prn
+    )
+    SELECT event_type AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(1000000 // (prn - 1)
+                    + CASE WHEN rn = prn - 1
+                           THEN 1000000 % (prn - 1) ELSE 0 END)
+                AS BIGINT) AS credit_points
+    FROM touches
+    GROUP BY event_type
+    """,
+)
+def multi_touch_linear_attribution(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_millis("ts").alias("ms"),
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ms", "event_id")
+    r = s.withColumn("rn", F.row_number().over(w))
+    purchases = r.filter(F.col("event_type") == "purchase").select(
+        "user_id", "day", F.col("rn").alias("prn")
+    )
+    touches = r.select("user_id", "day", "event_type", "rn").join(
+        purchases, ["user_id", "day"]
+    ).filter(F.col("rn") < F.col("prn"))
+    credit = F.expr(
+        "1000000 div (prn - 1)"
+        " + CASE WHEN rn = prn - 1 THEN 1000000 % (prn - 1) ELSE 0 END"
+    )
+    return touches.groupBy(F.col("event_type").alias("touch_type")).agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum(credit).cast("long").alias("credit_points"),
+    )

@@ -136,3 +136,41 @@ def test_rfm_scores_balanced_and_labeled(spark):
     labels = {r["segment"] for r in rows}
     assert labels <= {"champion", "loyal", "at_risk", "hibernating", "regular"}
     assert n == len({r["user_id"] for r in rows})
+
+
+def test_linear_attribution_conserves_credit(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = SPARK_QUERIES["multi_touch_linear_attribution"](
+        spark, sf
+    ).collect()
+    assert rows
+    # credit conservation: every purchase with >=1 prior same-day touch
+    # distributes exactly 1,000,000 points
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy(
+        "user_id", F.expr("unix_millis(ts) div 86400000")
+    ).orderBy(F.unix_millis("ts"), "event_id")
+    n_credited = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("event_type") == "purchase") & (F.col("rn") > 1))
+        .count()
+    )
+    assert sum(r["credit_points"] for r in rows) == 1_000_000 * n_credited
+
+
+def test_shipping_sla_accounting(spark):
+    from eventsourcing_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["shipping_sla_by_priority"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_met"] <= r["n_orders"]
+        assert r["met_ppm"] == r["n_met"] * 1_000_000 // r["n_orders"]
