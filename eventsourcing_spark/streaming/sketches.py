@@ -253,3 +253,96 @@ def streaming_kmv_estimate(spark, state_dir: str) -> DataFrame:
         F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch")
     ).otherwise(F.expr(f"({KMV_K - 1} * {_U32}) div h_k"))
     return agg.select("grp", est.cast("long").alias("kmv_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving top-k maintenance (Metwally, Agrawal & El Abbadi 2005) —
+# heavy hitters at HARD-bounded state: exactly K counters regardless of
+# stream volume or key cardinality (the complete-mode heavy-hitter
+# query in streaming/windows.py keeps one row per key; this keeps K).
+# Per micro-batch: per-key batch counts fold into the counter table;
+# an unseen key evicts the current minimum and inherits its count as
+# overestimation error. Guarantee maintained across batches: any key
+# with true count > N/K is in the table, and every stored (count,
+# error) brackets the true count: count − error ≤ true ≤ count.
+# The counter table commits with the processed-N and epoch in one
+# directory overwrite (same effectively-once discipline as CMS — the
+# fold is order-sensitive, so replays must be rejected, not absorbed).
+# ---------------------------------------------------------------------------
+
+SS_K = 16
+SS_SCHEMA = "key string, cnt bigint, err bigint"
+_SS_META_KEY = "__meta__"  # carries (epoch, N) in (cnt, err)
+
+
+def _ss_split(df: DataFrame):
+    from pyspark.sql import functions as F
+
+    counters = [
+        (r["key"], r["cnt"], r["err"])
+        for r in df.filter(F.col("key") != _SS_META_KEY).collect()
+    ]
+    meta = df.filter(F.col("key") == _SS_META_KEY).collect()
+    epoch = meta[0]["cnt"] if meta else -1
+    total = meta[0]["err"] if meta else 0
+    return counters, epoch, total
+
+
+def space_saving_maintain(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    k: int = SS_K,
+):
+    """Maintain a K-counter SpaceSaving summary over a stream."""
+    from pyspark.sql import functions as F
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stored = read_registers(spark, state_dir, [], SS_SCHEMA)
+        counters, applied_epoch, total = _ss_split(stored)
+        if epoch_id <= applied_epoch:
+            return  # replay: the fold is order-sensitive, reject
+        batch = (
+            batch_df.select(F.col(value_col).cast("string").alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )  # bounded by batch key cardinality; the STORED state is K rows
+        table = {key: (cnt, err) for key, cnt, err in counters}
+        for r in sorted(batch, key=lambda r: (-r["c"], r["key"])):
+            key, c = r["key"], r["c"]
+            total += c
+            if key in table:
+                cnt, err = table[key]
+                table[key] = (cnt + c, err)
+            elif len(table) < k:
+                table[key] = (c, 0)
+            else:
+                evict, (mn, _) = min(
+                    table.items(), key=lambda kv: (kv[1][0], kv[0])
+                )
+                del table[evict]
+                table[key] = (mn + c, mn)
+        rows = [(key, cnt, err) for key, (cnt, err) in table.items()]
+        rows.append((_SS_META_KEY, int(epoch_id), total))
+        spark.createDataFrame(rows, SS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def space_saving_topk(spark, state_dir: str) -> DataFrame:
+    """Current summary: (key, cnt, err); true count in [cnt-err, cnt]."""
+    from pyspark.sql import functions as F
+
+    return read_registers(spark, state_dir, [], SS_SCHEMA).filter(
+        F.col("key") != _SS_META_KEY
+    )

@@ -196,3 +196,64 @@ def test_kmv_replay_idempotent_without_guard(spark, sf_dir, dirs, tmp_path):
     _drain_kmv(spark, dirs, cp=str(tmp_path / "cp3"))
     after = _frame_set(read_registers(spark, dirs["reg"], [], KMV_STATE_SCHEMA))
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving: bounded state, bracketing guarantee, heavy-hitter
+# completeness across micro-batches.
+# ---------------------------------------------------------------------------
+
+
+def _drain_ss(spark, dirs, cp=None):
+    from eventsourcing_spark.streaming.sketches import space_saving_maintain
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["src"])
+    )
+    q = space_saving_maintain(
+        stream, dirs["reg"], cp or dirs["cp"], "user_id"
+    )
+    q.awaitTermination(180)
+
+
+def test_space_saving_guarantees(spark, sf_dir, dirs):
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.streaming.sketches import (
+        SS_K,
+        space_saving_topk,
+    )
+
+    ev = _stage_in_chunks(spark, sf_dir, dirs["src"])
+    _drain_ss(spark, dirs)
+
+    state = {
+        r["key"]: (r["cnt"], r["err"])
+        for r in space_saving_topk(spark, dirs["reg"]).collect()
+    }
+    assert len(state) <= SS_K
+    true = {
+        str(r["user_id"]): r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(true.values())
+    # bracketing: cnt-err <= true <= cnt for every stored key
+    for key, (cnt, err) in state.items():
+        assert cnt - err <= true[key] <= cnt
+    # completeness: every key with true count > N/K is present
+    for key, n in true.items():
+        if n > n_total / SS_K:
+            assert key in state, (key, n)
+
+
+def test_space_saving_replay_rejected(spark, sf_dir, dirs, tmp_path):
+    from eventsourcing_spark.streaming.sketches import SS_SCHEMA
+
+    _stage_in_chunks(spark, sf_dir, dirs["src"])
+    _drain_ss(spark, dirs)
+    before = _frame_set(read_registers(spark, dirs["reg"], [], SS_SCHEMA))
+    _drain_ss(spark, dirs, cp=str(tmp_path / "cp4"))
+    after = _frame_set(read_registers(spark, dirs["reg"], [], SS_SCHEMA))
+    assert after == before
