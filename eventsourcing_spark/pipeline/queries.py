@@ -1406,3 +1406,149 @@ def minhash_jaccard_estimate(spark, sf_dir):
             F.expr("__num div __den").alias("true_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter sweep — the banding trade-off (b bands × r rows) made
+# measurable: with the same 4 minhashes arranged as 4×1, 2×2, and 1×4,
+# candidate-pair counts, precision, and recall against the brute-force
+# Jaccard-≥½ truth set. More bands → higher recall, worse precision
+# (collision prob 1−(1−s^r)^b); this query emits the actual curve for
+# the corpus so the 100 TB run picks its operating point from data, not
+# folklore. The brute-force truth is the audit-only part (all-pairs
+# token intersection — fine at gate scale, never run on the corpus);
+# candidate generation per config is the same capped-bucket plan as
+# dedup_lsh_pairs. All ratios ppm-scaled integers.
+# ---------------------------------------------------------------------------
+
+LSH_CONFIGS = {
+    "b4r1": [["mh0"], ["mh1"], ["mh2"], ["mh3"]],
+    "b2r2": [["mh0", "mh1"], ["mh2", "mh3"]],
+    "b1r4": [["mh0", "mh1", "mh2", "mh3"]],
+}
+
+
+def _sweep_cand_sql(name: str, bands: list[list[str]]) -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id, {' || '.join(cols)} AS band_key"
+        " FROM sig"
+        for bi, cols in enumerate(bands)
+    )
+    return f"""
+    bands_{name} AS ({arms}),
+    sized_{name} AS (
+        SELECT doc_id, band_id, band_key,
+               count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+        FROM bands_{name}
+    ),
+    cand_{name} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sized_{name} a
+        JOIN sized_{name} b ON a.band_key = b.band_key
+                           AND a.band_id = b.band_id
+                           AND a.doc_id < b.doc_id
+        WHERE a.bucket_n <= {MAX_BUCKET}
+    ),
+    m_{name} AS (
+        SELECT '{name}' AS config,
+               (SELECT count(*) FROM cand_{name}) AS n_candidates,
+               (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM cand_{name} c
+                JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                 AS n_hit
+    )"""
+
+
+@query(
+    "lsh_parameter_sweep",
+    f"""
+    WITH sig AS (
+        SELECT doc_id, {", ".join(_minhash_oracle(j) for j in range(N_MINHASH))}
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS t
+        FROM documents
+    ),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE 2 * len(list_intersect(a.t, b.t))
+              >= len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))
+          AND len(list_intersect(a.t, b.t)) > 0
+    ),
+    {", ".join(_sweep_cand_sql(n, b).lstrip() for n, b in LSH_CONFIGS.items())}
+    SELECT config,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(CASE WHEN n_true = 0 THEN 0
+                     ELSE n_hit * 1000000 // n_true END AS BIGINT)
+             AS recall_ppm,
+           CAST(CASE WHEN n_candidates = 0 THEN 0
+                     ELSE n_hit * 1000000 // n_candidates END AS BIGINT)
+             AS precision_ppm
+    FROM ({" UNION ALL ".join(f"SELECT * FROM m_{n}" for n in LSH_CONFIGS)})
+    """,
+)
+def lsh_parameter_sweep(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sig = docs.select(
+        "doc_id", *[_minhash_expr(j) for j in range(N_MINHASH)]
+    ).localCheckpoint()
+    toks = docs.select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("t")
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    union = F.size("t_a") + F.size("t_b") - inter
+    truth = (
+        ta.join(tb, F.col("doc_a") < F.col("doc_b"))
+        .filter((2 * inter >= union) & (inter > 0))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_true = truth.count()
+    out_rows = []
+    for name, bands in LSH_CONFIGS.items():
+        b = None
+        for bi, cols in enumerate(bands):
+            arm = sig.select(
+                "doc_id",
+                F.lit(bi).alias("band_id"),
+                F.concat(*cols).alias("band_key"),
+            )
+            b = arm if b is None else b.unionByName(arm)
+        buckets = (
+            b.groupBy("band_id", "band_key")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
+        )
+        cand = (
+            buckets.select("ids", F.posexplode("ids").alias("i", "doc_a"))
+            .select(
+                "doc_a",
+                F.explode(
+                    F.slice("ids", F.col("i") + 2, F.size("ids"))
+                ).alias("doc_b"),
+            )
+            .distinct()
+        )
+        n_cand = cand.count()
+        n_hit = cand.join(truth, ["doc_a", "doc_b"]).count()
+        out_rows.append(
+            (
+                name,
+                n_cand,
+                n_true,
+                n_hit,
+                n_hit * 1000000 // n_true if n_true else 0,
+                n_hit * 1000000 // n_cand if n_cand else 0,
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "config string, n_candidates long, n_true long, n_hit long,"
+        " recall_ppm long, precision_ppm long",
+    )

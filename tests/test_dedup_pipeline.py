@@ -157,3 +157,25 @@ def test_simhash_hamming_pairs_complete_at_radius_one(spark):
             if h <= 1:
                 want[(a, b)] = h
     assert got == want  # probe scheme is lossless at radius 1
+
+
+def test_lsh_sweep_monotone_banding_tradeoff(spark):
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    rows = {
+        r["config"]: r
+        for r in SPARK_QUERIES["lsh_parameter_sweep"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"b4r1", "b2r2", "b1r4"}
+    # same truth set for every config
+    assert len({r["n_true"] for r in rows.values()}) == 1
+    for r in rows.values():
+        assert 0 <= r["n_hit"] <= min(r["n_candidates"], r["n_true"]) or (
+            r["n_candidates"] == 0 and r["n_hit"] == 0
+        )
+    # more bands / fewer rows per band => superset candidate keys =>
+    # at least as many candidates (cap effects aside, which only shrink
+    # the finer configs further — so the inequality is safe)
+    assert rows["b1r4"]["n_candidates"] <= rows["b2r2"]["n_candidates"]
