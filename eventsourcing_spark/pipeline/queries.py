@@ -1552,3 +1552,62 @@ def lsh_parameter_sweep(spark, sf_dir):
         "config string, n_candidates long, n_true long, n_hit long,"
         " recall_ppm long, precision_ppm long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation — confusion matrix of the stopword-vote
+# classifier against the ground-truth lang column, with per-true-lang
+# share so precision/recall per class read straight off the rows. The
+# closing of the classifier loop: every model-ish operator in this
+# engine ships with its evaluation query (sketches → exact columns,
+# minhash → jaccard audit, LSH → parameter sweep, lang-id → this).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "langid_confusion_matrix",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LANG_MARKERS["en"]!r}, t))) AS s_en,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LANG_MARKERS["es"]!r}, t))) AS s_es,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LANG_MARKERS["de"]!r}, t))) AS s_de,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LANG_MARKERS["fr"]!r}, t))) AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM scored
+    )
+    SELECT lang, lang_pred,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * 1000000
+                // sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+             AS share_of_true_ppm
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def langid_confusion_matrix(spark, sf_dir):
+    pred = lang_id_heuristic(spark, sf_dir).select("lang", "lang_pred")
+    cm = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("long").alias("n"),
+        F.expr("n * 1000000").cast("long").alias("__num"),
+        F.sum("n").over(w).alias("__den"),
+    ).select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.expr("__num div __den").cast("long").alias("share_of_true_ppm"),
+    )

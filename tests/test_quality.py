@@ -107,3 +107,23 @@ def test_perplexity_buckets_ordered_within_lang(spark):
         # ntile balance: sizes differ by at most 1
         sizes = [r["n_docs"] for r in rs]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_langid_confusion_diagonal_dominates(spark):
+    from collections import defaultdict
+
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["langid_confusion_matrix"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_true = defaultdict(dict)
+    for r in rows:
+        by_true[r["lang"]][r["lang_pred"]] = r
+    for lang, preds in by_true.items():
+        assert sum(p["share_of_true_ppm"] for p in preds.values()) >= 999_000
+        # the stopword voter is at least better than random for its
+        # own class when the class exists in the marker table
+        if lang in ("en", "es", "de", "fr") and lang in preds:
+            assert preds[lang]["share_of_true_ppm"] >= 250_000
