@@ -2640,3 +2640,128 @@ def multi_touch_linear_attribution(spark, sf_dir):
         F.count("*").cast("long").alias("n_touches"),
         F.sum(credit).cast("long").alias("credit_points"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing z-score anomaly flags — daily total value vs its trailing
+# 14-day window, flagged when (x−μ)² > 9σ² (|z| > 3). Everything stays
+# in integer sums: μ and σ² are never materialized as floats — the
+# comparison cross-multiplies n·Σ and n·Σx²−(Σx)² so no division or
+# sqrt can round differently between engines. The window frame is per
+# day over the tiny daily rollup; the corpus pass is one groupBy(day).
+# ---------------------------------------------------------------------------
+
+_Z_WIN = 14
+
+
+@query(
+    "daily_value_zscore_flags",
+    f"""
+    WITH d AS (
+        SELECT epoch_ms(ts) // 86400000 AS day,
+               sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS x
+        FROM events GROUP BY epoch_ms(ts) // 86400000
+    ),
+    w AS (
+        SELECT day, x,
+               count(*) OVER tw AS n,
+               sum(x) OVER tw AS sx,
+               sum(x * x) OVER tw AS sxx
+        FROM d
+        WINDOW tw AS (ORDER BY day
+                      ROWS BETWEEN {_Z_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, x,
+           CAST(n AS BIGINT) AS n_window,
+           CAST(CASE WHEN n >= 7
+                       AND (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                           * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                           > 9 * (CAST(sxx AS DOUBLE) / n
+                                  - (CAST(sx AS DOUBLE) / n)
+                                    * (CAST(sx AS DOUBLE) / n))
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM w WHERE n > 0
+    """,
+)
+def daily_value_zscore_flags(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.expr("unix_millis(ts) div 86400000").alias("day"),
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    tw = Window.orderBy("day").rowsBetween(-_Z_WIN, -1)
+    w = d.select(
+        "day",
+        "x",
+        F.count("*").over(tw).alias("n"),
+        F.sum("x").over(tw).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(tw).alias("sxx"),
+    )
+    # (x−μ)² > 9σ² evaluated in DOUBLE with the IDENTICAL expression
+    # tree on both engines: exact int sums in, each /,*,− exactly
+    # rounded, so the comparison is deterministic — and, unlike the
+    # cross-multiplied int form, immune to int64 overflow on large
+    # daily totals
+    mu = F.col("sx").cast("double") / F.col("n")
+    dev = F.col("x").cast("double") - mu
+    var = F.col("sxx").cast("double") / F.col("n") - mu * mu
+    anomaly = (F.col("n") >= 7) & (dev * dev > F.lit(9) * var)
+    return w.filter(F.col("n") > 0).select(
+        "day",
+        "x",
+        F.col("n").cast("long").alias("n_window"),
+        F.when(anomaly, 1).otherwise(0).cast("long").alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-policy planner — the reference's snapshot threshold
+# (eventstore.go:381-400: mint a snapshot every N events) turned into a
+# capacity-planning query: per stream-count bucket, how many snapshots
+# would the policy mint and how long is the residual replay after the
+# latest snapshot? This is the query you run BEFORE picking N for a
+# 100 TB event store; exact integer div/mod over the per-stream counts.
+# ---------------------------------------------------------------------------
+
+SNAP_THRESHOLD = 5  # the reference test suite's threshold
+
+
+@query(
+    "snapshot_policy_planner",
+    f"""
+    WITH s AS (
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT CAST(n_events // 10 AS BIGINT) AS stream_size_decile,
+           CAST(count(*) AS BIGINT) AS n_streams,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(sum(n_events // {SNAP_THRESHOLD}) AS BIGINT)
+             AS total_snapshots,
+           CAST(sum(n_events % {SNAP_THRESHOLD}) * 100 // count(*)
+                AS BIGINT) AS avg_residual_replay_x100
+    FROM s GROUP BY n_events // 10
+    """,
+)
+def snapshot_policy_planner(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return s.groupBy(
+        F.expr("n_events div 10").cast("long").alias("stream_size_decile")
+    ).agg(
+        F.count("*").cast("long").alias("n_streams"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.sum(F.expr(f"n_events div {SNAP_THRESHOLD}"))
+        .cast("long")
+        .alias("total_snapshots"),
+        F.expr(
+            f"sum(n_events % {SNAP_THRESHOLD}) * 100 div count(*)"
+        )
+        .cast("long")
+        .alias("avg_residual_replay_x100"),
+    )

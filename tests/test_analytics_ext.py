@@ -356,3 +356,31 @@ def test_fano_factor_identity(spark):
         assert r["n_events"] >= 1 and r["n_hours"] >= 1
         assert r["var_denom"] == r["n_hours"] * r["n_events"]
         assert r["fano_x1000"] == r["var_numer"] * 1000 // r["var_denom"]
+
+
+def test_snapshot_planner_accounting(spark):
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = SPARK_QUERIES["snapshot_policy_planner"](spark, sf).collect()
+    assert rows
+    assert sum(r["total_events"] for r in rows) == load_table(
+        spark, sf, "events"
+    ).count()
+    for r in rows:
+        # a snapshot every 5 events: snapshots <= events/5 per bucket
+        assert r["total_snapshots"] * 5 <= r["total_events"]
+        assert 0 <= r["avg_residual_replay_x100"] < 500
+
+
+def test_zscore_flags_window_bounds(spark):
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["daily_value_zscore_flags"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_window"] <= 14
+        assert r["is_anomaly"] in (0, 1)
