@@ -1611,3 +1611,111 @@ def langid_confusion_matrix(spark, sf_dir):
         "n",
         F.expr("__num div __den").cast("long").alias("share_of_true_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings projection — the capacity-planning readout of the dedup
+# family: per source, bytes today vs bytes after exact dedup (keep one
+# copy per content hash, global — a duplicate is kept ONCE even when it
+# spans sources; the keeper's source gets the byte). The ppm saving is
+# the number that justifies running the 100 TB dedup job at all. One
+# hash-groupBy (the dedup_exact plan) + per-source byte rollups.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_savings_by_source",
+    """
+    WITH k AS (
+        SELECT min(doc_id) AS keeper_id FROM documents GROUP BY md5(text)
+    ),
+    kept AS (
+        SELECT d.source, strlen(d.text) AS b
+        FROM documents d JOIN k ON k.keeper_id = d.doc_id
+    ),
+    total AS (
+        SELECT source, count(*) AS n_docs,
+               sum(strlen(text)) AS bytes_total
+        FROM documents GROUP BY source
+    ),
+    dedup AS (
+        SELECT source, count(*) AS n_kept, sum(b) AS bytes_kept
+        FROM kept GROUP BY source
+    )
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.bytes_total AS BIGINT) AS bytes_total,
+           CAST(coalesce(d.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(d.bytes_kept, 0) AS BIGINT) AS bytes_kept,
+           CAST((t.bytes_total - coalesce(d.bytes_kept, 0)) * 1000000
+                // t.bytes_total AS BIGINT) AS savings_ppm
+    FROM total t LEFT JOIN dedup d ON d.source = t.source
+    """,
+)
+def dedup_savings_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("keeper_id"))
+    kept = docs.join(
+        k, docs["doc_id"] == k["keeper_id"]
+    ).select("source", F.octet_length("text").alias("b"))
+    total = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("bytes_total"),
+    )
+    dedup = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("b").alias("bytes_kept")
+    )
+    return total.join(dedup, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("bytes_total").cast("long").alias("bytes_total"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("bytes_kept", F.lit(0)).cast("long").alias("bytes_kept"),
+        F.expr(
+            "(bytes_total - coalesce(bytes_kept, 0)) * 1000000"
+            " div bytes_total"
+        )
+        .cast("long")
+        .alias("savings_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Payload-size budget audit — the reference caps event bodies at 60,000
+# bytes (MySQL VARBINARY, store/mysql/store.go:678); this is that cap
+# as a standing data-quality query over the corpus: per source, byte
+# totals, the largest payload, and how many documents would violate a
+# configurable budget. Pure map-side byte math + one rollup.
+# ---------------------------------------------------------------------------
+
+BODY_BYTE_CAP = 60000
+
+
+@query(
+    "payload_size_budget",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(strlen(text)) AS BIGINT) AS bytes_total,
+           CAST(max(strlen(text)) AS BIGINT) AS max_bytes,
+           CAST(sum(CASE WHEN strlen(text) > {BODY_BYTE_CAP}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+           CAST(sum(strlen(text)) // count(*) AS BIGINT)
+             AS mean_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def payload_size_budget(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.octet_length("text")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(b).cast("long").alias("bytes_total"),
+        F.max(b).cast("long").alias("max_bytes"),
+        F.sum(F.when(b > BODY_BYTE_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_cap"),
+        F.expr("sum(octet_length(text)) div count(*)")
+        .cast("long")
+        .alias("mean_bytes"),
+    )

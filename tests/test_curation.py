@@ -88,3 +88,31 @@ def test_curate_bins_match_member_docs(spark):
            for r in cur.curate(load_table(spark, SF, "documents")).collect()}
     assert out, "curation pipeline produced no sequences"
     assert all(nd >= 1 and st >= 1 for nd, st in out.values())
+
+
+def test_dedup_savings_accounting(spark):
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["dedup_savings_by_source"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0 <= r["bytes_kept"] <= r["bytes_total"]
+        assert r["savings_ppm"] == (
+            (r["bytes_total"] - r["bytes_kept"]) * 1_000_000
+            // r["bytes_total"]
+        )
+
+
+def test_payload_budget_no_cap_violations_on_synthetic(spark):
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["payload_size_budget"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_over_cap"] == 0  # synthetic docs are small
+        assert r["mean_bytes"] <= r["max_bytes"]
