@@ -2765,3 +2765,89 @@ def snapshot_policy_planner(spark, sf_dir):
         .cast("long")
         .alias("avg_residual_replay_x100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Transition-gap latency — for every adjacent event-type transition in a
+# user's stream (the Markov edges of event_transition_matrix), the
+# latency distribution: count, exact median and p90 gap in ms. The
+# funnel-latency question ("how long from view to click?") answered for
+# ALL type pairs in one windowed pass + one rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "transition_gap_stats",
+    """
+    WITH s AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ms,
+               lead(event_type) OVER w AS next_type,
+               lead(epoch_ms(ts)) OVER w AS next_ms
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_cont(next_ms - ms, 0.5) AS DOUBLE) AS median_gap_ms,
+           CAST(quantile_cont(next_ms - ms, 0.9) AS DOUBLE) AS p90_gap_ms
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def transition_gap_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_millis("ts"), "event_id")
+    s = ev.select(
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead(F.unix_millis("ts")).over(w).alias("next_ms"),
+    ).filter(F.col("next_type").isNotNull())
+    gap = F.col("next_ms") - F.col("ms")
+    return s.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.percentile(gap, 0.5).cast("double").alias("median_gap_ms"),
+        F.percentile(gap, 0.9).cast("double").alias("p90_gap_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative-unique-users growth curve — daily new vs cumulative
+# distinct users via the first-seen trick: distinct-per-day is a
+# running-distinct problem (expensive), but min(day) per user turns it
+# into one per-user rollup + a daily count + a tiny running sum. The
+# standard growth-curve query, in its scalable form.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_growth_curve",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(epoch_ms(ts) // 86400000) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT day, count(*) AS n_new FROM first_seen GROUP BY day
+    )
+    SELECT day,
+           CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS n_cum_users
+    FROM daily
+    """,
+)
+def user_growth_curve(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.expr("unix_millis(ts) div 86400000")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        F.col("n_new").cast("long").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("long").alias("n_cum_users"),
+    )

@@ -174,3 +174,37 @@ def test_shipping_sla_accounting(spark):
     for r in rows:
         assert 0 <= r["n_met"] <= r["n_orders"]
         assert r["met_ppm"] == r["n_met"] * 1_000_000 // r["n_orders"]
+
+
+def test_growth_curve_monotone_and_total(spark):
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        SPARK_QUERIES["user_growth_curve"](spark, sf).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        cum += r["n_new_users"]
+        assert r["n_cum_users"] == cum
+    n_users = (
+        load_table(spark, sf, "events").select("user_id").distinct().count()
+    )
+    assert rows[-1]["n_cum_users"] == n_users
+
+
+def test_transition_gaps_positive(spark):
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["transition_gap_stats"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] >= 1
+        assert 0 <= r["median_gap_ms"] <= r["p90_gap_ms"]
