@@ -1296,3 +1296,51 @@ def grouping_sets_kpis(spark, sf_dir):
         F.count("*").cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal revenue index — month-of-year revenue vs the all-months
+# mean, the classic seasonality profile (complements the YoY view of
+# monthly_revenue_yoy with a cross-year seasonal average). Index is
+# ppm-scaled: 1,000,000 = an average month. Integer end-to-end: cents
+# rollup, then two tiny window sums over the 12-row frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_revenue_index",
+    """
+    WITH m AS (
+        SELECT month(o_orderdate) AS moy,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+               count(*) AS n_orders
+        FROM orders GROUP BY month(o_orderdate)
+    )
+    SELECT CAST(moy AS BIGINT) AS month_of_year,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(cents * 1000000 * (SELECT count(*) FROM m)
+                // (SELECT sum(cents) FROM m) AS BIGINT) AS seasonal_ppm
+    FROM m
+    """,
+)
+def seasonal_revenue_index(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.month("o_orderdate").alias("moy")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    return m.select(
+        F.col("moy").cast("long").alias("month_of_year"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.expr(
+            "cents * 1000000 * (count(*) OVER (PARTITION BY 1))"
+            " div (sum(cents) OVER (PARTITION BY 1))"
+        )
+        .cast("long")
+        .alias("seasonal_ppm"),
+    )

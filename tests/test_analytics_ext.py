@@ -384,3 +384,17 @@ def test_zscore_flags_window_bounds(spark):
     for r in rows:
         assert 1 <= r["n_window"] <= 14
         assert r["is_anomaly"] in (0, 1)
+
+
+def test_seasonal_index_averages_to_unity(spark):
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["seasonal_revenue_index"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    # Σ index_m · share weights: mean of the index over months ≈ 1e6
+    # (floor-division slack bounded by number of months)
+    mean_idx = sum(r["seasonal_ppm"] for r in rows) // len(rows)
+    assert abs(mean_idx - 1_000_000) <= len(rows)
+    assert {r["month_of_year"] for r in rows} <= set(range(1, 13))
