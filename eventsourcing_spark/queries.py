@@ -1439,3 +1439,73 @@ def asof_nearest_error(spark, sf_dir):
         gap.alias("gap_ms"),
         direction.alias("direction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-balance profile — the F3 split predicate's health check: hash
+# every stream key with the reference's FNV-1a (X4), route it to
+# N = 12 splits (X5), and report per-split event counts plus the
+# balance ratio vs a perfect 1/N share. Run BEFORE choosing catch-up
+# parallelism (projection.go's catchupSplits): a skewed hash or a hot
+# stream shows up here as a split whose ratio leaves 1000±ε. One scan,
+# one 12-group rollup.
+# ---------------------------------------------------------------------------
+
+_SPLIT_N = 12
+
+
+@query(
+    "split_balance_profile",
+    f"""
+    WITH h AS (
+        SELECT user_id,
+               list_reduce(
+                   list_prepend(2166136261::BIGINT,
+                       list_transform(
+                           string_split_regex('user-' || CAST(user_id AS VARCHAR), ''),
+                           c -> ascii(c)::BIGINT)),
+                   (a, c) -> (xor(a, c) * 16777619) % 4294967296
+               ) & 2147483647 AS key_hash
+        FROM events
+    ),
+    sp AS (
+        SELECT key_hash % {_SPLIT_N} + 1 AS split_id, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_streams
+        FROM h GROUP BY key_hash % {_SPLIT_N} + 1
+    )
+    SELECT CAST(split_id AS BIGINT) AS split_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_streams AS BIGINT) AS n_streams,
+           CAST(n_events * {_SPLIT_N} * 1000
+                // (SELECT sum(n_events) FROM sp) AS BIGINT)
+             AS balance_x1000
+    FROM sp
+    """,
+)
+def split_balance_profile(spark, sf_dir):
+    from eventsourcing_spark.functions import calc_partition, fnv1a_32
+
+    ev = _events(spark, sf_dir)
+    key = F.concat(F.lit("user-"), F.col("user_id").cast("string"))
+    h = ev.select(
+        "user_id",
+        calc_partition(fnv1a_32(key).cast("long"), _SPLIT_N)
+        .cast("long")
+        .alias("split_id"),
+    )
+    sp = h.groupBy("split_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_streams"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    return sp.select(
+        F.col("split_id").cast("long").alias("split_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_streams").cast("long").alias("n_streams"),
+        F.expr(
+            f"n_events * {_SPLIT_N} * 1000"
+            " div (sum(n_events) OVER (PARTITION BY 1))"
+        )
+        .cast("long")
+        .alias("balance_x1000"),
+    )

@@ -132,3 +132,17 @@ def test_ulid_offset_shifts_time_keeps_entropy(spark):
     assert len(row.fwd) == 26
     # ordering: shifting forward moves past the original
     assert row.fwd > SPEC_ULID > row.back
+
+
+def test_split_balance_sums_to_corpus(spark):
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = SPARK_QUERIES["split_balance_profile"](spark, sf).collect()
+    assert rows and len(rows) <= 12
+    assert all(1 <= r["split_id"] <= 12 for r in rows)
+    total = load_table(spark, sf, "events").count()
+    assert sum(r["n_events"] for r in rows) == total
+    # FNV over ~150 streams: no split should be catastrophically hot
+    assert max(r["balance_x1000"] for r in rows) < 4000
