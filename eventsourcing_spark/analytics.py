@@ -2851,3 +2851,98 @@ def user_growth_curve(spark, sf_dir):
         F.col("n_new").cast("long").alias("n_new_users"),
         F.sum("n_new").over(w).cast("long").alias("n_cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-CF recommendation inference — the serving composition of
+# item_item_cosine: score(user, item) = Σ over the user's engaged
+# items of engagement_count · cos_ppm(item, engaged), recommend the
+# argmax item the user engages with LEAST (discovery, not
+# reinforcement: candidates are all items, the user's own counts only
+# weight the similarity sources). Integer end-to-end. Scale shape: the
+# item-item matrix is |items|² (tiny, broadcast); scoring is one join
+# of the per-(user, item) profile against it + one per-user argmax.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_type_recommendation",
+    """
+    WITH ui AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    norms AS (
+        SELECT event_type, sum(c * c) AS n2 FROM ui GROUP BY event_type
+    ),
+    sim AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(floor(sum(a.c * b.c) * 1000000
+                          / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE))) AS BIGINT)
+                 AS cos_ppm
+        FROM ui a
+        JOIN ui b ON a.user_id = b.user_id
+                 AND a.event_type <> b.event_type
+        JOIN norms na ON na.event_type = a.event_type
+        JOIN norms nb ON nb.event_type = b.event_type
+        GROUP BY a.event_type, b.event_type, na.n2, nb.n2
+    ),
+    scored AS (
+        SELECT u.user_id, s.tb AS candidate,
+               sum(u.c * s.cos_ppm) AS score
+        FROM ui u JOIN sim s ON s.ta = u.event_type
+        GROUP BY u.user_id, s.tb
+    )
+    SELECT user_id, candidate AS recommended_type,
+           CAST(score AS BIGINT) AS score
+    FROM (
+        SELECT user_id, candidate, score,
+               row_number() OVER (PARTITION BY user_id
+                    ORDER BY score DESC, candidate) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def user_type_recommendation(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    norms = ui.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    a = ui.select("user_id", F.col("event_type").alias("ta"), F.col("c").alias("ca"))
+    b = ui.select("user_id", F.col("event_type").alias("tb"), F.col("c").alias("cb"))
+    na = norms.select(F.col("event_type").alias("ta"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("event_type").alias("tb"), F.col("n2").alias("nb2"))
+    sim = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") != F.col("tb"))
+        .join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .groupBy("ta", "tb", "na2", "nb2")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .select(
+            "ta",
+            "tb",
+            F.floor(
+                F.col("dot") * 1000000
+                / F.sqrt((F.col("na2") * F.col("nb2")).cast("double"))
+            )
+            .cast("long")
+            .alias("cos_ppm"),
+        )
+    )
+    scored = (
+        ui.join(F.broadcast(sim), ui["event_type"] == sim["ta"])
+        .groupBy("user_id", F.col("tb").alias("candidate"))
+        .agg(F.sum(F.col("c") * F.col("cos_ppm")).alias("score"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("candidate"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("candidate").alias("recommended_type"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )

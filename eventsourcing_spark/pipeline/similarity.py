@@ -1282,3 +1282,77 @@ def simhash_hamming_pairs(spark, sf_dir):
         .distinct()
         .filter(F.col("hamming") <= 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding analogy — the word2vec parallelogram (Mikolov et al. 2013):
+# target = v(a) − v(b) + v(c), return the top-k nearest by dot product
+# (a, b, c excluded). Pure integer vector arithmetic on the quantized
+# embeddings; the target is a broadcast literal-sized frame, the scan
+# scores map-side, top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+ANALOGY_A, ANALOGY_B, ANALOGY_C = 0, 1, 2
+ANALOGY_K = 5
+
+
+@query(
+    "emb_analogy_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    t AS (
+        SELECT list_transform(range(1, {DIM} + 1),
+                   i -> a.qv[i] - b.qv[i] + c.qv[i]) AS tv
+        FROM q a, q b, q c
+        WHERE a.vec_id = {ANALOGY_A} AND b.vec_id = {ANALOGY_B}
+          AND c.vec_id = {ANALOGY_C}
+    ),
+    scored AS (
+        SELECT e.vec_id, CAST(list_dot_product(e.qv, t.tv) AS BIGINT) AS dot
+        FROM q e CROSS JOIN t
+        WHERE e.vec_id NOT IN ({ANALOGY_A}, {ANALOGY_B}, {ANALOGY_C})
+    )
+    SELECT vec_id, dot,
+           CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT)
+             AS rank
+    FROM scored QUALIFY rank <= {ANALOGY_K}
+    """,
+)
+def emb_analogy_topk(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    abc = (
+        q.filter(F.col("vec_id").isin(ANALOGY_A, ANALOGY_B, ANALOGY_C))
+        .groupBy()
+        .agg(
+            F.first(F.when(F.col("vec_id") == ANALOGY_A, F.col("qv")), True).alias("va"),
+            F.first(F.when(F.col("vec_id") == ANALOGY_B, F.col("qv")), True).alias("vb"),
+            F.first(F.when(F.col("vec_id") == ANALOGY_C, F.col("qv")), True).alias("vc"),
+        )
+        .select(
+            F.zip_with(
+                F.zip_with("va", "vb", lambda a, b: a - b),
+                F.col("vc"),
+                lambda ab, c: ab + c,
+            ).alias("tv")
+        )
+    )
+    scored = (
+        q.filter(~F.col("vec_id").isin(ANALOGY_A, ANALOGY_B, ANALOGY_C))
+        .crossJoin(F.broadcast(abc))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("qv", "tv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    w = Window.orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANALOGY_K)
+    )

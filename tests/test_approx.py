@@ -58,3 +58,52 @@ def test_percentile_approx_rank_error(spark, sf_dir):
     # rank error: the approx median's true rank is within 1% of n/2
     rank = ev.filter(F.col("value") <= approx_med).count()
     assert abs(rank - n / 2) <= max(2, 0.01 * n), (exact_med, approx_med, rank, n)
+
+
+def test_analogy_matches_numpy(spark):
+    import numpy as np
+
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.pipeline.similarity import (
+        ANALOGY_A,
+        ANALOGY_B,
+        ANALOGY_C,
+        ANALOGY_K,
+    )
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["vec_id"], r["dot"])
+        for r in sorted(
+            SPARK_QUERIES["emb_analogy_topk"](spark, sf).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    emb = {
+        r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1000)
+        .astype(np.int64)
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    target = emb[ANALOGY_A] - emb[ANALOGY_B] + emb[ANALOGY_C]
+    scores = sorted(
+        (
+            (-int(v @ target), k)
+            for k, v in emb.items()
+            if k not in (ANALOGY_A, ANALOGY_B, ANALOGY_C)
+        )
+    )[:ANALOGY_K]
+    assert got == [(k, -s) for s, k in scores]
+
+
+def test_recommendation_excludes_nothing_but_scores_all_users(spark):
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = SPARK_QUERIES["user_type_recommendation"](spark, sf).collect()
+    n_users = (
+        load_table(spark, sf, "events").select("user_id").distinct().count()
+    )
+    assert len(rows) == n_users
+    assert all(r["score"] > 0 for r in rows)
