@@ -1356,3 +1356,118 @@ def emb_analogy_topk(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= ANALOGY_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe recall sweep — the IVF tuning curve (the coarse-quantizer
+# analog of lsh_parameter_sweep): for nprobe ∈ {1, 2, 4}, what fraction
+# of the TRUE top-k (brute force) does probing that many cells recover,
+# and how many candidates were scanned to get it? recall/candidate
+# count vs nprobe IS the serving-latency dial; this emits it from data.
+# One assignment pass shared by all configs; truth is the broadcast
+# brute-force top-k over the 5 probe vectors (audit-scale only).
+# ---------------------------------------------------------------------------
+
+IVF_SWEEP_PROBES = 5
+IVF_SWEEP_K = 10
+IVF_NPROBES = [1, 2, 4]
+
+
+@query(
+    "ivf_nprobe_recall_sweep",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    cent AS ({_CENT_SQL}),
+    assign AS ({_ASSIGN_SQL}),
+    members AS (SELECT vec_id, qv, cid FROM assign WHERE crank = 1),
+    probes AS (
+        SELECT vec_id AS probe_id, qv AS pqv FROM q
+        WHERE vec_id < {IVF_SWEEP_PROBES}
+    ),
+    truth AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT p.probe_id, e.vec_id,
+                   row_number() OVER (PARTITION BY p.probe_id
+                        ORDER BY list_dot_product(e.qv, p.pqv) DESC,
+                                 e.vec_id) AS rn
+            FROM q e JOIN probes p ON e.vec_id != p.probe_id
+        ) WHERE rn <= {IVF_SWEEP_K}
+    ),
+    {", ".join(f'''
+    cand_{n} AS (
+        SELECT DISTINCT pa.vec_id AS probe_id, m.vec_id
+        FROM assign pa
+        JOIN members m ON m.cid = pa.cid AND m.vec_id != pa.vec_id
+        WHERE pa.crank <= {n} AND pa.vec_id < {IVF_SWEEP_PROBES}
+    ),
+    m_{n} AS (
+        SELECT {n} AS nprobe,
+               (SELECT count(*) FROM cand_{n}) AS n_candidates,
+               (SELECT count(*) FROM cand_{n} c
+                JOIN truth t ON t.probe_id = c.probe_id
+                            AND t.vec_id = c.vec_id) AS n_hit
+    )''' for n in IVF_NPROBES)}
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit * 1000000 // {IVF_SWEEP_PROBES * IVF_SWEEP_K}
+                AS BIGINT) AS recall_ppm
+    FROM ({" UNION ALL ".join(f"SELECT * FROM m_{n}" for n in IVF_NPROBES)})
+    """,
+)
+def ivf_nprobe_recall_sweep(spark, sf_dir):
+    assign = _ivf_assign(spark, sf_dir).localCheckpoint()
+    members = assign.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("mid"), F.col("cid")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    probes = q.filter(F.col("vec_id") < IVF_SWEEP_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
+    )
+    wt = Window.partitionBy("probe_id").orderBy(
+        F.desc("dot"), F.asc("vec_id")
+    )
+    truth = (
+        q.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with("qv", "pqv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= IVF_SWEEP_K)
+        .select("probe_id", "vec_id")
+        .localCheckpoint()
+    )
+    out = []
+    for n in IVF_NPROBES:
+        pa = assign.filter(
+            (F.col("crank") <= n) & (F.col("vec_id") < IVF_SWEEP_PROBES)
+        ).select(F.col("vec_id").alias("probe_id"), "cid")
+        cand = (
+            pa.join(members, "cid")
+            .filter(F.col("mid") != F.col("probe_id"))
+            .select("probe_id", F.col("mid").alias("vec_id"))
+            .distinct()
+        )
+        n_cand = cand.count()
+        n_hit = cand.join(truth, ["probe_id", "vec_id"]).count()
+        out.append(
+            (
+                n,
+                n_cand,
+                n_hit,
+                n_hit * 1000000 // (IVF_SWEEP_PROBES * IVF_SWEEP_K),
+            )
+        )
+    return spark.createDataFrame(
+        out, "nprobe long, n_candidates long, n_hit long, recall_ppm long"
+    )

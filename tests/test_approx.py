@@ -107,3 +107,23 @@ def test_recommendation_excludes_nothing_but_scores_all_users(spark):
     )
     assert len(rows) == n_users
     assert all(r["score"] > 0 for r in rows)
+
+
+def test_ivf_sweep_recall_monotone_in_nprobe(spark):
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    rows = {
+        r["nprobe"]: r
+        for r in SPARK_QUERIES["ivf_nprobe_recall_sweep"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    # probing more cells can only widen the candidate set
+    assert (
+        rows[1]["n_candidates"]
+        <= rows[2]["n_candidates"]
+        <= rows[4]["n_candidates"]
+    )
+    assert rows[1]["n_hit"] <= rows[2]["n_hit"] <= rows[4]["n_hit"]
+    assert all(0 <= r["recall_ppm"] <= 1_000_000 for r in rows.values())
