@@ -416,3 +416,74 @@ def curate(docs, pack_budget: int = PACK_BUDGET):
 def curation_pipeline(spark, sf_dir):
     """Gate wrapper for :func:`curate` — see its docstring."""
     return curate(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Split-stratification audit — does the hash split (split_assign) stay
+# unbiased WITHIN every language? Per (split, lang): observed count,
+# the language's total, observed share vs the split's global share,
+# and the absolute bias in ppm. A hash keyed on doc_id is independent
+# of lang by construction; this query is the standing check that the
+# property holds on the actual corpus (and would catch a correlated id
+# scheme immediately). Two tiny rollups over the map-only split.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split_stratification_audit",
+    f"""
+    WITH s AS (
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TEST_HEX}'
+                    THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VALID_HEX}'
+                    THEN 'valid'
+                    ELSE 'train' END AS split
+        FROM documents
+    ),
+    cell AS (SELECT split, lang, count(*) AS n FROM s GROUP BY split, lang),
+    lg AS (SELECT lang, sum(n) AS n_lang FROM cell GROUP BY lang),
+    sp AS (SELECT split, sum(n) AS n_split FROM cell GROUP BY split),
+    tot AS (SELECT sum(n) AS n_total FROM cell)
+    SELECT c.split, c.lang,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 1000000 // lg.n_lang AS BIGINT) AS share_in_lang_ppm,
+           CAST(sp.n_split * 1000000 // tot.n_total AS BIGINT)
+             AS split_global_ppm,
+           CAST(abs(c.n * 1000000 // lg.n_lang
+                    - sp.n_split * 1000000 // tot.n_total) AS BIGINT)
+             AS bias_ppm
+    FROM cell c
+    JOIN lg ON lg.lang = c.lang
+    JOIN sp ON sp.split = c.split
+    CROSS JOIN tot
+    """,
+)
+def split_stratification_audit(spark, sf_dir):
+    s = split_assign(spark, sf_dir)
+    cell = s.groupBy("split", "lang").agg(F.count("*").alias("n"))
+    lg = cell.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    sp = cell.groupBy("split").agg(F.sum("n").alias("n_split"))
+    tot = cell.agg(F.sum("n").alias("n_total"))
+    return (
+        cell.join(F.broadcast(lg), "lang")
+        .join(F.broadcast(sp), "split")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 1000000 div n_lang")
+            .cast("long")
+            .alias("share_in_lang_ppm"),
+            F.expr("n_split * 1000000 div n_total")
+            .cast("long")
+            .alias("split_global_ppm"),
+            F.abs(
+                F.expr("n * 1000000 div n_lang")
+                - F.expr("n_split * 1000000 div n_total")
+            )
+            .cast("long")
+            .alias("bias_ppm"),
+        )
+    )

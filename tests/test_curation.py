@@ -116,3 +116,21 @@ def test_payload_budget_no_cap_violations_on_synthetic(spark):
     for r in rows:
         assert r["n_over_cap"] == 0  # synthetic docs are small
         assert r["mean_bytes"] <= r["max_bytes"]
+
+
+def test_split_stratification_cells_sum(spark):
+    from collections import defaultdict
+
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["split_stratification_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_lang = defaultdict(int)
+    for r in rows:
+        by_lang[r["lang"]] += r["share_in_lang_ppm"]
+        assert 0 <= r["bias_ppm"] <= 1_000_000
+    # per-language shares cover the language (floor-div slack <= #splits)
+    for total in by_lang.values():
+        assert total >= 1_000_000 - 3
