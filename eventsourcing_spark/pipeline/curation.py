@@ -487,3 +487,92 @@ def split_stratification_audit(spark, sf_dir):
             .alias("bias_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Contamination sensitivity sweep — the n-gram-length dial of the
+# decontamination scan: the same eval↔train overlap at n ∈ {3, 5, 8}.
+# Short n-grams over-flag (common phrases), long ones under-flag
+# (miss paraphrase-level leaks); the sweep emits the corpus-measured
+# curve (eval docs flagged + total hit grams per n) so the
+# decontamination policy picks n from evidence. One shingle pass per n
+# (each its own gram-keyed equi-join); eval slice = doc_id < 10 as in
+# contamination_overlap.
+# ---------------------------------------------------------------------------
+
+CONTAM_SWEEP_NS = [3, 5, 8]
+
+
+def _contam_sweep_sql(n: int) -> str:
+    return f"""
+    sh_{n} AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 list_transform(range(1, len(t) - {n} + 2),
+                   i -> array_to_string(
+                          list_slice(t, CAST(i AS INTEGER),
+                                     CAST(i + {n} - 1 AS INTEGER)),
+                          ' ')))) AS gram
+        FROM toks WHERE len(t) >= {n}
+    ),
+    hit_{n} AS (
+        SELECT a.doc_id AS eval_id, a.gram
+        FROM sh_{n} a JOIN sh_{n} b ON a.gram = b.gram
+        WHERE a.doc_id < 10 AND b.doc_id >= 10
+    ),
+    m_{n} AS (
+        SELECT {n} AS n,
+               (SELECT count(DISTINCT eval_id) FROM hit_{n})
+                 AS n_eval_flagged,
+               (SELECT count(DISTINCT gram) FROM hit_{n})
+                 AS n_distinct_hit_grams
+    )"""
+
+
+@query(
+    "contamination_ngram_sweep",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    {", ".join(_contam_sweep_sql(n).lstrip() for n in CONTAM_SWEEP_NS)}
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_eval_flagged AS BIGINT) AS n_eval_flagged,
+           CAST(n_distinct_hit_grams AS BIGINT) AS n_distinct_hit_grams
+    FROM ({" UNION ALL ".join(f"SELECT * FROM m_{n}" for n in CONTAM_SWEEP_NS)})
+    """,
+)
+def contamination_ngram_sweep(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    ).localCheckpoint()
+    def _grams(n: int):
+        # factory, not a default-arg lambda: transform() calls a
+        # two-parameter lambda as (element, index), shadowing n
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - n + 1),
+                lambda i: F.array_join(F.slice("t", i, n), " "),
+            )
+        )
+
+    out = []
+    for n in CONTAM_SWEEP_NS:
+        grams = (
+            toks.filter(F.size("t") >= n)
+            .select("doc_id", F.explode(_grams(n)).alias("gram"))
+        )
+        ev = grams.filter(F.col("doc_id") < 10).select(
+            F.col("doc_id").alias("eval_id"), "gram"
+        )
+        tr = grams.filter(F.col("doc_id") >= 10).select("gram")
+        hits = ev.join(tr, "gram").select("eval_id", "gram").distinct()
+        row = hits.agg(
+            F.count_distinct("eval_id").alias("f"),
+            F.count_distinct("gram").alias("g"),
+        ).collect()[0]
+        out.append((n, row["f"], row["g"]))
+    return spark.createDataFrame(
+        out, "n long, n_eval_flagged long, n_distinct_hit_grams long"
+    )

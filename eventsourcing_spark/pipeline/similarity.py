@@ -1471,3 +1471,72 @@ def ivf_nprobe_recall_sweep(spark, sf_dir):
     return spark.createDataFrame(
         out, "nprobe long, n_candidates long, n_hit long, recall_ppm long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding distance-distribution histogram — the calibration readout
+# every cosine/dot threshold (near-dup 0.9, ensemble 0.4, SemDeDup…)
+# should be picked FROM: the distribution of pairwise dot products over
+# a deterministic stride sample of pairs (i, (i+STRIDE) mod N — one
+# partner per vector, no quadratic blowup, reproducible at any
+# parallelism). Bucketized integer dots, one self-join on the derived
+# partner id, one rollup.
+# ---------------------------------------------------------------------------
+
+DIST_STRIDE = 37
+DIST_BUCKET = 50_000  # dot-product units per histogram bucket
+
+
+@query(
+    "emb_distance_histogram",
+    f"""
+    WITH q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    n AS (SELECT count(*) AS n FROM q),
+    pairs AS (
+        SELECT a.vec_id,
+               CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+        FROM q a
+        JOIN n ON TRUE
+        JOIN q b ON b.vec_id = (a.vec_id + {DIST_STRIDE}) % n.n
+        WHERE a.vec_id != b.vec_id
+    )
+    SELECT CAST(CASE WHEN dot >= 0 THEN dot // {DIST_BUCKET}
+                     ELSE -((-dot + {DIST_BUCKET} - 1) // {DIST_BUCKET}) END
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(dot) AS BIGINT) AS min_dot,
+           CAST(max(dot) AS BIGINT) AS max_dot
+    FROM pairs GROUP BY 1
+    """,
+)
+def emb_distance_histogram(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    n = q.count()  # tiny scalar: partner id arithmetic needs the modulus
+    a = q.select("vec_id", F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("pid"), F.col("qv").alias("qb"))
+    pairs = (
+        a.withColumn("pid", (F.col("vec_id") + DIST_STRIDE) % F.lit(n))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .join(b, "pid")
+        .select(
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot")
+        )
+    )
+    # floor-toward-negative-infinity bucketing, exact for negative dots
+    bucket = F.when(
+        F.col("dot") >= 0, F.expr(f"dot div {DIST_BUCKET}")
+    ).otherwise(
+        -F.expr(f"(-dot + {DIST_BUCKET} - 1) div {DIST_BUCKET}")
+    )
+    return pairs.groupBy(bucket.cast("long").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("dot").cast("long").alias("min_dot"),
+        F.max("dot").cast("long").alias("max_dot"),
+    )

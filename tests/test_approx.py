@@ -127,3 +127,18 @@ def test_ivf_sweep_recall_monotone_in_nprobe(spark):
     )
     assert rows[1]["n_hit"] <= rows[2]["n_hit"] <= rows[4]["n_hit"]
     assert all(0 <= r["recall_ppm"] <= 1_000_000 for r in rows.values())
+
+
+def test_distance_histogram_covers_all_sampled_pairs(spark):
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = SPARK_QUERIES["emb_distance_histogram"](spark, sf).collect()
+    assert rows
+    n_vec = load_table(spark, sf, "embeddings").count()
+    assert sum(r["n_pairs"] for r in rows) == n_vec  # one partner each
+    for r in rows:
+        assert r["min_dot"] <= r["max_dot"]
+        # bucket bounds bracket the min/max within the bucket
+        assert r["bucket"] * 50_000 <= r["max_dot"] < (r["bucket"] + 1) * 50_000

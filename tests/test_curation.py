@@ -134,3 +134,22 @@ def test_split_stratification_cells_sum(spark):
     # per-language shares cover the language (floor-div slack <= #splits)
     for total in by_lang.values():
         assert total >= 1_000_000 - 3
+
+
+def test_contamination_sweep_monotone_in_n(spark):
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    rows = {
+        r["n"]: r
+        for r in SPARK_QUERIES["contamination_ngram_sweep"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {3, 5, 8}
+    # an 8-gram hit implies 5-gram and 3-gram hits: flagged-doc counts
+    # can only shrink as n grows
+    assert (
+        rows[8]["n_eval_flagged"]
+        <= rows[5]["n_eval_flagged"]
+        <= rows[3]["n_eval_flagged"]
+    )
