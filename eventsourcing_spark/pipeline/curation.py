@@ -576,3 +576,64 @@ def contamination_ngram_sweep(spark, sf_dir):
     return spark.createDataFrame(
         out, "n long, n_eval_flagged long, n_distinct_hit_grams long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing utilization audit — the accounting readout of pack_sequences:
+# per shard, sequences minted (ceil of tokens/budget — straddling fills
+# every bin), utilization of the allocated token slots, and docs per
+# sequence. The number a training-ingest owner watches per shard; all
+# integer ceil/floor arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pack_utilization_audit",
+    f"""
+    WITH t AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len(string_split(lower(text), ' '))) AS total_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST((total_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET}
+                AS BIGINT) AS n_seqs,
+           CAST(total_tokens * 1000000
+                // (((total_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET})
+                    * {PACK_BUDGET}) AS BIGINT) AS util_ppm,
+           CAST(n_docs * 100
+                // ((total_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET})
+                AS BIGINT) AS docs_per_seq_x100
+    FROM t
+    """,
+)
+def pack_utilization_audit(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("total_tokens"),
+    )
+    n_seqs = F.expr(
+        f"(total_tokens + {PACK_BUDGET} - 1) div {PACK_BUDGET}"
+    )
+    return t.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        n_seqs.cast("long").alias("n_seqs"),
+        F.expr(
+            f"total_tokens * 1000000 div"
+            f" (((total_tokens + {PACK_BUDGET} - 1) div {PACK_BUDGET})"
+            f" * {PACK_BUDGET})"
+        )
+        .cast("long")
+        .alias("util_ppm"),
+        F.expr(
+            f"n_docs * 100 div"
+            f" ((total_tokens + {PACK_BUDGET} - 1) div {PACK_BUDGET})"
+        )
+        .cast("long")
+        .alias("docs_per_seq_x100"),
+    )

@@ -153,3 +153,27 @@ def test_contamination_sweep_monotone_in_n(spark):
         <= rows[5]["n_eval_flagged"]
         <= rows[3]["n_eval_flagged"]
     )
+
+
+def test_pack_utilization_consistent_with_packing(spark):
+    from collections import defaultdict
+
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    audit = {
+        r["source"]: r
+        for r in SPARK_QUERIES["pack_utilization_audit"](spark, sf).collect()
+    }
+    packed = SPARK_QUERIES["pack_sequences"](spark, sf).collect()
+    seqs = defaultdict(set)
+    toks = defaultdict(int)
+    for r in packed:
+        seqs[r["source"]].add(r["seq_id"])
+        toks[r["source"]] += r["n_tok"]
+    for src, a in audit.items():
+        assert a["total_tokens"] == toks[src]
+        # seq ids observed by the packer span exactly the audited count
+        # (straddle-fill: every bin below the ceiling is touched)
+        assert len(seqs[src]) == a["n_seqs"]
+        assert 0 < a["util_ppm"] <= 1_000_000
