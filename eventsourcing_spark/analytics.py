@@ -2946,3 +2946,72 @@ def user_type_recommendation(spark, sf_dir):
             F.col("score").cast("long").alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort value (LTV) curve — the monetary twin of cohort_retention:
+# users grouped by first-seen week, purchase revenue rolled up per
+# (cohort, week-offset), plus the running cumulative per cohort — the
+# exact frame an LTV chart plots. Integer cents; the cumulative window
+# runs over the tiny (cohorts × offsets) rollup, never the event log.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_value_curve",
+    """
+    WITH fw AS (
+        SELECT user_id,
+               min(epoch_ms(ts) // 604800000) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, fw.cohort_week,
+               epoch_ms(e.ts) // 604800000 - fw.cohort_week AS week_offset,
+               CAST(round(coalesce(e.value, 0) * 100) AS BIGINT) AS cents
+        FROM events e JOIN fw ON fw.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+    ),
+    cell AS (
+        SELECT cohort_week, week_offset,
+               count(DISTINCT user_id) AS n_buyers,
+               sum(cents) AS revenue_cents
+        FROM p GROUP BY cohort_week, week_offset
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(n_buyers AS BIGINT) AS n_buyers,
+           CAST(revenue_cents AS BIGINT) AS revenue_cents,
+           CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+                ORDER BY week_offset) AS BIGINT) AS cum_revenue_cents
+    FROM cell
+    """,
+)
+def cohort_value_curve(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr("unix_millis(ts) div 604800000")
+    fw = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fw, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week - F.col("cohort_week")).alias("week_offset"),
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    cell = p.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_buyers"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return cell.select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        F.col("week_offset").cast("long").alias("week_offset"),
+        F.col("n_buyers").cast("long").alias("n_buyers"),
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )

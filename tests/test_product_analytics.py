@@ -208,3 +208,24 @@ def test_transition_gaps_positive(spark):
     for r in rows:
         assert r["n"] >= 1
         assert 0 <= r["median_gap_ms"] <= r["p90_gap_ms"]
+
+
+def test_cohort_value_curve_cumulative(spark):
+    from collections import defaultdict
+
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["cohort_value_curve"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        assert r["week_offset"] >= 0
+        by_cohort[r["cohort_week"]].append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r["week_offset"])
+        run = 0
+        for r in rs:
+            run += r["revenue_cents"]
+            assert r["cum_revenue_cents"] == run
