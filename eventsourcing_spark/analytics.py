@@ -3015,3 +3015,97 @@ def cohort_value_curve(spark, sf_dir):
         F.col("revenue_cents").cast("long").alias("revenue_cents"),
         F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting — the canonical weekly active-user flow: each
+# (user, week) classified as NEW (first week ever), RETAINED (also
+# active the previous week), or RESURRECTED (active before, but not
+# last week); CHURNED counts users active in week w−1 who vanished in
+# w (attributed to w). One distinct-(user, week) pass, one lag window
+# per user, a rollup per week — the whole Reforge/a16z growth chart in
+# a single plan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "growth_accounting_weekly",
+    """
+    WITH uw AS (
+        SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id, week,
+               lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                 AS prev_week
+        FROM uw
+    ),
+    states AS (
+        SELECT week,
+               sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) AS n_new,
+               sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END)
+                 AS n_retained,
+               sum(CASE WHEN prev_week IS NOT NULL AND prev_week < week - 1
+                        THEN 1 ELSE 0 END) AS n_resurrected
+        FROM lagged GROUP BY week
+    ),
+    churn AS (
+        SELECT a.week + 1 AS week, count(*) AS n_churned
+        FROM uw a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM uw b
+            WHERE b.user_id = a.user_id AND b.week = a.week + 1
+        )
+        GROUP BY a.week + 1
+    )
+    SELECT s.week,
+           CAST(s.n_new AS BIGINT) AS n_new,
+           CAST(s.n_retained AS BIGINT) AS n_retained,
+           CAST(s.n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+    FROM states s LEFT JOIN churn c ON c.week = s.week
+    """,
+)
+def growth_accounting_weekly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.expr("unix_millis(ts) div 604800000").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    lagged = uw.withColumn("prev_week", F.lag("week").over(w))
+    states = lagged.groupBy("week").agg(
+        F.sum(F.when(F.col("prev_week").isNull(), 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(
+            F.when(F.col("prev_week") == F.col("week") - 1, 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_week").isNotNull()
+                & (F.col("prev_week") < F.col("week") - 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    nxt = uw.select(
+        F.col("user_id").alias("nu"), (F.col("week")).alias("nw")
+    )
+    churn = (
+        uw.join(
+            nxt,
+            (F.col("user_id") == F.col("nu"))
+            & (F.col("nw") == F.col("week") + 1),
+            "left_anti",
+        )
+        .groupBy((F.col("week") + 1).alias("week"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return states.join(churn, "week", "left").select(
+        "week",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("n_retained").cast("long").alias("n_retained"),
+        F.col("n_resurrected").cast("long").alias("n_resurrected"),
+        F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+    )

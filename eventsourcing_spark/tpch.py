@@ -1344,3 +1344,81 @@ def seasonal_revenue_index(spark, sf_dir):
         .cast("long")
         .alias("seasonal_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nation revenue share — the reporting rollup between q5's filtered
+# volume and a raw GROUP BY: per nation, order revenue (via customer),
+# its share of the region in ppm, and its rank within the region. Two
+# broadcast dimension hops, one keyed rollup, two windows over the
+# 25-row nation frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_revenue_share",
+    """
+    WITH nr AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents,
+               count(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(cents * 1000000 // sum(cents) OVER (PARTITION BY region)
+                AS BIGINT) AS share_in_region_ppm,
+           CAST(row_number() OVER (PARTITION BY region
+                ORDER BY cents DESC, nation) AS BIGINT) AS rank_in_region
+    FROM nr
+    """,
+)
+def nation_revenue_share(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nr = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    ws = Window.partitionBy("region")
+    wr = Window.partitionBy("region").orderBy(F.desc("cents"), F.asc("nation"))
+    return nr.select(
+        "region",
+        "nation",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.expr("cents * 1000000").cast("long").alias("__num"),
+        F.sum("cents").over(ws).alias("__den"),
+        F.row_number().over(wr).cast("long").alias("rank_in_region"),
+    ).select(
+        "region",
+        "nation",
+        "n_orders",
+        "revenue_cents",
+        F.expr("__num div __den").cast("long").alias("share_in_region_ppm"),
+        "rank_in_region",
+    )

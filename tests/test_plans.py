@@ -262,3 +262,21 @@ def test_grouping_sets_lattice_accounting(spark):
             sum(r["revenue_cents"] for r in by_gid[gid])
             == total["revenue_cents"]
         )
+
+
+def test_nation_share_sums_to_region(spark):
+    from collections import defaultdict
+
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["nation_revenue_share"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_region = defaultdict(list)
+    for r in rows:
+        by_region[r["region"]].append(r)
+    for rs in by_region.values():
+        # shares cover the region (floor slack bounded by nation count)
+        assert sum(r["share_in_region_ppm"] for r in rs) >= 1_000_000 - len(rs)
+        ranks = sorted(r["rank_in_region"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))

@@ -229,3 +229,34 @@ def test_cohort_value_curve_cumulative(spark):
         for r in rs:
             run += r["revenue_cents"]
             assert r["cum_revenue_cents"] == run
+
+
+def test_growth_accounting_flows_balance(spark):
+    from collections import defaultdict
+
+    from eventsourcing_spark.io import load_table
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["week"]: r for r in SPARK_QUERIES["growth_accounting_weekly"](
+        spark, sf
+    ).collect()}
+    # weekly active = new + retained + resurrected
+    uw = (
+        load_table(spark, sf, "events")
+        .select("user_id", F.expr("unix_millis(ts) div 604800000").alias("w"))
+        .distinct()
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    active = {r["w"]: r["count"] for r in uw}
+    for week, r in rows.items():
+        assert (
+            r["n_new"] + r["n_retained"] + r["n_resurrected"] == active[week]
+        )
+        # churned from w-1 = active(w-1) - retained(w)
+        if week - 1 in active:
+            assert r["n_churned"] == active[week - 1] - r["n_retained"]
