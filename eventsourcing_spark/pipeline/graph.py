@@ -597,3 +597,76 @@ def graph_bfs_depth(spark, sf_dir):
         F.col("node").cast("long").alias("node"),
         F.col("hops").cast("long").alias("hops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (2-core, 3 peeling rounds) on the near-dup LSH
+# graph — the standard dense-cluster extractor (Matula/Beck peeling):
+# repeatedly drop nodes with degree < k and re-induce. Duplicate
+# *communities* (not just pairs) survive the peel; singleton/chain
+# noise from LSH collisions does not. Each round is one keyed degree
+# aggregate + two semi-joins — shuffle on vec_id only, no quadratic
+# step anywhere; rounds-to-fixpoint is bounded and a fixed unroll (3)
+# keeps the plan static and the oracle expressible as chained CTEs.
+# ---------------------------------------------------------------------------
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    # AS MATERIALIZED: each e{r} is referenced three times by round r+1;
+    # without the hint DuckDB inlines the whole chain and re-evaluates
+    # the LSH edge derivation exponentially (measured 35 s → <1 s).
+    parts = [f"WITH {_edges_sql()}, e0 AS MATERIALIZED (SELECT src, dst FROM e)"]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f"""
+    deg{r} AS (
+        SELECT v, count(*) AS c FROM (
+            SELECT src AS v FROM e{r - 1}
+            UNION ALL
+            SELECT dst AS v FROM e{r - 1}
+        ) GROUP BY v
+    ),
+    keep{r} AS MATERIALIZED (SELECT v FROM deg{r} WHERE c >= {KCORE_K}),
+    e{r} AS MATERIALIZED (
+        SELECT src, dst FROM e{r - 1}
+        WHERE src IN (SELECT v FROM keep{r})
+          AND dst IN (SELECT v FROM keep{r})
+    )""")
+    parts.append(f"""
+    SELECT v AS vec_id, CAST(c AS BIGINT) AS core_degree FROM (
+        SELECT v, count(*) AS c FROM (
+            SELECT src AS v FROM e{KCORE_ROUNDS}
+            UNION ALL
+            SELECT dst AS v FROM e{KCORE_ROUNDS}
+        ) GROUP BY v
+    )""")
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+@query("graph_kcore", _kcore_oracle())
+def graph_kcore(spark, sf_dir):
+    # Persist per round: edges{r} feeds both the degree aggregate and
+    # the two semi-joins of round r+1; without materialization the
+    # lineage re-derives the LSH edge build 2^rounds times.
+    edges = _edges_df(spark, sf_dir).persist()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("src").alias("v"))
+            .unionAll(edges.select(F.col("dst").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= KCORE_K).select("v")
+        edges = (
+            edges.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .persist()
+        )
+    return (
+        edges.select(F.col("src").alias("vec_id"))
+        .unionAll(edges.select(F.col("dst").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )

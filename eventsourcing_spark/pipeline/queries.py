@@ -1719,3 +1719,53 @@ def payload_size_budget(spark, sf_dir):
         .cast("long")
         .alias("mean_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment verification — the asymmetric cousin of Jaccard: C(A,B) =
+# |A∩B| / min(|A|,|B|). Near-dup families produced by quotation or
+# partial copies (a short doc wholly inside a long one) score low on
+# Jaccard but ~1.0 on containment; dedup pipelines (e.g. news/CC)
+# gate on both. Same probe-set shape as dedup_jaccard_verify: at scale
+# the pair source is the LSH candidate stream, never a cross join —
+# the per-pair verify math is what this query pins.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_containment_verify",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.ts, b.ts)) AS n_common,
+               least(len(a.ts), len(b.ts)) AS n_min
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id AND a.doc_id < 20
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / n_min AS containment
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / n_min > 0.8
+    """,
+)
+def dedup_containment_verify(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ts")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    nmin = F.least(F.size(F.col("a.ts")), F.size(F.col("b.ts")))
+    cont = common.cast("double") / nmin
+    return (
+        a.filter(F.col("doc_id") < 20)
+        .join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") > 0.8)
+    )

@@ -676,3 +676,105 @@ def mmr_diversify_topk(spark, sf_dir):
         "rel_score long, max_sim long, mmr_score long"
     )
     return pool.groupBy("probe_id").applyInPandas(greedy, schema)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson-Sparck Jones) in exact fixed-point form.
+# k1 = 1.2, b = 0.75; idf is the integer rarity weight (N - df) that
+# term_match_retrieval already pins, so the new machinery this query
+# adds is the tf saturation / length normalization:
+#
+#   score(d) = Σ_t (N - df_t) · tf·(k1+1) / (tf + k1·(1-b) + k1·b·dl/avgdl)
+#
+# computed entirely in integers: avgdl is carried as avgdl_milli =
+# (1000·Σdl)//N and the fraction is cross-multiplied by 10·avgdl_milli,
+# giving the *defined* score
+#
+#   22000·(N-df)·tf·avgdl_milli // (10·avgdl_milli·tf + 3·avgdl_milli + 9000·dl)
+#
+# identical in both engines (// is truncating integer division in each).
+# Magnitudes: numerator < 2.2e4·N·tf·avgdl_milli — fits int64 through
+# ~1e8 docs; beyond that the (N - df) weight should move to a
+# log-quantized idf (same plan shape, different literal weight).
+#
+# Plan at 100 TB: explode → filter to query terms map-side (inverted-
+# index probe), df/N/avgdl are tiny broadcast scalars, one groupBy
+# per doc, TakeOrdered top-k. No shuffle carries unfiltered tokens.
+# ---------------------------------------------------------------------------
+@query(
+    "bm25_topk",
+    f"""
+    WITH stats AS (
+        SELECT count(*) AS n,
+               (1000 * sum(len(string_split(lower(text), ' ')))) // count(*)
+                   AS avgdl_milli
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+               unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, any_value(dl) AS dl, w, count(*) AS tf
+        FROM toks
+        WHERE list_contains({_TERMS_SQL}, w)
+        GROUP BY doc_id, w
+    ),
+    df AS (
+        SELECT w, count(DISTINCT doc_id) AS df FROM hits GROUP BY w
+    )
+    SELECT h.doc_id,
+           CAST(sum(
+               (22000 * (s.n - df.df) * h.tf * s.avgdl_milli)
+               // (10 * s.avgdl_milli * h.tf + 3 * s.avgdl_milli + 9000 * h.dl)
+           ) AS BIGINT) AS bm25_score,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM hits h JOIN df USING (w) CROSS JOIN stats s
+    GROUP BY h.doc_id
+    ORDER BY bm25_score DESC, h.doc_id
+    LIMIT {TOP_DOCS}
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks_col = F.split(F.lower("text"), " ")
+    stats = docs.agg(
+        F.count("*").alias("n"), F.sum(F.size(toks_col)).alias("sum_dl")
+    ).first()
+    n_docs = int(stats["n"])
+    avgdl_milli = (1000 * int(stats["sum_dl"])) // n_docs
+    toks = docs.select(
+        "doc_id",
+        F.size(toks_col).alias("dl"),
+        F.explode(toks_col).alias("w"),
+    ).filter(F.col("w").isin(QUERY_TERMS))
+    hits = toks.groupBy("doc_id", "w").agg(
+        F.any_value("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    df = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    num = (
+        F.lit(22000).cast("long")
+        * (F.lit(n_docs) - F.col("df"))
+        * F.col("tf")
+        * F.lit(avgdl_milli)
+    )
+    den = (
+        F.lit(10 * avgdl_milli).cast("long") * F.col("tf")
+        + F.lit(3 * avgdl_milli)
+        + F.lit(9000) * F.col("dl")
+    )
+    scored = (
+        hits.join(F.broadcast(df), "w")
+        .withColumn("__num", num)
+        .withColumn("__den", den)
+        # `div` = exact int64 division (the double-division `/` would
+        # round at ~2^53 and can land on the wrong side of the floor).
+        .withColumn("__ts", F.expr("__num div __den"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__ts").cast("long").alias("bm25_score"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25_score"), "doc_id").limit(TOP_DOCS)

@@ -1540,3 +1540,56 @@ def emb_distance_histogram(spark, sf_dir):
         F.min("dot").cast("long").alias("min_dot"),
         F.max("dot").cast("long").alias("max_dot"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gram (co-moment) matrix over the first 16 embedding dims — the
+# sufficient statistic behind PCA/whitening/OPQ rotation at corpus
+# scale. The 100 TB shape is the whole point: each Arrow batch reduces
+# to a 16×16 partial matrix in one BLAS matmul inside mapInPandas
+# (map-side combine — a million-row partition emits 136 rows), and the
+# final groupBy sums 136-key partials. Quantized int64 arithmetic keeps
+# the sum order-independent, so the result is identical at any
+# partitioning (and to DuckDB's sequential sum). int64 headroom:
+# |q| ≤ ~3e4 ⇒ per-row product ≤ 9e8 ⇒ ~1e9 rows before overflow;
+# shard the sum into per-range partials beyond that.
+# ---------------------------------------------------------------------------
+GRAM_DIMS = 16
+
+
+@query(
+    "emb_gram_matrix",
+    f"""
+    WITH q AS (
+        SELECT {_quant_sql("embedding[1:16]")} AS qv FROM embeddings
+    )
+    SELECT CAST(g1.i AS BIGINT) AS i, CAST(g2.j AS BIGINT) AS j,
+           CAST(sum(qv[g1.i] * qv[g2.j]) AS BIGINT) AS dot
+    FROM q, generate_series(1, {GRAM_DIMS}) g1(i),
+         generate_series(1, {GRAM_DIMS}) g2(j)
+    WHERE g1.i <= g2.j
+    GROUP BY g1.i, g2.j
+    """,
+)
+def emb_gram_matrix(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(_quant(F.slice("embedding", 1, GRAM_DIMS)).alias("qv"))
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu = np.triu_indices(GRAM_DIMS)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            g = a.T @ a
+            yield pd.DataFrame(
+                {"i": iu[0] + 1, "j": iu[1] + 1, "partial": g[iu]}
+            )
+
+    partials = q.mapInPandas(partial_gram, "i long, j long, partial long")
+    return partials.groupBy("i", "j").agg(
+        F.sum("partial").cast("long").alias("dot")
+    )

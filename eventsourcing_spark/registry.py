@@ -20,6 +20,7 @@ import eventsourcing_spark.pipeline.retrieval  # noqa: F401
 import eventsourcing_spark.pipeline.setjoin  # noqa: F401
 import eventsourcing_spark.pipeline.similarity  # noqa: F401
 import eventsourcing_spark.sketches  # noqa: F401
+import eventsourcing_spark.timeseries  # noqa: F401
 import eventsourcing_spark.tpch  # noqa: F401
 from eventsourcing_spark.queries import ORACLE_SQL, SPARK_QUERIES
 
