@@ -98,43 +98,94 @@ def _quant(col):
     return F.transform(col, lambda x: F.round(x.cast("double") * 1000).cast("long"))
 
 
-def _dot_lit(qcol, vec: list[int]):
-    lit = F.array(*[F.lit(int(v)).cast("long") for v in vec])
-    return F.aggregate(
-        F.zip_with(qcol, lit, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def _assign(q, cents):
-    """Map-only argmin over inlined centroid literals (no join)."""
-    choices = []
-    for cid, s, c in cents:
-        ss = sum(v * v for v in s)
-        d = (
-            F.lit(c * c).cast("long") * F.col("xx")
-            - F.lit(2 * c).cast("long") * _dot_lit(F.col("qv"), s)
-            + F.lit(ss).cast("long")
-        )
-        frac = d.cast("double") / F.lit(float(c * c))
-        choices.append(F.struct(frac.alias("frac"), F.lit(cid).alias("cid"), d.alias("d")))
-    best = F.array_min(F.array(*choices))
-    return q.select(
-        "vec_id", "qv", best["cid"].alias("cid"), best["d"].alias("d")
-    )
+    """Map-only argmin, one Arrow batch matmul per partition.
+
+    Centroids travel in the task closure as numpy int64 — NOT as column
+    literals: literal centroids change every round, so each round (and
+    each bench run) would generate and JIT-compile a fresh
+    whole-stage-codegen class for the 8×64-literal expression tree;
+    measured, that compilation dominated the query. The numpy form is
+    the same exact arithmetic (int64 products/sums; one IEEE double
+    division by c², identical to the oracle's) with a stable plan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    S = np.array([s for _, s, _ in cents], dtype=np.int64)  # k×DIM
+    C = np.array([c for _, _, c in cents], dtype=np.int64)  # k
+    cids = np.array([cid for cid, _, _ in cents], dtype=np.int64)
+    ss = (S * S).sum(axis=1)  # k, int64 exact
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            xx = pdf["xx"].to_numpy(dtype=np.int64)
+            dots = X @ S.T  # n×k int64
+            d = (C * C) * xx[:, None] - 2 * C * dots + ss[None, :]
+            frac = d.astype(np.float64) / (C * C).astype(np.float64)
+            # argmin over (frac, cid): cents are cid-sorted, and argmin
+            # returns the first minimum — the cid tie-break for free.
+            best = frac.argmin(axis=1)
+            rows = np.arange(len(X))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "qv": pdf["qv"],
+                    "cid": cids[best],
+                    "d": d[rows, best],
+                }
+            )
+
+    return q.mapInPandas(run, "vec_id long, qv array<long>, cid long, d long")
 
 
 def _update(assigned):
-    """One tiny shuffle: k rows of (64 sums, count) via map-side combine."""
-    rows = assigned.groupBy("cid").agg(
-        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(DIM)],
-        F.count("*").alias("c"),
-    ).collect()
-    return sorted(
-        (int(r["cid"]), [int(r[f"s{i}"]) for i in range(DIM)], int(r["c"]))
-        for r in rows
+    """One tiny shuffle: per-batch partial (cid, dim, sum) triples via
+    numpy scatter-add, then a (k·DIM)-key global sum. The exchange
+    carries k·(DIM+1) longs per task — map-side combine, corpus-size
+    independent."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            cid = pdf["cid"].to_numpy(dtype=np.int64)
+            out = []
+            for c in np.unique(cid):
+                mask = cid == c
+                sums = X[mask].sum(axis=0)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "cid": int(c),
+                            "idx": np.arange(DIM, dtype=np.int64),
+                            "sv": sums,
+                            "cnt": int(mask.sum()),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    rows = (
+        assigned.mapInPandas(partials, "cid long, idx long, sv long, cnt long")
+        .groupBy("cid", "idx")
+        .agg(F.sum("sv").alias("sv"), F.sum("cnt").alias("cnt"))
+        .collect()
     )
+    acc: dict[int, list[int]] = {}
+    cnt: dict[int, int] = {}
+    for r in rows:
+        acc.setdefault(int(r["cid"]), [0] * DIM)[int(r["idx"])] = int(r["sv"])
+    # cnt arrives replicated per dim; sum(cnt) over DIM rows = DIM·c
+    for r in rows:
+        cnt[int(r["cid"])] = cnt.get(int(r["cid"]), 0) + int(r["cnt"])
+    return sorted((cid, acc[cid], cnt[cid] // DIM) for cid in acc)
 
 
 @query("kmeans_clusters", _kmeans_oracle())

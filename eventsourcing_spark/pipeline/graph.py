@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import load_table
-from eventsourcing_spark.pipeline.similarity import _bucket_expr, _bucket_sql, _quant, _quant_sql
+from eventsourcing_spark.pipeline.similarity import _bucket_arrow, _bucket_sql, _quant, _quant_sql
 from eventsourcing_spark.queries import query
 
 SCALE = 1_000_000
@@ -95,7 +95,7 @@ def _pagerank_oracle() -> str:
 def pagerank_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     bk = emb.select(
-        "vec_id", _bucket_expr(_quant(F.col("embedding"))).alias("bucket")
+        "vec_id", _bucket_arrow(_quant(F.col("embedding"))).alias("bucket")
     )
     bands = bk.select(
         "vec_id", F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bval")
@@ -215,7 +215,7 @@ def _triangle_oracle() -> str:
 def triangle_count_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     bk = emb.select(
-        "vec_id", _bucket_expr(_quant(F.col("embedding"))).alias("bucket")
+        "vec_id", _bucket_arrow(_quant(F.col("embedding"))).alias("bucket")
     )
     bands = bk.select(
         "vec_id", F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bval")
@@ -310,7 +310,7 @@ def _edges_sql() -> str:
 def _edges_df(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     bk = emb.select(
-        "vec_id", _bucket_expr(_quant(F.col("embedding"))).alias("bucket")
+        "vec_id", _bucket_arrow(_quant(F.col("embedding"))).alias("bucket")
     )
     bands = bk.select(
         "vec_id", F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bval")

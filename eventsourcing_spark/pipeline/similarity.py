@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd  # module-level: pandas_udf resolves annotations here
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -57,6 +59,29 @@ def _bucket_expr(qcol):
     return out.cast("long")
 
 
+def _bucket_arrow(qcol):
+    """Arrow-batched twin of ``_bucket_expr`` — identical int64 values.
+
+    The expression form evaluates 8 higher-order aggregate lambdas per
+    row (~0.3 ms/row interpreted); this one does a single n×64 @ 64×8
+    int64 matmul per Arrow batch. Quantization stays in the Spark
+    expression layer (``_quant``) so round() semantics never leave the
+    engine — the UDF touches only exact integers.
+    """
+    import numpy as np
+
+    h = np.array(HYPERPLANES, dtype=np.int64)
+    shifts = 1 << np.arange(N_PLANES, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def bucket(qv: pd.Series) -> pd.Series:
+        x = np.vstack(qv.to_numpy()).astype(np.int64)
+        dots = x @ h.T
+        return pd.Series(((dots > 0) * shifts).sum(axis=1))
+
+    return bucket(qcol)
+
+
 def _bucket_sql(qexpr: str) -> str:
     terms = []
     for j, plane in enumerate(HYPERPLANES):
@@ -87,7 +112,7 @@ _DOT = (
 def ann_lsh_buckets(spark, sf_dir):
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", "label", _quant(F.col("embedding")).alias("qv"))
-    return q.select("vec_id", "label", _bucket_expr(F.col("qv")).alias("bucket"))
+    return q.select("vec_id", "label", _bucket_arrow(F.col("qv")).alias("bucket"))
 
 
 # ---------------------------------------------------------------------------
@@ -126,7 +151,7 @@ def ann_lsh_topk(spark, sf_dir):
 
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    b = q.select("vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"))
+    b = q.select("vec_id", "qv", _bucket_arrow(F.col("qv")).alias("bucket"))
 
     def bucket_dots(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -197,7 +222,7 @@ def emb_neardup_pairs(spark, sf_dir):
 
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    b = q.select("vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"))
+    b = q.select("vec_id", "qv", _bucket_arrow(F.col("qv")).alias("bucket"))
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -496,7 +521,7 @@ def dedup_ensemble(spark, sf_dir):
 
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    b = q.select("vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"))
+    b = q.select("vec_id", "qv", _bucket_arrow(F.col("qv")).alias("bucket"))
 
     def bucket_cand(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -596,7 +621,7 @@ _PROBE_MASKS = [0] + [1 << j for j in range(N_PLANES)]
 def ann_lsh_multiprobe(spark, sf_dir):
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    b = q.select("vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"))
+    b = q.select("vec_id", "qv", _bucket_arrow(F.col("qv")).alias("bucket"))
     masks = F.array(*[F.lit(m).cast("long") for m in _PROBE_MASKS])
     probes = b.filter(F.col("vec_id") < 20).select(
         "vec_id",
