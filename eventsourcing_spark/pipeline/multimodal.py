@@ -218,3 +218,120 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.sum(F.length("content")).alias("total_bytes"),
         F.avg("metadata.duration_ms").alias("avg_duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gate queries: the binary plumbing, end-to-end, against an exact
+# oracle. Media rows are derived deterministically from `documents`
+# (payload = the utf-8 text bytes, metadata = arithmetic on doc_id),
+# so the whole chain — binary assembly in one mapInPandas, header
+# parse + payload decode in the next — has a DuckDB twin that computes
+# the same values arithmetically without ever touching the binary.
+# What this proves at the gate: BinaryType survives Arrow batches in
+# both directions, the header parse reads back exactly what the
+# assembler wrote, and the UDTF-shaped frame expansion (1 video row →
+# N frame rows) slices payload bytes correctly.
+# ---------------------------------------------------------------------------
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """documents → media table: kind/dims from doc_id arithmetic,
+    payload = utf-8 text bytes. Mirrors synth_media's header format."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        rows_cols = ["media_id", "kind", "content", "metadata"]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                mid = int(doc_id)
+                kind_idx = mid % 3
+                kind = ("image", "audio", "video")[kind_idx]
+                w, h = 16 + mid % 5, 16 + mid % 7
+                sr = 8000 if kind == "audio" else 0
+                dur = 1000 + (mid * 7) % 5000 if kind != "image" else 0
+                payload = str(text or "").encode("utf-8")
+                header = _MAGIC + struct.pack("<BHHII", kind_idx, w, h, sr, dur)
+                rows.append(
+                    (
+                        mid,
+                        kind,
+                        header + payload,
+                        {"format": "synm", "width": w, "height": h,
+                         "sample_rate": sr, "duration_ms": dur},
+                    )
+                )
+            yield pd.DataFrame(rows, columns=rows_cols)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+from eventsourcing_spark.io import load_table  # noqa: E402
+from eventsourcing_spark.queries import query  # noqa: E402
+
+_KIND_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+_LEN_SQL = "octet_length(encode(text))"
+
+
+@query(
+    "media_decode_stats",
+    f"""
+    SELECT {_KIND_SQL} AS kind,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({_LEN_SQL}) AS BIGINT) AS total_payload_bytes,
+           CAST(sum(16 + doc_id % 5) AS BIGINT) AS sum_width,
+           CAST(sum(16 + doc_id % 7) AS BIGINT) AS sum_height
+    FROM documents
+    GROUP BY doc_id % 3
+    """,
+)
+def media_decode_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    decoded = decode_and_featurize(media)  # parses the binary header
+    return decoded.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_payload_bytes").cast("long").alias("total_payload_bytes"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+    )
+
+
+@query(
+    "media_frame_audit",
+    """
+    WITH v AS (
+        SELECT doc_id,
+               1000 + (doc_id * 7) % 5000 AS dur,
+               octet_length(encode(text)) AS plen
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+        -- dur ∈ [1000, 6000) ⇒ at most 5 frames; a fixed series with a
+        -- correlated WHERE sidesteps DuckDB's no-lateral-args limit
+        SELECT v.doc_id, g.i AS frame_idx, g.i * 1000 AS ts_ms,
+               CASE WHEN v.plen = 0 THEN 0
+                    ELSE least(16, v.plen - (g.i * 16) % v.plen) END AS nb
+        FROM v, generate_series(0, 5) g(i)
+        WHERE g.i < v.dur // 1000
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(nb) AS BIGINT) AS sum_frame_bytes,
+           CAST(max(ts_ms) AS BIGINT) AS max_ts_ms
+    FROM frames GROUP BY doc_id
+    """,
+)
+def media_frame_audit(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    frames = sample_frames(media, every_ms=1000)
+    return frames.groupBy(F.col("media_id")).agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum(F.length("frame")).cast("long").alias("sum_frame_bytes"),
+        F.max("ts_ms").cast("long").alias("max_ts_ms"),
+    )
