@@ -27,7 +27,7 @@ import random
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import load_table
-from eventsourcing_spark.pipeline.similarity import _quant, _quant_sql
+from eventsourcing_spark.pipeline.similarity import _dot64, _quant, _quant_sql
 from eventsourcing_spark.queries import query
 
 QUERY_TERMS = ["vector", "stream", "window", "merge", "scan"]
@@ -111,11 +111,7 @@ def emb_random_projection(spark, sf_dir):
     for plane in PROJ_PLANES:
         lit = F.array(*[F.lit(v) for v in plane])
         cols.append(
-            F.aggregate(
-                F.zip_with("qv", lit, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
+            _dot64("qv", lit)
         )
     # one pass computes all 16 projections, then unpivots in-task (explode
     # of a 16-element array — no UNION re-scan, still zero shuffles)
@@ -434,11 +430,7 @@ def ann_rerank_pipeline(spark, sf_dir):
     for plane in PROJ_PLANES:
         lit = F.array(*[F.lit(v) for v in plane])
         pvcols.append(
-            F.aggregate(
-                F.zip_with("qv", lit, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
+            _dot64("qv", lit)
         )
     pv = q.select("vec_id", F.array(*pvcols).alias("pv"))
     probes = pv.filter(F.col("vec_id") < RERANK_PROBES).select(
@@ -450,11 +442,7 @@ def ann_rerank_pipeline(spark, sf_dir):
         .select(
             "probe_id",
             F.col("vec_id").alias("candidate_id"),
-            F.aggregate(
-                F.zip_with("pv", "ppv", lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("approx_score"),
+            _dot64("pv", "ppv").alias("approx_score"),
         )
     )
     w1 = Window.partitionBy("probe_id").orderBy(
@@ -478,11 +466,7 @@ def ann_rerank_pipeline(spark, sf_dir):
             "candidate_id",
             "approx_score",
             "stage1_rank",
-            F.aggregate(
-                F.zip_with("cqv", "pqv", lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("exact_score"),
+            _dot64("cqv", "pqv").alias("exact_score"),
         )
     )
     w2 = Window.partitionBy("probe_id").orderBy(
@@ -608,11 +592,7 @@ def mmr_diversify_topk(spark, sf_dir):
         .select(
             "probe_id",
             F.col("vec_id").alias("cid"),
-            F.aggregate(
-                F.zip_with("qv", "pqv", lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("rel"),
+            _dot64("qv", "pqv").alias("rel"),
             "qv",
         )
     )

@@ -47,11 +47,7 @@ def _bucket_expr(qcol):
     bits = []
     for j, plane in enumerate(HYPERPLANES):
         lit = F.array(*[F.lit(v) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(qcol, lit, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+        dot = _dot64(qcol, lit)
         bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
@@ -80,6 +76,24 @@ def _bucket_arrow(qcol):
         return pd.Series(((dots > 0) * shifts).sum(axis=1))
 
     return bucket(qcol)
+
+
+def _dot64(a, b):
+    """Vectorized int64 dot of two array<long> columns (Arrow batch,
+    one einsum) — value-identical to the aggregate(zip_with(...)) HOF
+    form it replaces, which evaluated an interpreted lambda per element
+    per row."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def dot(x: pd.Series, y: pd.Series) -> pd.Series:
+        if not len(x):
+            return pd.Series([], dtype="int64")
+        xa = np.vstack(x.to_numpy()).astype(np.int64)
+        ya = np.vstack(y.to_numpy()).astype(np.int64)
+        return pd.Series(np.einsum("ij,ij->i", xa, ya))
+
+    return dot(a, b)
 
 
 def _bucket_sql(qexpr: str) -> str:
@@ -333,12 +347,7 @@ def _ivf_assign(spark, sf_dir):
         .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
     )
 
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    _dot = _dot64
 
     dist = (
         _dot(F.col("qv"), F.col("qv"))
@@ -640,11 +649,7 @@ def ann_lsh_multiprobe(spark, sf_dir):
         .select(
             F.col("p.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.aggregate(
-                F.zip_with(F.col("p.qv"), F.col("c.qv"), lambda a, x: a * x),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dot"),
+            _dot64(F.col("p.qv"), F.col("c.qv")).alias("dot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
@@ -721,27 +726,24 @@ def _pq_mins_sql(base: int) -> str:
 _PQ_CODES_DUCK, _PQ_ERR_DUCK = _pq_exprs(base=1)
 
 
-def _pq_sub_dists(qv, m: int):
-    """Array of K squared-L2 distances: subspace m of qv vs each centroid.
+def _pq_all_dists(qv):
+    """All PQ subspace distances in one Arrow pass: per row an M-list of
+    K-lists of squared-L2 int64 distances (one broadcasted numpy diff
+    per batch; replaces M×K interpreted HOF aggregates per row)."""
+    import numpy as np
 
-    Compact higher-order-function form — O(1) generated code regardless
-    of K, unlike the unrolled arithmetic (which broke codegen).
-    """
-    cb = F.array(
-        *[
-            F.array(*[F.lit(v).cast("long") for v in PQ_CODEBOOKS[m][c]])
-            for c in range(PQ_K)
-        ]
-    )
-    sub = F.slice(qv, m * PQ_SUBDIM + 1, PQ_SUBDIM)
-    return F.transform(
-        cb,
-        lambda cent: F.aggregate(
-            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-    )
+    cb = np.array(PQ_CODEBOOKS, dtype=np.int64)  # M×K×SUBDIM
+
+    @F.pandas_udf("array<array<long>>")
+    def dists(x: pd.Series) -> pd.Series:
+        if not len(x):
+            return pd.Series([], dtype="object")
+        xa = np.vstack(x.to_numpy()).astype(np.int64)
+        sub = xa.reshape(len(xa), PQ_M, 1, PQ_SUBDIM)
+        d = ((sub - cb[None, :, :, :]) ** 2).sum(axis=3)  # n×M×K
+        return pd.Series([row.tolist() for row in d])
+
+    return dists(qv)
 
 
 @query(
@@ -763,9 +765,13 @@ def _pq_sub_dists(qv, m: int):
 def pq_encode(spark, sf_dir):
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    # one Arrow pass computes the full M×K tensor; the per-subspace
+    # arrays are cheap element_at projections of it
     d = q.select(
+        "vec_id", _pq_all_dists(F.col("qv")).alias("dd")
+    ).select(
         "vec_id",
-        *[_pq_sub_dists(F.col("qv"), m).alias(f"d{m}") for m in range(PQ_M)],
+        *[F.element_at("dd", m + 1).alias(f"d{m}") for m in range(PQ_M)],
     )
     err = F.array_min(F.col("d0"))
     for m in range(1, PQ_M):
@@ -847,13 +853,14 @@ def pq_adc_topk(spark, sf_dir):
 
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    codes = q.select(
+    qd = q.select("vec_id", _pq_all_dists(F.col("qv")).alias("dd"))
+    codes = qd.select(
         "vec_id",
         *[
             (
                 F.array_position(
-                    _pq_sub_dists(F.col("qv"), m),
-                    F.array_min(_pq_sub_dists(F.col("qv"), m)),
+                    F.element_at("dd", m + 1),
+                    F.array_min(F.element_at("dd", m + 1)),
                 )
                 - 1
             )
@@ -865,10 +872,10 @@ def pq_adc_topk(spark, sf_dir):
     # Each probe's 8×K distance table is materialized as array columns
     # once on the (broadcast) probe side; the big scan only gathers
     # table[code] per subspace — the real ADC access pattern.
-    probes = q.filter(F.col("vec_id") < PQ_PROBES).select(
+    probes = qd.filter(F.col("vec_id") < PQ_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         *[
-            _pq_sub_dists(F.col("qv"), m).alias(f"tbl{m}")
+            F.element_at("dd", m + 1).alias(f"tbl{m}")
             for m in range(PQ_M)
         ],
     )
@@ -942,12 +949,7 @@ def semdedup_ivf(spark, sf_dir):
     size — the property that makes SemDeDup runnable at 100 TB."""
     members = _ivf_assign(spark, sf_dir).filter(F.col("crank") == 1)
 
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    _dot = _dot64
 
     keepers = members.groupBy("cid").agg(F.min("vec_id").alias("keeper_id"))
     kv = keepers.join(
@@ -1199,12 +1201,7 @@ def dim_truncation_recall(spark, sf_dir):
         F.col("vec_id").alias("probe_id"), F.col("qv").alias("pqv")
     )
 
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    _dot = _dot64
 
     scored = (
         q.crossJoin(F.broadcast(probes))
@@ -1369,11 +1366,7 @@ def emb_analogy_topk(spark, sf_dir):
         .crossJoin(F.broadcast(abc))
         .select(
             "vec_id",
-            F.aggregate(
-                F.zip_with("qv", "tv", lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dot"),
+            _dot64("qv", "tv").alias("dot"),
         )
     )
     w = Window.orderBy(F.desc("dot"), F.asc("vec_id"))
@@ -1461,11 +1454,7 @@ def ivf_nprobe_recall_sweep(spark, sf_dir):
         .select(
             "probe_id",
             "vec_id",
-            F.aggregate(
-                F.zip_with("qv", "pqv", lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dot"),
+            _dot64("qv", "pqv").alias("dot"),
         )
         .withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") <= IVF_SWEEP_K)
@@ -1547,11 +1536,7 @@ def emb_distance_histogram(spark, sf_dir):
         .filter(F.col("vec_id") != F.col("pid"))
         .join(b, "pid")
         .select(
-            F.aggregate(
-                F.zip_with("qa", "qb", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dot")
+            _dot64("qa", "qb").alias("dot")
         )
     )
     # floor-toward-negative-infinity bucketing, exact for negative dots

@@ -1302,3 +1302,96 @@ def hll_intersection_pairs(spark, sf_dir):
             F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS join-cardinality estimate — the sketch composition behind
+# optimizer cardinality guessing (AMS/F2-style): |A ⋈_u B| = Σ_u
+# cA(u)·cB(u), upper-bounded by the inner product of the two streams'
+# count-min rows at any depth (min over depths = tightest bound;
+# Cormode & Muthukrishnan §4.2). Both sketches reuse the registry's
+# md5 CMS family, so the estimate — and the exact error it incurs vs
+# the true join size — is integer-reproducible in the oracle. At scale
+# each sketch is a (depth·width)-cell aggregate (192 cells here)
+# regardless of corpus size; the true-size branch exists only for the
+# audit and would be dropped in production.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cms_join_cardinality",
+    f"""
+    WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+    ca AS (
+        {" UNION ALL ".join(
+            f'''SELECT {d} AS depth, {_cms_bucket_sql(d, "user_id")} AS bucket,
+                       count(*) AS c
+                FROM a GROUP BY 2'''
+            for d in range(_CMS_D)
+        )}
+    ),
+    cb AS (
+        {" UNION ALL ".join(
+            f'''SELECT {d} AS depth, {_cms_bucket_sql(d, "user_id")} AS bucket,
+                       count(*) AS c
+                FROM b GROUP BY 2'''
+            for d in range(_CMS_D)
+        )}
+    ),
+    est AS (
+        SELECT ca.depth, sum(ca.c * cb.c) AS ip
+        FROM ca JOIN cb ON ca.depth = cb.depth AND ca.bucket = cb.bucket
+        GROUP BY ca.depth
+    ),
+    truth AS (
+        SELECT coalesce(sum(ta.c * tb.c), 0) AS t FROM
+        (SELECT user_id, count(*) AS c FROM a GROUP BY user_id) ta
+        JOIN (SELECT user_id, count(*) AS c FROM b GROUP BY user_id) tb
+        USING (user_id)
+    )
+    SELECT CAST(truth.t AS BIGINT) AS true_card,
+           CAST(min(est.ip) AS BIGINT) AS cms_estimate,
+           CAST(((min(est.ip) - truth.t) * 1000000) // truth.t AS BIGINT)
+             AS overestimate_ppm
+    FROM est CROSS JOIN truth
+    GROUP BY truth.t
+    """,
+)
+def cms_join_cardinality(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+
+    def cms(side: DataFrame) -> DataFrame:
+        arms = None
+        for d in range(_CMS_D):
+            arm = side.groupBy(
+                _cms_bucket(d, F.col("user_id")).alias("bucket")
+            ).agg(F.count("*").alias("c")).withColumn("depth", F.lit(d))
+            arms = arm if arms is None else arms.unionByName(arm)
+        return arms
+
+    est = (
+        cms(a).alias("ca")
+        .join(
+            cms(b).alias("cb"),
+            (F.col("ca.depth") == F.col("cb.depth"))
+            & (F.col("ca.bucket") == F.col("cb.bucket")),
+        )
+        .groupBy(F.col("ca.depth"))
+        .agg(F.sum(F.col("ca.c") * F.col("cb.c")).alias("ip"))
+        .agg(F.min("ip").alias("cms_estimate"))
+    )
+    truth = (
+        a.groupBy("user_id").agg(F.count("*").alias("ca"))
+        .join(b.groupBy("user_id").agg(F.count("*").alias("cb")), "user_id")
+        .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("t"))
+    )
+    return est.crossJoin(truth).select(
+        F.col("t").cast("long").alias("true_card"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        F.expr("((cms_estimate - t) * 1000000) div t")
+        .cast("long")
+        .alias("overestimate_ppm"),
+    )
