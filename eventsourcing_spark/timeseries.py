@@ -205,3 +205,112 @@ def interval_overlap_hours(spark, sf_dir):
         F.count("*").alias("n_overlap_hours"),
         F.sum("n_events").alias("n_coactive_events"),
     )
+
+
+FUNNEL_TYPES = ("view", "click", "purchase")
+FUNNEL_WIN_MS = HOUR_MS
+
+
+@query(
+    "funnel_any_order_window",
+    f"""
+    WITH ev AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    anchored AS (
+        SELECT a.user_id, a.ms AS anchor_ms,
+               count(DISTINCT b.event_type) AS n_types
+        FROM ev a JOIN ev b
+          ON b.user_id = a.user_id
+         AND b.ms >= a.ms AND b.ms < a.ms + {FUNNEL_WIN_MS}
+        GROUP BY a.user_id, a.ms
+    )
+    SELECT user_id,
+           CAST(max(CASE WHEN n_types = {len(FUNNEL_TYPES)} THEN 1 ELSE 0 END)
+                AS BIGINT) AS completed,
+           CAST(count(*) FILTER (WHERE n_types = {len(FUNNEL_TYPES)})
+                AS BIGINT) AS n_complete_windows
+    FROM anchored GROUP BY user_id
+    """,
+)
+def funnel_any_order_window(spark, sf_dir):
+    """Any-order window funnel (ClickHouse ``windowFunnel``'s unordered
+    cousin): a user converts if some 1 h window starting at one of
+    their events contains all three of view/click/purchase, in any
+    order.  The ordered variant (``funnel_conversion`` /
+    ``funnel_time_bounded``) is a per-user window scan; any-order needs
+    the within-window type SET, built here with
+    operators/rangejoin.bucketed_range_join keyed by user — per-task
+    work is bounded by (user, hour-bucket) population, never the
+    user's full history, which is what keeps the self-join shape alive
+    at 100 TB."""
+    from eventsourcing_spark.operators.rangejoin import bucketed_range_join
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*FUNNEL_TYPES))
+        .select("user_id", F.unix_millis("ts").alias("ms"), "event_type")
+    )
+    anchors = ev.select("user_id", F.col("ms").alias("anchor_ms"))
+    joined = bucketed_range_join(
+        anchors,
+        ev.withColumnRenamed("ms", "bms"),
+        key_cols=["user_id"],
+        left_lo_ms=F.col("anchor_ms"),
+        left_hi_ms=F.col("anchor_ms") + FUNNEL_WIN_MS,
+        right_ts_ms=F.col("bms"),
+        bucket_ms=FUNNEL_WIN_MS,
+        how="inner",
+    )
+    anchored = joined.groupBy("user_id", "anchor_ms").agg(
+        F.count_distinct("event_type").alias("n_types")
+    )
+    full = F.col("n_types") == len(FUNNEL_TYPES)
+    return anchored.groupBy("user_id").agg(
+        F.max(F.when(full, 1).otherwise(0)).cast("long").alias("completed"),
+        F.sum(F.when(full, 1).otherwise(0)).cast("long").alias("n_complete_windows"),
+    )
+
+
+@query(
+    "value_variance_stats",
+    """
+    WITH c AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(cents * cents) AS BIGINT) AS sum_sq_cents,
+           CAST((count(*) * sum(cents * cents) - sum(cents) * sum(cents))
+                // (count(*) * (count(*) - 1)) AS BIGINT)
+             AS variance_cents2
+    FROM c GROUP BY event_type
+    """,
+)
+def value_variance_stats(spark, sf_dir):
+    """Parallel variance from exact sufficient statistics (the
+    map-combinable form of Chan et al.'s pairwise update): n, Σx, Σx²
+    in integer cents, variance = (n·Σx² − (Σx)²) // (n·(n−1)).  The
+    float-accumulator version is partition-order-dependent; this one is
+    bit-identical at any parallelism — the same exactness contract as
+    trend_user_value's OLS statistics."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = ev.select("event_type", cents.alias("cents")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sum_sq_cents"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("sum_sq_cents").cast("long").alias("sum_sq_cents"),
+        F.expr(
+            "(n * sum_sq_cents - sum_cents * sum_cents) div (n * (n - 1))"
+        ).cast("long").alias("variance_cents2"),
+    )

@@ -123,3 +123,34 @@ def test_kcore_degrees(spark, sf_dir):
     # reflect the last induced edge set: total degree is even
     total = core.agg(F.sum("core_degree")).first()[0] or 0
     assert total % 2 == 0
+
+
+def test_funnel_any_order_vs_user_types(spark, sf_dir):
+    from eventsourcing_spark.timeseries import FUNNEL_TYPES, funnel_any_order_window
+
+    f = funnel_any_order_window(spark, sf_dir)
+    # a user lacking one of the three types anywhere can never complete
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*FUNNEL_TYPES)
+    )
+    have_all = (
+        ev.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("nt"))
+        .filter(F.col("nt") == len(FUNNEL_TYPES))
+        .select("user_id")
+    )
+    completed = f.filter(F.col("completed") == 1)
+    assert completed.join(have_all, "user_id", "left_anti").count() == 0
+    assert f.filter((F.col("completed") == 0) & (F.col("n_complete_windows") > 0)).count() == 0
+
+
+def test_variance_matches_float_within_rounding(spark, sf_dir):
+    from eventsourcing_spark.timeseries import value_variance_stats
+
+    rows = value_variance_stats(spark, sf_dir).collect()
+    for r in rows:
+        n, s, ss = r["n"], r["sum_cents"], r["sum_sq_cents"]
+        assert n >= 2
+        float_var = (n * ss - s * s) / (n * (n - 1))
+        assert abs(float_var - r["variance_cents2"]) < 1  # integer floor only
+        assert r["variance_cents2"] >= 0
