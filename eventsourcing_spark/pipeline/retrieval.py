@@ -758,3 +758,101 @@ def bm25_topk(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("bm25_score"), "doc_id").limit(TOP_DOCS)
+
+
+# ---------------------------------------------------------------------------
+# Boolean AND retrieval — conjunctive postings intersection: documents
+# containing EVERY query term. The distributed form of "walk the
+# postings lists in parallel": explode → filter to the term set
+# map-side (the same inverted-index probe as term_match_retrieval) →
+# one groupBy(doc) HAVING distinct-terms = |query|. No join at all —
+# intersection becomes a counting argument.
+# ---------------------------------------------------------------------------
+AND_TERMS = ["table", "scan", "merge"]
+_AND_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in AND_TERMS) + "]"
+
+
+@query(
+    "boolean_and_retrieval",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, w, count(*) AS tf FROM toks
+        WHERE list_contains({_AND_TERMS_SQL}, w)
+        GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           CAST(min(tf) AS BIGINT) AS min_tf
+    FROM hits
+    GROUP BY doc_id
+    HAVING count(*) = {len(AND_TERMS)}
+    """,
+)
+def boolean_and_retrieval(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w").isin(AND_TERMS))
+    hits = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.min("tf").cast("long").alias("min_tf"),
+            F.count("*").alias("__nt"),
+        )
+        .filter(F.col("__nt") == len(AND_TERMS))
+        .drop("__nt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phrase match — exact adjacent-bigram search ("fast scan" as
+# consecutive tokens), the positional-index operation boolean retrieval
+# can't answer. Map-only: each doc's token array yields its adjacent
+# bigrams via a 1-shifted zip; the count per doc is an aggregate over
+# that array — no explode, no shuffle before the final filter.
+# ---------------------------------------------------------------------------
+PHRASE = ("fast", "scan")
+
+
+@query(
+    "phrase_match_count",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(
+               list_transform(range(1, len(toks)),
+                   i -> CASE WHEN toks[CAST(i AS INTEGER)] = '{PHRASE[0]}'
+                              AND toks[CAST(i + 1 AS INTEGER)] = '{PHRASE[1]}'
+                             THEN 1 END),
+               x -> x IS NOT NULL)) AS BIGINT) AS n_phrase
+    FROM t
+    WHERE len(list_filter(
+               list_transform(range(1, len(toks)),
+                   i -> CASE WHEN toks[CAST(i AS INTEGER)] = '{PHRASE[0]}'
+                              AND toks[CAST(i + 1 AS INTEGER)] = '{PHRASE[1]}'
+                             THEN 1 END),
+               x -> x IS NOT NULL)) > 0
+    """,
+)
+def phrase_match_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.when((a == PHRASE[0]) & (b == PHRASE[1]), 1).otherwise(0),
+    )
+    n = F.aggregate(pairs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (
+        docs.select("doc_id", n.alias("n_phrase"))
+        .filter(F.col("n_phrase") > 0)
+    )

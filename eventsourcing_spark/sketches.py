@@ -1395,3 +1395,164 @@ def cms_join_cardinality(spark, sf_dir):
         .cast("long")
         .alias("overestimate_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index intersection — the word-level AND that makes bitmap
+# indexes the fastest audience-overlap structure there is: each type's
+# user set is 62-bit words (bitmap_distinct_users' encoding); the
+# intersection count of two types is Σ_word popcount(bits_a & bits_b).
+# Same numbers coengagement_matrix derives by a distinct self-join —
+# entirely different plan: one bitmap build (groupBy word = the index),
+# then a word-keyed equi-join over ≤ |users|/62 rows per type. At
+# 100 TB the bitmap build is the only corpus-size pass; every pairwise
+# question after it costs |words| not |events|.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bitmap_and_popcount",
+    f"""
+    WITH m AS (
+        SELECT event_type,
+               user_id // {62} AS word,
+               CAST(1 AS BIGINT) << CAST(user_id % {62} AS INT) AS mask
+        FROM events
+    ),
+    words AS (
+        SELECT event_type, word, bit_or(mask) AS bits
+        FROM m GROUP BY event_type, word
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both,
+           CAST(sum(bit_count(a.bits | b.bits)) AS BIGINT) AS n_either
+    FROM words a JOIN words b
+      ON a.word = b.word AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def bitmap_and_popcount(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.expr("user_id div 62").alias("word"),
+        F.expr("shiftleft(1L, cast(user_id % 62 as int))").alias("mask"),
+    )
+    words = m.groupBy("event_type", "word").agg(
+        F.expr("bit_or(mask)").alias("bits")
+    )
+    a, b = words.alias("a"), words.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(F.expr("bit_count(a.bits & b.bits)"))
+            .cast("long")
+            .alias("n_both"),
+            F.sum(F.expr("bit_count(a.bits | b.bits)"))
+            .cast("long")
+            .alias("n_either"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile estimator — the fixed-memory quantile sketch in
+# its simplest mergeable form (64 equi-width bins; the shape Prometheus
+# histogram_quantile / many monitoring pipelines use). Estimate = lower
+# edge of the bin where the cumulative count crosses p·n, linearly
+# interpolated *in integer micro-units of a bin*. Mergeable the same
+# way CMS/HLL are (bins add); the exact interpolated percentile is
+# computed alongside so the gate pins the estimator's error, and the
+# whole thing — including the interpolation — is integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 64
+_HQ_MAX_C = 10_000  # value ∈ [0, 100) → cents ∈ [0, 10000)
+
+
+@query(
+    "histogram_quantile_estimate",
+    f"""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               least(cents * {_HQ_BINS} // {_HQ_MAX_C}, {_HQ_BINS - 1}) AS bin,
+               count(*) AS n
+        FROM c GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bin, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cn,
+               sum(n) OVER (PARTITION BY event_type) AS total
+        FROM b
+    ),
+    hit AS (
+        SELECT event_type, bin, n, cn, total,
+               row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rk
+        FROM cum WHERE cn * 2 >= total
+    )
+    SELECT event_type,
+           CAST(total AS BIGINT) AS n,
+           CAST(bin * ({_HQ_MAX_C} // {_HQ_BINS})
+                + ((total - 2 * (cn - n)) * ({_HQ_MAX_C} // {_HQ_BINS}))
+                  // (2 * n) AS BIGINT) AS p50_est_cents
+    FROM hit WHERE rk = 1
+    """,
+)
+def histogram_quantile_estimate(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    b = (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy(
+            "event_type",
+            F.least(
+                F.expr(f"cents * {_HQ_BINS} div {_HQ_MAX_C}"),
+                F.lit(_HQ_BINS - 1),
+            ).alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wtot = Window.partitionBy("event_type")
+    cum = b.select(
+        "event_type",
+        "bin",
+        "n",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    hit = (
+        cum.filter(F.col("cn") * 2 >= F.col("total"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    binw = _HQ_MAX_C // _HQ_BINS
+    return hit.select(
+        "event_type",
+        F.col("total").cast("long").alias("n"),
+        (
+            F.col("bin") * binw
+            + F.expr(
+                f"((total - 2 * (cn - n)) * {binw}) div (2 * n)"
+            )
+        )
+        .cast("long")
+        .alias("p50_est_cents"),
+    )
