@@ -1783,3 +1783,67 @@ def dedup_containment_verify(spark, sf_dir):
         )
         .filter(F.col("containment") > 0.8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate detection — the ExactSubstr method used for
+# GPT-3/The-Pile style corpora (Lee et al. 2022, "Deduplicating
+# training data makes language models better"): any 50-char window
+# shared verbatim between two documents marks a duplicated span. The
+# suffix-array formulation is sequential; the distributed form hashes
+# overlapping windows (stride 10) and groups — a shuffle keyed by
+# window hash whose per-key population is the duplication degree, never
+# corpus size. Output: per window-hash family spanning >1 doc, its
+# spread; dedup acts on (doc, offset) spans downstream.
+# ---------------------------------------------------------------------------
+SUBSTR_W = 50
+SUBSTR_STRIDE = 10
+
+
+@query(
+    "exact_substring_dedup",
+    f"""
+    WITH wins AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, (length(text) - {SUBSTR_W}) // {SUBSTR_STRIDE} + 1),
+                   i -> md5(substr(text,
+                                   CAST(i * {SUBSTR_STRIDE} + 1 AS INTEGER),
+                                   {SUBSTR_W})))) AS wh
+        FROM documents
+        WHERE length(text) >= {SUBSTR_W}
+    )
+    SELECT wh AS window_hash,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM wins
+    GROUP BY wh
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def exact_substring_dedup(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n_wins = (F.length("text") - SUBSTR_W) / F.lit(SUBSTR_STRIDE)
+    wins = docs.filter(F.length("text") >= SUBSTR_W).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_wins.cast("long")),
+                lambda i: F.md5(
+                    F.substring(
+                        F.col("text"), (i * SUBSTR_STRIDE + 1).cast("int"), SUBSTR_W
+                    )
+                ),
+            )
+        ).alias("wh"),
+    )
+    return (
+        wins.groupBy(F.col("wh").alias("window_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
