@@ -3109,3 +3109,47 @@ def growth_accounting_weekly(spark, sf_dir):
         F.col("n_resurrected").cast("long").alias("n_resurrected"),
         F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement — the recency-weighted activity score behind
+# "trending" / churn features, with a power-of-two halving schedule so
+# decay stays in integers: weight(e) = 1e6 >> min(days_ago, 19),
+# days_ago anchored to the corpus max day (deterministic, no wall
+# clock). One keyed aggregate; the anchor is a 1-row broadcast. The
+# halving schedule is the ppm-exact stand-in for exp-decay — same
+# monotonicity, no float pow anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "decayed_engagement_score",
+    """
+    WITH mx AS (SELECT max(epoch_ms(ts)) // 86400000 AS max_day FROM events),
+    w AS (
+        SELECT user_id,
+               1000000 >> CAST(least(mx.max_day - epoch_ms(ts) // 86400000, 19)
+                               AS INT) AS wt
+        FROM events CROSS JOIN mx
+    )
+    SELECT user_id,
+           CAST(sum(wt) AS BIGINT) AS decayed_score,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY user_id
+    """,
+)
+def decayed_engagement_score(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_millis(ts) div 86400000")
+    mx = ev.agg(F.max(day).alias("max_day"))
+    # SQL shiftright accepts an expression bit count (the python
+    # F.shiftright wrapper takes only a literal)
+    w = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(
+            "shiftright(1000000, cast(least(max_day - unix_millis(ts)"
+            " div 86400000, 19) as int))"
+        ).alias("wt"),
+    )
+    return w.groupBy("user_id").agg(
+        F.sum("wt").cast("long").alias("decayed_score"),
+        F.count("*").cast("long").alias("n_events"),
+    )

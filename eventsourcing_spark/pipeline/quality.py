@@ -351,3 +351,75 @@ def perplexity_bucket_partition(spark, sf_dir):
         F.max("lm_familiarity").cast("long").alias("max_fam"),
     ).select("lang", F.col("bucket").cast("long").alias("bucket"),
              "n_docs", "min_fam", "max_fam")
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto front) over (n_chars, quality) — multi-objective
+# curation: the documents not dominated on BOTH length and quality
+# (dominated = another doc >= on both axes, > on at least one). The
+# distributed formulation is the classic two-phase skyline: each
+# partition computes its LOCAL front in one Arrow batch (numpy
+# dominance scan over the partition's rows), then the union of local
+# fronts — provably a superset of the global front, and tiny — is
+# resolved in a single final batch. No O(n²) step ever sees the full
+# corpus. Oracle: the NOT EXISTS dominance definition, verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _quality_cols():
+    """Integer quality score shared with quality_linear_score: favor
+    mid-length docs with many distinct tokens."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    return (F.size(F.array_distinct(toks)) * 1000).alias("q_distinct")
+
+
+_SKY_Q_SQL = "len(list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> ''))) * 1000"
+
+
+@query(
+    "skyline_quality_length",
+    f"""
+    WITH d AS (
+        SELECT doc_id, n_chars, {_SKY_Q_SQL} AS q FROM documents
+    )
+    SELECT a.doc_id, CAST(a.n_chars AS BIGINT) AS n_chars,
+           CAST(a.q AS BIGINT) AS q
+    FROM d a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM d b
+        WHERE b.n_chars >= a.n_chars AND b.q >= a.q
+          AND (b.n_chars > a.n_chars OR b.q > a.q)
+    )
+    """,
+)
+def skyline_quality_length(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", "n_chars", _quality_cols().alias("q"))
+
+    def front(pdf):
+        x = pdf["n_chars"].to_numpy(dtype=np.int64)
+        y = pdf["q"].to_numpy(dtype=np.int64)
+        dominated = np.zeros(len(pdf), dtype=bool)
+        for i in range(len(pdf)):
+            dom = (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+            if dom.any():
+                dominated[i] = True
+        return pdf[~dominated]
+
+    def local_front(batches):
+        # dropping locally-dominated points is safe: dominance within a
+        # partition implies dominance globally
+        for pdf in batches:
+            if len(pdf):
+                yield front(pdf)
+
+    def global_front(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        yield front(pdf) if len(pdf) else pdf
+
+    schema = "doc_id long, n_chars long, q long"
+    local = d.mapInPandas(local_front, schema)
+    return local.repartition(1).mapInPandas(global_front, schema)
