@@ -3153,3 +3153,71 @@ def decayed_engagement_score(spark, sf_dir):
         F.sum("wt").cast("long").alias("decayed_score"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly type-correlation — Pearson r² between two event types' hourly
+# count series, exactly: all five sufficient statistics (n, Σx, Σy,
+# Σxy, Σx², Σy²) are int64; the final ratio squares the covariance, so
+# intermediates reach ~10²⁰ and are carried in DECIMAL(38,0) — ppm
+# result r²·1e6 with the covariance sign alongside. This is the grid
+# shape of correlation at 100 TB: one (hour × type) count table (the
+# hypertable rollup), then a self-join of two tiny series; the raw
+# corpus is touched once.
+# ---------------------------------------------------------------------------
+CORR_TYPE_X = "click"
+CORR_TYPE_Y = "error"
+
+
+@query(
+    "hourly_type_correlation",
+    f"""
+    WITH h AS (
+        SELECT epoch_ms(ts) // 3600000 AS hour_idx,
+               count(*) FILTER (WHERE event_type = '{CORR_TYPE_X}') AS x,
+               count(*) FILTER (WHERE event_type = '{CORR_TYPE_Y}') AS y
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM h
+    )
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           -- HUGEINT (int128) keeps // a true integer division; DuckDB's
+           -- // on DECIMAL operands rounds (observed 12421 vs exact 12420)
+           CAST((CAST(n * sxy - sx * sy AS HUGEINT)
+                 * CAST(n * sxy - sx * sy AS HUGEINT) * 1000000)
+                // (CAST(n * sxx - sx * sx AS HUGEINT)
+                    * CAST(n * syy - sy * sy AS HUGEINT))
+             AS BIGINT) AS r2_ppm
+    FROM s
+    """,
+)
+def hourly_type_correlation(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.expr("unix_millis(ts) div 3600000").alias("hour_idx")).agg(
+        F.count(F.when(F.col("event_type") == CORR_TYPE_X, 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == CORR_TYPE_Y, 1)).alias("y"),
+    )
+    s = h.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_hours"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("cov_num"),
+        F.expr(
+            "cast((cast(n * sxy - sx * sy as decimal(38,0))"
+            " * cast(n * sxy - sx * sy as decimal(38,0)) * 1000000)"
+            " div (cast(n * sxx - sx * sx as decimal(38,0))"
+            "      * cast(n * syy - sy * sy as decimal(38,0))) as bigint)"
+        ).alias("r2_ppm"),
+    )

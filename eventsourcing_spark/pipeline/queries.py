@@ -1847,3 +1847,131 @@ def exact_substring_dedup(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated trigram LM familiarity — the Jelinek-Mercer smoothed
+# n-gram score (λ₃P₃+λ₂P₂+λ₁P₁ with λ = 0.6/0.3/0.1) that corpus
+# quality filters run before a learned LM exists; bigram_lm_score is
+# the 2-gram special case. Every probability is a corpus count ratio,
+# so the per-position score is three integer divisions
+#   (6e6·c₁₂₃)//(10·c₁₂) + (3e6·c₂₃)//(10·c₂) + (1e6·c₃)//(10·N)
+# summed per document. Plan shape: position rows explode map-side; the
+# three count tables are grouped aggregates joined back (broadcast at
+# gate scale; at 100 TB the trigram join shuffles on the ngram key and
+# Zipf head mass combines map-side, same as the bigram scorer).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "trigram_lm_interpolated",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    pos3 AS (
+        SELECT doc_id, toks, unnest(generate_series(3, len(toks))) AS i
+        FROM t WHERE len(toks) >= 3
+    ),
+    tr AS (
+        SELECT doc_id,
+               toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i] AS tg,
+               toks[i-2] || ' ' || toks[i-1] AS b12,
+               toks[i-1] || ' ' || toks[i] AS b23,
+               toks[i-1] AS w2, toks[i] AS w3
+        FROM pos3
+    ),
+    pos2 AS (
+        SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2
+    ),
+    bg AS (
+        SELECT toks[i-1] || ' ' || toks[i] AS b, count(*) AS c
+        FROM pos2 GROUP BY 1
+    ),
+    tg_c AS (SELECT tg, count(*) AS c FROM tr GROUP BY tg),
+    un AS (
+        SELECT u.w, count(*) AS c FROM (
+            SELECT unnest(toks) AS w FROM t
+        ) u GROUP BY u.w
+    ),
+    nn AS (SELECT sum(c) AS n FROM un)
+    SELECT tr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(
+               (6000000 * tc.c) // (10 * b1.c)
+             + (3000000 * b2.c) // (10 * u2.c)
+             + (1000000 * u3.c) // (10 * nn.n)
+           ) AS BIGINT) AS lm_score
+    FROM tr
+    JOIN tg_c tc ON tc.tg = tr.tg
+    JOIN bg b1 ON b1.b = tr.b12
+    JOIN bg b2 ON b2.b = tr.b23
+    JOIN un u2 ON u2.w = tr.w2
+    JOIN un u3 ON u3.w = tr.w3
+    CROSS JOIN nn
+    GROUP BY tr.doc_id
+    """,
+)
+def trigram_lm_interpolated(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(_tokens(F.col("text")), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks"))
+
+    def gram(i_from: int, build):
+        return F.explode(
+            F.transform(
+                F.sequence(F.lit(i_from), F.size("toks")),
+                build,
+            )
+        )
+
+    el = lambda i, off: F.element_at(F.col("toks"), (i - off).cast("int"))  # noqa: E731
+    tr = base.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        gram(
+            3,
+            lambda i: F.struct(
+                F.concat_ws(" ", el(i, 2), el(i, 1), el(i, 0)).alias("tg"),
+                F.concat_ws(" ", el(i, 2), el(i, 1)).alias("b12"),
+                F.concat_ws(" ", el(i, 1), el(i, 0)).alias("b23"),
+                el(i, 1).alias("w2"),
+                el(i, 0).alias("w3"),
+            ),
+        ).alias("g"),
+    ).select("doc_id", "g.tg", "g.b12", "g.b23", "g.w2", "g.w3")
+    bg = (
+        base.filter(F.size("toks") >= 2)
+        .select(gram(2, lambda i: F.concat_ws(" ", el(i, 1), el(i, 0))).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+    )
+    tg_c = tr.groupBy("tg").agg(F.count("*").alias("c"))
+    un = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_total = un.agg(F.sum("c").alias("n"))
+    scored = (
+        tr.join(tg_c.withColumnRenamed("c", "c123"), "tg")
+        .join(bg.withColumnRenamed("b", "b12").withColumnRenamed("c", "c12"), "b12")
+        .join(bg.withColumnRenamed("b", "b23").withColumnRenamed("c", "c23"), "b23")
+        .join(un.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .join(un.withColumnRenamed("w", "w3").withColumnRenamed("c", "c3"), "w3")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "sc",
+            F.expr(
+                "(6000000 * c123) div (10 * c12)"
+                " + (3000000 * c23) div (10 * c2)"
+                " + (1000000 * c3) div (10 * n)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum("sc").cast("long").alias("lm_score"),
+    )

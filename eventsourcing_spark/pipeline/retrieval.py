@@ -856,3 +856,85 @@ def phrase_match_count(spark, sf_dir):
         docs.select("doc_id", n.alias("n_phrase"))
         .filter(F.col("n_phrase") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-token MaxSim retrieval — late interaction (ColBERT's MaxSim
+# operator) over feature-hashed token embeddings (Weinberger et al.
+# 2009): each token's "embedding" is the ±1 vector of the low 16 md5
+# bits, so sim(q, t) = 16 − 2·popcount(h_q XOR h_t) — exact integers,
+# no learned weights needed to exercise the operator. Per doc:
+# score = Σ_qterm max over the doc's distinct tokens of sim. The plan
+# is the late-interaction shape at scale: one distinct-(doc, token)
+# pass, per-row XOR/popcount against the (tiny, literal) query hashes,
+# one groupBy(doc) with a max-aggregate per query term — no join.
+# ---------------------------------------------------------------------------
+import hashlib as _hashlib
+
+MAXSIM_TERMS = ["vector", "stream", "window"]
+_MAXSIM_H = {
+    t: int(_hashlib.md5(t.encode()).hexdigest()[:8], 16) & 0xFFFF
+    for t in MAXSIM_TERMS
+}
+MAXSIM_TOPK = 10
+
+
+@query(
+    "maxsim_hashed_retrieval",
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(list_filter(
+            string_split(lower(text), ' '), x -> x <> '')) AS w
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) & 65535 AS ht
+        FROM toks
+    ),
+    sc AS (
+        SELECT doc_id,
+               {" + ".join(
+                   f"max(16 - 2 * bit_count(xor(ht, {h})))"
+                   for h in _MAXSIM_H.values()
+               )} AS maxsim_score,
+               count(*) AS n_distinct_tokens
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(maxsim_score AS BIGINT) AS maxsim_score,
+           CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens
+    FROM sc
+    ORDER BY maxsim_score DESC, doc_id
+    LIMIT {MAXSIM_TOPK}
+    """,
+)
+def maxsim_hashed_retrieval(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    ht = F.expr(
+        "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 65536"
+    )
+    h = toks.select("doc_id", ht.alias("ht"))
+    aggs = [
+        F.max(16 - 2 * F.expr(f"bit_count(ht ^ {hv})")).alias(f"m{i}")
+        for i, hv in enumerate(_MAXSIM_H.values())
+    ]
+    sc = h.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_distinct_tokens"))
+    score = sum((F.col(f"m{i}") for i in range(1, len(_MAXSIM_H))), F.col("m0"))
+    return (
+        sc.select(
+            "doc_id",
+            score.cast("long").alias("maxsim_score"),
+            F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        )
+        .orderBy(F.desc("maxsim_score"), "doc_id")
+        .limit(MAXSIM_TOPK)
+    )
