@@ -3221,3 +3221,98 @@ def hourly_type_correlation(spark, sf_dir):
             "      * cast(n * syy - sy * sy as decimal(38,0))) as bigint)"
         ).alias("r2_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier daily survival — the discrete product-limit estimator
+# S(w) = Π_{i≤w} (1 − d_i/n_i) over churn weeks (churn day = a user's
+# last active day), kept exact by folding in integer ppm:
+# acc ← acc·(n_i − d_i) // n_i starting from 1e6. The ordered step
+# list is tiny (one row per day), so the fold is an array aggregate —
+# Spark's F.aggregate and DuckDB's list_reduce run the identical
+# integer recurrence (steps encoded n·1e9 + d so the fold state and
+# elements share a BIGINT domain; DuckDB's reduce seeds from the first
+# element, which is the 1e6 init). The corpus-scale work is just the
+# per-user last-day aggregate; the curve itself is driver-scale.
+# ---------------------------------------------------------------------------
+@query(
+    "kaplan_meier_daily",
+    """
+    WITH churn AS (
+        SELECT user_id, max(epoch_ms(ts) // 86400000) AS cw FROM events
+        GROUP BY user_id
+    ),
+    days AS (
+        SELECT cw AS day, count(*) AS d FROM churn GROUP BY cw
+    ),
+    tot AS (SELECT count(*) AS n_users FROM churn),
+    at_risk AS (
+        SELECT w.day, w.d,
+               (SELECT count(*) FROM churn c WHERE c.cw >= w.day) AS n
+        FROM days w
+    ),
+    arr AS (
+        SELECT list(n * 1000000000 + d ORDER BY day) AS steps,
+               list(day ORDER BY day) AS wk
+        FROM at_risk
+    )
+    SELECT u.day AS day,
+           CAST(a.n AS BIGINT) AS n_at_risk,
+           CAST(a.d AS BIGINT) AS churned,
+           CAST(list_reduce(
+                    [1000000] || arr.steps[1:CAST(u.i AS INTEGER)],
+                    (acc, x) -> (acc * ((x // 1000000000) - (x % 1000000000)))
+                                // (x // 1000000000)
+                ) AS BIGINT) AS s_ppm
+    FROM arr,
+         (SELECT unnest(wk) AS day,
+                 unnest(generate_series(1, len(wk))) AS i
+          FROM arr) u
+    JOIN at_risk a ON a.day = u.day
+    """,
+)
+def kaplan_meier_daily(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    churn = ev.groupBy("user_id").agg(
+        F.expr("max(unix_millis(ts) div 86400000)").alias("cw")
+    )
+    days = churn.groupBy(F.col("cw").alias("day")).agg(
+        F.count("*").alias("d")
+    )
+    # n_at_risk(t) = Σ_{t' >= t} d(t') — suffix sum over the tiny day table
+    wdesc = Window.orderBy(F.desc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = days.withColumn("n", F.sum("d").over(wdesc))
+    arr = at_risk.agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", (F.col("n") * 1000000000 + F.col("d")).alias("enc")))
+        ).alias("steps")
+    )
+    # per-week survival = fold over the step prefix (days are few)
+    exploded = arr.select(
+        F.posexplode("steps").alias("i", "s"), F.col("steps")
+    ).select(
+        F.col("s.day").alias("day"),
+        F.transform(
+            F.slice("steps", 1, F.col("i") + 1), lambda st: st["enc"]
+        ).alias("prefix"),
+    )
+    # fold in SQL-expr form: the python-lambda '/' would be double division
+    out = exploded.withColumn(
+        "s_ppm",
+        F.expr(
+            "aggregate(prefix, cast(1000000 as bigint),"
+            " (acc, x) -> (acc * ((x div 1000000000) - (x % 1000000000)))"
+            " div (x div 1000000000))"
+        ),
+    )
+    return (
+        out.join(at_risk, "day")
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("churned"),
+            F.col("s_ppm").cast("long").alias("s_ppm"),
+        )
+    )
