@@ -3316,3 +3316,75 @@ def kaplan_meier_daily(spark, sf_dir):
             F.col("s_ppm").cast("long").alias("s_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample D — distribution drift between two
+# event types' value samples, exact: over the merged support, D is the
+# max of |F₁·n₂ − F₂·n₁| (cross-multiplied ECDFs, so no float CDF
+# anywhere), reported as D·1e6//(n₁·n₂). Shape: one grouped count per
+# distinct value, two running sums over the value order, a 1-row max —
+# the drift-monitor pattern at scale (per-day D against a reference
+# sample works the same way keyed by day). int64 holds to ~10⁶ rows per
+# sample (cum·n ≤ n², ×1e6); beyond that the ratio moves to DECIMAL(38)
+# like hourly_type_correlation.
+# ---------------------------------------------------------------------------
+KS_TYPE_X = "click"
+KS_TYPE_Y = "view"
+
+
+@query(
+    "ks_statistic_values",
+    f"""
+    WITH s AS (
+        SELECT value,
+               count(*) FILTER (WHERE event_type = '{KS_TYPE_X}') AS cx,
+               count(*) FILTER (WHERE event_type = '{KS_TYPE_Y}') AS cy
+        FROM events
+        WHERE event_type IN ('{KS_TYPE_X}', '{KS_TYPE_Y}')
+        GROUP BY value
+    ),
+    c AS (
+        SELECT value,
+               sum(cx) OVER (ORDER BY value) AS fx,
+               sum(cy) OVER (ORDER BY value) AS fy,
+               sum(cx) OVER () AS nx, sum(cy) OVER () AS ny
+        FROM s
+    )
+    SELECT CAST(any_value(nx) AS BIGINT) AS n_x,
+           CAST(any_value(ny) AS BIGINT) AS n_y,
+           CAST(max(abs(fx * ny - fy * nx)) AS BIGINT) AS d_num,
+           CAST((max(abs(fx * ny - fy * nx)) * 1000000)
+                // (any_value(nx) * any_value(ny)) AS BIGINT) AS d_ppm
+    FROM c
+    """,
+)
+def ks_statistic_values(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type").isin(KS_TYPE_X, KS_TYPE_Y))
+        .groupBy("value")
+        .agg(
+            F.count(F.when(F.col("event_type") == KS_TYPE_X, 1)).alias("cx"),
+            F.count(F.when(F.col("event_type") == KS_TYPE_Y, 1)).alias("cy"),
+        )
+    )
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = s.select(
+        F.sum("cx").over(wv).alias("fx"),
+        F.sum("cy").over(wv).alias("fy"),
+        F.sum("cx").over(wall).alias("nx"),
+        F.sum("cy").over(wall).alias("ny"),
+    )
+    return c.agg(
+        F.any_value("nx").cast("long").alias("n_x"),
+        F.any_value("ny").cast("long").alias("n_y"),
+        F.max(F.abs(F.col("fx") * F.col("ny") - F.col("fy") * F.col("nx")))
+        .cast("long")
+        .alias("d_num"),
+        F.expr(
+            "cast((max(abs(fx * ny - fy * nx)) * 1000000)"
+            " div (any_value(nx) * any_value(ny)) as bigint)"
+        ).alias("d_ppm"),
+    )

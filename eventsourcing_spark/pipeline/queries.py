@@ -1975,3 +1975,104 @@ def trigram_lm_interpolated(spark, sf_dir):
         F.count("*").cast("long").alias("n_trigrams"),
         F.sum("sc").cast("long").alias("lm_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# χ² keyword extraction — the feature-selection statistic (Manning &
+# Schütze §5.3.3) ranking each language's most over-represented tokens
+# from the 2×2 contingency (a,b,c,d): χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)).
+# (ad−bc)² reaches ~10²¹ at gate scale, so the ratio rides DECIMAL(38)
+# in Spark / HUGEINT in DuckDB (the same int128 discipline as
+# hourly_type_correlation — and the same DuckDB caveat: // on DECIMAL
+# rounds, HUGEINT divides exactly). Plan: one (lang, token) count, two
+# tiny marginals broadcast back, per-lang top-5 window.
+# ---------------------------------------------------------------------------
+CHI2_MIN_A = 5
+CHI2_TOPK = 5
+
+
+@query(
+    "chi2_lang_terms",
+    f"""
+    WITH toks AS (
+        SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS w
+        FROM documents
+    ),
+    wl AS (SELECT lang, w, count(*) AS a FROM toks GROUP BY lang, w),
+    wt AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+    lt AS (SELECT lang, count(*) AS cl FROM toks GROUP BY lang),
+    nn AS (SELECT count(*) AS n FROM toks),
+    cells AS (
+        SELECT wl.lang, wl.w, wl.a,
+               wt.cw - wl.a AS b,
+               lt.cl - wl.a AS c,
+               nn.n - wt.cw - lt.cl + wl.a AS d,
+               nn.n AS n
+        FROM wl JOIN wt USING (w) JOIN lt USING (lang) CROSS JOIN nn
+    ),
+    scored AS (
+        SELECT lang, w, a,
+               CAST((CAST(n AS HUGEINT)
+                     * CAST(a*d - b*c AS HUGEINT) * CAST(a*d - b*c AS HUGEINT)
+                     * 1000)
+                    // (CAST(a+b AS HUGEINT) * CAST(c+d AS HUGEINT)
+                        * CAST(a+c AS HUGEINT) * CAST(b+d AS HUGEINT))
+                 AS BIGINT) AS chi2_milli
+        FROM cells
+        WHERE a >= {CHI2_MIN_A} AND a*d > b*c
+    )
+    SELECT lang, w AS term, CAST(a AS BIGINT) AS a, chi2_milli,
+           CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY chi2_milli DESC, w) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= {CHI2_TOPK}
+    """,
+)
+def chi2_lang_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(_tokens(F.col("text")), lambda x: x != "")
+        ).alias("w"),
+    )
+    wl = toks.groupBy("lang", "w").agg(F.count("*").alias("a"))
+    wt = toks.groupBy("w").agg(F.count("*").alias("cw"))
+    lt = toks.groupBy("lang").agg(F.count("*").alias("cl"))
+    n = toks.agg(F.count("*").alias("n"))
+    cells = (
+        wl.join(wt, "w")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "w",
+            "a",
+            (F.col("cw") - F.col("a")).alias("b"),
+            (F.col("cl") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("cw") - F.col("cl") + F.col("a")).alias("d"),
+            "n",
+        )
+    )
+    scored = cells.filter(
+        (F.col("a") >= CHI2_MIN_A) & (F.col("a") * F.col("d") > F.col("b") * F.col("c"))
+    ).withColumn(
+        "chi2_milli",
+        F.expr(
+            "cast((cast(n as decimal(38,0))"
+            " * cast(a*d - b*c as decimal(38,0))"
+            " * cast(a*d - b*c as decimal(38,0)) * 1000)"
+            " div (cast(a+b as decimal(38,0)) * cast(c+d as decimal(38,0))"
+            "      * cast(a+c as decimal(38,0)) * cast(b+d as decimal(38,0)))"
+            " as bigint)"
+        ),
+    )
+    wlang = Window.partitionBy("lang").orderBy(F.desc("chi2_milli"), "w")
+    return (
+        scored.withColumn("rank", F.row_number().over(wlang).cast("long"))
+        .filter(F.col("rank") <= CHI2_TOPK)
+        .select("lang", F.col("w").alias("term"), F.col("a").cast("long").alias("a"),
+                "chi2_milli", "rank")
+    )

@@ -938,3 +938,91 @@ def maxsim_hashed_retrieval(spark, sf_dir):
         .orderBy(F.desc("maxsim_score"), "doc_id")
         .limit(MAXSIM_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking evaluation — reciprocal-rank DCG (the integer-exact member of
+# the DCG family: gain discount 1/rank instead of 1/log₂(rank+1), so
+# the whole metric stays in ppm integers): over the term-match top-20,
+# rel = n_terms_hit, DCG = Σ rel·1e6//rank, IDCG = the same with rels
+# re-sorted descending, quality = DCG·1e6//IDCG. The eval is
+# list-scale; only producing the ranking touches the corpus.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ranking_eval_rr_dcg",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, w, count(*) AS tf FROM toks
+        WHERE list_contains({_TERMS_SQL}, w) GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM hits GROUP BY w),
+    n AS (SELECT count(*) AS n FROM documents),
+    ranked AS (
+        SELECT h.doc_id,
+               sum(h.tf * (n.n - df.df)) AS score,
+               count(*) AS rel,
+               row_number() OVER (ORDER BY sum(h.tf * (n.n - df.df)) DESC,
+                                  h.doc_id) AS rank
+        FROM hits h JOIN df USING (w) CROSS JOIN n
+        GROUP BY h.doc_id
+        QUALIFY rank <= {TOP_DOCS}
+    ),
+    ideal AS (
+        SELECT rel, row_number() OVER (ORDER BY rel DESC) AS irank
+        FROM ranked
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST((SELECT sum(rel * 1000000 // rank) FROM ranked) AS BIGINT)
+             AS dcg_scaled,
+           CAST((SELECT sum(rel * 1000000 // irank) FROM ideal) AS BIGINT)
+             AS idcg_scaled,
+           CAST(((SELECT sum(rel * 1000000 // rank) FROM ranked) * 1000000)
+                // (SELECT sum(rel * 1000000 // irank) FROM ideal)
+             AS BIGINT) AS ndcg_ppm
+    FROM ranked
+    """,
+)
+def ranking_eval_rr_dcg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w").isin(QUERY_TERMS))
+    hits = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        hits.join(F.broadcast(df), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * (F.lit(n_docs) - F.col("df"))).alias("score"),
+            F.count("*").alias("rel"),
+        )
+    )
+    wr = Window.orderBy(F.desc("score"), "doc_id")
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_DOCS)
+    )
+    wi = Window.orderBy(F.desc("rel"))
+    ideal = ranked.select("rel").withColumn("irank", F.row_number().over(wi))
+    dcg = ranked.agg(
+        F.count("*").alias("k"),
+        F.sum(F.expr("rel * 1000000 div rank")).alias("dcg_scaled"),
+    )
+    idcg = ideal.agg(F.sum(F.expr("rel * 1000000 div irank")).alias("idcg_scaled"))
+    return dcg.crossJoin(idcg).select(
+        F.col("k").cast("long").alias("k"),
+        F.col("dcg_scaled").cast("long").alias("dcg_scaled"),
+        F.col("idcg_scaled").cast("long").alias("idcg_scaled"),
+        F.expr("(dcg_scaled * 1000000) div idcg_scaled")
+        .cast("long")
+        .alias("ndcg_ppm"),
+    )

@@ -1509,3 +1509,53 @@ def split_balance_profile(spark, sf_dir):
         .cast("long")
         .alias("balance_x1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time state rebuild — "the account book as of T": the fold
+# (A1, eventstore.go:279-300) restricted to events at or before a
+# cutoff. This is the batch form of the reference's temporal rebuild
+# (snapshot + tail replay): the cutoff predicate pushes into the scan,
+# so the 100 TB plan reads only the prefix partitions when the log is
+# date-partitioned (store/event_store.py layout), then folds per key in
+# one shuffle.
+# ---------------------------------------------------------------------------
+AS_OF_DAY = 10  # fold events with day index <= 10 (relative to epoch day 0 of data)
+
+
+@query(
+    "state_as_of_day",
+    f"""
+    WITH base AS (SELECT min(epoch_ms(ts) // 86400000) AS d0 FROM events),
+    pre AS (
+        SELECT e.* FROM events e CROSS JOIN base
+        WHERE epoch_ms(ts) // 86400000 - base.d0 <= {AS_OF_DAY}
+    )
+    SELECT user_id,
+           CAST(max(event_id) AS BIGINT) AS last_event_id,
+           max_by(event_type, event_id) AS last_event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS {DEC})
+                         WHEN event_type = 'error'
+                         THEN -CAST(value AS {DEC})
+                         ELSE CAST(0 AS {DEC}) END) AS DOUBLE) AS balance
+    FROM pre GROUP BY user_id
+    """,
+)
+def state_as_of_day(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    day = F.expr("unix_millis(ts) div 86400000")
+    d0 = ev.agg(F.min(day).alias("d0"))
+    pre = ev.crossJoin(F.broadcast(d0)).filter(day - F.col("d0") <= AS_OF_DAY)
+    delta = (
+        F.when(F.col("event_type") == "purchase", _dec("value"))
+        .when(F.col("event_type") == "error", -_dec("value"))
+        .otherwise(F.lit(0).cast(DEC))
+    )
+    return pre.groupBy("user_id").agg(
+        F.max("event_id").cast("long").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(delta).cast("double").alias("balance"),
+    )
