@@ -3388,3 +3388,92 @@ def ks_statistic_values(spark, sf_dir):
             " div (any_value(nx) * any_value(ny)) as bigint)"
         ).alias("d_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session length histogram + bounce rate — the engagement distribution
+# built on the 30-min-gap sessionization (sessionize_events' window):
+# session id = running sum of gap-break marks, then one group per
+# session and one per length bucket. Bounce = 1-event session. Two
+# keyed exchanges (user window, then global bucket agg) at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "session_length_histogram",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                         OR lag(epoch_ms(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY event_id) AS sid
+        FROM marked
+    ),
+    lens AS (
+        SELECT user_id, sid, count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT least(n_events, 10) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events_total
+    FROM lens GROUP BY least(n_events, 10)
+    """,
+)
+def session_length_histogram(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    brk = F.when(
+        (ms - F.lag(ms).over(w) > 1800000) | F.lag(ms).over(w).isNull(), 1
+    ).otherwise(0)
+    wsid = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = ev.select("user_id", "event_id", brk.alias("brk")).select(
+        "user_id", F.sum("brk").over(wsid).alias("sid")
+    )
+    lens = sess.groupBy("user_id", "sid").agg(F.count("*").alias("n_events"))
+    return lens.groupBy(
+        F.least(F.col("n_events"), F.lit(10)).alias("len_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Minute-grain event dedup — the telemetry at-most-once-per-window rule
+# (duplicate suppression for retried client beacons): keep the first
+# event per (user, type, minute), report kept/dropped per type. One
+# keyed aggregate; first = min(event_id) within the key, the same
+# deterministic-keeper convention as dedup_exact.
+# ---------------------------------------------------------------------------
+@query(
+    "event_dedup_minute",
+    """
+    WITH k AS (
+        SELECT event_type, user_id, epoch_ms(ts) // 60000 AS minute,
+               count(*) AS n, min(event_id) AS keeper
+        FROM events GROUP BY event_type, user_id, epoch_ms(ts) // 60000
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dropped,
+           CAST(min(keeper) AS BIGINT) AS first_keeper
+    FROM k GROUP BY event_type
+    """,
+)
+def event_dedup_minute(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy(
+        "event_type", "user_id", F.expr("unix_millis(ts) div 60000").alias("minute")
+    ).agg(F.count("*").alias("n"), F.min("event_id").alias("keeper"))
+    return k.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        (F.sum("n") - F.count("*")).cast("long").alias("n_dropped"),
+        F.min("keeper").cast("long").alias("first_keeper"),
+    )

@@ -1603,3 +1603,88 @@ def emb_gram_matrix(spark, sf_dir):
     return partials.groupBy("i", "j").agg(
         F.sum("partial").cast("long").alias("dot")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triplet mining — hard-positive / hard-negative selection for metric
+# learning (FaceNet-style): per anchor, the highest-similarity
+# same-label candidate (hard positive is usually the LOWEST same-label;
+# here we emit both ends of the scale: max-sim positive and max-sim
+# negative — the margin pos−neg is the semi-hard criterion input).
+# Anchors broadcast; one pass over candidates computes both sides'
+# argmax with rank windows — the mining pass never self-joins the
+# corpus.
+# ---------------------------------------------------------------------------
+TRIPLET_ANCHORS = 5
+
+
+@query(
+    "triplet_mining_margin",
+    f"""
+    WITH q AS (
+        SELECT vec_id, label, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    anchors AS (
+        SELECT vec_id AS aid, label AS alabel, qv AS aqv FROM q
+        WHERE vec_id < {TRIPLET_ANCHORS}
+    ),
+    scored AS (
+        SELECT a.aid, a.alabel, c.vec_id AS cid, c.label AS clabel,
+               CAST(list_dot_product(c.qv, a.aqv) AS BIGINT) AS dot
+        FROM q c CROSS JOIN anchors a WHERE c.vec_id != a.aid
+    ),
+    pos AS (
+        SELECT aid, cid AS pos_id, dot AS pos_dot,
+               row_number() OVER (PARTITION BY aid ORDER BY dot DESC, cid) AS r
+        FROM scored WHERE clabel = alabel QUALIFY r = 1
+    ),
+    neg AS (
+        SELECT aid, cid AS neg_id, dot AS neg_dot,
+               row_number() OVER (PARTITION BY aid ORDER BY dot DESC, cid) AS r
+        FROM scored WHERE clabel != alabel QUALIFY r = 1
+    )
+    SELECT p.aid AS anchor_id, p.pos_id, p.pos_dot, n.neg_id, n.neg_dot,
+           CAST(p.pos_dot - n.neg_dot AS BIGINT) AS margin
+    FROM pos p JOIN neg n USING (aid)
+    """,
+)
+def triplet_mining_margin(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", "label", _quant(F.col("embedding")).alias("qv"))
+    anchors = q.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("qv").alias("aqv"),
+    )
+    scored = (
+        q.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            "alabel",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            _dot64("qv", "aqv").alias("dot"),
+        )
+    )
+    wr = Window.partitionBy("aid").orderBy(F.desc("dot"), "cid")
+    pos = (
+        scored.filter(F.col("clabel") == F.col("alabel"))
+        .withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select("aid", F.col("cid").alias("pos_id"), F.col("dot").alias("pos_dot"))
+    )
+    neg = (
+        scored.filter(F.col("clabel") != F.col("alabel"))
+        .withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select("aid", F.col("cid").alias("neg_id"), F.col("dot").alias("neg_dot"))
+    )
+    return pos.join(neg, "aid").select(
+        F.col("aid").alias("anchor_id"),
+        "pos_id",
+        "pos_dot",
+        "neg_id",
+        "neg_dot",
+        (F.col("pos_dot") - F.col("neg_dot")).cast("long").alias("margin"),
+    )
