@@ -328,3 +328,72 @@ def weighted_priority_sample(spark, sf_dir):
         "n_chars",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal train/validation split with leakage audit — the time-based
+# split every forecasting/recommendation pipeline needs (random splits
+# leak future information): cut at a quantile day, then audit the
+# entity overlap across the boundary (users appearing on both sides =
+# cold-start vs warm-start composition, the number that decides whether
+# offline metrics transfer). One pass for the cut (tiny agg), one keyed
+# aggregate for per-user min/max day, everything after is counting.
+# ---------------------------------------------------------------------------
+SPLIT_DAY_OFFSET = 21  # train = first 21 days from the corpus start
+
+
+@query(
+    "temporal_split_audit",
+    f"""
+    WITH base AS (SELECT min(epoch_ms(ts) // 86400000) AS d0 FROM events),
+    u AS (
+        SELECT user_id,
+               min(epoch_ms(ts) // 86400000) AS first_day,
+               max(epoch_ms(ts) // 86400000) AS last_day,
+               count(*) AS n
+        FROM events GROUP BY user_id
+    ),
+    tagged AS (
+        SELECT u.*, base.d0 + {SPLIT_DAY_OFFSET} AS cut FROM u CROSS JOIN base
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE last_day < cut) AS BIGINT)
+             AS train_only_users,
+           CAST(count(*) FILTER (WHERE first_day >= cut) AS BIGINT)
+             AS valid_only_users,
+           CAST(count(*) FILTER (WHERE first_day < cut AND last_day >= cut)
+                AS BIGINT) AS straddling_users,
+           CAST((count(*) FILTER (WHERE first_day < cut AND last_day >= cut)
+                 * 1000000) // count(*) AS BIGINT) AS straddle_ppm
+    FROM tagged
+    """,
+)
+def temporal_split_audit(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_millis(ts) div 86400000")
+    d0 = ev.agg(F.min(day).alias("d0"))
+    u = ev.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.max(day).alias("last_day"),
+        F.count("*").alias("n"),
+    )
+    tagged = u.crossJoin(F.broadcast(d0)).withColumn(
+        "cut", F.col("d0") + SPLIT_DAY_OFFSET
+    )
+    straddle = (F.col("first_day") < F.col("cut")) & (
+        F.col("last_day") >= F.col("cut")
+    )
+    return tagged.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count(F.when(F.col("last_day") < F.col("cut"), 1))
+        .cast("long")
+        .alias("train_only_users"),
+        F.count(F.when(F.col("first_day") >= F.col("cut"), 1))
+        .cast("long")
+        .alias("valid_only_users"),
+        F.count(F.when(straddle, 1)).cast("long").alias("straddling_users"),
+        F.expr(
+            "cast((count(case when first_day < cut and last_day >= cut then 1 end)"
+            " * 1000000) div count(*) as bigint)"
+        ).alias("straddle_ppm"),
+    )

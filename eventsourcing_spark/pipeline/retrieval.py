@@ -26,7 +26,7 @@ import random
 
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table
 from eventsourcing_spark.pipeline.similarity import _dot64, _quant, _quant_sql
 from eventsourcing_spark.queries import query
 
@@ -1025,4 +1025,71 @@ def ranking_eval_rr_dcg(spark, sf_dir):
         F.expr("(dcg_scaled * 1000000) div idcg_scaled")
         .cast("long")
         .alias("ndcg_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed document embedding — the hashing-trick featurizer
+# (Weinberger et al. 2009) that turns text into fixed-width integer
+# vectors with no vocabulary: dim j of a doc = Σ over distinct tokens
+# of ±1 from md5 bit j. Map-only + one groupBy(doc); emitted long-form
+# (doc, dim, val) so the oracle compares scalars. This is the zero-
+# dependency analog of an embedding model — the output feeds the same
+# similarity/LSH machinery as the `embeddings` table.
+# ---------------------------------------------------------------------------
+HASH_EMB_DIMS = 16
+
+
+@query(
+    "hashed_doc_embedding",
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(list_filter(
+            string_split(lower(text), ' '), x -> x <> '')) AS w
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hw
+        FROM toks
+    ),
+    dims AS (
+        SELECT doc_id, g.j AS dim,
+               CASE WHEN (hw >> CAST(g.j AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS s
+        FROM h, generate_series(0, {HASH_EMB_DIMS - 1}) g(j)
+    )
+    SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(sum(s) AS BIGINT) AS val
+    FROM dims GROUP BY doc_id, dim
+    """,
+)
+def hashed_doc_embedding(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    h = toks.select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)").alias("hw"),
+    )
+    dims = h.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.when(
+                        F.expr(f"(hw >> {j}) & 1 = 1"), F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for j in range(HASH_EMB_DIMS)
+                ]
+            )
+        ).alias("dim", "s"),
+    )
+    return dims.groupBy("doc_id", F.col("dim").cast("long").alias("dim")).agg(
+        F.sum("s").cast("long").alias("val")
     )
