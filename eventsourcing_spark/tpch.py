@@ -1422,3 +1422,119 @@ def nation_revenue_share(spark, sf_dir):
         F.expr("__num div __den").cast("long").alias("share_in_region_ppm"),
         "rank_in_region",
     )
+
+
+# ---------------------------------------------------------------------------
+# Window distribution-function battery — the second half of the SQL
+# window surface (window_rank_functions pins the ranking family):
+# percent_rank, cume_dist, nth_value and first/last_value under an
+# explicit frame, over the per-customer order sequence. percent_rank
+# and cume_dist are emitted in exact ppm integer form (cross-multiplied
+# definitions) so the oracle hash applies.
+# ---------------------------------------------------------------------------
+@query(
+    "window_dist_functions",
+    """
+    WITH w AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               count(*) OVER (PARTITION BY o_custkey) AS n,
+               rank() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice, o_orderkey) AS rk,
+               count(*) FILTER (WHERE TRUE) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice, o_orderkey
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd_n,
+               first_value(o_orderkey) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS cheapest_order,
+               last_value(o_orderkey) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS priciest_order,
+               nth_value(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS second_cheapest
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(CASE WHEN n = 1 THEN 0
+                ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT)
+             AS percent_rank_ppm,
+           CAST((cd_n * 1000000) // n AS BIGINT) AS cume_dist_ppm,
+           CAST(cheapest_order AS BIGINT) AS cheapest_order,
+           CAST(priciest_order AS BIGINT) AS priciest_order,
+           CAST(second_cheapest AS BIGINT) AS second_cheapest
+    FROM w
+    """,
+)
+def window_dist_functions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_custkey")
+    wo = wp.orderBy("o_totalprice", "o_orderkey")
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wcd = wo.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    n = F.count("*").over(wp)
+    rk = F.rank().over(wo)
+    # cume_dist numerator: peers-inclusive running count (RANGE frame)
+    cd_n = F.count("*").over(wcd)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        n.alias("__n"),
+        rk.alias("__rk"),
+        cd_n.alias("__cd"),
+        F.first("o_orderkey").over(wfull).alias("cheapest_order"),
+        F.last("o_orderkey").over(wfull).alias("priciest_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_cheapest"),
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("__n") == 1, F.lit(0))
+        .otherwise(F.expr("((__rk - 1) * 1000000) div (__n - 1)"))
+        .cast("long")
+        .alias("percent_rank_ppm"),
+        F.expr("(__cd * 1000000) div __n").cast("long").alias("cume_dist_ppm"),
+        F.col("cheapest_order").cast("long").alias("cheapest_order"),
+        F.col("priciest_order").cast("long").alias("priciest_order"),
+        F.col("second_cheapest").cast("long").alias("second_cheapest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-order audit — the business-key dedup every billing pipeline
+# runs (double-submitted invoices): orders sharing (custkey, orderdate)
+# are duplicate suspects. One grouped aggregate on the
+# compound business key; the keeper convention (min orderkey) matches
+# dedup_exact. Emits only suspect groups — output is proportional to
+# the anomaly rate, not the table.
+# ---------------------------------------------------------------------------
+@query(
+    "duplicate_orders_audit",
+    """
+    SELECT o_custkey, o_orderdate,
+           CAST(count(*) AS BIGINT) AS n_dupes,
+           CAST(min(o_orderkey) AS BIGINT) AS keeper_order,
+           CAST(max(o_orderkey) AS BIGINT) AS last_order
+    FROM orders
+    GROUP BY o_custkey, o_orderdate
+    HAVING count(*) > 1
+    """,
+)
+def duplicate_orders_audit(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.count("*").cast("long").alias("n_dupes"),
+            F.min("o_orderkey").cast("long").alias("keeper_order"),
+            F.max("o_orderkey").cast("long").alias("last_order"),
+        )
+        .filter(F.col("n_dupes") > 1)
+    )
