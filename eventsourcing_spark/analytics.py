@@ -3477,3 +3477,67 @@ def event_dedup_minute(spark, sf_dir):
         (F.sum("n") - F.count("*")).cast("long").alias("n_dropped"),
         F.min("keeper").cast("long").alias("first_keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite decomposition — trend / day-of-week seasonality split of the
+# daily revenue series, all integer: trend = centered 7-day sum // 7
+# (cents), seasonal index = revenue·1e6 // trend per day-of-week. The
+# decomposition grid is one grouped aggregate + one ROWS window over
+# the (tiny) day series; the raw corpus is touched once. Boundary days
+# without a full 7-day window emit NULL trend (exact frame-size guard),
+# same convention both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "stl_lite_daily_revenue",
+    """
+    WITH d AS (
+        SELECT epoch_ms(ts) // 86400000 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    t AS (
+        SELECT day, cents,
+               CASE WHEN count(*) OVER w = 7
+                    THEN sum(cents) OVER w // 7 END AS trend_cents,
+               day % 7 AS dow
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT day, cents, trend_cents, CAST(dow AS BIGINT) AS dow,
+           CAST(CASE WHEN trend_cents > 0
+                THEN (cents * 1000000) // trend_cents END AS BIGINT)
+             AS seasonal_ppm
+    FROM t
+    """,
+)
+def stl_lite_daily_revenue(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.expr("unix_millis(ts) div 86400000").alias("day"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day",
+        "cents",
+        F.when(F.count("*").over(w) == 7, F.sum("cents").over(w)).alias("__wsum"),
+        (F.col("day") % 7).cast("long").alias("dow"),
+    )
+    t = t.withColumn(
+        "trend_cents", F.expr("__wsum div 7")
+    ).drop("__wsum")
+    return t.select(
+        "day",
+        "cents",
+        "trend_cents",
+        "dow",
+        F.when(
+            F.col("trend_cents") > 0,
+            F.expr("(cents * 1000000) div trend_cents"),
+        )
+        .cast("long")
+        .alias("seasonal_ppm"),
+    )

@@ -586,3 +586,77 @@ def vocab_coverage_curve(spark, sf_dir):
             "coverage_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunk boundaries — the rolling-hash cut rule behind
+# dedup storage systems (LBFS/restic/borg): a boundary falls wherever
+# the hash of the local 8-char window ≡ 0 (mod 64), so chunk edges are
+# content-anchored and survive insertions (fixed-size chunking's
+# weakness). Per doc: boundary count, chunk count, expected chunk
+# length ×100. The window hashes are md5 (the cross-engine hash
+# contract); Spark side computes them in an Arrow batch (one hashlib
+# pass per window — md5 bytes are identical to the SQL md5).
+# ---------------------------------------------------------------------------
+CDC_W = 8
+CDC_MOD = 64
+
+
+@query(
+    "cdc_chunk_boundaries",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE length(text) >= {CDC_W}
+    ),
+    b AS (
+        SELECT doc_id, n,
+               len(list_filter(
+                   list_transform(range(1, n - {CDC_W} + 2),
+                       i -> CAST('0x' || substr(md5(substr(text,
+                                CAST(i AS INTEGER), {CDC_W})), 1, 8) AS BIGINT)
+                            % {CDC_MOD}),
+                   h -> h = 0)) AS n_boundaries
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_boundaries AS BIGINT) AS n_boundaries,
+           CAST(n_boundaries + 1 AS BIGINT) AS n_chunks,
+           CAST((n * 100) // (n_boundaries + 1) AS BIGINT) AS avg_chunk_len_x100
+    FROM b
+    """,
+)
+def cdc_chunk_boundaries(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def bounds(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = str(text or "")
+                n = len(s)
+                if n < CDC_W:
+                    continue
+                nb = 0
+                for i in range(n - CDC_W + 1):
+                    h = int(hashlib.md5(s[i : i + CDC_W].encode()).hexdigest()[:8], 16)
+                    if h % CDC_MOD == 0:
+                        nb += 1
+                out.append((int(doc_id), n, nb))
+            yield pd.DataFrame(out, columns=["doc_id", "n", "n_boundaries"])
+
+    b = docs.select("doc_id", "text").mapInPandas(
+        bounds, "doc_id long, n long, n_boundaries long"
+    )
+    return b.select(
+        "doc_id",
+        F.col("n_boundaries").cast("long").alias("n_boundaries"),
+        (F.col("n_boundaries") + 1).cast("long").alias("n_chunks"),
+        F.expr("(n * 100) div (n_boundaries + 1)")
+        .cast("long")
+        .alias("avg_chunk_len_x100"),
+    )
