@@ -2076,3 +2076,137 @@ def chi2_lang_terms(spark, sf_dir):
         .select("lang", F.col("w").alias("term"), F.col("a").cast("long").alias("a"),
                 "chi2_milli", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking — the entity-resolution strategy that
+# predates LSH (Hernández & Stolfo, SIGMOD'95): sort the corpus by a
+# blocking key (here the first 24 chars of normalized text) and compare
+# only records within a sliding window of the sort order. Complements
+# the LSH candidate generator: SNM catches prefix-anchored near-dups
+# LSH's bag-of-tokens bands can miss. One global sort (range-partition
+# shuffle) + a lag window; candidate volume = (w−1)·n, never n².
+# ---------------------------------------------------------------------------
+SNM_WINDOW = 3  # compare each doc to the 2 previous docs in sort order
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               substr(lower(text), 1, 24) AS bkey,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                                         t -> t <> '')) AS ts
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, bkey, ts,
+               row_number() OVER (ORDER BY bkey, doc_id) AS pos
+        FROM keyed
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.ts, b.ts)) AS n_common,
+               len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS n_union
+        FROM ordered a JOIN ordered b
+          ON b.pos BETWEEN a.pos + 1 AND a.pos + {SNM_WINDOW - 1}
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST((n_common * 1000000) // n_union AS BIGINT) AS jaccard_ppm
+    FROM cand
+    WHERE n_common * 2 > n_union
+    """,
+)
+def sorted_neighborhood_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 24).alias("bkey"),
+        toks.alias("ts"),
+    )
+    w = Window.orderBy("bkey", "doc_id")
+    ordered = keyed.withColumn("pos", F.row_number().over(w))
+    pairs = None
+    for off in range(1, SNM_WINDOW):
+        nxt = ordered.select(
+            (F.col("pos") - off).alias("pos"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        p = ordered.join(nxt, "pos").select(
+            F.col("doc_id").alias("doc_a"), "doc_b", "ts", "ts_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    common = F.size(F.array_intersect("ts", "ts_b"))
+    union = F.size("ts") + F.size("ts_b") - common
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            common.cast("long").alias("n_common"),
+            union.alias("__union"),
+        )
+        .filter(F.col("n_common") * 2 > F.col("__union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.expr("(n_common * 1000000) div __union")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity — corpus composition QA: per source, the
+# probability two random tokens^W documents share a language,
+# D = Σ n_i(n_i−1) / (N(N−1)), emitted as concentration ppm (higher =
+# more monolingual) plus the language count. Pure integer
+# cross-multiplication; one tiny two-level aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "lang_diversity_simpson",
+    """
+    WITH c AS (
+        SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+    ),
+    s AS (
+        SELECT source, sum(n) AS total, sum(n * (n - 1)) AS same_pairs,
+               count(*) AS n_langs
+        FROM c GROUP BY source
+    )
+    SELECT source,
+           CAST(total AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(CASE WHEN total > 1
+                THEN (same_pairs * 1000000) // (total * (total - 1))
+                ELSE 1000000 END AS BIGINT) AS concentration_ppm
+    FROM s
+    """,
+)
+def lang_diversity_simpson(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    s = c.groupBy("source").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("same_pairs"),
+        F.count("*").alias("n_langs"),
+    )
+    return s.select(
+        "source",
+        F.col("total").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.when(
+            F.col("total") > 1,
+            F.expr("(same_pairs * 1000000) div (total * (total - 1))"),
+        )
+        .otherwise(F.lit(1000000))
+        .cast("long")
+        .alias("concentration_ppm"),
+    )
