@@ -1688,3 +1688,77 @@ def triplet_mining_margin(spark, sf_dir):
         "neg_dot",
         (F.col("pos_dot") - F.col("neg_dot")).cast("long").alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH sizing advisor — the band-bits rule from the pagerank/graph
+# docstrings ("bits ≈ log₂(n / target_bucket)") as a computable audit:
+# observed bucket occupancy at the current 4-bit bands next to the
+# bits the corpus actually needs. ceil(log₂) is computed exactly via
+# binary-string length (length(bin(m−1)) — no float log anywhere), so
+# the advisor itself passes the value-hash gate. This is the query an
+# operator runs before re-banding a grown corpus.
+# ---------------------------------------------------------------------------
+ADVISOR_TARGET_CAP = 100
+
+
+@query(
+    "lsh_sizing_advisor",
+    f"""
+    WITH bk AS (
+        SELECT vec_id, {_bucket_sql(_quant_sql("embedding"))} AS bucket
+        FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, 0 AS band, bucket % 16 AS bval FROM bk
+        UNION ALL
+        SELECT vec_id, 1 AS band, bucket // 16 AS bval FROM bk
+    ),
+    occ AS (
+        SELECT band, bval, count(*) AS c FROM bands GROUP BY band, bval
+    ),
+    n AS (SELECT count(*) AS nv FROM bk)
+    SELECT CAST(n.nv AS BIGINT) AS n_vectors,
+           CAST({ADVISOR_TARGET_CAP} AS BIGINT) AS target_cap,
+           CAST(CASE WHEN n.nv <= {ADVISOR_TARGET_CAP} THEN 0
+                ELSE length(printf('%b',
+                     (n.nv + {ADVISOR_TARGET_CAP} - 1) // {ADVISOR_TARGET_CAP} - 1))
+                END AS BIGINT) AS required_band_bits,
+           CAST(4 AS BIGINT) AS current_band_bits,
+           CAST(max(occ.c) AS BIGINT) AS max_bucket,
+           CAST(count(*) AS BIGINT) AS n_buckets_used,
+           CAST(count(*) FILTER (WHERE occ.c > {ADVISOR_TARGET_CAP}) AS BIGINT)
+             AS saturated_buckets
+    FROM occ CROSS JOIN n
+    GROUP BY n.nv
+    """,
+)
+def lsh_sizing_advisor(spark, sf_dir):
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    bk = emb.select(
+        "vec_id", _bucket_arrow(_quant(F.col("embedding"))).alias("bucket")
+    )
+    bands = bk.select(
+        F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bval")
+    ).unionAll(
+        bk.select(F.lit(1).alias("band"), F.expr("bucket div 16").alias("bval"))
+    )
+    occ = bands.groupBy("band", "bval").agg(F.count("*").alias("c"))
+    n = bk.agg(F.count("*").alias("nv"))
+    cap = ADVISOR_TARGET_CAP
+    return occ.crossJoin(F.broadcast(n)).groupBy("nv").agg(
+        F.max("c").alias("max_bucket"),
+        F.count("*").alias("n_buckets_used"),
+        F.count(F.when(F.col("c") > cap, 1)).alias("saturated_buckets"),
+    ).select(
+        F.col("nv").cast("long").alias("n_vectors"),
+        F.lit(cap).cast("long").alias("target_cap"),
+        F.when(F.col("nv") <= cap, F.lit(0))
+        .otherwise(F.expr(f"length(bin((nv + {cap} - 1) div {cap} - 1))"))
+        .cast("long")
+        .alias("required_band_bits"),
+        F.lit(4).cast("long").alias("current_band_bits"),
+        F.col("max_bucket").cast("long").alias("max_bucket"),
+        F.col("n_buckets_used").cast("long").alias("n_buckets_used"),
+        F.col("saturated_buckets").cast("long").alias("saturated_buckets"),
+    )
