@@ -3541,3 +3541,63 @@ def stl_lite_daily_revenue(spark, sf_dir):
         .cast("long")
         .alias("seasonal_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity islands — the gaps-and-islands pattern (consecutive active
+# days per user collapse to one island via the row_number-difference
+# trick): per user, island count, longest streak, current streak at
+# corpus end. One window per user + one grouped aggregate; no self
+# joins, the canonical SQL formulation at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "activity_islands",
+    """
+    WITH d AS (
+        SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+    ),
+    grp AS (
+        SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                 AS isl
+        FROM d
+    ),
+    islands AS (
+        SELECT user_id, isl, count(*) AS len, max(day) AS last_day
+        FROM grp GROUP BY user_id, isl
+    ),
+    mx AS (SELECT max(day) AS maxday FROM d)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(coalesce(max(CASE WHEN last_day = mx.maxday THEN len END), 0)
+                AS BIGINT) AS current_streak
+    FROM islands CROSS JOIN mx
+    GROUP BY user_id
+    """,
+)
+def activity_islands(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = d.withColumn("isl", F.col("day") - F.row_number().over(w))
+    islands = grp.groupBy("user_id", "isl").agg(
+        F.count("*").alias("len"), F.max("day").alias("last_day")
+    )
+    mx = d.agg(F.max("day").alias("maxday"))
+    return (
+        islands.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_islands"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.coalesce(
+                F.max(F.when(F.col("last_day") == F.col("maxday"), F.col("len"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("current_streak"),
+        )
+    )

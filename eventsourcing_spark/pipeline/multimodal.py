@@ -335,3 +335,36 @@ def media_frame_audit(spark, sf_dir):
         F.sum(F.length("frame")).cast("long").alias("sum_frame_bytes"),
         F.max("ts_ms").cast("long").alias("max_ts_ms"),
     )
+
+
+@query(
+    "media_resize_audit",
+    f"""
+    SELECT {_KIND_SQL} AS kind,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 + doc_id % 5 END)
+                AS BIGINT) AS sum_width_after,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 + doc_id % 7 END)
+                AS BIGINT) AS sum_height_after,
+           CAST(sum({_LEN_SQL}) AS BIGINT) AS total_payload_bytes
+    FROM documents
+    GROUP BY doc_id % 3
+    """,
+)
+def media_resize_audit(spark, sf_dir):
+    """Resize plumbing under the gate: images are rewritten to 8×8 (the
+    stub rewrites the header, a real kernel would also transform
+    pixels), non-images pass through untouched; the decoded metadata
+    after the rewrite is what the oracle pins. Exercises the
+    binary→binary mapInPandas rewrite path (header reassembly) that
+    media_decode_stats' read-only path doesn't."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    resized = resize_images(media, width=8, height=8)
+    decoded = decode_and_featurize(resized)
+    return decoded.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("width").cast("long").alias("sum_width_after"),
+        F.sum("height").cast("long").alias("sum_height_after"),
+        F.sum("n_payload_bytes").cast("long").alias("total_payload_bytes"),
+    )
