@@ -1538,3 +1538,144 @@ def duplicate_orders_audit(spark, sf_dir):
         )
         .filter(F.col("n_dupes") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase cohorts — per first-order month cohort: size, share
+# of customers who ordered again, and per-customer order depth. The
+# customer-lifecycle twin of the events-side cohort_retention, on the
+# orders table: one per-customer aggregate, one cohort rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "repeat_purchase_cohorts",
+    """
+    WITH c AS (
+        SELECT o_custkey,
+               min(date_trunc('month', o_orderdate)) AS cohort_month,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT cohort_month,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) FILTER (WHERE n_orders >= 2) AS BIGINT) AS repeaters,
+           CAST((count(*) FILTER (WHERE n_orders >= 2) * 1000000)
+                // count(*) AS BIGINT) AS repeat_ppm,
+           CAST(sum(n_orders) AS BIGINT) AS total_orders
+    FROM c GROUP BY cohort_month
+    """,
+)
+def repeat_purchase_cohorts(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month"),
+        F.count("*").alias("n_orders"),
+    )
+    return c.groupBy("cohort_month").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.count(F.when(F.col("n_orders") >= 2, 1)).cast("long").alias("repeaters"),
+        F.expr(
+            "cast((count(case when n_orders >= 2 then 1 end) * 1000000)"
+            " div count(*) as bigint)"
+        ).alias("repeat_ppm"),
+        F.sum("n_orders").cast("long").alias("total_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (HHI) — Herfindahl-Hirschman index of supplier
+# revenue share within each nation, exact: HHI_ppm = Σ sᵢ² · 1e6 //
+# (Σ sᵢ)² over revenue cents; the squared sums ride DECIMAL(38)/HUGEINT
+# (the int128 discipline of hourly_type_correlation). One revenue
+# aggregate keyed (nation, supplier), one concentration rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "market_concentration_hhi",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation, s.s_suppkey,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name, s.s_suppkey
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST((sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) * 1000000)
+                // (CAST(sum(cents) AS HUGEINT) * CAST(sum(cents) AS HUGEINT))
+             AS BIGINT) AS hhi_ppm
+    FROM rev GROUP BY nation
+    """,
+)
+def market_concentration_hhi(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    return rev.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr(
+            "cast((sum(cast(cents as decimal(38,0)) * cast(cents as decimal(38,0)))"
+            " * 1000000) div (cast(sum(cents) as decimal(38,0))"
+            " * cast(sum(cents) as decimal(38,0))) as bigint)"
+        ).alias("hhi_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Receivables aging — open-order value bucketed by days outstanding
+# relative to the corpus max order date (deterministic as-of): the
+# standard finance aging waterfall (0-30 / 31-60 / 61-90 / 90+). One
+# broadcast scalar, one bucketed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "receivables_aging",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS asof FROM orders),
+    aged AS (
+        SELECT o_orderkey, o_totalprice,
+               date_diff('day', o_orderdate, mx.asof) AS days_out
+        FROM orders CROSS JOIN mx
+        WHERE o_orderstatus <> 'F'
+    )
+    SELECT CASE WHEN days_out <= 30 THEN '0-30'
+                WHEN days_out <= 60 THEN '31-60'
+                WHEN days_out <= 90 THEN '61-90'
+                ELSE '90+' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM aged GROUP BY 1
+    """,
+)
+def receivables_aging(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("asof"))
+    aged = (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(mx))
+        .withColumn("days_out", F.datediff(F.col("asof"), F.col("o_orderdate")))
+    )
+    bucket = (
+        F.when(F.col("days_out") <= 30, "0-30")
+        .when(F.col("days_out") <= 60, "31-60")
+        .when(F.col("days_out") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return aged.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
