@@ -3601,3 +3601,60 @@ def activity_islands(spark, sf_dir):
             .alias("current_streak"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate-spike hours — the monitoring alert rule "hour rate > 2× the
+# trailing-day average", exact: count·window > 2·Σ(trailing 24 h) in
+# cross-multiplied integers (no rate division). One hour-grain
+# aggregate + one RANGE window over the hour index; emits only the
+# flagged hours, so output is proportional to the anomaly rate.
+# ---------------------------------------------------------------------------
+SPIKE_FACTOR = 2
+
+
+@query(
+    "rate_spike_hours",
+    f"""
+    WITH m AS (
+        SELECT epoch_ms(ts) // 3600000 AS hour_idx, count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT hour_idx, n,
+               sum(n) OVER (ORDER BY hour_idx
+                            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                 AS trail_n,
+               count(*) OVER (ORDER BY hour_idx
+                            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                 AS trail_hours
+        FROM m
+    )
+    SELECT hour_idx, CAST(n AS BIGINT) AS n,
+           CAST(trail_n AS BIGINT) AS trail_n,
+           CAST(trail_hours AS BIGINT) AS trail_hours
+    FROM w
+    WHERE trail_hours >= 12 AND n * trail_hours > {SPIKE_FACTOR} * trail_n
+    """,
+)
+def rate_spike_hours(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(F.expr("unix_millis(ts) div 3600000").alias("hour_idx")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("hour_idx").rangeBetween(-24, -1)
+    t = m.select(
+        "hour_idx",
+        "n",
+        F.sum("n").over(w).alias("trail_n"),
+        F.count("*").over(w).alias("trail_hours"),
+    )
+    return t.filter(
+        (F.col("trail_hours") >= 12)
+        & (F.col("n") * F.col("trail_hours") > SPIKE_FACTOR * F.col("trail_n"))
+    ).select(
+        "hour_idx",
+        F.col("n").cast("long").alias("n"),
+        F.col("trail_n").cast("long").alias("trail_n"),
+        F.col("trail_hours").cast("long").alias("trail_hours"),
+    )

@@ -423,3 +423,55 @@ def skyline_quality_length(spark, sf_dir):
     schema = "doc_id long, n_chars long, q long"
     local = d.mapInPandas(local_front, schema)
     return local.repartition(1).mapInPandas(global_front, schema)
+
+
+# ---------------------------------------------------------------------------
+# Quality × duplication deciles — the cross-signal audit curation teams
+# run before setting filter thresholds: per quality decile (ntile 10 on
+# the distinct-token score), what fraction of documents are exact
+# duplicates? A strong correlation (template spam is both low-quality
+# and duplicated) justifies aggressive joint filtering; a flat curve
+# says the two filters prune different mass. Composes the quality and
+# dedup signal paths in one plan: two keyed aggregates + a window.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_vs_dup_deciles",
+    f"""
+    WITH q AS (
+        SELECT doc_id, md5(text) AS h, {_SKY_Q_SQL} AS q FROM documents
+    ),
+    fam AS (SELECT h, count(*) AS fam_n FROM q GROUP BY h),
+    dec AS (
+        SELECT q.doc_id, q.q, fam.fam_n,
+               ntile(10) OVER (ORDER BY q.q, q.doc_id) AS decile
+        FROM q JOIN fam USING (h)
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(q) AS BIGINT) AS min_quality,
+           CAST(count(*) FILTER (WHERE fam_n > 1) AS BIGINT) AS n_duplicated,
+           CAST((count(*) FILTER (WHERE fam_n > 1) * 1000000) // count(*)
+                AS BIGINT) AS dup_ppm
+    FROM dec GROUP BY decile
+    """,
+)
+def quality_vs_dup_deciles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", F.md5("text").alias("h"), _quality_cols().alias("q")
+    )
+    fam = q.groupBy("h").agg(F.count("*").alias("fam_n"))
+    dec = q.join(fam, "h").withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("q", "doc_id"))
+    )
+    return dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("q").cast("long").alias("min_quality"),
+        F.count(F.when(F.col("fam_n") > 1, 1)).cast("long").alias("n_duplicated"),
+        F.expr(
+            "cast((count(case when fam_n > 1 then 1 end) * 1000000)"
+            " div count(*) as bigint)"
+        ).alias("dup_ppm"),
+    )
