@@ -2210,3 +2210,89 @@ def lang_diversity_simpson(spark, sf_dir):
         .cast("long")
         .alias("concentration_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's κ for the language-ID heuristic — the chance-corrected scalar
+# summary of langid_confusion_matrix: κ = (p_o − p_e)/(1 − p_e) with
+# p_o = diagonal agreement and p_e = Σ_c row_c·col_c / N², computed in
+# cross-multiplied integers: κ_ppm = (agree·N − Σ row·col)·1e6 //
+# (N² − Σ row·col), clamped at 0 (a below-chance classifier reads 0 —
+# avoids the negative-floor-division asymmetry between engines). The
+# marginal tables are tiny grouped aggregates of the prediction pass.
+# ---------------------------------------------------------------------------
+@query(
+    "langid_cohens_kappa",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LANG_MARKERS["en"]!r}, t))) AS s_en,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LANG_MARKERS["es"]!r}, t))) AS s_es,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LANG_MARKERS["de"]!r}, t))) AS s_de,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LANG_MARKERS["fr"]!r}, t))) AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM scored
+    ),
+    cm AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2),
+    marg AS (
+        SELECT coalesce(r.lang, c.lang_pred) AS cat,
+               coalesce(r.rn, 0) AS rn, coalesce(c.cn, 0) AS cn
+        FROM (SELECT lang, sum(n) AS rn FROM cm GROUP BY lang) r
+        FULL OUTER JOIN (SELECT lang_pred, sum(n) AS cn FROM cm
+                         GROUP BY lang_pred) c
+          ON r.lang = c.lang_pred
+    ),
+    s AS (
+        SELECT (SELECT sum(n) FROM cm) AS total,
+               (SELECT coalesce(sum(n), 0) FROM cm WHERE lang = lang_pred)
+                 AS agree,
+               (SELECT sum(rn * cn) FROM marg) AS pe_num
+    )
+    SELECT CAST(total AS BIGINT) AS n_docs,
+           CAST(agree AS BIGINT) AS n_agree,
+           CAST(pe_num AS BIGINT) AS pe_num,
+           CAST((greatest(agree * total - pe_num, 0) * 1000000)
+                // (total * total - pe_num) AS BIGINT) AS kappa_ppm
+    FROM s
+    """,
+)
+def langid_cohens_kappa(spark, sf_dir):
+    pred = lang_id_heuristic(spark, sf_dir).select("lang", "lang_pred")
+    cm = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    r = cm.groupBy("lang").agg(F.sum("n").alias("rn"))
+    c = cm.groupBy("lang_pred").agg(F.sum("n").alias("cn"))
+    marg = (
+        r.join(c, r["lang"] == c["lang_pred"], "full")
+        .select(
+            F.coalesce(F.col("rn"), F.lit(0)).alias("rn"),
+            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+        )
+    )
+    totals = cm.agg(
+        F.sum("n").alias("total"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n"))),
+            F.lit(0),
+        ).alias("agree"),
+    )
+    pe = marg.agg(F.sum(F.col("rn") * F.col("cn")).alias("pe_num"))
+    return totals.crossJoin(pe).select(
+        F.col("total").cast("long").alias("n_docs"),
+        F.col("agree").cast("long").alias("n_agree"),
+        F.col("pe_num").cast("long").alias("pe_num"),
+        F.expr(
+            "cast((greatest(agree * total - pe_num, 0) * 1000000)"
+            " div (total * total - pe_num) as bigint)"
+        ).alias("kappa_ppm"),
+    )
