@@ -1679,3 +1679,30 @@ def receivables_aging(spark, sf_dir):
         .cast("long")
         .alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-size distribution — the fan-out histogram of lineitems per
+# order (the degree profile that sizes the orders⋈lineitem join and
+# catches fan-out regressions): one keyed count + one histogram
+# rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "order_size_distribution",
+    """
+    WITH k AS (
+        SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS n_lineitems
+    FROM k GROUP BY n_lines
+    """,
+)
+def order_size_distribution(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return k.groupBy("n_lines").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("n_lineitems"),
+    )
