@@ -254,8 +254,8 @@ def json_props_stats(spark, sf_dir):
         FROM base GROUP BY user_id
     )
     SELECT user_id, n,
-           n * sxy - sx * sy AS slope_num,
-           n * sxx - sx * sx AS slope_den,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
            CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
                 ELSE CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
            END AS slope_cents_per_sec
@@ -325,7 +325,7 @@ def trend_user_value(spark, sf_dir):
         FROM base b JOIN tot t ON b.user_id = t.user_id
     )
     SELECT user_id,
-           max(a) AS max_cusum_scaled,
+           CAST(max(a) AS BIGINT) AS max_cusum_scaled,
            min(event_id) FILTER (WHERE a = mx) AS changepoint_event_id
     FROM (
         SELECT user_id, event_id, abs(c_scaled) AS a,
@@ -402,9 +402,10 @@ _BENFORD_CASE = (
     ),
     tot AS (SELECT event_type, sum(n) AS total FROM counts GROUP BY event_type)
     SELECT c.event_type, c.first_digit, c.n,
-           (1000000 * c.n) // t.total AS observed_ppm,
+           CAST((1000000 * c.n) // t.total AS BIGINT) AS observed_ppm,
            {_BENFORD_CASE} AS benford_ppm,
-           abs((1000000 * c.n) // t.total - {_BENFORD_CASE}) AS deviation_ppm
+           CAST(abs((1000000 * c.n) // t.total - {_BENFORD_CASE}) AS BIGINT)
+             AS deviation_ppm
     FROM counts c JOIN tot t ON c.event_type = t.event_type
     """,
 )
@@ -584,7 +585,7 @@ def cohort_retention(spark, sf_dir):
         FROM events
     )
     SELECT src, dst, count(*) AS n,
-           sum(count(*)) OVER (PARTITION BY src) AS src_total
+           CAST(sum(count(*)) OVER (PARTITION BY src) AS BIGINT) AS src_total
     FROM seq WHERE dst IS NOT NULL
     GROUP BY src, dst
     """,
@@ -726,7 +727,7 @@ def modal_event_type(spark, sf_dir):
                             ROWS UNBOUNDED PRECEDING) AS concurrency
         FROM deltas
     )
-    SELECT day, max(concurrency) AS peak_concurrency,
+    SELECT day, CAST(max(concurrency) AS BIGINT) AS peak_concurrency,
            count(*) / 2 AS n_sessions
     FROM swept GROUP BY day
     """,
@@ -944,7 +945,7 @@ def equidepth_quartiles(spark, sf_dir):
     )
     SELECT user_id, count(gap_ms) AS n_gaps,
            min(gap_ms) AS min_gap_ms, max(gap_ms) AS max_gap_ms,
-           sum(gap_ms) AS total_gap_ms
+           CAST(sum(gap_ms) AS BIGINT) AS total_gap_ms
     FROM g WHERE gap_ms IS NOT NULL
     GROUP BY user_id
     """,
@@ -2323,7 +2324,7 @@ def attribution_first_last(spark, sf_dir):
         FROM m
     )
     SELECT user_id, recency_days,
-           CAST(freq AS BIGINT) AS freq, cents,
+           CAST(freq AS BIGINT) AS freq, CAST(cents AS BIGINT) AS cents,
            CAST(r_score AS BIGINT) AS r_score,
            CAST(f_score AS BIGINT) AS f_score,
            CAST(m_score AS BIGINT) AS m_score,
@@ -2671,7 +2672,7 @@ _Z_WIN = 14
         WINDOW tw AS (ORDER BY day
                       ROWS BETWEEN {_Z_WIN} PRECEDING AND 1 PRECEDING)
     )
-    SELECT day, x,
+    SELECT day, CAST(x AS BIGINT) AS x,
            CAST(n AS BIGINT) AS n_window,
            CAST(CASE WHEN n >= 7
                        AND (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
@@ -3504,7 +3505,8 @@ def event_dedup_minute(spark, sf_dir):
         FROM d
         WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     )
-    SELECT day, cents, trend_cents, CAST(dow AS BIGINT) AS dow,
+    SELECT day, cents, CAST(trend_cents AS BIGINT) AS trend_cents,
+           CAST(dow AS BIGINT) AS dow,
            CAST(CASE WHEN trend_cents > 0
                 THEN (cents * 1000000) // trend_cents END AS BIGINT)
              AS seasonal_ppm

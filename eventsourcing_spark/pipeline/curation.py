@@ -201,7 +201,7 @@ def contamination_overlap(spark, sf_dir):
         FROM t
     )
     SELECT source, doc_id, n_tok,
-           (cum - n_tok) // {PACK_BUDGET} AS seq_id
+           CAST((cum - n_tok) // {PACK_BUDGET} AS BIGINT) AS seq_id
     FROM c
     """,
 )
@@ -261,7 +261,7 @@ REP_FRAC_NUM, REP_FRAC_DEN = 3, 10  # flag if duplicate-token fraction > 3/10
                    x -> list_contains({STOPWORDS!r}, x))) AS n_stop
         FROM t
     )
-    SELECT doc_id, n_tok, n_uniq, sum_len, n_stop,
+    SELECT doc_id, n_tok, n_uniq, CAST(sum_len AS BIGINT) AS sum_len, n_stop,
            CAST(n_tok < {MIN_TOKENS} AS BIGINT) AS flag_short,
            CAST({MEAN_LEN_LO} * n_tok > sum_len
                 OR sum_len > {MEAN_LEN_HI} * n_tok AS BIGINT)
@@ -408,7 +408,8 @@ def curate(docs, pack_budget: int = PACK_BUDGET):
                    // {PACK_BUDGET} AS seq_id
         FROM train
     )
-    SELECT source, seq_id, count(*) AS n_docs, sum(n_tok) AS seq_tokens
+    SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS seq_tokens
     FROM packed
     GROUP BY source, seq_id
     """,

@@ -66,7 +66,7 @@ BLOCKLIST_PATTERN = "(spark|table)"  # demo blocklist; same regex in RE2/Java
                      {HASH_SPACE - 1}) AS thresh
         FROM counts
     )
-    SELECT lang, max(n_docs) AS n_docs, sum(kept) AS n_kept
+    SELECT lang, max(n_docs) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept
     FROM (
         SELECT d.lang, r.n_docs,
                CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
@@ -180,9 +180,10 @@ def shuffle_shard_assign(spark, sf_dir):
     "blocklist_scrub",
     f"""
     SELECT source,
-           sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS docs_flagged,
-           sum(hits) AS total_hits,
-           sum(len_before - len_after) AS chars_removed
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_flagged,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(sum(len_before - len_after) AS BIGINT) AS chars_removed
     FROM (
         SELECT source,
                len(regexp_extract_all(text, '{BLOCKLIST_PATTERN}')) AS hits,
@@ -224,8 +225,8 @@ def blocklist_scrub(spark, sf_dir):
     """
     SELECT vec_id,
            CAST(round(CAST(maxabs AS DOUBLE) * 1000000) AS BIGINT) AS scale_q,
-           list_sum(qvec) AS q_sum,
-           list_sum(list_transform(qvec, q -> abs(q))) AS q_l1,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qvec, q -> abs(q))) AS BIGINT) AS q_l1,
            list_max(qvec) AS q_max
     FROM (
         SELECT vec_id, maxabs,

@@ -496,7 +496,7 @@ def text_quality_by_lang(spark, sf_dir):
     SELECT source,
            count(*) AS n_docs,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY source
     """,
@@ -756,7 +756,8 @@ def embedding_label_stats(spark, sf_dir):
     SELECT source,
            count(*) AS n_docs,
            count(DISTINCT lang) AS n_langs,
-           sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+           CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_empty,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
            CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
@@ -1072,7 +1073,8 @@ def cooccur_pmi_topk(spark, sf_dir):
         FROM pairs p JOIN corpus c ON p.bg = c.bg
         GROUP BY p.doc_id
     )
-    SELECT doc_id, n_pairs, (1000000 * fam) // n_pairs AS lm_familiarity
+    SELECT doc_id, n_pairs,
+           CAST((1000000 * fam) // n_pairs AS BIGINT) AS lm_familiarity
     FROM scored
     """,
 )

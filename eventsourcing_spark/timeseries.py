@@ -171,7 +171,7 @@ def asof_tolerance_prior_error(spark, sf_dir):
     )
     SELECT s.user_id, s.day_idx,
            count(*) AS n_overlap_hours,
-           sum(h.n_events) AS n_coactive_events
+           CAST(sum(h.n_events) AS BIGINT) AS n_coactive_events
     FROM spans s
     JOIN hourly h ON h.hour_ms >= s.lo_ms - 3599999 AND h.hour_ms < s.hi_ms + 1
     GROUP BY s.user_id, s.day_idx

@@ -930,10 +930,10 @@ def tpch_q11_important_stock(spark, sf_dir):
     "tpch_q12_ship_priority_classes",
     """
     SELECT l_returnflag AS shipclass,
-           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-             AS high_line_count,
-           sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -107,6 +107,17 @@ def main() -> int:
             print(f"skip  {name}: no oracle (rows-only: {len(spark_pdf)})")
             continue
         try:
+            # HUGEINT guard (VERDICT r02 #1): the driver's value-hash
+            # canonicalizes DuckDB int128 differently than Spark int64,
+            # so any HUGEINT oracle column is a latent hash-fail even
+            # when values agree. DESCRIBE only plans — no data scan.
+            desc = con.sql(f"DESCRIBE {oracles[name]}").fetchall()
+            huge = [c for c, t, *_ in desc if "HUGEINT" in t.upper()]
+            if huge:
+                failures.append(name)
+                print(f"FAIL  {name}: oracle emits HUGEINT columns {huge} "
+                      f"— wrap in CAST(... AS BIGINT)")
+                continue
             duck_pdf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
