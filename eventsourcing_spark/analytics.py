@@ -3188,10 +3188,13 @@ CORR_TYPE_Y = "error"
            CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
            -- HUGEINT (int128) keeps // a true integer division; DuckDB's
            -- // on DECIMAL operands rounds (observed 12421 vs exact 12420)
+           -- NULLIF: a constant/absent hourly series makes the variance
+           -- product 0; Spark's div returns NULL there while DuckDB //
+           -- would error — define the degenerate case identically.
            CAST((CAST(n * sxy - sx * sy AS HUGEINT)
                  * CAST(n * sxy - sx * sy AS HUGEINT) * 1000000)
-                // (CAST(n * sxx - sx * sx AS HUGEINT)
-                    * CAST(n * syy - sy * sy AS HUGEINT))
+                // NULLIF(CAST(n * sxx - sx * sx AS HUGEINT)
+                          * CAST(n * syy - sy * sy AS HUGEINT), 0)
              AS BIGINT) AS r2_ppm
     FROM s
     """,
@@ -3355,8 +3358,11 @@ KS_TYPE_Y = "view"
     SELECT CAST(any_value(nx) AS BIGINT) AS n_x,
            CAST(any_value(ny) AS BIGINT) AS n_y,
            CAST(max(abs(fx * ny - fy * nx)) AS BIGINT) AS d_num,
+           -- NULLIF: if either sample is empty nx*ny = 0; Spark div
+           -- yields NULL, DuckDB // would error — align on NULL.
            CAST((max(abs(fx * ny - fy * nx)) * 1000000)
-                // (any_value(nx) * any_value(ny)) AS BIGINT) AS d_ppm
+                // NULLIF(any_value(nx) * any_value(ny), 0) AS BIGINT)
+             AS d_ppm
     FROM c
     """,
 )
@@ -3402,7 +3408,7 @@ def ks_statistic_values(spark, sf_dir):
     "session_length_histogram",
     """
     WITH marked AS (
-        SELECT user_id, event_id,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
                          OR lag(epoch_ms(ts)) OVER w IS NULL
                     THEN 1 ELSE 0 END AS brk
@@ -3410,8 +3416,11 @@ def ks_statistic_values(spark, sf_dir):
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
+        -- sid window ordered (ts, event_id) to match the gap-break
+        -- window — no hidden event_id-monotone-with-ts assumption.
         SELECT user_id,
-               sum(brk) OVER (PARTITION BY user_id ORDER BY event_id) AS sid
+               sum(brk) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS sid
         FROM marked
     ),
     lens AS (
@@ -3431,10 +3440,10 @@ def session_length_histogram(spark, sf_dir):
     brk = F.when(
         (ms - F.lag(ms).over(w) > 1800000) | F.lag(ms).over(w).isNull(), 1
     ).otherwise(0)
-    wsid = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+    wsid = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    sess = ev.select("user_id", "event_id", brk.alias("brk")).select(
+    sess = ev.select("user_id", "ts", "event_id", brk.alias("brk")).select(
         "user_id", F.sum("brk").over(wsid).alias("sid")
     )
     lens = sess.groupBy("user_id", "sid").agg(F.count("*").alias("n_events"))

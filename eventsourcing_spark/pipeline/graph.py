@@ -646,10 +646,13 @@ def _kcore_oracle() -> str:
 
 @query("graph_kcore", _kcore_oracle())
 def graph_kcore(spark, sf_dir):
-    # Persist per round: edges{r} feeds both the degree aggregate and
-    # the two semi-joins of round r+1; without materialization the
-    # lineage re-derives the LSH edge build 2^rounds times.
-    edges = _edges_df(spark, sf_dir).persist()
+    # localCheckpoint per round (the module idiom — see pagerank):
+    # edges{r} feeds both the degree aggregate and the two semi-joins of
+    # round r+1, so without materialization the lineage re-derives the
+    # LSH edge build 2^rounds times. Unlike persist(), checkpoint blocks
+    # are ContextCleaner-managed, so repeated invocations don't
+    # accumulate CacheManager entries.
+    edges = _edges_df(spark, sf_dir).localCheckpoint()
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.select(F.col("src").alias("v"))
@@ -662,7 +665,7 @@ def graph_kcore(spark, sf_dir):
             edges.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .persist()
+            .localCheckpoint()
         )
     return (
         edges.select(F.col("src").alias("vec_id"))

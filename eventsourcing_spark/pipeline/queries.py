@@ -2264,8 +2264,11 @@ def lang_diversity_simpson(spark, sf_dir):
     SELECT CAST(total AS BIGINT) AS n_docs,
            CAST(agree AS BIGINT) AS n_agree,
            CAST(pe_num AS BIGINT) AS pe_num,
+           -- NULLIF: total²=pe_num when every doc lands in one class
+           -- (chance agreement saturates); Spark div gives NULL there,
+           -- DuckDB // would raise — align the degenerate case on NULL.
            CAST((greatest(agree * total - pe_num, 0) * 1000000)
-                // (total * total - pe_num) AS BIGINT) AS kappa_ppm
+                // NULLIF(total * total - pe_num, 0) AS BIGINT) AS kappa_ppm
     FROM s
     """,
 )

@@ -719,11 +719,15 @@ def mmr_diversify_topk(spark, sf_dir):
 def bm25_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks_col = F.split(F.lower("text"), " ")
+    # Corpus stats stay a 1-row DataFrame broadcast into the plan (the
+    # decayed_engagement_score pattern) rather than .first() literals:
+    # data-dependent literals force a whole-stage-codegen recompile per
+    # run and an extra eager job at plan-build time.
     stats = docs.agg(
-        F.count("*").alias("n"), F.sum(F.size(toks_col)).alias("sum_dl")
-    ).first()
-    n_docs = int(stats["n"])
-    avgdl_milli = (1000 * int(stats["sum_dl"])) // n_docs
+        F.count("*").cast("long").alias("n"),
+        F.expr("(1000 * sum(size(split(lower(text), ' ')))) div count(*)")
+        .alias("avgdl_milli"),
+    )
     toks = docs.select(
         "doc_id",
         F.size(toks_col).alias("dl"),
@@ -735,17 +739,18 @@ def bm25_topk(spark, sf_dir):
     df = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     num = (
         F.lit(22000).cast("long")
-        * (F.lit(n_docs) - F.col("df"))
+        * (F.col("n") - F.col("df"))
         * F.col("tf")
-        * F.lit(avgdl_milli)
+        * F.col("avgdl_milli")
     )
     den = (
-        F.lit(10 * avgdl_milli).cast("long") * F.col("tf")
-        + F.lit(3 * avgdl_milli)
+        F.lit(10).cast("long") * F.col("avgdl_milli") * F.col("tf")
+        + F.lit(3) * F.col("avgdl_milli")
         + F.lit(9000) * F.col("dl")
     )
     scored = (
         hits.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(stats))
         .withColumn("__num", num)
         .withColumn("__den", den)
         # `div` = exact int64 division (the double-division `/` would

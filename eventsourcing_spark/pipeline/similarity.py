@@ -71,6 +71,8 @@ def _bucket_arrow(qcol):
 
     @F.pandas_udf("long")
     def bucket(qv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series([], dtype="int64")
         x = np.vstack(qv.to_numpy()).astype(np.int64)
         dots = x @ h.T
         return pd.Series(((dots > 0) * shifts).sum(axis=1))
