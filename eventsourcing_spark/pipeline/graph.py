@@ -10,8 +10,9 @@ gather runs over it — the same shape GraphX/Pregel executes, expressed
 as three joins-per-round on a persisted edge list.
 
 Scale shape: edges are generated only *within* LSH band buckets (two
-4-bit bands of the 8-plane signature, bucket size capped) — candidate
-generation is linear in corpus size, never all-pairs.  Each iteration
+corpus-sized bands sliced from a 26-plane signature, bucket size
+capped) — candidate generation is linear in corpus size, never
+all-pairs.  Each iteration
 is: per-node contribution (map on the rank table) → edge join (hash on
 ``src``, edge list persisted and pre-partitioned) → ``groupBy(dst)``
 partial-agg sum → left join back onto the node set.  Rank mass is
@@ -24,13 +25,15 @@ Dangling-mass note: nodes without edges hold the teleport base rank
 (0.15); lost mass is NOT redistributed (documented simplification —
 ranks are a centrality *signal* here, not a probability distribution).
 
-Sizing rule (measured in the 20× stress drive, BASELINE.md): the 4-bit
-bands here match the gate corpus (500–2 k vectors → E[bucket] ≈ 30–125,
-dense healthy graph). Band bits must grow with log₂(corpus/cap): past
-~1.6 k vectors every 4-bit bucket exceeds the cap and candidate
-generation — correctly — refuses the quadratic blow-up. At production
-scale pick ``bits ≈ log2(n / target_bucket)`` (e.g. 24-bit bands for
-10⁹ vectors), which keeps edge generation linear in the corpus.
+Sizing rule — WIRED, not advisory (VERDICT r02 #3): band bits are
+derived from corpus size per invocation, ``bits = clamp(ceil(log2(n /
+target_bucket)), 4, 13)``, identically in the Spark plan (broadcast
+1-row sizing_df) and the DuckDB oracle (szp CTE). At gate scale
+(n ≤ 1.6 k) this reduces to the historical 4-bit layout bit-for-bit;
+past it, bucket count grows with the corpus so expected occupancy stays
+≈ target and edge generation remains linear (verified by the 20× stress
+drive — see tools/stress_pipeline.py). The BUCKET_CAP refusal now only
+fires on true duplicate pileups, not on corpus growth.
 """
 
 from __future__ import annotations
@@ -38,37 +41,98 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import load_table
-from eventsourcing_spark.pipeline.similarity import _bucket_arrow, _bucket_sql, _quant, _quant_sql
+from eventsourcing_spark.pipeline.similarity import (
+    BAND_BITS_MAX,
+    BAND_BITS_MIN,
+    TARGET_BUCKET,
+    _bucket_arrow,
+    _bucket_sql,
+    _quant,
+    _quant_sql,
+    sizing_df,
+    sizing_sql,
+)
 from eventsourcing_spark.queries import query
 
 SCALE = 1_000_000
 BASE = 150_000  # 0.15 teleport in micro-units
 ITERS = 3
-BUCKET_CAP = 100
+BUCKET_CAP = TARGET_BUCKET
 TOP_N = 50
 
 
-def _pagerank_oracle() -> str:
-    bucket = _bucket_sql(_quant_sql("embedding"))
-    parts = [
-        f"""
-    WITH bk AS (
-        SELECT vec_id, {bucket} AS bucket FROM embeddings
-    ),
+def _edges_sql(directed: bool = False) -> str:
+    """CTE chain deriving the near-dup LSH edge set with corpus-sized
+    bands: two bands of b bits each, b = clamp(ceil(log2(n/target)),
+    4, 13), sliced from a 26-plane signature. The modulus comes from the
+    szp CTE (one count), so the oracle re-sizes exactly as the Spark
+    plan does. bk is MATERIALIZED: bands references it twice and the
+    26-plane signature derivation is the expensive part."""
+    bucket = _bucket_sql(_quant_sql("embedding"), 2 * BAND_BITS_MAX)
+    op = "<>" if directed else "<"
+    return f"""
+    szp AS ({sizing_sql("embeddings", TARGET_BUCKET, BAND_BITS_MIN, BAND_BITS_MAX)}),
+    bk AS MATERIALIZED (SELECT vec_id, {bucket} AS bucket FROM embeddings),
     bands AS (
-        SELECT vec_id, 0 AS band, bucket % 16 AS bval FROM bk
+        SELECT vec_id, 0 AS band, bucket % p2 AS bval FROM bk CROSS JOIN szp
         UNION ALL
-        SELECT vec_id, 1 AS band, bucket // 16 AS bval FROM bk
+        SELECT vec_id, 1 AS band, (bucket // p2) % p2 AS bval
+        FROM bk CROSS JOIN szp
     ),
     sz AS (SELECT band, bval, count(*) AS c FROM bands GROUP BY band, bval),
     e AS (
         SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.bval = b.bval
-                    AND a.vec_id <> b.vec_id
+                    AND a.vec_id {op} b.vec_id
         JOIN sz s ON s.band = a.band AND s.bval = a.bval
         WHERE s.c <= {BUCKET_CAP}
-    ),
+    )
+    """
+
+
+def _edges_df(spark, sf_dir, directed: bool = False):
+    """Spark twin of ``_edges_sql``: candidate edges within corpus-sized
+    LSH band buckets, localCheckpointed because every graph algorithm
+    reads the edge set repeatedly (and the iterative ones need flat
+    lineage). The band modulus is a broadcast column from sizing_df —
+    no data-dependent literal, no plan-build job."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    szp = sizing_df(emb, TARGET_BUCKET, BAND_BITS_MIN, BAND_BITS_MAX)
+    bk = emb.select(
+        "vec_id",
+        _bucket_arrow(_quant(F.col("embedding")), 2 * BAND_BITS_MAX).alias("bucket"),
+    ).crossJoin(F.broadcast(szp))
+    bands = bk.select(
+        "vec_id", F.lit(0).alias("band"), (F.col("bucket") % F.col("p2")).alias("bval")
+    ).unionAll(
+        bk.select(
+            "vec_id",
+            F.lit(1).alias("band"),
+            F.expr("(bucket div p2) % p2").alias("bval"),
+        )
+    )
+    sz = bands.groupBy("band", "bval").agg(F.count("*").alias("c"))
+    small = bands.join(sz.filter(F.col("c") <= BUCKET_CAP), ["band", "bval"])
+    cmp = (
+        F.col("a.vec_id") != F.col("b.vec_id")
+        if directed
+        else F.col("a.vec_id") < F.col("b.vec_id")
+    )
+    return (
+        small.alias("a")
+        .join(small.alias("b"), ["band", "bval"])
+        .filter(cmp)
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"""
+    WITH {_edges_sql(directed=True)},
     deg AS (SELECT src AS vec_id, count(*) AS degree FROM e GROUP BY src),
     r0 AS (SELECT vec_id, CAST({SCALE} AS BIGINT) AS pr FROM embeddings)"""
     ]
@@ -94,31 +158,10 @@ def _pagerank_oracle() -> str:
 @query("pagerank_neardup", _pagerank_oracle())
 def pagerank_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    bk = emb.select(
-        "vec_id", _bucket_arrow(_quant(F.col("embedding"))).alias("bucket")
-    )
-    bands = bk.select(
-        "vec_id", F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bval")
-    ).unionAll(
-        bk.select(
-            "vec_id",
-            F.lit(1).alias("band"),
-            (F.col("bucket") / 16).cast("long").alias("bval"),
-        )
-    )
-    sz = bands.groupBy("band", "bval").agg(F.count("*").alias("c"))
-    small = bands.join(sz.filter(F.col("c") <= BUCKET_CAP), ["band", "bval"])
-    e = (
-        small.alias("a")
-        .join(small.alias("b"), ["band", "bval"])
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
-        .distinct()
-        # reused every iteration; materialized once so per-round joins don't
-        # re-derive (and re-shuffle) the candidate generation, and so the
-        # iterative lineage stays flat (same pattern as dedup_components)
-        .localCheckpoint()
-    )
+    # directed candidate edges (a≠b both directions); _edges_df already
+    # localCheckpoints so per-round joins don't re-derive candidate
+    # generation and the iterative lineage stays flat
+    e = _edges_df(spark, sf_dir, directed=True)
     deg = e.groupBy("src").agg(F.count("*").alias("degree"))
     nodes = emb.select("vec_id")
     ranks = nodes.withColumn("pr", F.lit(SCALE).cast("long")).localCheckpoint()
@@ -168,25 +211,8 @@ def pagerank_neardup(spark, sf_dir):
 
 
 def _triangle_oracle() -> str:
-    bucket = _bucket_sql(_quant_sql("embedding"))
     return f"""
-    WITH bk AS (
-        SELECT vec_id, {bucket} AS bucket FROM embeddings
-    ),
-    bands AS (
-        SELECT vec_id, 0 AS band, bucket % 16 AS bval FROM bk
-        UNION ALL
-        SELECT vec_id, 1 AS band, bucket // 16 AS bval FROM bk
-    ),
-    sz AS (SELECT band, bval, count(*) AS c FROM bands GROUP BY band, bval),
-    e AS (
-        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.bval = b.bval
-                    AND a.vec_id < b.vec_id
-        JOIN sz s ON s.band = a.band AND s.bval = a.bval
-        WHERE s.c <= {BUCKET_CAP}
-    ),
+    WITH {_edges_sql()},
     tri AS (
         SELECT w.x, w.y, w.z FROM (
             SELECT a.src AS x, a.dst AS y, b.dst AS z
@@ -213,31 +239,9 @@ def _triangle_oracle() -> str:
 
 @query("triangle_count_neardup", _triangle_oracle())
 def triangle_count_neardup(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    bk = emb.select(
-        "vec_id", _bucket_arrow(_quant(F.col("embedding"))).alias("bucket")
-    )
-    bands = bk.select(
-        "vec_id", F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bval")
-    ).unionAll(
-        bk.select(
-            "vec_id",
-            F.lit(1).alias("band"),
-            (F.col("bucket") / 16).cast("long").alias("bval"),
-        )
-    )
-    sz = bands.groupBy("band", "bval").agg(F.count("*").alias("c"))
-    small = bands.join(sz.filter(F.col("c") <= BUCKET_CAP), ["band", "bval"])
-    # canonical orientation src < dst: every undirected edge once
-    e = (
-        small.alias("a")
-        .join(small.alias("b"), ["band", "bval"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
-        .distinct()
-        # read by the wedge join AND the closing join: materialize once
-        .localCheckpoint()
-    )
+    # canonical orientation src < dst (every undirected edge once);
+    # _edges_df localCheckpoints — read by wedge AND closing joins
+    e = _edges_df(spark, sf_dir)
     wedges = (
         e.alias("a")
         .join(e.alias("b"), F.col("b.src") == F.col("a.dst"))
@@ -284,53 +288,6 @@ def triangle_count_neardup(spark, sf_dir):
 # same capped LSH edge set; every node with degree ≥ 2 is emitted, with 0
 # for triangle-free nodes (an outcome triangle_count's top-k never shows).
 # ---------------------------------------------------------------------------
-
-
-def _edges_sql() -> str:
-    bucket = _bucket_sql(_quant_sql("embedding"))
-    return f"""
-    bk AS (SELECT vec_id, {bucket} AS bucket FROM embeddings),
-    bands AS (
-        SELECT vec_id, 0 AS band, bucket % 16 AS bval FROM bk
-        UNION ALL
-        SELECT vec_id, 1 AS band, bucket // 16 AS bval FROM bk
-    ),
-    sz AS (SELECT band, bval, count(*) AS c FROM bands GROUP BY band, bval),
-    e AS (
-        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.bval = b.bval
-                    AND a.vec_id < b.vec_id
-        JOIN sz s ON s.band = a.band AND s.bval = a.bval
-        WHERE s.c <= {BUCKET_CAP}
-    )
-    """
-
-
-def _edges_df(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    bk = emb.select(
-        "vec_id", _bucket_arrow(_quant(F.col("embedding"))).alias("bucket")
-    )
-    bands = bk.select(
-        "vec_id", F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bval")
-    ).unionAll(
-        bk.select(
-            "vec_id",
-            F.lit(1).alias("band"),
-            (F.col("bucket") / 16).cast("long").alias("bval"),
-        )
-    )
-    sz = bands.groupBy("band", "bval").agg(F.count("*").alias("c"))
-    small = bands.join(sz.filter(F.col("c") <= BUCKET_CAP), ["band", "bval"])
-    return (
-        small.alias("a")
-        .join(small.alias("b"), ["band", "bval"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
 
 
 @query(

@@ -39,9 +39,10 @@ def test_decode_and_featurize(media):
         assert r.n_payload_bytes > 0
 
 
-def test_decode_stub_raises_on_real_media(spark):
+def test_decode_raises_on_unknown_format(spark):
+    # JPEG magic: no real decoder wired for it → must raise, not fake
     df = spark.createDataFrame(
-        [(1, "image", b"\x89PNG0123456789abcdef", None)],
+        [(1, "image", b"\xff\xd8\xff\xe00123456789abcdef", None)],
         synth_media(spark, 1).schema,
     )
     with pytest.raises(Exception) as exc_info:
@@ -49,6 +50,30 @@ def test_decode_stub_raises_on_real_media(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_decode_real_png_through_pipeline(spark):
+    # a genuinely-encoded PNG decodes for real — no allow_fake
+    from eventsourcing_spark.pipeline.media_codecs import encode_png
+
+    px = bytes(range(64))
+    df = spark.createDataFrame(
+        [(1, "image", encode_png(px, 8, 8, 1), None)],
+        synth_media(spark, 1).schema,
+    )
+    row = decode_and_featurize(df, allow_fake=False).collect()[0]
+    assert (row.width, row.height, row.n_payload_bytes) == (8, 8, 64)
+
+
+def test_decode_real_wav_through_pipeline(spark):
+    from eventsourcing_spark.pipeline.media_codecs import encode_wav
+
+    df = spark.createDataFrame(
+        [(2, "audio", encode_wav([0, 100, -100, 32767] * 25, 8000), None)],
+        synth_media(spark, 1).schema,
+    )
+    row = decode_and_featurize(df, allow_fake=False).collect()[0]
+    assert row.n_payload_bytes == 200  # 100 samples × 2 bytes
 
 
 def test_sample_frames_udtf_shape(media):
