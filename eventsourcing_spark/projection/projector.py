@@ -126,11 +126,16 @@ class Projector:
     # ------------------------------------------------------------------ live
     def live_batch(self, batch: DataFrame) -> None:
         """C2 live rule applied to one micro-batch — the ``foreachBatch``
-        body. Partition = pmod(hash, splits)+1 (bus parity); rejection =
-        id <= switch threshold OR position <= saved per partition."""
-        batch = batch.withColumn(
-            "partition", F.pmod(F.col("aggregate_id_hash"), F.lit(self.splits)) + 1
-        )
+        body. Partition = pmod(hash, splits)+1 (bus parity) when the
+        frame doesn't carry one; a bus-delivered frame (file_sink.
+        bus_messages) arrives with its partition pre-assigned and keeps
+        it. Rejection = id <= switch threshold OR position <= saved per
+        partition."""
+        if "partition" not in batch.columns:
+            batch = batch.withColumn(
+                "partition",
+                F.pmod(F.col("aggregate_id_hash"), F.lit(self.splits)) + 1,
+            )
         survivors = self.checkpoints.filter_live(batch)
         survivors = survivors.persist()
         try:

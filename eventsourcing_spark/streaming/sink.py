@@ -63,9 +63,12 @@ def kafka_frame(events: DataFrame, partitions: int | None = None) -> DataFrame:
     return out
 
 
-def parse_messages(raw: DataFrame, value_col: str = "value"):
+def parse_messages(
+    raw: DataFrame, value_col: str = "value", keep: tuple[str, ...] = ()
+):
     """Inverse codec for consumers (sink/sink.go:93-116): JSON → Message
-    columns; body arrives base64 → decode back to binary."""
+    columns; body arrives base64 → decode back to binary. ``keep`` names
+    transport columns to carry through (e.g. the bus partition)."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -83,6 +86,6 @@ def parse_messages(raw: DataFrame, value_col: str = "value"):
         ]
     )
     parsed = raw.select(
-        F.from_json(F.col(value_col).cast("string"), schema).alias("m")
-    ).select("m.*")
+        *keep, F.from_json(F.col(value_col).cast("string"), schema).alias("m")
+    ).select(*keep, "m.*")
     return parsed.withColumn("body", F.unbase64(F.col("body")))
