@@ -1,0 +1,265 @@
+"""Oracle-gated maintenance-path queries (VERDICT r02 #5).
+
+The write/maintenance operators were pytest-golden only; the driver
+never saw them. These gate entries synthesize a deterministic fixture
+event store from the driver's ``events`` table (stream ids and bodies
+are pure arithmetic over the first N distinct user_ids), run the REAL
+write-path operators on it — ``EventStore.append`` with discriminators,
+``migrate_in_place`` — and emit the resulting end state; the DuckDB
+oracle computes the identical end state arithmetically without ever
+touching a store.
+
+* ``m2_migration_endstate`` — the 9-rows-per-stream copy-replace golden
+  of test/pg/store_test.go:551-632 generalized to N streams: old
+  generation ``migration = rev``, the ``Invalidated`` guard row, and the
+  migrated ``_V2`` generation with upcasted JSON bodies, byte-exact.
+* ``f4_context_discriminator`` — the context-discriminator merge read
+  (store/store.go:195-228): a Filter's key→values OR-set ANDed with the
+  ambient context's equality conjunction.
+
+Event ids are ULIDs with random components, so the gate output pins
+versions/kinds/bodies/flags — everything the end state defines — and
+omits ids (their ordering is asserted by the pytest golden instead).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.maintenance.migration import migrate_in_place
+from eventsourcing_spark.queries import query
+from eventsourcing_spark.store.event_store import EventStore, Filter
+
+N_STREAMS = 8
+T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+T1 = datetime(2024, 1, 2, tzinfo=timezone.utc)
+
+_UIDS_SQL = (
+    f"SELECT user_id AS uid FROM ("
+    f"SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT {N_STREAMS})"
+)
+
+
+def _fixture_uids(spark, sf_dir) -> list[int]:
+    ev = load_table(spark, sf_dir, "events")
+    return [
+        int(r.user_id)
+        for r in ev.select("user_id").distinct().orderBy("user_id").limit(N_STREAMS).collect()
+    ]
+
+
+def _owner(uid: int) -> str:
+    return f"First{uid} Middle{uid % 3} Last{uid % 7}"
+
+
+def _owner2(uid: int) -> str:
+    return f"New{uid} Owner{uid % 4}"
+
+
+def _stream_events(uid: int) -> list[tuple[str, dict]]:
+    return [
+        ("AccountCreated", {"money": 100 + uid % 50, "owner": _owner(uid)}),
+        ("MoneyDeposited", {"money": 20 + uid % 10}),
+        ("MoneyWithdrawn", {"money": 5 + uid % 5}),
+        ("OwnerUpdated", {"owner": _owner2(uid)}),
+    ]
+
+
+def _disc(uid: int) -> dict[str, str]:
+    return {"tenant": f"t{uid % 3}", "region": f"r{uid % 2}"}
+
+
+def _build_fixture_store(spark, sf_dir: str, tag: str) -> EventStore:
+    base = os.path.join(
+        tempfile.gettempdir(), f"es_gate_{tag}_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    store = EventStore(spark, base)
+    for uid in _fixture_uids(spark, sf_dir):
+        store.append(
+            f"acc-{uid}",
+            "Account",
+            _stream_events(uid),
+            expected_version=0,
+            discriminator=_disc(uid),
+            created_at=T0,
+        )
+    return store
+
+
+def _make_migration_handler():
+    """AccountCreated/OwnerUpdated → _V2 with structured owner
+    (test/aggregatev2.go:66-116 upcaster semantics).
+
+    Returned as a NESTED function on purpose: the handler runs inside
+    the grouped-map worker, and a module-level function would pickle by
+    module reference — unimportable under the driver's pristine session
+    (no PYTHONPATH export). Nested functions pickle by value."""
+
+    def handler(events):
+        out = []
+        for kind, body in events:
+            if kind == "AccountCreated":
+                first, _, last = body["owner"].partition(" ")
+                out.append(
+                    (
+                        "AccountCreated_V2",
+                        {
+                            "money": body["money"],
+                            "owner": {"firstName": first, "lastName": last},
+                        },
+                    )
+                )
+            elif kind == "OwnerUpdated":
+                first, _, last = body["owner"].partition(" ")
+                out.append(
+                    (
+                        "OwnerUpdated_V2",
+                        {"owner": {"firstName": first, "lastName": last}},
+                    )
+                )
+            else:
+                out.append((kind, body))
+        return out
+
+    return handler
+
+
+# old-generation body strings, shared by both engines' derivations
+_B_CREATED = (
+    "'{\"money\":' || CAST(100 + uid % 50 AS VARCHAR) || ',\"owner\":\"First'"
+    " || CAST(uid AS VARCHAR) || ' Middle' || CAST(uid % 3 AS VARCHAR)"
+    " || ' Last' || CAST(uid % 7 AS VARCHAR) || '\"}'"
+)
+_B_DEPOSITED = "'{\"money\":' || CAST(20 + uid % 10 AS VARCHAR) || '}'"
+_B_WITHDRAWN = "'{\"money\":' || CAST(5 + uid % 5 AS VARCHAR) || '}'"
+_B_OWNERUPD = (
+    "'{\"owner\":\"New' || CAST(uid AS VARCHAR) || ' Owner'"
+    " || CAST(uid % 4 AS VARCHAR) || '\"}'"
+)
+# migrated-generation bodies: owner split at the first space
+_B_CREATED_V2 = (
+    "'{\"money\":' || CAST(100 + uid % 50 AS VARCHAR)"
+    " || ',\"owner\":{\"firstName\":\"First' || CAST(uid AS VARCHAR)"
+    " || '\",\"lastName\":\"Middle' || CAST(uid % 3 AS VARCHAR)"
+    " || ' Last' || CAST(uid % 7 AS VARCHAR) || '\"}}'"
+)
+_B_OWNERUPD_V2 = (
+    "'{\"owner\":{\"firstName\":\"New' || CAST(uid AS VARCHAR)"
+    " || '\",\"lastName\":\"Owner' || CAST(uid % 4 AS VARCHAR) || '\"}}'"
+)
+
+
+@query(
+    "m2_migration_endstate",
+    f"""
+    WITH uids AS ({_UIDS_SQL}),
+    rows AS (
+        SELECT uid, 1 AS v, 'Account' AS ak, 'AccountCreated' AS kind,
+               1 AS mig, 0 AS migrated, {_B_CREATED} AS body_str FROM uids
+        UNION ALL
+        SELECT uid, 2, 'Account', 'MoneyDeposited', 1, 0, {_B_DEPOSITED}
+        FROM uids
+        UNION ALL
+        SELECT uid, 3, 'Account', 'MoneyWithdrawn', 1, 0, {_B_WITHDRAWN}
+        FROM uids
+        UNION ALL
+        SELECT uid, 4, 'Account', 'OwnerUpdated', 1, 0, {_B_OWNERUPD}
+        FROM uids
+        UNION ALL
+        SELECT uid, 5, 'Account', 'Invalidated', 0, 0, '{{}}' FROM uids
+        UNION ALL
+        SELECT uid, 6, 'Account_V2', 'AccountCreated_V2', 0, 1, {_B_CREATED_V2}
+        FROM uids
+        UNION ALL
+        SELECT uid, 7, 'Account_V2', 'MoneyDeposited', 0, 1, {_B_DEPOSITED}
+        FROM uids
+        UNION ALL
+        SELECT uid, 8, 'Account_V2', 'MoneyWithdrawn', 0, 1, {_B_WITHDRAWN}
+        FROM uids
+        UNION ALL
+        SELECT uid, 9, 'Account_V2', 'OwnerUpdated_V2', 0, 1, {_B_OWNERUPD_V2}
+        FROM uids
+    )
+    SELECT 'acc-' || CAST(uid AS VARCHAR) AS aggregate_id,
+           CAST(v AS BIGINT) AS aggregate_version,
+           ak AS aggregate_kind, kind,
+           CAST(mig AS BIGINT) AS migration,
+           CAST(migrated AS BIGINT) AS migrated,
+           body_str
+    FROM rows
+    """,
+)
+def m2_migration_endstate(spark, sf_dir):
+    """Build the fixture store, run the REAL copy-replace migration, and
+    emit every on-disk generation — the end state the 9-row golden pins."""
+    store = _build_fixture_store(spark, sf_dir, "m2")
+    n = migrate_in_place(
+        store,
+        revision=1,
+        aggregate_kind="Account",
+        target_kinds=("AccountCreated", "OwnerUpdated"),
+        handler=_make_migration_handler(),
+        new_aggregate_kind="Account_V2",
+        now=T1,
+    )
+    assert n == N_STREAMS, f"expected {N_STREAMS} streams migrated, got {n}"
+    out = store.events_raw().select(
+        "aggregate_id",
+        F.col("aggregate_version").cast("long").alias("aggregate_version"),
+        "aggregate_kind",
+        "kind",
+        F.col("migration").cast("long").alias("migration"),
+        F.col("migrated").cast("long").alias("migrated"),
+        F.col("body").cast("string").alias("body_str"),
+    )
+    # materialize before returning: the fixture dir is rebuilt per call,
+    # so the result must not lazily re-read it later
+    return out.localCheckpoint()
+
+
+@query(
+    "f4_context_discriminator",
+    f"""
+    WITH uids AS ({_UIDS_SQL}),
+    hit AS (
+        SELECT uid FROM uids WHERE uid % 3 IN (0, 1) AND uid % 2 = 0
+    ),
+    rows AS (
+        SELECT uid, 1 AS v, 'AccountCreated' AS kind FROM hit
+        UNION ALL SELECT uid, 2, 'MoneyDeposited' FROM hit
+        UNION ALL SELECT uid, 3, 'MoneyWithdrawn' FROM hit
+        UNION ALL SELECT uid, 4, 'OwnerUpdated' FROM hit
+    )
+    SELECT 'acc-' || CAST(uid AS VARCHAR) AS aggregate_id,
+           CAST(v AS BIGINT) AS aggregate_version,
+           kind,
+           't' || CAST(uid % 3 AS VARCHAR) AS tenant,
+           'r' || CAST(uid % 2 AS VARCHAR) AS region
+    FROM rows
+    """,
+)
+def f4_context_discriminator(spark, sf_dir):
+    """Filter discriminator OR-set (tenant ∈ {{t0,t1}}) ANDed with the
+    ambient context's equality conjunction (region = r0) — the F4 merge,
+    exercised through the real store read path over a fixture store with
+    per-stream discriminators."""
+    store = _build_fixture_store(spark, sf_dir, "f4")
+    df = store.get_events(
+        filter=Filter(discriminator={"tenant": ("t0", "t1")}),
+        discriminator={"region": "r0"},
+    )
+    out = df.select(
+        "aggregate_id",
+        F.col("aggregate_version").cast("long").alias("aggregate_version"),
+        "kind",
+        F.col("discriminator").getItem("tenant").alias("tenant"),
+        F.col("discriminator").getItem("region").alias("region"),
+    )
+    return out.localCheckpoint()

@@ -28,7 +28,6 @@ from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.functions.ulid import UlidGenerator
 from eventsourcing_spark.maintenance.rewrite import overwrite_dir
 from eventsourcing_spark.schema import EVENT_SCHEMA
 from eventsourcing_spark.store.event_store import EventStore
@@ -74,35 +73,65 @@ def migrate_in_place(
         "discriminator",
     )
 
+    # Worker-closure hygiene: the grouped-map function must be
+    # self-contained (stdlib + pandas only). The driver harness runs
+    # queries under ITS OWN session with no PYTHONPATH export, so any
+    # reference to a package symbol (UlidGenerator, a module-level
+    # handler) pickles by module reference and dies on the executor
+    # with ModuleNotFoundError. IDs are therefore encoded inline:
+    # time prefix = base32(ms of `now`) > every pre-migration id,
+    # entropy = base32(hash·2³² + seq) — strictly increasing within the
+    # stream, unique across streams, and deterministic.
+    ms_now = int(now.timestamp() * 1000)
+    out_columns = [f.name for f in EVENT_SCHEMA.fields]
+
     def transform(pdf):
+        import json as _json
+
         import pandas as pd
+
+        enc32 = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+        def enc(value, length):
+            out = []
+            for _ in range(length):
+                out.append(enc32[value & 31])
+                value >>= 5
+            return "".join(reversed(out))
 
         pdf = pdf.sort_values("aggregate_version")
         agg_id = pdf.iloc[0].aggregate_id
         hash_ = int(pdf.iloc[0].aggregate_id_hash)
         disc = dict(pdf.iloc[0].discriminator or {})
         version = int(pdf.aggregate_version.max())
-        gen = UlidGenerator(after=now, now_fn=lambda: now)
+
+        seq = 0
+
+        def new_id():
+            nonlocal seq
+            seq += 1
+            return enc(ms_now, 10) + enc((hash_ << 32) | seq, 16)
 
         rows = []
         # guard event — blocks concurrent writers via the version-unique
         # constraint (events_migration.go:96-110)
         version += 1
         rows.append(
-            (gen.new_id(), agg_id, hash_, version, aggregate_kind,
+            (new_id(), agg_id, hash_, version, aggregate_kind,
              KIND_INVALIDATED, b"{}", created_naive, 0, False, disc)
         )
         old = [
-            (r.kind, json.loads(bytes(r.body).decode())) for r in pdf.itertuples()
+            (r.kind, _json.loads(bytes(r.body).decode()))
+            for r in pdf.itertuples()
         ]
         for kind, body in handler(old):
             version += 1
             rows.append(
-                (gen.new_id(), agg_id, hash_, version, new_kind, kind,
-                 json.dumps(body, separators=(",", ":")).encode(),
+                (new_id(), agg_id, hash_, version, new_kind, kind,
+                 _json.dumps(body, separators=(",", ":")).encode(),
                  created_naive, 0, True, disc)
             )
-        return pd.DataFrame(rows, columns=[f.name for f in EVENT_SCHEMA.fields])
+        return pd.DataFrame(rows, columns=out_columns)
 
     new_gen = streams.groupBy("aggregate_id").applyInPandas(transform, EVENT_SCHEMA)
     # cut lineage: everything below must NOT recompute from the events dir
