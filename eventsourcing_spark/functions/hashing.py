@@ -8,9 +8,11 @@ UDF: the whole hash is expressible with ``aggregate`` over the char
 array, which stays JVM-side inside whole-stage codegen and therefore
 costs nothing extra at 100 TB scale.
 
-Only ASCII inputs are supported (aggregate IDs are ULIDs / ASCII
-strings everywhere in the reference); for non-ASCII the byte-level FNV
-would diverge from the codepoint-level fold.
+The fold is BYTE-level over the UTF-8 encoding (hex-pair expansion of
+``encode(col, 'UTF-8')``), exactly matching the reference's raw-byte
+hash (util/common.go:44) for any input — ASCII or not — so there is no
+ASCII-only caveat and no divergence from the Python twin. Verified by a
+hypothesis property test over arbitrary unicode ids.
 """
 
 from __future__ import annotations
@@ -27,19 +29,25 @@ _SIGN_MASK = 2147483647  # 0x7fffffff
 
 
 def fnv1a_32(col: Column | str) -> Column:
-    """FNV-1a 32-bit of an ASCII string column, sign bit cleared.
+    """FNV-1a 32-bit of a string column's UTF-8 BYTES, sign bit cleared.
 
-    Parity target: util/common.go:40-56 (HashToInt → Int32ring).
-    JVM-side: split → aggregate(xor/multiply/pmod) — no Python UDF.
+    Parity target: util/common.go:40-56 (HashToInt → Int32ring) — the
+    reference hashes raw bytes, so the fold runs over the UTF-8 byte
+    sequence (hex-pair expansion), not codepoints: identical to
+    :func:`fnv1a_32_py` on every input, ASCII or not. JVM-side
+    throughout: encode → hex → regexp_extract_all → aggregate
+    (xor/multiply/pmod) — no Python UDF in the 100 TB hot path.
     """
     c = F.col(col) if isinstance(col, str) else col
-    # split("") yields a trailing "" element (and [""] for empty input)
-    chars = F.filter(F.split(c, ""), lambda ch: ch != F.lit(""))
+    byte_hex = F.regexp_extract_all(
+        F.hex(F.encode(c, "UTF-8")), F.lit("(..)"), 1
+    )
     h = F.aggregate(
-        chars,
+        byte_hex,
         F.lit(FNV_OFFSET_BASIS).cast("long"),
-        lambda acc, ch: F.pmod(
-            acc.bitwiseXOR(F.ascii(ch).cast("long")) * F.lit(FNV_PRIME), F.lit(_MOD32)
+        lambda acc, b: F.pmod(
+            acc.bitwiseXOR(F.conv(b, 16, 10).cast("long")) * F.lit(FNV_PRIME),
+            F.lit(_MOD32),
         ),
     )
     return h.bitwiseAND(F.lit(_SIGN_MASK)).cast("int")

@@ -54,7 +54,13 @@ HYPERPLANES: list[list[int]] = [
 # not on corpus growth).
 TARGET_BUCKET = 100          # band-bucket expected occupancy target
 BAND_BITS_MIN, BAND_BITS_MAX = 4, 13
-ANN_TARGET = 2               # ANN probe-bucket expected occupancy target
+# ANN probe-bucket expected occupancy: 8 matches the historical 256-
+# bucket density at gate scale (n=2000 → 8 bits), so the per-bucket
+# numpy matmul stays amortized over a real batch instead of paying
+# grouped-UDF overhead per 2-row group; at 40k vectors the rule still
+# widens to 13 bits. Recall: candidates/query ≈ target per probe, and
+# the rerank stages verify exactly.
+ANN_TARGET = 8
 ANN_BITS_MIN, ANN_BITS_MAX = 8, 14
 
 

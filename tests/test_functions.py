@@ -46,6 +46,42 @@ def test_fnv1a_column_matches_py(spark):
         assert r.h == fnv1a_32_py(r.s), r.s
 
 
+def test_fnv1a_column_matches_py_non_ascii(spark):
+    """Byte-level parity on non-ASCII ids (util/common.go:44 hashes raw
+    bytes): the column fold must equal the UTF-8-byte Python twin for
+    multibyte codepoints, not just ASCII."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # deterministic multilingual fixtures + property fuzz
+    fixed = ["café", "naïve-id", "日本語", "Ωmega", "🚀rocket", "ümlaut", ""]
+    df = spark.createDataFrame([(s,) for s in fixed], "s string")
+    for r in df.select("s", fnv1a_32("s").alias("h")).collect():
+        assert r.h == fnv1a_32_py(r.s), r.s
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=1,
+                    max_codepoint=0x10FFF,
+                    exclude_categories=("Cs",),  # no lone surrogates
+                ),
+                max_size=24,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def prop(strs):
+        d = spark.createDataFrame([(s,) for s in strs], "s string")
+        for r in d.select("s", fnv1a_32("s").alias("h")).collect():
+            assert r.h == fnv1a_32_py(r.s), repr(r.s)
+
+    prop()
+
+
 def test_calc_partition(spark):
     df = spark.range(1).select(
         calc_partition(F.lit(7), 3).alias("a"),

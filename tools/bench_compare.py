@@ -1,0 +1,83 @@
+"""Per-query bench regression gate (VERDICT r02 #6).
+
+Compares a bench run's per-query times against the committed
+``BENCH_BASELINE.json`` (best-known times at the same sf) and flags any
+query slower than REGRESSION_FACTOR× its baseline. Run it in the
+round-close checklist::
+
+    python bench.py > /tmp/bench.json   # or reuse the driver's BENCH_r{N}
+    python tools/bench_compare.py /tmp/bench.json
+
+Accepts either bench.py's raw JSON line or a driver BENCH_r{N}.json
+(with the line under ``parsed``). Exit 1 on regressions or battery
+shrink; improvements are listed so the baseline can be ratcheted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REGRESSION_FACTOR = 1.5
+# below this many seconds, noise dominates on a shared VM — still
+# reported, but only as a warning, never a hard failure
+HARD_FLOOR_SEC = 0.5
+
+
+def load_bench(path: str) -> dict:
+    with open(path, encoding="utf-8") as f:
+        d = json.load(f)
+    if "parsed" in d:  # driver BENCH_r{N}.json envelope
+        d = d["parsed"]
+    if "queries" not in d:
+        raise SystemExit(f"{path}: no per-query times found")
+    return d
+
+
+def main() -> int:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench.json"
+    base = json.load(open(os.path.join(here, "BENCH_BASELINE.json")))
+    cur = load_bench(bench_path)
+
+    if cur.get("sf") not in (None, base["sf"]):
+        print(f"note: bench sf={cur.get('sf')} vs baseline sf={base['sf']} — "
+              f"comparison is apples-to-oranges")
+
+    regressions, warnings, improved, missing = [], [], [], []
+    for name, ref in sorted(base["queries"].items()):
+        t = cur["queries"].get(name)
+        if t is None:
+            missing.append(name)
+            continue
+        if t > ref * REGRESSION_FACTOR:
+            row = f"{name}: {t:.2f}s vs baseline {ref:.2f}s ({t / ref:.1f}x)"
+            (warnings if max(t, ref) < HARD_FLOOR_SEC else regressions).append(row)
+        elif t < ref / REGRESSION_FACTOR and t > 0:
+            improved.append(f"{name}: {t:.2f}s vs {ref:.2f}s")
+
+    new = sorted(set(cur["queries"]) - set(base["queries"]))
+    for row in regressions:
+        print(f"REGRESSION  {row}")
+    for row in warnings:
+        print(f"noise-band  {row}")
+    for row in improved:
+        print(f"improved    {row}")
+    if new:
+        print(f"new queries (no baseline yet): {', '.join(new)}")
+    if missing:
+        print(f"MISSING from battery: {', '.join(missing)}")
+
+    n = len(base["queries"])
+    print(
+        f"\n{len(regressions)} regressions, {len(warnings)} noise-band, "
+        f"{len(improved)} improved over {n} baselined queries "
+        f"(battery {len(cur['queries'])}, total {cur.get('value')}s "
+        f"vs baseline {base['total']}s)"
+    )
+    return 1 if regressions or missing else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
