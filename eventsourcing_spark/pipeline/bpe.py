@@ -1,0 +1,176 @@
+"""BPE merge learning — tokenizer training as an iterative Spark job.
+
+The missing piece between "token counting" (whitespace/regex, already in
+pipeline.queries) and a real subword tokenizer: learn the merge table
+itself from the corpus. Classic byte-pair-encoding training (Sennrich et
+al. 2016): start from characters, repeatedly count adjacent symbol
+pairs weighted by word frequency, merge the most frequent pair, repeat.
+Each round is ONE keyed aggregation over the word-frequency table (the
+wordcount rollup — vocabulary-sized, not corpus-sized), so at 100 TB the
+corpus is scanned once for the word table and every round after that
+touches only |vocab| rows: the same driver-holds-O(K)-state shape as
+k-means (clustering.py), with the chosen pair collected per round.
+
+Determinism contract: symbols are space-joined strings and one merge
+round applies the pair via a single leftmost non-overlapping
+``replace(seg, ' a b ', ' ab ')`` pass — semantics identical in Spark
+and DuckDB (probed byte-for-byte, e.g. ``' l l l '`` → ``' ll l '``).
+This is a documented VARIANT of canonical greedy BPE: inside a run of
+repeated symbols the single pass merges alternately (canonical
+re-scans after each merge), which keeps the whole 8-round derivation
+expressible as pure string algebra in BOTH engines — tie-broken
+(count DESC, pair ASC), hence value-hash exact. Pair statistics, and
+therefore which merges get learned, are unaffected in practice.
+
+Words are lowercase [a-z]+ runs capped at MAX_WORD_LEN chars (URL/noise
+hygiene; also bounds the oracle's pair-index series).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.queries import query
+
+N_MERGES = 8
+MAX_WORD_LEN = 24
+
+
+def _word_freq(docs):
+    words = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word")
+    ).filter(F.length("word").between(2, MAX_WORD_LEN))
+    return words.groupBy("word").agg(F.count("*").alias("freq"))
+
+
+_W0_SQL = f"""
+    w0 AS (
+        SELECT word, count(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents
+        )
+        WHERE len(word) BETWEEN 2 AND {MAX_WORD_LEN}
+        GROUP BY word
+    ),
+    s0 AS (
+        SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg, freq
+        FROM w0
+    )"""
+
+
+def _bpe_oracle() -> str:
+    parts = [f"WITH {_W0_SQL}"]
+    for r in range(1, N_MERGES + 1):
+        parts.append(f""",
+    p{r} AS (
+        SELECT l[g.i] || ' ' || l[g.i + 1] AS pair, freq
+        FROM (SELECT string_split(trim(seg), ' ') AS l, freq FROM s{r - 1}),
+             generate_series(1, {MAX_WORD_LEN - 1}) g(i)
+        WHERE g.i < len(l)
+    ),
+    b{r} AS MATERIALIZED (
+        SELECT {r} AS round, pair, CAST(sum(freq) AS BIGINT) AS weighted_count
+        FROM p{r} GROUP BY pair
+        ORDER BY weighted_count DESC, pair LIMIT 1
+    ),
+    s{r} AS MATERIALIZED (
+        -- MATERIALIZED: s{{r}} is read by both p{{r+1}} and s{{r+1}};
+        -- inlining doubles the chain per round → 2^8 re-evaluation
+        -- (the kcore lesson)
+        SELECT replace(seg, ' ' || b.pair || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' ') AS seg, freq
+        FROM s{r - 1} CROSS JOIN b{r} b
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT round, pair, replace(pair, ' ', '') AS merged, weighted_count "
+        f"FROM b{r}"
+        for r in range(1, N_MERGES + 1)
+    )
+    parts.append(f"\n    {sel}")
+    return "".join(parts)
+
+
+@query("bpe_learn_merges", _bpe_oracle())
+def bpe_learn_merges(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # vocab table is tiny relative to the corpus: squeeze to a couple of
+    # partitions and localCheckpoint so every round is a 2-task job over
+    # materialized data with flat lineage (no CacheManager buildup —
+    # the kcore lesson applies here too)
+    wf = (
+        _word_freq(docs)
+        .select(
+            F.expr("' ' || regexp_replace(word, '(.)', '$1 ')").alias("seg"),
+            "freq",
+        )
+        .coalesce(2)
+        .localCheckpoint()
+    )
+    merges = []
+    for r in range(1, N_MERGES + 1):
+        pairs = (
+            wf.select(F.split(F.trim(F.col("seg")), " ").alias("l"), "freq")
+            .filter(F.size("l") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(l) - 2),"
+                        " i -> l[i] || ' ' || l[i + 1])"
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("weighted_count"))
+            .orderBy(F.desc("weighted_count"), F.asc("pair"))
+            .first()
+        )
+        if best is None:
+            break
+        merges.append((r, best.pair, best.pair.replace(" ", ""),
+                       int(best.weighted_count)))
+        # apply the merge: single leftmost non-overlapping pass — the
+        # exact replace() semantics the oracle uses
+        wf = wf.select(
+            F.expr(
+                "replace(seg, ' {p} ', ' {m} ')".format(
+                    p=best.pair.replace("'", ""), m=best.pair.replace(" ", "")
+                )
+            ).alias("seg"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round long, pair string, merged string, weighted_count long"
+    ).coalesce(1)
+
+
+@query(
+    "bpe_compression_curve",
+    f"""
+    WITH {_W0_SQL}
+    SELECT CAST(sum(freq * len(word)) AS BIGINT) AS chars_total,
+           CAST(sum(freq) AS BIGINT) AS words_total,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(max(len(word)) AS BIGINT) AS max_word_len
+    FROM w0
+    """,
+)
+def bpe_compression_curve(spark, sf_dir):
+    """Pre-merge corpus statistics the BPE run starts from: total
+    characters (= initial symbol count), word instances, vocabulary
+    size. One wordcount rollup — the invariant the merge rounds then
+    compress against (each learned merge removes weighted_count symbols
+    from the corpus segmentation)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    wf = _word_freq(docs)
+    return wf.agg(
+        F.sum(F.col("freq") * F.length("word")).cast("long").alias("chars_total"),
+        F.sum("freq").cast("long").alias("words_total"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.max(F.length("word")).cast("long").alias("max_word_len"),
+    )

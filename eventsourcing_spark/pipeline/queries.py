@@ -2301,3 +2301,57 @@ def langid_cohens_kappa(spark, sf_dir):
             " div (total * total - pe_num) as bigint)"
         ).alias("kappa_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus fingerprint — the integrity check a 100 TB pipeline runs after
+# every copy/transfer/rewrite: an order-independent content signature
+# per source shard. Each doc contributes a 40-bit md5 slice of
+# (doc_id ':' text); the per-source (count, sum, min, max) tuple detects
+# any dropped, duplicated, truncated, or bit-flipped document without
+# requiring a global sort (sum/min/max are commutative — they merge
+# map-side and across shards, so the fingerprint of a union is the
+# merge of fingerprints). 40-bit slices keep the sum < 2^63 for up to
+# ~8M docs per source; at larger shard sizes fingerprint hierarchically.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_fingerprint",
+    """
+    WITH h AS (
+        SELECT source,
+               CAST('0x' || substr(
+                   md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')),
+                   1, 10) AS BIGINT) AS fp
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(fp) AS BIGINT) AS fp_sum,
+           CAST(min(fp) AS BIGINT) AS fp_min,
+           CAST(max(fp) AS BIGINT) AS fp_max
+    FROM h GROUP BY source
+    """,
+)
+def corpus_fingerprint(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return docs.select("source", fp.alias("fp")).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("fp").cast("long").alias("fp_sum"),
+        F.min("fp").cast("long").alias("fp_min"),
+        F.max("fp").cast("long").alias("fp_max"),
+    )
