@@ -56,13 +56,16 @@ _W0_SQL = f"""
         GROUP BY word
     ),
     s0 AS (
-        SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg, freq
+        SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg,
+               freq
         FROM w0
     )"""
 
 
-def _bpe_oracle() -> str:
-    parts = [f"WITH {_W0_SQL}"]
+def _chain_sql() -> str:
+    """The full 8-round learn chain (w0/s0, p/b/s per round) — shared by
+    the learn and tokenize oracles."""
+    parts = [_W0_SQL]
     for r in range(1, N_MERGES + 1):
         parts.append(f""",
     p{r} AS (
@@ -80,21 +83,27 @@ def _bpe_oracle() -> str:
         -- MATERIALIZED: s{{r}} is read by both p{{r+1}} and s{{r+1}};
         -- inlining doubles the chain per round → 2^8 re-evaluation
         -- (the kcore lesson)
-        SELECT replace(seg, ' ' || b.pair || ' ',
+        SELECT word,
+               replace(seg, ' ' || b.pair || ' ',
                        ' ' || replace(b.pair, ' ', '') || ' ') AS seg, freq
         FROM s{r - 1} CROSS JOIN b{r} b
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     sel = " UNION ALL ".join(
         f"SELECT round, pair, replace(pair, ' ', '') AS merged, weighted_count "
         f"FROM b{r}"
         for r in range(1, N_MERGES + 1)
     )
-    parts.append(f"\n    {sel}")
-    return "".join(parts)
+    return f"WITH {_chain_sql()}\n    {sel}"
 
 
-@query("bpe_learn_merges", _bpe_oracle())
-def bpe_learn_merges(spark, sf_dir):
+def _learn(spark, sf_dir):
+    """Run the 8 merge rounds; returns (merges, vocab) where merges is
+    [(round, pair, merged, weighted_count)] and vocab the final
+    (word, seg, freq) segmentation DataFrame."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # vocab table is tiny relative to the corpus: squeeze to a couple of
     # partitions and localCheckpoint so every round is a 2-task job over
@@ -103,6 +112,7 @@ def bpe_learn_merges(spark, sf_dir):
     wf = (
         _word_freq(docs)
         .select(
+            "word",
             F.expr("' ' || regexp_replace(word, '(.)', '$1 ')").alias("seg"),
             "freq",
         )
@@ -137,6 +147,7 @@ def bpe_learn_merges(spark, sf_dir):
         # apply the merge: single leftmost non-overlapping pass — the
         # exact replace() semantics the oracle uses
         wf = wf.select(
+            "word",
             F.expr(
                 "replace(seg, ' {p} ', ' {m} ')".format(
                     p=best.pair.replace("'", ""), m=best.pair.replace(" ", "")
@@ -144,9 +155,65 @@ def bpe_learn_merges(spark, sf_dir):
             ).alias("seg"),
             "freq",
         ).localCheckpoint()
+    return merges, wf
+
+
+@query("bpe_learn_merges", _bpe_oracle())
+def bpe_learn_merges(spark, sf_dir):
+    merges, _ = _learn(spark, sf_dir)
     return spark.createDataFrame(
         merges, "round long, pair string, merged string, weighted_count long"
     ).coalesce(1)
+
+
+@query(
+    "bpe_tokenize_stats",
+    f"""
+    WITH {_chain_sql()},
+    corpus AS (
+        SELECT source, word FROM (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents
+        )
+        WHERE len(word) BETWEEN 2 AND {MAX_WORD_LEN}
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS words_total,
+           CAST(sum(len(string_split(trim(s.seg), ' '))) AS BIGINT)
+             AS subword_tokens,
+           CAST(sum(len(c.word)) AS BIGINT) AS chars_total
+    FROM corpus c JOIN s{N_MERGES} s USING (word)
+    GROUP BY c.source
+    """,
+)
+def bpe_tokenize_stats(spark, sf_dir):
+    """Apply the learned merge table to the whole corpus: per source,
+    word instances vs subword tokens vs characters — the compression the
+    tokenizer actually achieves. Scale shape: the merges were learned on
+    the vocab table, so application is a broadcast join of the corpus
+    word stream against the |vocab|-row final segmentation — the corpus
+    is scanned once and never re-segmented row by row."""
+    merges, vocab = _learn(spark, sf_dir)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    corpus = docs.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    ).filter(F.length("word").between(2, MAX_WORD_LEN))
+    seg = vocab.select(
+        "word", F.size(F.split(F.trim(F.col("seg")), " ")).alias("n_tok")
+    )
+    return (
+        corpus.join(F.broadcast(seg), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("words_total"),
+            F.sum("n_tok").cast("long").alias("subword_tokens"),
+            F.sum(F.length("word")).cast("long").alias("chars_total"),
+        )
+    )
 
 
 @query(
