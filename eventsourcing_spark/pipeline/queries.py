@@ -95,6 +95,19 @@ def dedup_minhash_signatures(spark, sf_dir):
 # emitting its O(k²) pairs is both useless (no discriminative signal) and the
 # thing that kills LSH jobs at scale. Mega-buckets are handled linearly by
 # dedup_lsh_clusters below.
+#
+# Corpus-size sizing note (why minhash banding does NOT need the dynamic
+# band-bits rule that pipeline.similarity/graph wire for hyperplane LSH):
+# a hyperplane band has a FIXED key space (2^bits values), so bucket
+# occupancy grows linearly with the corpus and a static width saturates
+# — the failure the sizing rule fixes. A minhash band key is the concat
+# of r full md5 min-values: its key space is content-hash-sized (~2^64r),
+# so occupancy is driven by actual content collisions (true near-dups at
+# Jaccard ≈ threshold), not corpus growth. The knob here is r (rows per
+# band) and band count, which set the Jaccard THRESHOLD s* ≈ (1/b)^(1/r)
+# — a semantic parameter, deliberately not derived from n. Growth only
+# enlarges genuine duplicate families, which MAX_BUCKET caps and the
+# keeper-star/components path absorbs linearly.
 MAX_BUCKET = 64
 
 

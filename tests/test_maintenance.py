@@ -221,3 +221,56 @@ def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
     n_files_after = len(glob.glob(str(tmp_path / "cp/events/**/*.parquet"), recursive=True))
     assert before == after
     assert n_files_after <= 4 < n_files_before
+
+
+def test_compaction_small_files(spark, tmp_path):
+    """File-per-append layout → compaction: file count collapses, rows
+    and the active view survive bit-exact, and the store stays writable
+    with optimistic concurrency intact."""
+    from eventsourcing_spark.maintenance.compaction import (
+        _dir_stats,
+        compact_events,
+    )
+
+    store = EventStore(spark, str(tmp_path / "cp"), n_buckets=4)
+    # 12 appends → 12 parquet files across 4 bucket dirs
+    for i in range(12):
+        store.append(
+            f"acc-{i}", "Account",
+            [(KIND_CREATED, {"money": 100 + i}), (KIND_DEPOSITED, {"money": i})],
+            expected_version=0, created_at=T0,
+        )
+    before_rows = store.events().orderBy("id").collect()
+    files_before, _ = _dir_stats(store._events_dir)
+    assert files_before == 12
+
+    stats = compact_events(store)
+    assert stats["files_before"] == 12
+    assert stats["files_after"] < 12
+    assert stats["rows"] == 24
+
+    after_rows = store.events().orderBy("id").collect()
+    assert [tuple(r) for r in after_rows] == [tuple(r) for r in before_rows]
+
+    # still appendable; conflict detection still sees compacted versions
+    store.append(
+        "acc-0", "Account", [(KIND_DEPOSITED, {"money": 7})],
+        expected_version=2, created_at=T1,
+    )
+    assert store.events().filter(F.col("aggregate_id") == "acc-0").count() == 3
+    import pytest as _pytest
+
+    from eventsourcing_spark.store.event_store import ConcurrentModificationError
+    with _pytest.raises(ConcurrentModificationError):
+        store.append(
+            "acc-1", "Account", [(KIND_DEPOSITED, {"money": 1})],
+            expected_version=1, created_at=T1,
+        )
+
+
+def test_compaction_empty_store_noop(spark, tmp_path):
+    from eventsourcing_spark.maintenance.compaction import compact_events
+
+    store = EventStore(spark, str(tmp_path / "empty"))
+    stats = compact_events(store)
+    assert stats == {"files_before": 0, "files_after": 0, "bytes": 0, "rows": 0}
