@@ -105,20 +105,19 @@ def _learn(spark, sf_dir):
     [(round, pair, merged, weighted_count)] and vocab the final
     (word, seg, freq) segmentation DataFrame."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    # vocab table is tiny relative to the corpus: squeeze to a couple of
-    # partitions and localCheckpoint so every round is a 2-task job over
-    # materialized data with flat lineage (no CacheManager buildup —
-    # the kcore lesson applies here too)
-    wf = (
-        _word_freq(docs)
-        .select(
-            "word",
-            F.expr("' ' || regexp_replace(word, '(.)', '$1 ')").alias("seg"),
-            "freq",
-        )
-        .coalesce(2)
-        .localCheckpoint()
+    # The vocab table is small relative to the corpus but not constant:
+    # size the round-job partitioning from the vocabulary itself
+    # (~500k words per task keeps rounds single-wave at gate scale AND
+    # at a 100M-word web vocab) and localCheckpoint so every round runs
+    # over materialized data with flat lineage (no CacheManager buildup
+    # — the kcore lesson applies here too).
+    wf = _word_freq(docs).select(
+        "word",
+        F.expr("' ' || regexp_replace(word, '(.)', '$1 ')").alias("seg"),
+        "freq",
     )
+    n_vocab = wf.count()
+    wf = wf.coalesce(max(2, n_vocab // 500_000 + 1)).localCheckpoint()
     merges = []
     for r in range(1, N_MERGES + 1):
         pairs = (
@@ -191,9 +190,11 @@ def bpe_tokenize_stats(spark, sf_dir):
     """Apply the learned merge table to the whole corpus: per source,
     word instances vs subword tokens vs characters — the compression the
     tokenizer actually achieves. Scale shape: the merges were learned on
-    the vocab table, so application is a broadcast join of the corpus
-    word stream against the |vocab|-row final segmentation — the corpus
-    is scanned once and never re-segmented row by row."""
+    the vocab table, so application is a join of the corpus word stream
+    against the |vocab|-row final segmentation — the corpus is scanned
+    once and never re-segmented row by row. The join side is left to
+    AQE: at gate scale the vocab auto-broadcasts; at a 100M-word web
+    vocab it correctly falls back to a shuffle join."""
     merges, vocab = _learn(spark, sf_dir)
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     corpus = docs.select(
@@ -206,7 +207,7 @@ def bpe_tokenize_stats(spark, sf_dir):
         "word", F.size(F.split(F.trim(F.col("seg")), " ")).alias("n_tok")
     )
     return (
-        corpus.join(F.broadcast(seg), "word")
+        corpus.join(seg, "word")
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("words_total"),
