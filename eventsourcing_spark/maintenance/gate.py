@@ -263,3 +263,150 @@ def f4_context_discriminator(spark, sf_dir):
         F.col("discriminator").getItem("region").alias("region"),
     )
     return out.localCheckpoint()
+
+
+_UID0_SQL = f"(SELECT min(uid) FROM ({_UIDS_SQL}))"
+
+
+@query(
+    "m1_forget_endstate",
+    f"""
+    WITH uids AS ({_UIDS_SQL}),
+    rows AS (
+        SELECT uid, 1 AS v, 'AccountCreated' AS kind,
+               CASE WHEN uid = {_UID0_SQL}
+                    THEN '{{"money":' || CAST(100 + uid % 50 AS VARCHAR)
+                         || ',"owner":"[forgotten]"}}'
+                    ELSE {_B_CREATED} END AS body_str
+        FROM uids
+        UNION ALL
+        SELECT uid, 2, 'MoneyDeposited', {_B_DEPOSITED} FROM uids
+        UNION ALL
+        SELECT uid, 3, 'MoneyWithdrawn', {_B_WITHDRAWN} FROM uids
+        UNION ALL
+        SELECT uid, 4, 'OwnerUpdated',
+               CASE WHEN uid = {_UID0_SQL}
+                    THEN '{{"owner":"[forgotten]"}}'
+                    ELSE {_B_OWNERUPD} END
+        FROM uids
+    )
+    SELECT 'acc-' || CAST(uid AS VARCHAR) AS aggregate_id,
+           CAST(v AS BIGINT) AS aggregate_version,
+           kind, body_str
+    FROM rows
+    """,
+)
+def m1_forget_endstate(spark, sf_dir):
+    """M1 GDPR forget through the REAL distributed rewrite
+    (maintenance/forget.py — pandas-UDF scrub of matching rows, byte
+    pass-through of everything else; eventstore.go:405-432): owner
+    fields of ONE stream's target kinds are scrubbed, all other rows
+    must come back byte-identical. The scrubber is a nested function
+    (pickle-by-value: the executor can't import this package under the
+    driver's pristine session)."""
+    from eventsourcing_spark.maintenance.forget import forget
+
+    store = _build_fixture_store(spark, sf_dir, "m1")
+    uid0 = _fixture_uids(spark, sf_dir)[0]
+
+    def scrubber(kind, body):
+        out = dict(body)
+        out["owner"] = "[forgotten]"
+        return out
+
+    forget(
+        store,
+        aggregate_id=f"acc-{uid0}",
+        kinds=("AccountCreated", "OwnerUpdated"),
+        event_scrubber=scrubber,
+    )
+    out = store.events().select(
+        "aggregate_id",
+        F.col("aggregate_version").cast("long").alias("aggregate_version"),
+        "kind",
+        F.col("body").cast("string").alias("body_str"),
+    )
+    return out.localCheckpoint()
+
+
+@query(
+    "x9_upcaster_chain",
+    f"""
+    WITH uids AS ({_UIDS_SQL})
+    SELECT 'acc-' || CAST(uid AS VARCHAR) AS aggregate_id,
+           CAST(1 AS BIGINT) AS aggregate_version,
+           'AccountCreated_V3' AS final_kind,
+           '{{"owner":{{"firstName":"First' || CAST(uid AS VARCHAR)
+           || '","lastName":"Middle' || CAST(uid % 3 AS VARCHAR)
+           || ' Last' || CAST(uid % 7 AS VARCHAR)
+           || '"}},"money_cents":' || CAST((100 + uid % 50) * 100 AS VARCHAR)
+           || '}}' AS body_str
+    FROM uids
+    """,
+)
+def x9_upcaster_chain(spark, sf_dir):
+    """X9 upcaster-chain-to-fixpoint semantics (codec.go:51-77),
+    distributed: V1 AccountCreated bodies read back through a 2-hop
+    chain (V1 → V2 structured owner → V3 integer cents), stopping when
+    no upcaster is registered for the resulting kind — the exact loop
+    ``JsonCodec.decode`` runs (its class-level twin is pytest-covered;
+    this gate pins the chain's arithmetic through a self-contained
+    mapInPandas so the driver's pristine session can execute it)."""
+    from pyspark.sql import types as T
+
+    store = _build_fixture_store(spark, sf_dir, "x9")
+    created = store.events().filter(F.col("kind") == "AccountCreated").select(
+        "aggregate_id", "aggregate_version", "kind", "body"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("aggregate_id", T.StringType()),
+            T.StructField("aggregate_version", T.LongType()),
+            T.StructField("final_kind", T.StringType()),
+            T.StructField("body_str", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import json as _json
+
+        import pandas as pd
+
+        def up_v1(kind, obj):
+            first, _, rest = obj["owner"].partition(" ")
+            return "AccountCreated_V2", {
+                "money": obj["money"],
+                "owner": {"firstName": first, "lastName": rest},
+            }
+
+        def up_v2(kind, obj):
+            return "AccountCreated_V3", {
+                "owner": obj["owner"],
+                "money_cents": obj["money"] * 100,
+            }
+
+        upcasters = {"AccountCreated": up_v1, "AccountCreated_V2": up_v2}
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                kind = r.kind
+                obj = _json.loads(bytes(r.body).decode())
+                # the codec.go:51-77 fixpoint loop
+                while kind in upcasters:
+                    new_kind, obj = upcasters[kind](kind, obj)
+                    if new_kind == kind:
+                        break
+                    kind = new_kind
+                rows.append(
+                    (r.aggregate_id, int(r.aggregate_version), kind,
+                     _json.dumps(obj, separators=(",", ":")))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["aggregate_id", "aggregate_version", "final_kind",
+                         "body_str"],
+            )
+
+    return created.mapInPandas(run, schema).localCheckpoint()
