@@ -410,3 +410,59 @@ def x9_upcaster_chain(spark, sf_dir):
             )
 
     return created.mapInPandas(run, schema).localCheckpoint()
+
+
+@query(
+    "m3_projection_flush",
+    f"""
+    WITH uids AS ({_UIDS_SQL})
+    SELECT 'acc-' || CAST(uid AS VARCHAR) AS aggregate_id,
+           CAST((100 + uid % 50) + (20 + uid % 10) - (5 + uid % 5) AS BIGINT)
+             AS balance,
+           CAST(5 AS BIGINT) AS last_version,
+           'NoOp' AS last_kind
+    FROM uids
+    """,
+)
+def m3_projection_flush(spark, sf_dir):
+    """M3 consistent-projection migration through the REAL operator
+    (projection_migration.go:44-149 twin): one fold job flushes every
+    Account's balance into the new read-model table and a batch NoOp
+    append guards each stream (concurrent writers collide on the version
+    bump). The gate pins the flushed balances joined with the
+    post-migration stream head — version 5, kind NoOp — per stream."""
+    from eventsourcing_spark.maintenance.projection_migration import (
+        migrate_consistent_projection,
+    )
+
+    store = _build_fixture_store(spark, sf_dir, "m3")
+    out_dir = os.path.join(store.base_dir, "read_model")
+
+    def fold(events):
+        money = F.get_json_object(
+            F.col("body").cast("string"), "$.money"
+        ).cast("long")
+        delta = (
+            F.when(
+                F.col("kind").isin("AccountCreated", "MoneyDeposited"), money
+            )
+            .when(F.col("kind") == "MoneyWithdrawn", -money)
+            .otherwise(F.lit(0))
+        )
+        return events.groupBy("aggregate_id").agg(
+            F.sum(delta).cast("long").alias("balance")
+        )
+
+    n = migrate_consistent_projection(
+        store, "balances", "Account", fold, out_dir, now=T1
+    )
+    assert n == N_STREAMS, f"expected {N_STREAMS} streams flushed, got {n}"
+    states = spark.read.parquet(out_dir)
+    heads = store.events().groupBy("aggregate_id").agg(
+        F.max("aggregate_version").cast("long").alias("last_version"),
+        F.max_by("kind", "aggregate_version").alias("last_kind"),
+    )
+    out = states.join(heads, "aggregate_id").select(
+        "aggregate_id", "balance", "last_version", "last_kind"
+    )
+    return out.localCheckpoint()
