@@ -1,8 +1,9 @@
 """BPE merge learning — tokenizer training as an iterative Spark job.
 
-The missing piece between "token counting" (whitespace/regex, already in
-pipeline.queries) and a real subword tokenizer: learn the merge table
-itself from the corpus. Classic byte-pair-encoding training (Sennrich et
+``pipeline.chunking`` already covers the single-shot pieces
+(``bpe_merge_pairs`` counts one round of char pairs; ``bpe_apply_merges``
+applies a FIXED merge list); this module closes the loop and learns the
+merge table itself. Classic byte-pair-encoding training (Sennrich et
 al. 2016): start from characters, repeatedly count adjacent symbol
 pairs weighted by word frequency, merge the most frequent pair, repeat.
 Each round is ONE keyed aggregation over the word-frequency table (the
