@@ -274,3 +274,40 @@ def test_compaction_empty_store_noop(spark, tmp_path):
     store = EventStore(spark, str(tmp_path / "empty"))
     stats = compact_events(store)
     assert stats == {"files_before": 0, "files_after": 0, "bytes": 0, "rows": 0}
+
+
+def test_vacuum_drops_invalidated_generations(spark, tmp_path):
+    """M2 then vacuum: the superseded generation disappears physically,
+    the active view is unchanged, and keep_revisions retains history."""
+    from eventsourcing_spark.maintenance import vacuum_migrated
+
+    store = EventStore(spark, str(tmp_path / "vac"), n_buckets=4)
+    store.append(
+        "acc-v", "Account",
+        [(KIND_CREATED, {"money": 100, "owner": "A B"}),
+         (KIND_DEPOSITED, {"money": 10})],
+        expected_version=0, created_at=T0,
+    )
+    migrate_in_place(
+        store, revision=1, aggregate_kind="Account",
+        target_kinds=(KIND_CREATED,), handler=migration_handler,
+        new_aggregate_kind="Account_V2", now=T1,
+    )
+    assert store.events_raw().count() == 5  # 2 old + guard + 2 new
+    active_before = {(r.id, r.kind) for r in store.events().collect()}
+
+    # retention keeps rev 1 → no-op
+    stats = vacuum_migrated(store, keep_revisions=1)
+    assert stats["rows_dropped"] == 0 and store.events_raw().count() == 5
+
+    stats = vacuum_migrated(store)
+    assert stats == {
+        "rows_before": 5, "rows_after": 3, "rows_dropped": 2,
+        "files_before": stats["files_before"],
+        "files_after": stats["files_after"],
+    }
+    assert store.events_raw().count() == 3
+    assert {(r.id, r.kind) for r in store.events().collect()} == active_before
+
+    # idempotent: second vacuum reclaims nothing
+    assert vacuum_migrated(store)["rows_dropped"] == 0
