@@ -1,19 +1,20 @@
-"""Real (pure-stdlib) media codecs: PNG and WAV encode/decode.
+"""Real (pure-stdlib) media codecs: PNG, WAV, and AVI encode/decode.
 
 This closes the "multimodal decode is a synthetic stub" gap (VERDICT r02
 #4): the container has no PIL/soundfile/pyav, but PNG is zlib (stdlib) +
-chunk framing + per-scanline filters, and WAV is plain RIFF/PCM — both
-implementable exactly with no third-party dependency. ``multimodal.
-_decode_bytes`` dispatches here on magic bytes, so genuinely encoded
-image/audio payloads now decode end-to-end; the synthetic SYNM container
-remains only as the video stand-in (no pure-python video codec exists).
+chunk framing + per-scanline filters, WAV is plain RIFF/PCM, and AVI is
+RIFF list demuxing with uncompressed frames — all implementable exactly
+with no third-party dependency. ``multimodal._decode_bytes`` dispatches
+here on magic bytes, so genuinely encoded image/audio/video payloads
+decode end-to-end.
 
 Scope: PNG 8-bit greyscale (color type 0) and truecolor (type 2),
 non-interlaced, all five scanline filters (None/Sub/Up/Average/Paeth) on
 both encode and decode; WAV PCM 16-bit little-endian, any channel
-count/rate. That covers the overwhelmingly common cases a curation
-pipeline meets; unsupported variants raise ValueError loudly rather
-than mis-decoding.
+count/rate; AVI with BI_RGB (uncompressed) 24-bit frames — container
+demux is the real work a frame sampler needs, and compressed-codec
+payloads are exactly what you'd hand to pyav. Unsupported variants
+raise ValueError loudly rather than mis-decoding.
 
 Perf note: these run inside Arrow-batched mapInPandas workers; the
 per-image byte loops are fine for the thumbnail-scale fixtures the gate
@@ -25,7 +26,22 @@ is the part this repo owns.
 from __future__ import annotations
 
 import struct
+import sys
 import zlib
+
+# Worker-closure rule (see maintenance/migration.py): executors under the
+# driver's pristine session cannot import this package, so any UDF closure
+# that captures these codec functions would die with ModuleNotFoundError
+# if they pickled by module reference. Registering the module for
+# BY-VALUE pickling makes cloudpickle ship the function bodies inside the
+# closure instead — the module is pure stdlib, so the serialized payload
+# is small and dependency-free.
+try:  # pragma: no cover — absent only outside a pyspark environment
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(sys.modules[__name__])
+except Exception:  # noqa: BLE001 — plain-python use of the codecs is fine
+    pass
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 WAV_MAGIC = b"RIFF"
@@ -221,4 +237,105 @@ def decode_wav(data: bytes) -> dict:
         "duration_ms": (n // channels) * 1000 // sample_rate,
         "samples": samples,
         "raw": body[: n * 2],
+    }
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) — uncompressed-video container demux
+# ---------------------------------------------------------------------------
+# A real AVI file with raw (BI_RGB, biCompression=0) frames: RIFF('AVI ')
+# → LIST(hdrl){avih, LIST(strl){strh,strf}} → LIST(movi){00db…}. This is
+# genuine container parsing — the demux step a frame sampler needs —
+# with the pixel payload uncompressed (no pure-python codec exists for
+# compressed video; swapping pyav in changes only frame payload
+# handling). Shares RIFF chunk-walk discipline with the WAV codec.
+
+AVI_MAGIC = b"RIFF"
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(body)) + list_type + body
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def encode_avi(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Encode raw 24-bit BGR frames (``width*height*3`` bytes each) as a
+    canonical uncompressed AVI."""
+    fsize = width * height * 3
+    for i, f in enumerate(frames):
+        if len(f) != fsize:
+            raise ValueError(f"frame {i}: {len(f)} bytes != {fsize}")
+    usec_per_frame = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, fsize * fps, 0, 0, len(frames), 0, 1, fsize,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(frames), fsize, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    # BITMAPINFOHEADER: biCompression=0 (BI_RGB, i.e. uncompressed)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, fsize, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                     + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00db", f) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> dict:
+    """Demux an uncompressed AVI: returns ``{width, height, n_frames,
+    fps, frames}`` with ``frames`` the raw BGR byte payloads."""
+    if data[:4] != AVI_MAGIC or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+
+    width = height = None
+    usec_per_frame = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal width, height, usec_per_frame
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + length]
+            if tag == b"LIST":
+                walk(body[4:])  # skip the list type, recurse into members
+            elif tag == b"avih":
+                (usec_per_frame,) = struct.unpack("<I", body[:4])
+                width, height = struct.unpack("<II", body[32:40])
+            elif tag == b"strf":
+                comp = struct.unpack("<I", body[16:20])[0]
+                if comp != 0:
+                    raise ValueError(f"unsupported AVI compression {comp}")
+            elif tag == b"00db":
+                frames.append(body)
+            pos += 8 + length + (length & 1)
+
+    walk(data[12:])
+    if width is None or usec_per_frame is None:
+        raise ValueError("AVI missing avih header")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "fps": 1_000_000 // usec_per_frame if usec_per_frame else 0,
+        "frames": frames,
     }

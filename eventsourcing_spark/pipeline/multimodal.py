@@ -1,15 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested. Decoding dispatches on magic bytes:
-PNG and WAV payloads decode for REAL via the pure-stdlib codecs in
-``media_codecs`` (zlib inflate + scanline unfilter; RIFF/PCM16 parse),
-gate-verified over genuinely encoded bytes (``media_png_decode_stats``,
-``media_wav_decode_stats``). Only video remains a synthetic container
-(no pure-python video codec exists): unknown formats raise
-NotImplementedError unless ``allow_fake=True``. Swapping in PIL/pyav
-for the remaining formats changes only ``_decode_bytes`` — batch shape
-and schema stay identical.
+signatures — is real and tested, and all THREE modalities decode real
+formats via the pure-stdlib codecs in ``media_codecs``: PNG images
+(zlib inflate + scanline unfilter), WAV audio (RIFF/PCM16), and AVI
+video (RIFF hdrl/movi demux of uncompressed BI_RGB frames — frame
+sampling consumes the actual demuxed frames). Gate-verified over
+genuinely encoded bytes (``media_png_decode_stats``,
+``media_wav_decode_stats``, ``media_avi_demux_stats``). The SYNM
+synthetic container remains only as a legacy fixture; unknown formats
+(e.g. JPEG, compressed video) raise NotImplementedError unless
+``allow_fake=True`` — swapping PIL/pyav in for those changes only
+``_decode_bytes``, batch shape and schema stay identical.
 
 Scale notes: all transforms are ``mapInPandas`` (streaming Arrow
 batches — no row-at-a-time Python, no driver collect). Binary payloads
@@ -20,11 +22,33 @@ so downstream similarity ops (pipeline.queries) apply unchanged.
 from __future__ import annotations
 
 import struct
+import sys
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from eventsourcing_spark.pipeline.media_codecs import (
+    PNG_MAGIC,
+    WAV_MAGIC,
+    decode_avi,
+    decode_png,
+    decode_wav,
+)
+
+# _decode_bytes is captured by the decode/featurize/frame-sample/resize
+# worker closures; register this module for BY-VALUE pickling so those
+# closures stay executable under the driver's pristine session (no
+# PYTHONPATH export on executors). The codec functions it references
+# come from media_codecs, itself registered by value — the whole chain
+# serializes as code, no package import needed worker-side.
+try:  # pragma: no cover
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -90,13 +114,11 @@ def synth_media(spark: SparkSession, n: int = 64, partitions: int = 8) -> DataFr
 
 
 def _decode_bytes(content: bytes, allow_fake: bool) -> dict:
-    """Magic-byte dispatch. PNG and WAV are REAL decodes (media_codecs,
-    pure stdlib); SYNM is the documented synthetic container (video
-    stand-in); anything else raises unless ``allow_fake=True``."""
-    from eventsourcing_spark.pipeline import media_codecs
-
-    if content[:8] == media_codecs.PNG_MAGIC:
-        img = media_codecs.decode_png(content)
+    """Magic-byte dispatch. PNG, WAV and AVI are REAL decodes
+    (media_codecs, pure stdlib); SYNM is the legacy synthetic fixture;
+    anything else raises unless ``allow_fake=True``."""
+    if content[:8] == PNG_MAGIC:
+        img = decode_png(content)
         return {
             "kind": "image",
             "width": img["width"],
@@ -105,8 +127,21 @@ def _decode_bytes(content: bytes, allow_fake: bool) -> dict:
             "duration_ms": 0,
             "payload": img["pixels"],
         }
-    if content[:4] == media_codecs.WAV_MAGIC and content[8:12] == b"WAVE":
-        wav = media_codecs.decode_wav(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        avi = decode_avi(content)
+        fps = avi["fps"] or 1
+        return {
+            "kind": "video",
+            "width": avi["width"],
+            "height": avi["height"],
+            "sample_rate": 0,
+            "duration_ms": avi["n_frames"] * 1000 // fps,
+            "payload": b"".join(avi["frames"]),
+            "frames": avi["frames"],  # real demuxed frames
+            "fps": fps,
+        }
+    if content[:4] == WAV_MAGIC and content[8:12] == b"WAVE":
+        wav = decode_wav(content)
         return {
             "kind": "audio",
             "width": 0,
@@ -192,6 +227,16 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
             for r in pdf.itertuples():
                 meta = _decode_bytes(bytes(r.content), allow_fake)
                 if meta["kind"] != "video":
+                    continue
+                if "frames" in meta:
+                    # real container (AVI demux): sample the actual frames
+                    # nearest to each every_ms timestamp
+                    fps = meta["fps"]
+                    n = max(meta["duration_ms"] // every_ms, 1)
+                    frames = meta["frames"]
+                    for i in range(n):
+                        k = min((i * every_ms) * fps // 1000, len(frames) - 1)
+                        rows.append((r.media_id, i, i * every_ms, frames[k]))
                     continue
                 n = max(meta["duration_ms"] // every_ms, 1)
                 payload = meta["payload"]
@@ -562,6 +607,86 @@ def media_wav_decode_stats(spark, sf_dir):
                     (mid, wav["sample_rate"], wav["n_samples"],
                      wav["duration_ms"], sum(wav["samples"]),
                      wav["samples"][0])
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
+_AVI_MAX_PX = 6 * 5 * 3   # w≤6, h≤5, BGR below
+_AVI_MAX_FRAMES = 5        # n = 2 + doc_id % 4
+
+
+@query(
+    "media_avi_demux_stats",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               4 + doc_id % 3 AS w,
+               4 + doc_id % 2 AS h,
+               2 + CAST(doc_id % 4 AS BIGINT) AS n_frames,
+               5 + 5 * (doc_id % 2) AS fps
+        FROM documents
+    ),
+    px AS (
+        SELECT m.doc_id, m.w, m.h, m.n_frames, m.fps,
+               (31 * m.doc_id + 97 * fk.k + 7 * g.i) % 256 AS v
+        FROM m,
+             generate_series(0, {_AVI_MAX_FRAMES - 1}) fk(k),
+             generate_series(0, {_AVI_MAX_PX - 1}) g(i)
+        WHERE fk.k < m.n_frames AND g.i < m.w * m.h * 3
+    )
+    SELECT doc_id AS media_id,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(any_value(n_frames) AS BIGINT) AS n_frames,
+           CAST(any_value(fps) AS BIGINT) AS fps,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST((31 * doc_id) % 256 AS BIGINT) AS first_byte
+    FROM px GROUP BY doc_id
+    """,
+)
+def media_avi_demux_stats(spark, sf_dir):
+    """Encode→demux through the REAL AVI container (RIFF hdrl/movi walk,
+    uncompressed BI_RGB frames): per-clip frame geometry and pixel stats
+    pinned by the arithmetic oracle. Completes real-format coverage for
+    all three modalities (PNG image, WAV audio, AVI video)."""
+    from eventsourcing_spark.pipeline.media_codecs import decode_avi, encode_avi
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("fps", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("first_byte", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                mid = int(doc_id)
+                w, h = 4 + mid % 3, 4 + mid % 2
+                n, fps = 2 + mid % 4, 5 + 5 * (mid % 2)
+                frames = [
+                    bytes((31 * mid + 97 * k + 7 * i) % 256
+                          for i in range(w * h * 3))
+                    for k in range(n)
+                ]
+                avi = decode_avi(encode_avi(frames, w, h, fps))
+                blob = b"".join(avi["frames"])
+                rows.append(
+                    (mid, avi["width"], avi["height"], avi["n_frames"],
+                     avi["fps"], len(blob), sum(blob), blob[0])
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 

@@ -31,6 +31,19 @@ the projection live phase (projection/projector.py).
 
 from __future__ import annotations
 
+# Worker-closure hygiene: the stateful process functions below reference
+# module-level helpers and run on executors; register this module for
+# by-value pickling so they stay executable under a session with no
+# PYTHONPATH export (see pipeline/media_codecs.py for the full rationale).
+try:  # pragma: no cover
+    import sys as _sys
+
+    from pyspark.cloudpickle import register_pickle_by_value as _reg_by_value
+
+    _reg_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass
+
 import os
 
 from pyspark.sql import DataFrame, Window

@@ -106,3 +106,30 @@ def test_png_roundtrip_fuzz(w, h, ch, seed):
 def test_wav_roundtrip_fuzz(n, sr, seed):
     s = [((seed + 97 * i) % 65536) - 32768 for i in range(n)]
     assert decode_wav(encode_wav(s, sr))["samples"] == s
+
+
+@pytest.mark.parametrize("w,h,n,fps", [(4, 3, 5, 10), (8, 8, 1, 25), (2, 2, 12, 5)])
+def test_avi_roundtrip(w, h, n, fps):
+    from eventsourcing_spark.pipeline.media_codecs import decode_avi, encode_avi
+
+    frames = [
+        bytes(((k * 31 + i * 7) % 256) for i in range(w * h * 3)) for k in range(n)
+    ]
+    d = decode_avi(encode_avi(frames, w, h, fps))
+    assert d["frames"] == frames
+    assert (d["width"], d["height"], d["n_frames"], d["fps"]) == (w, h, n, fps)
+
+
+def test_avi_rejects_compressed_and_non_avi():
+    import struct as _struct
+
+    from eventsourcing_spark.pipeline.media_codecs import decode_avi, encode_avi
+
+    enc = bytearray(encode_avi([bytes(12)], 2, 2, 10))
+    strf_at = enc.index(b"strf") + 8
+    # biCompression lives 16 bytes into BITMAPINFOHEADER
+    enc[strf_at + 16 : strf_at + 20] = _struct.pack("<I", 0x44495658)  # 'XVID'
+    with pytest.raises(ValueError, match="unsupported AVI compression"):
+        decode_avi(bytes(enc))
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")

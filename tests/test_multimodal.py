@@ -103,3 +103,20 @@ def test_media_stats(media):
     rows = {r.kind: r for r in media_stats(media).collect()}
     assert rows["video"].avg_duration_ms > 0
     assert rows["image"].total_bytes > 0
+
+
+def test_sample_frames_real_avi(spark):
+    """Frame sampling over a REAL AVI: the emitted frames are the
+    container's actual demuxed payloads at the sampled timestamps."""
+    from eventsourcing_spark.pipeline.media_codecs import encode_avi
+
+    w, h, fps = 4, 3, 2  # 2 fps → one frame every 500ms
+    frames = [bytes([k] * (w * h * 3)) for k in range(6)]  # 3 s of video
+    df = spark.createDataFrame(
+        [(9, "video", encode_avi(frames, w, h, fps), None)],
+        synth_media(spark, 1).schema,
+    )
+    out = sample_frames(df, every_ms=1000).orderBy("frame_idx").collect()
+    assert [r.ts_ms for r in out] == [0, 1000, 2000]
+    # ts 0 → frame 0, ts 1000 → frame 2, ts 2000 → frame 4
+    assert [bytes(r.frame)[0] for r in out] == [0, 2, 4]
