@@ -68,6 +68,11 @@ STRESS_QUERIES = (
     "emb_random_projection",
     "kmeans_clusters",
     "pagerank_neardup",
+    "link_prediction_ra",
+    "graph_kcore",
+    "bpe_learn_merges",
+    "media_avi_demux_stats",
+    "corpus_fingerprint",
     # event-analytics family over the replicated events table
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
