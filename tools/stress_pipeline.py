@@ -29,20 +29,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import eventsourcing_spark.pipeline.curation  # noqa: F401
-import eventsourcing_spark.pipeline.mixing  # noqa: F401
-import eventsourcing_spark.pipeline.queries  # noqa: F401
-import eventsourcing_spark.pipeline.similarity  # noqa: F401
-import eventsourcing_spark.pipeline.clustering  # noqa: F401
-import eventsourcing_spark.pipeline.graph  # noqa: F401
-import eventsourcing_spark.pipeline.retrieval  # noqa: F401
-import eventsourcing_spark.analytics  # noqa: F401
-import eventsourcing_spark.sketches  # noqa: F401
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import load_table
 from eventsourcing_spark.pipeline import export
-from eventsourcing_spark.queries import SPARK_QUERIES
+from eventsourcing_spark.registry import SPARK_QUERIES  # imports every module
 from eventsourcing_spark.session import get_spark
 
 STRESS_QUERIES = (
