@@ -3669,3 +3669,128 @@ def rate_spike_hours(spark, sf_dir):
         F.col("trail_n").cast("long").alias("trail_n"),
         F.col("trail_hours").cast("long").alias("trail_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the privacy-hygiene check a pipeline runs before
+# releasing event data: treat (event_type, calendar day, value decile
+# bucket) as the quasi-identifier; any equivalence class with fewer than
+# K distinct users re-identifies its members. Reports, per class size
+# violation band, how many classes and users are exposed. Two keyed
+# aggregates over one scan — the audit costs one pass at any scale, and
+# the class table it inspects is the GROUP BY cardinality, not the data.
+# ---------------------------------------------------------------------------
+K_ANON = 5
+
+
+@query(
+    "k_anonymity_audit",
+    f"""
+    WITH qi AS (
+        SELECT event_type,
+               epoch_ms(ts) // 86400000 AS day,
+               -- floor() explicitly: DuckDB CAST(decimal AS BIGINT)
+               -- rounds, Spark's truncates
+               CAST(floor(coalesce(value, 0)) AS BIGINT) // 10 AS vbucket,
+               user_id
+        FROM events
+    ),
+    cls AS (
+        SELECT event_type, day, vbucket,
+               count(DISTINCT user_id) AS class_users,
+               count(*) AS class_rows
+        FROM qi GROUP BY event_type, day, vbucket
+    )
+    SELECT CAST(least(class_users, {K_ANON}) AS BIGINT) AS users_band,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_users) AS BIGINT) AS n_users_exposed,
+           CAST(sum(class_rows) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN least(class_users, {K_ANON}) < {K_ANON}
+                     THEN 1 ELSE 0 END AS BIGINT) AS violates_k
+    FROM cls
+    GROUP BY least(class_users, {K_ANON})
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        F.expr("cast(floor(coalesce(value, 0)) as bigint) div 10").alias("vbucket"),
+        "user_id",
+    )
+    cls = qi.groupBy("event_type", "day", "vbucket").agg(
+        F.countDistinct("user_id").alias("class_users"),
+        F.count("*").alias("class_rows"),
+    )
+    band = F.least(F.col("class_users"), F.lit(K_ANON))
+    return cls.groupBy(band.alias("users_band")).agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("class_users").cast("long").alias("n_users_exposed"),
+        F.sum("class_rows").cast("long").alias("n_rows"),
+    ).select(
+        F.col("users_band").cast("long").alias("users_band"),
+        "n_classes",
+        "n_users_exposed",
+        "n_rows",
+        F.when(F.col("users_band") < K_ANON, 1).otherwise(0)
+        .cast("long")
+        .alias("violates_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — k-anonymity's companion: a class can be large yet
+# still leak if everyone in it shares the sensitive attribute. QI =
+# (day, value bucket); sensitive = event_type; classes with fewer than
+# L distinct sensitive values are homogeneity-attack exposed.
+# ---------------------------------------------------------------------------
+L_DIV = 3
+
+
+@query(
+    "l_diversity_audit",
+    f"""
+    WITH qi AS (
+        SELECT epoch_ms(ts) // 86400000 AS day,
+               CAST(floor(coalesce(value, 0)) AS BIGINT) // 10 AS vbucket,
+               event_type
+        FROM events
+    ),
+    cls AS (
+        SELECT day, vbucket,
+               count(DISTINCT event_type) AS l_val,
+               count(*) AS class_rows
+        FROM qi GROUP BY day, vbucket
+    )
+    SELECT CAST(least(l_val, {L_DIV}) AS BIGINT) AS l_band,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_rows) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN least(l_val, {L_DIV}) < {L_DIV}
+                     THEN 1 ELSE 0 END AS BIGINT) AS violates_l
+    FROM cls GROUP BY least(l_val, {L_DIV})
+    """,
+)
+def l_diversity_audit(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        F.expr("cast(floor(coalesce(value, 0)) as bigint) div 10").alias("vbucket"),
+        "event_type",
+    )
+    cls = qi.groupBy("day", "vbucket").agg(
+        F.countDistinct("event_type").alias("l_val"),
+        F.count("*").alias("class_rows"),
+    )
+    band = F.least(F.col("l_val"), F.lit(L_DIV))
+    return cls.groupBy(band.alias("l_band")).agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("class_rows").cast("long").alias("n_rows"),
+    ).select(
+        F.col("l_band").cast("long").alias("l_band"),
+        "n_classes",
+        "n_rows",
+        F.when(F.col("l_band") < L_DIV, 1).otherwise(0)
+        .cast("long")
+        .alias("violates_l"),
+    )
