@@ -1559,3 +1559,61 @@ def state_as_of_day(spark, sf_dir):
         F.count("*").cast("long").alias("n_events"),
         F.sum(delta).cast("double").alias("balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew profiler — the measurement that decides whether a keyed
+# shuffle needs salting/AQE skew handling BEFORE the job runs: per join
+# key family, the frequency distribution's shape in integer-exact form.
+# skew_ppm = max key share; top1_vs_mean = how many average keys the
+# hottest key weighs (the "last reducer" multiplier — a salted rewrite
+# like skew_salted_fold pays off roughly when this exceeds the per-task
+# row budget). One aggregate over one scan per key family; the profile
+# table is O(distinct keys) and the output O(families).
+# ---------------------------------------------------------------------------
+@query(
+    "join_skew_profile",
+    """
+    WITH fams AS (
+        SELECT 'user_id' AS fam, CAST(user_id AS VARCHAR) AS k FROM events
+        UNION ALL
+        SELECT 'event_type', event_type FROM events
+        UNION ALL
+        SELECT 'user_day', CAST(user_id AS VARCHAR) || '@'
+               || CAST(epoch_ms(ts) // 86400000 AS VARCHAR) FROM events
+    ),
+    freq AS (SELECT fam, k, count(*) AS c FROM fams GROUP BY fam, k)
+    SELECT fam,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           CAST((1000000 * max(c)) // sum(c) AS BIGINT) AS skew_ppm,
+           CAST((max(c) * count(*)) // sum(c) AS BIGINT) AS top1_vs_mean
+    FROM freq GROUP BY fam
+    """,
+)
+def join_skew_profile(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    fams = (
+        ev.select(F.lit("user_id").alias("fam"),
+                  F.col("user_id").cast("string").alias("k"))
+        .unionAll(ev.select(F.lit("event_type"), F.col("event_type")))
+        .unionAll(
+            ev.select(
+                F.lit("user_day"),
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("@"),
+                    F.expr("cast(unix_millis(ts) div 86400000 as string)"),
+                ),
+            )
+        )
+    )
+    freq = fams.groupBy("fam", "k").agg(F.count("*").alias("c"))
+    return freq.groupBy("fam").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.expr("(1000000 * max(c)) div sum(c)").cast("long").alias("skew_ppm"),
+        F.expr("(max(c) * count(*)) div sum(c)").cast("long").alias("top1_vs_mean"),
+    )
