@@ -11,13 +11,8 @@ from __future__ import annotations
 
 import pytest
 
-import eventsourcing_spark.pipeline.curation  # noqa: F401
-import eventsourcing_spark.pipeline.mixing  # noqa: F401
-import eventsourcing_spark.pipeline.queries  # noqa: F401
-import eventsourcing_spark.pipeline.similarity  # noqa: F401
-import eventsourcing_spark.tpch  # noqa: F401
 from eventsourcing_spark.plans import count_nodes, formatted_plan as plan_of
-from eventsourcing_spark.queries import SPARK_QUERIES
+from eventsourcing_spark.registry import SPARK_QUERIES  # imports every module
 
 
 @pytest.fixture(scope="module")
@@ -280,3 +275,35 @@ def test_nation_share_sums_to_region(spark):
         assert sum(r["share_in_region_ppm"] for r in rs) >= 1_000_000 - len(rs)
         ranks = sorted(r["rank_in_region"] for r in rs)
         assert ranks == list(range(1, len(rs) + 1))
+
+
+def test_corpus_fingerprint_single_pass(plans):
+    # integrity check must cost one scan + one keyed exchange at 100 TB
+    p = plans["corpus_fingerprint"]
+    assert count_nodes(p, "Exchange") == 1
+    assert count_nodes(p, "Scan parquet") == 1
+    assert count_nodes(p, "HashAggregate") >= 2  # map-side partials
+
+
+def test_privacy_audits_two_keyed_exchanges(plans):
+    # QI-class aggregate + band rollup: exactly two exchanges, one scan
+    for name in ("k_anonymity_audit", "l_diversity_audit"):
+        p = plans[name]
+        assert count_nodes(p, "Scan parquet") == 1, name
+        assert count_nodes(p, "Exchange") <= 3, name  # distinct adds one
+
+
+def test_skew_profile_prunes_columns(plans):
+    # the profiler reads only user_id/event_type/ts — never value/props
+    p = plans["join_skew_profile"]
+    rs = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert rs
+    assert all("props" not in l and "value" not in l for l in rs)
+
+
+def test_sized_lsh_broadcasts_the_modulus(plans):
+    # band modulus arrives as a broadcast 1-row side, not a literal —
+    # no data-dependent codegen, no eager plan-build job
+    p = plans["ann_lsh_buckets"]
+    assert count_nodes(p, "BroadcastExchange") >= 1
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
