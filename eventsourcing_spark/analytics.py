@@ -3794,3 +3794,95 @@ def l_diversity_audit(spark, sf_dir):
         .cast("long")
         .alias("violates_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit — the third privacy check: a class can be large
+# (k-anonymous) and varied (l-diverse) yet still leak if its sensitive
+# distribution DIFFERS sharply from the global one. Distance is total
+# variation in ppm (the integer-exact half-L1 the drift monitors use):
+# per QI class, max over event types of |class share − global share|.
+# Shape: two grouped aggregates + a broadcast join of the O(types)
+# global table — one scan at any scale.
+# ---------------------------------------------------------------------------
+T_CLOSE_PPM = 300_000  # flag classes drifting > 0.3 from the global mix
+
+
+@query(
+    "t_closeness_audit",
+    f"""
+    WITH qi AS (
+        SELECT epoch_ms(ts) // 86400000 AS day,
+               CAST(floor(coalesce(value, 0)) AS BIGINT) // 10 AS vbucket,
+               event_type
+        FROM events
+    ),
+    cls AS (
+        SELECT day, vbucket, event_type, count(*) AS n
+        FROM qi GROUP BY day, vbucket, event_type
+    ),
+    cls_tot AS (
+        SELECT day, vbucket, sum(n) AS class_n FROM cls GROUP BY day, vbucket
+    ),
+    gshare AS (
+        SELECT event_type, count(*) AS g FROM qi GROUP BY event_type
+    ),
+    glob_tot AS (SELECT sum(g) AS total FROM gshare),
+    dist AS (
+        SELECT c.day, c.vbucket,
+               max(abs(CAST((1000000 * c.n) // t.class_n AS BIGINT)
+                       - CAST((1000000 * gl.g) // gt.total AS BIGINT)))
+                 AS tv_ppm,
+               CAST(any_value(t.class_n) AS BIGINT) AS class_n
+        FROM cls c
+        JOIN cls_tot t ON t.day = c.day AND t.vbucket = c.vbucket
+        JOIN gshare gl ON gl.event_type = c.event_type
+        CROSS JOIN glob_tot gt
+        GROUP BY c.day, c.vbucket
+    )
+    SELECT CAST(CASE WHEN tv_ppm > {T_CLOSE_PPM} THEN 1 ELSE 0 END AS BIGINT)
+             AS violates_t,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_n) AS BIGINT) AS n_rows,
+           CAST(max(tv_ppm) AS BIGINT) AS max_tv_ppm
+    FROM dist
+    GROUP BY CASE WHEN tv_ppm > {T_CLOSE_PPM} THEN 1 ELSE 0 END
+    """,
+)
+def t_closeness_audit(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        F.expr("cast(floor(coalesce(value, 0)) as bigint) div 10").alias("vbucket"),
+        "event_type",
+    )
+    cls = qi.groupBy("day", "vbucket", "event_type").agg(F.count("*").alias("n"))
+    cls_tot = cls.groupBy("day", "vbucket").agg(F.sum("n").alias("class_n"))
+    glob = qi.groupBy("event_type").agg(F.count("*").alias("g"))
+    glob_tot = glob.agg(F.sum("g").alias("total"))
+    dist = (
+        cls.join(cls_tot, ["day", "vbucket"])
+        .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(glob_tot))
+        .groupBy("day", "vbucket")
+        .agg(
+            F.max(
+                F.abs(
+                    F.expr("(1000000 * n) div class_n").cast("long")
+                    - F.expr("(1000000 * g) div total").cast("long")
+                )
+            ).alias("tv_ppm"),
+            F.any_value("class_n").cast("long").alias("class_n"),
+        )
+    )
+    flag = F.when(F.col("tv_ppm") > T_CLOSE_PPM, 1).otherwise(0)
+    return dist.groupBy(flag.alias("violates_t")).agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("class_n").cast("long").alias("n_rows"),
+        F.max("tv_ppm").cast("long").alias("max_tv_ppm"),
+    ).select(
+        F.col("violates_t").cast("long").alias("violates_t"),
+        "n_classes",
+        "n_rows",
+        "max_tv_ppm",
+    )
