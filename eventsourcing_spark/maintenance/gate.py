@@ -466,3 +466,65 @@ def m3_projection_flush(spark, sf_dir):
         "aggregate_id", "balance", "last_version", "last_kind"
     )
     return out.localCheckpoint()
+
+
+SNAP_LAG_THRESHOLD = 3
+
+
+@query(
+    "m4_snapshot_freshness",
+    f"""
+    WITH uids AS ({_UIDS_SQL})
+    SELECT 'acc-' || CAST(uid AS VARCHAR) AS aggregate_id,
+           CAST(4 AS BIGINT) AS head_version,
+           CAST(CASE WHEN uid % 2 = 0 THEN 2 ELSE 0 END AS BIGINT)
+             AS snap_version,
+           CAST(CASE WHEN uid % 2 = 0 THEN 2 ELSE 4 END AS BIGINT)
+             AS lag_events,
+           CAST(CASE WHEN (CASE WHEN uid % 2 = 0 THEN 2 ELSE 4 END)
+                          >= {SNAP_LAG_THRESHOLD}
+                     THEN 1 ELSE 0 END AS BIGINT) AS needs_snapshot
+    FROM uids
+    """,
+)
+def m4_snapshot_freshness(spark, sf_dir):
+    """Snapshot-freshness audit (the ops view of M4's threshold rule,
+    eventstore.go:381-400): per stream, the gap between the head version
+    and the latest snapshot — the replay cost a cold rehydration pays.
+    Streams past SNAP_LAG_THRESHOLD are due a snapshot write. Exercises
+    the REAL save_snapshot write path and the latest-snapshot read
+    (max_by) joined against stream heads; a missing snapshot counts the
+    full history as lag."""
+    store = _build_fixture_store(spark, sf_dir, "m4")
+    # snapshot every even-uid stream at version 2 (the fixture's fold
+    # state after created+deposit), leaving odd streams snapshot-less
+    for uid in _fixture_uids(spark, sf_dir):
+        if uid % 2 == 0:
+            store.save_snapshot(
+                f"snap-{uid}",
+                f"acc-{uid}",
+                2,
+                "Account",
+                {"balance": (100 + uid % 50) + (20 + uid % 10)},
+                created_at=T0,
+            )
+    heads = store.events().groupBy("aggregate_id").agg(
+        F.max("aggregate_version").cast("long").alias("head_version")
+    )
+    snaps = store.snapshots().groupBy("aggregate_id").agg(
+        F.max("aggregate_version").cast("long").alias("snap_version")
+    )
+    out = heads.join(snaps, "aggregate_id", "left").select(
+        "aggregate_id",
+        "head_version",
+        F.coalesce("snap_version", F.lit(0)).cast("long").alias("snap_version"),
+        (F.col("head_version") - F.coalesce("snap_version", F.lit(0)))
+        .cast("long")
+        .alias("lag_events"),
+    ).withColumn(
+        "needs_snapshot",
+        F.when(F.col("lag_events") >= SNAP_LAG_THRESHOLD, 1)
+        .otherwise(0)
+        .cast("long"),
+    )
+    return out.localCheckpoint()
