@@ -528,3 +528,74 @@ def m4_snapshot_freshness(spark, sf_dir):
         .cast("long"),
     )
     return out.localCheckpoint()
+
+
+OUTBOX_DRAIN_LIMIT = 10
+
+
+@query(
+    "s6_outbox_lag_audit",
+    f"""
+    WITH uids AS ({_UIDS_SQL}),
+    ranked AS (
+        SELECT uid, row_number() OVER (ORDER BY uid) - 1 AS r FROM uids
+    )
+    SELECT 'acc-' || CAST(uid AS VARCHAR) AS aggregate_id,
+           CAST(greatest(0, least(4, 4 * r + 4 - {OUTBOX_DRAIN_LIMIT}))
+             AS BIGINT) AS n_pending,
+           CAST(CASE WHEN 4 * r + 4 - {OUTBOX_DRAIN_LIMIT} <= 0 THEN 0
+                     ELSE greatest({OUTBOX_DRAIN_LIMIT} - 4 * r, 0) + 1
+                END AS BIGINT) AS first_pending_version
+    FROM ranked
+    """,
+)
+def s6_outbox_lag_audit(spark, sf_dir):
+    """Outbox backlog audit through the REAL poller (S6/S7/S13 + J1):
+    every fixture event is enqueued, one poll batch drains in id order,
+    and the audit reports each stream's remaining depth and the version
+    the next drain resumes from — the forwarding-lag dashboard an
+    operator watches. Streams are appended at distinct timestamps so the
+    global ULID order (and therefore the drained prefix) is
+    deterministic."""
+    from datetime import timedelta
+
+    from eventsourcing_spark.store.outbox import Outbox, poll_once
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"es_gate_ob_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    store = EventStore(spark, base)
+    uids = _fixture_uids(spark, sf_dir)
+    for r, uid in enumerate(sorted(uids)):
+        store.append(
+            f"acc-{uid}",
+            "Account",
+            _stream_events(uid),
+            expected_version=0,
+            created_at=T0 + timedelta(seconds=r),
+        )
+    outbox = Outbox(spark, base)
+    outbox.insert([row.id for row in store.events().orderBy("id").collect()])
+    poll_once(store, outbox, sink=lambda batch: None, limit=OUTBOX_DRAIN_LIMIT)
+
+    ev = store.events().select("aggregate_id", "aggregate_version", "id")
+    pending = outbox.pending_ids()
+    joined = ev.join(pending, "id", "left_semi")
+    lag = joined.groupBy("aggregate_id").agg(
+        F.count("*").cast("long").alias("n_pending"),
+        F.min("aggregate_version").cast("long").alias("first_pending_version"),
+    )
+    out = (
+        ev.select("aggregate_id")
+        .distinct()
+        .join(lag, "aggregate_id", "left")
+        .select(
+            "aggregate_id",
+            F.coalesce("n_pending", F.lit(0)).cast("long").alias("n_pending"),
+            F.coalesce("first_pending_version", F.lit(0))
+            .cast("long")
+            .alias("first_pending_version"),
+        )
+    )
+    return out.localCheckpoint()
