@@ -1098,3 +1098,80 @@ def hashed_doc_embedding(spark, sf_dir):
     return dims.groupBy("doc_id", F.col("dim").cast("long").alias("dim")).agg(
         F.sum("s").cast("long").alias("val")
     )
+
+
+# ---------------------------------------------------------------------------
+# RM3-style pseudo-relevance feedback — query expansion from the top-k
+# retrieved documents (Lavrenko & Croft relevance models, the classic
+# two-pass IR trick): rank by query-term frequency, take the FB_DOCS
+# best, and surface the terms that dominate them as expansion
+# candidates. Integer end to end (tf counts, rank tiebreaks on ids/
+# tokens). Scale shape: pass 1 is the inverted-index probe (explode →
+# filter to the term set map-side → groupBy doc); pass 2 re-tokenizes
+# ONLY the feedback docs (a broadcast semi-join keeps the corpus scan's
+# output pruned to FB_DOCS rows before the explode).
+# ---------------------------------------------------------------------------
+FB_DOCS = 5
+FB_TERMS = 10
+
+
+@query(
+    "rm3_query_expansion",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, count(*) AS qtf FROM toks
+        WHERE list_contains({_TERMS_SQL}, w)
+        GROUP BY doc_id
+    ),
+    fb AS (
+        SELECT doc_id FROM scored
+        ORDER BY qtf DESC, doc_id LIMIT {FB_DOCS}
+    ),
+    fb_toks AS (
+        SELECT t.doc_id, t.w FROM toks t JOIN fb USING (doc_id)
+        WHERE NOT list_contains({_TERMS_SQL}, t.w) AND len(t.w) >= 3
+    ),
+    cand AS (
+        SELECT w AS token,
+               count(*) AS tf_feedback,
+               count(DISTINCT doc_id) AS df_feedback
+        FROM fb_toks GROUP BY w
+    )
+    SELECT token, CAST(tf_feedback AS BIGINT) AS tf_feedback,
+           CAST(df_feedback AS BIGINT) AS df_feedback,
+           CAST(row_number() OVER (ORDER BY tf_feedback DESC, token)
+             AS BIGINT) AS rank
+    FROM cand
+    QUALIFY rank <= {FB_TERMS}
+    """,
+)
+def rm3_query_expansion(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    scored = (
+        toks.filter(F.col("w").isin(QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("qtf"))
+    )
+    fb = scored.orderBy(F.desc("qtf"), "doc_id").limit(FB_DOCS).select("doc_id")
+    fb_toks = (
+        toks.join(F.broadcast(fb), "doc_id", "left_semi")
+        .filter(~F.col("w").isin(QUERY_TERMS) & (F.length("w") >= 3))
+    )
+    cand = fb_toks.groupBy(F.col("w").alias("token")).agg(
+        F.count("*").cast("long").alias("tf_feedback"),
+        F.countDistinct("doc_id").cast("long").alias("df_feedback"),
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.desc("tf_feedback"), F.asc("token"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= FB_TERMS)
+    )
