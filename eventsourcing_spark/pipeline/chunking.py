@@ -660,3 +660,110 @@ def cdc_chunk_boundaries(spark, sf_dir):
         .cast("long")
         .alias("avg_chunk_len_x100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup — the storage-system trick (restic/borg/LBFS)
+# applied to corpora: cut every document at the content-defined
+# boundaries above, hash each chunk, and measure per-source how much
+# text is DUPLICATE CHUNKS — the partial-overlap duplication that
+# whole-document dedup (exact or near-dup) cannot see (e.g. a boiler-
+# plate header pasted into thousands of otherwise-unique pages).
+# chars_dedupable is exactly the bytes a chunk-store would not store
+# twice. One chunk-emitting pass (map-side), one keyed aggregate on
+# (source, chunk hash), one source rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_chunk_dedup",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, text, length(text) AS n
+        FROM documents WHERE length(text) >= {CDC_W}
+    ),
+    cutp AS (
+        SELECT doc_id, source, text, n,
+               [0] || list_transform(
+                   list_filter(range(1, n - {CDC_W} + 2),
+                       i -> CAST('0x' || substr(md5(substr(text,
+                                CAST(i AS INTEGER), {CDC_W})), 1, 8) AS BIGINT)
+                            % {CDC_MOD} = 0),
+                   i -> i + {CDC_W} - 1) || [n] AS pos
+        FROM t
+    ),
+    chunks AS (
+        SELECT source,
+               md5(substr(text, CAST(pos[j] + 1 AS INTEGER),
+                          CAST(pos[j + 1] - pos[j] AS INTEGER))) AS ch,
+               pos[j + 1] - pos[j] AS clen
+        FROM cutp, unnest(range(1, len(pos))) u(j)
+        WHERE pos[j + 1] > pos[j]
+    ),
+    per_hash AS (
+        SELECT source, ch, count(*) AS cnt, any_value(clen) AS clen
+        FROM chunks GROUP BY source, ch
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(cnt * clen) AS BIGINT) AS chars_total,
+           CAST(sum(cnt * clen) - sum(clen) AS BIGINT) AS chars_dedupable,
+           CAST((1000000 * (sum(cnt * clen) - sum(clen)))
+                // sum(cnt * clen) AS BIGINT) AS dedup_ppm
+    FROM per_hash GROUP BY source
+    """,
+)
+def cdc_chunk_dedup(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def chunks(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                s = str(text or "")
+                n = len(s)
+                if n < CDC_W:
+                    continue
+                cuts = [0]
+                for i in range(n - CDC_W + 1):
+                    h = int(
+                        hashlib.md5(s[i : i + CDC_W].encode()).hexdigest()[:8],
+                        16,
+                    )
+                    if h % CDC_MOD == 0:
+                        cuts.append(i + CDC_W)
+                cuts.append(n)
+                for a, b in zip(cuts, cuts[1:]):
+                    if b > a:
+                        out.append(
+                            (source,
+                             hashlib.md5(s[a:b].encode()).hexdigest(),
+                             b - a)
+                        )
+            yield pd.DataFrame(out, columns=["source", "ch", "clen"])
+
+    ck = docs.select("doc_id", "source", "text").mapInPandas(
+        chunks, "source string, ch string, clen long"
+    )
+    per_hash = ck.groupBy("source", "ch").agg(
+        F.count("*").alias("cnt"), F.any_value("clen").alias("clen")
+    )
+    return per_hash.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct_chunks"),
+        F.sum(F.col("cnt") * F.col("clen")).cast("long").alias("chars_total"),
+        (F.sum(F.col("cnt") * F.col("clen")) - F.sum("clen"))
+        .cast("long")
+        .alias("chars_dedupable"),
+        F.expr(
+            "cast((1000000 * (sum(cnt * clen) - sum(clen)))"
+            " div sum(cnt * clen) as bigint)"
+        ).alias("dedup_ppm"),
+    )
