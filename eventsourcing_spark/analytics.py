@@ -3689,9 +3689,10 @@ K_ANON = 5
     WITH qi AS (
         SELECT event_type,
                epoch_ms(ts) // 86400000 AS day,
-               -- floor() explicitly: DuckDB CAST(decimal AS BIGINT)
-               -- rounds, Spark's truncates
-               CAST(floor(coalesce(value, 0)) AS BIGINT) // 10 AS vbucket,
+               -- floor of the QUOTIENT in both engines: DuckDB '//' floors
+               -- but Spark 'div' truncates toward zero — they
+               -- diverge on negative values (-15 -> -2 vs -1)
+               CAST(floor(coalesce(value, 0) / 10) AS BIGINT) AS vbucket,
                user_id
         FROM events
     ),
@@ -3716,7 +3717,7 @@ def k_anonymity_audit(spark, sf_dir):
     qi = ev.select(
         "event_type",
         F.expr("unix_millis(ts) div 86400000").alias("day"),
-        F.expr("cast(floor(coalesce(value, 0)) as bigint) div 10").alias("vbucket"),
+        F.expr("cast(floor(coalesce(value, 0) / 10) as bigint)").alias("vbucket"),
         "user_id",
     )
     cls = qi.groupBy("event_type", "day", "vbucket").agg(
@@ -3753,7 +3754,10 @@ L_DIV = 3
     f"""
     WITH qi AS (
         SELECT epoch_ms(ts) // 86400000 AS day,
-               CAST(floor(coalesce(value, 0)) AS BIGINT) // 10 AS vbucket,
+               -- floor of the QUOTIENT in both engines: DuckDB '//' floors
+               -- but Spark 'div' truncates toward zero — they
+               -- diverge on negative values (-15 -> -2 vs -1)
+               CAST(floor(coalesce(value, 0) / 10) AS BIGINT) AS vbucket,
                event_type
         FROM events
     ),
@@ -3775,7 +3779,7 @@ def l_diversity_audit(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     qi = ev.select(
         F.expr("unix_millis(ts) div 86400000").alias("day"),
-        F.expr("cast(floor(coalesce(value, 0)) as bigint) div 10").alias("vbucket"),
+        F.expr("cast(floor(coalesce(value, 0) / 10) as bigint)").alias("vbucket"),
         "event_type",
     )
     cls = qi.groupBy("day", "vbucket").agg(
@@ -3813,7 +3817,10 @@ T_CLOSE_PPM = 300_000  # flag classes drifting > 0.3 from the global mix
     f"""
     WITH qi AS (
         SELECT epoch_ms(ts) // 86400000 AS day,
-               CAST(floor(coalesce(value, 0)) AS BIGINT) // 10 AS vbucket,
+               -- floor of the QUOTIENT in both engines: DuckDB '//' floors
+               -- but Spark 'div' truncates toward zero — they
+               -- diverge on negative values (-15 -> -2 vs -1)
+               CAST(floor(coalesce(value, 0) / 10) AS BIGINT) AS vbucket,
                event_type
         FROM events
     ),
@@ -3853,7 +3860,7 @@ def t_closeness_audit(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     qi = ev.select(
         F.expr("unix_millis(ts) div 86400000").alias("day"),
-        F.expr("cast(floor(coalesce(value, 0)) as bigint) div 10").alias("vbucket"),
+        F.expr("cast(floor(coalesce(value, 0) / 10) as bigint)").alias("vbucket"),
         "event_type",
     )
     cls = qi.groupBy("day", "vbucket", "event_type").agg(F.count("*").alias("n"))

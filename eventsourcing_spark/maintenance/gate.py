@@ -24,6 +24,7 @@ omits ids (their ordering is asserted by the pytest golden instead).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -76,9 +77,10 @@ def _disc(uid: int) -> dict[str, str]:
 
 
 def _build_fixture_store(spark, sf_dir: str, tag: str) -> EventStore:
-    base = os.path.join(
-        tempfile.gettempdir(), f"es_gate_{tag}_{abs(hash(sf_dir)) % 10**8}"
-    )
+    # stable digest, NOT hash(): PYTHONHASHSEED randomizes str hashes per
+    # process, which would name a fresh dir every run and strand the old ones
+    sf_key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"es_gate_{tag}_{sf_key}")
     shutil.rmtree(base, ignore_errors=True)
     store = EventStore(spark, base)
     for uid in _fixture_uids(spark, sf_dir):

@@ -80,12 +80,19 @@ def migrate_in_place(
     # handler) pickles by module reference and dies on the executor
     # with ModuleNotFoundError. IDs are therefore encoded inline:
     # time prefix = base32(ms of `now`) > every pre-migration id,
-    # entropy = base32(hash·2³² + seq) — strictly increasing within the
-    # stream, unique across streams, and deterministic.
+    # entropy = base32(md5₆₀(aggregate_id)·2²⁰ + seq) — strictly
+    # increasing within the stream, deterministic, and collision-
+    # resistant across streams: the reference's 80-bit random ULID
+    # entropy (eventid/eventid.go) is replaced by a 60-bit digest of
+    # the FULL aggregate_id (not its 31-bit FNV hash, whose birthday
+    # bound collides at ~54k streams) plus a 20-bit-aligned sequence;
+    # cross-stream collision needs a 60-bit md5 collision AND equal
+    # seq (~0.4% at 10⁸ streams per migration batch).
     ms_now = int(now.timestamp() * 1000)
     out_columns = [f.name for f in EVENT_SCHEMA.fields]
 
     def transform(pdf):
+        import hashlib as _hashlib
         import json as _json
 
         import pandas as pd
@@ -105,12 +112,16 @@ def migrate_in_place(
         disc = dict(pdf.iloc[0].discriminator or {})
         version = int(pdf.aggregate_version.max())
 
+        # 60-bit collision-resistant stream digest (NOT the 31-bit FNV
+        # partition hash); `+ seq` (plain addition, not OR) keeps ids
+        # unique and monotonic within a stream even past 2^20 events.
+        digest = int(_hashlib.md5(str(agg_id).encode()).hexdigest()[:15], 16)
         seq = 0
 
         def new_id():
             nonlocal seq
             seq += 1
-            return enc(ms_now, 10) + enc((hash_ << 32) | seq, 16)
+            return enc(ms_now, 10) + enc((digest << 20) + seq, 16)
 
         rows = []
         # guard event — blocks concurrent writers via the version-unique

@@ -59,15 +59,22 @@ def vacuum_migrated(store: EventStore, keep_revisions: int = 0) -> dict:
         }
 
     tmp = f"{events_dir}.vacuum-{uuid.uuid4().hex[:8]}"
-    kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    new = store.spark.read.parquet(tmp)
-    n_new, fp_new = _fingerprint(new)
-    if (n_new, fp_new) != (n_keep, fp_keep):
+    try:
+        kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        # explicit schema: an all-dropped rewrite (n_keep == 0) leaves a
+        # partitioned dir with no parquet files, where schema INFERENCE
+        # would throw — the same explicit-schema read events_raw() uses
+        new = store.spark.read.schema(kept.schema).parquet(tmp)
+        n_new, fp_new = _fingerprint(new)
+        if (n_new, fp_new) != (n_keep, fp_keep):
+            raise RuntimeError(
+                f"vacuum verification failed: kept rows {n_keep}->{n_new}, "
+                f"fingerprint {fp_keep}->{fp_new}; store left untouched"
+            )
+    except BaseException:
+        # no tmp leak on ANY failure path (write error included)
         shutil.rmtree(tmp, ignore_errors=True)
-        raise RuntimeError(
-            f"vacuum verification failed: kept rows {n_keep}->{n_new}, "
-            f"fingerprint {fp_keep}->{fp_new}; store left untouched"
-        )
+        raise
     old = f"{events_dir}.old-{uuid.uuid4().hex[:8]}"
     os.rename(events_dir, old)
     os.rename(tmp, events_dir)

@@ -186,6 +186,76 @@ def test_migration_copy_replace_golden(spark, tmp_path):
     )
 
 
+def test_migration_ids_unique_across_fnv_colliding_streams(spark, tmp_path):
+    """Two streams whose aggregate_id FNV-31 hashes COLLIDE must still get
+    globally unique migration event ids — the reference guarantees this
+    via 80-bit random ULID entropy (eventid/eventid.go); here via a
+    60-bit md5 stream digest + seq. Regression for the (hash << 32) | seq
+    scheme, which emitted byte-identical ids for colliding streams."""
+    from eventsourcing_spark.functions.hashing import fnv1a_32_py
+
+    a, b = "acc-198824", "acc-568140"  # brute-forced FNV-31 collision
+    assert fnv1a_32_py(a) == fnv1a_32_py(b)
+
+    store = EventStore(spark, str(tmp_path / "col"), n_buckets=4)
+    for agg in (a, b):
+        store.append(
+            agg, "Account",
+            [(KIND_CREATED, {"money": 1, "owner": "X Y"}),
+             (KIND_DEPOSITED, {"money": 2})],
+            expected_version=0, created_at=T0,
+        )
+    n = migrate_in_place(
+        store, revision=1, aggregate_kind="Account",
+        target_kinds=(KIND_CREATED,), handler=migration_handler,
+        new_aggregate_kind="Account_V2", now=T1,
+    )
+    assert n == 2
+    new_rows = store.events_raw().filter(F.col("migration") == 0).collect()
+    ids = [r.id for r in new_rows]
+    assert len(ids) == len(set(ids)), "duplicate event ids across streams"
+    # ids still monotone in version within each stream
+    for agg in (a, b):
+        srows = sorted(
+            (r for r in new_rows if r.aggregate_id == agg),
+            key=lambda r: r.aggregate_version,
+        )
+        assert [r.id for r in srows] == sorted(r.id for r in srows)
+
+
+def test_vacuum_all_dropped_keeps_store_readable(spark, tmp_path):
+    """n_keep == 0 path: vacuuming a store whose every generation is
+    invalidated must not crash on read-back schema inference, must not
+    leak the tmp dir, and must leave an empty-but-readable store."""
+    import glob
+
+    from eventsourcing_spark.maintenance import vacuum_migrated
+
+    store = EventStore(spark, str(tmp_path / "vz"), n_buckets=4)
+    store.append(
+        "acc-z", "Account", [(KIND_CREATED, {"money": 1, "owner": "A B"})],
+        expected_version=0, created_at=T0,
+    )
+    # invalidate EVERY row by hand (simulates an aborted migration whose
+    # new generation was already vacuumed): migration=1 on all rows
+    raw = store.events_raw().withColumn("migration", F.lit(1)).withColumn(
+        "bucket", F.pmod(F.col("aggregate_id_hash"), F.lit(store.n_buckets))
+    )
+    from eventsourcing_spark.maintenance.rewrite import overwrite_dir
+    overwrite_dir(raw, store._events_dir, partition_by=["bucket"])
+
+    stats = vacuum_migrated(store)
+    assert stats["rows_after"] == 0 and stats["rows_dropped"] == 1
+    assert store.events_raw().count() == 0  # readable empty store
+    assert not glob.glob(str(tmp_path / "vz/events.vacuum-*"))  # no tmp leak
+    # still appendable after the wipe
+    store.append(
+        "acc-z2", "Account", [(KIND_CREATED, {"money": 2, "owner": "C"})],
+        expected_version=0, created_at=T1,
+    )
+    assert store.events().count() == 1
+
+
 def test_upcaster_chain_reads_old_bodies(spark):
     """X9 — upcasters let new readers consume pre-migration events
     (encoding/jsoncodec/codec.go:68-77)."""
