@@ -2293,8 +2293,16 @@ def attribution_first_last(spark, sf_dir):
 # RFM segmentation — the standard customer-value grid: per user,
 # Recency (days since last purchase vs corpus end), Frequency (purchase
 # count), Monetary (purchase cents), each scored into quartiles over a
-# deterministic total order, then the classic segment labels. One
-# per-user rollup + three ntile windows over the tiny |users| frame.
+# deterministic total order, then the classic segment labels.
+#
+# Scale shape: |users| grows with the corpus (the streams/users axis of
+# the 100 TB growth model), so three literal `ntile(4) OVER (ORDER BY …)`
+# windows would each funnel the whole per-user frame through one task.
+# Each quartile is instead an exact closed form of the DISTRIBUTED
+# global rank (operators/ranking.py): range-partition per dimension,
+# partition-local row_number + broadcast cumulative offsets, then
+# integer-div tile assignment — identical output, every exchange
+# key-partitioned.
 # ---------------------------------------------------------------------------
 
 
@@ -2358,17 +2366,24 @@ def rfm_segmentation(spark, sf_dir):
         "freq",
         "cents",
     )
-    wr = Window.orderBy("recency_days", "user_id")
-    wf = Window.orderBy(F.desc("freq"), F.asc("user_id"))
-    wm = Window.orderBy(F.desc("cents"), F.asc("user_id"))
-    s = m.select(
+    from eventsourcing_spark.operators.ranking import global_rank, ntile_expr
+
+    ranked = global_rank(m, "recency_days", "user_id", rank_col="r_rk")
+    ranked = global_rank(
+        ranked, F.desc("freq"), F.asc("user_id"), rank_col="f_rk"
+    )
+    ranked = global_rank(
+        ranked, F.desc("cents"), F.asc("user_id"), rank_col="m_rk"
+    )
+    totals = m.agg(F.count("*").alias("n_users"))
+    s = ranked.crossJoin(F.broadcast(totals)).select(
         "user_id",
         "recency_days",
         F.col("freq").cast("long").alias("freq"),
         "cents",
-        F.ntile(4).over(wr).cast("long").alias("r_score"),
-        F.ntile(4).over(wf).cast("long").alias("f_score"),
-        F.ntile(4).over(wm).cast("long").alias("m_score"),
+        ntile_expr("r_rk", "n_users", 4).cast("long").alias("r_score"),
+        ntile_expr("f_rk", "n_users", 4).cast("long").alias("f_score"),
+        ntile_expr("m_rk", "n_users", 4).cast("long").alias("m_score"),
     )
     segment = (
         F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")

@@ -1,0 +1,97 @@
+"""Distributed global ranking — zip-with-index and ntile without the
+single-partition window.
+
+``row_number() OVER (ORDER BY ...)`` and ``ntile(k) OVER (ORDER BY ...)``
+with no PARTITION BY are the canonical 100 TB scale-killers: Catalyst
+plans them as ``Exchange SinglePartition`` + a full sort on ONE task
+(the exact class ``plans.unpartitioned_windows`` flags). Both are
+nevertheless exactly computable distributed:
+
+* **global_rank** — range-partition by the sort key (every key in
+  partition p orders before partition p+1 by construction), stamp
+  partition ids, ``row_number`` WITHIN each partition, and add the
+  exclusive cumulative partition counts — a P-row aggregate frame
+  broadcast back. Spark's exchange reuse materializes the range shuffle
+  once for both consumers (counts + ranks), so the corpus is shuffled
+  exactly once and never concentrated.
+* **ntile_expr** — ``ntile(k)``'s group sizes are a closed form of the
+  global rank: the first ``n % k`` tiles take ``n div k + 1`` rows, the
+  rest ``n div k``; integer ``div`` arithmetic maps rank → tile with no
+  window at all.
+
+Together they replace the reference pattern
+``ntile(k) OVER (ORDER BY v, id)`` with a plan whose every exchange is
+key-partitioned. Used by rfm_segmentation and sorted_neighborhood_pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    *order_cols: Column | str,
+    rank_col: str = "rk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` plus ``rank_col`` = 1-based position in the total order of
+    ``order_cols`` (pass ``F.desc(...)`` for descending dimensions).
+
+    The order must be total (include a unique tiebreaker column) for the
+    rank to be deterministic. Adds one range exchange + one pid-hash
+    exchange; no stage sees more than one partition's rows.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__rank_pid", F.spark_partition_id()
+    )
+    offs = (
+        ranged.groupBy("__rank_pid")
+        .agg(F.count("*").alias("__pn"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__pn").over(
+                    # P-row frame: single-partition by design, bounded
+                    Window.orderBy("__rank_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__rank_pid", "__off")
+    )
+    return (
+        ranged.join(F.broadcast(offs), "__rank_pid")
+        .withColumn(
+            rank_col,
+            F.col("__off")
+            + F.row_number().over(
+                Window.partitionBy("__rank_pid").orderBy(*order_cols)
+            ),
+        )
+        .drop("__rank_pid", "__off")
+    )
+
+
+def ntile_expr(rank_col: str, total_col: str, k: int) -> Column:
+    """``ntile(k)`` of a precomputed global rank: exact integer closed
+    form of Spark/ANSI tile sizing (first ``n % k`` tiles get one extra
+    row). ``total_col`` is the row count (e.g. from a broadcast 1-row
+    stats frame); integer ``div`` throughout — float division would
+    round past 2^53."""
+    r, n = rank_col, total_col
+    return (
+        F.expr(
+            f"1 + CASE WHEN {r} <= ({n} % {k}) * ({n} div {k} + 1)"
+            f" THEN ({r} - 1) div ({n} div {k} + 1)"
+            f" ELSE ({n} % {k})"
+            f"  + ({r} - ({n} % {k}) * ({n} div {k} + 1) - 1)"
+            f"    div greatest({n} div {k}, 1) END"
+        )
+    ).cast("int")

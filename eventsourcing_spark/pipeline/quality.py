@@ -431,8 +431,18 @@ def skyline_quality_length(spark, sf_dir):
 # the distinct-token score), what fraction of documents are exact
 # duplicates? A strong correlation (template spam is both low-quality
 # and duplicated) justifies aggressive joint filtering; a flat curve
-# says the two filters prune different mass. Composes the quality and
-# dedup signal paths in one plan: two keyed aggregates + a window.
+# says the two filters prune different mass.
+#
+# Scale shape: a literal `ntile(10) OVER (ORDER BY q, doc_id)` would
+# funnel EVERY document through one task (Exchange SinglePartition +
+# global sort — the class plans.unpartitioned_windows flags). Instead
+# the global rank is decomposed exactly:
+#   rank(q, doc_id) = [# rows with smaller q]  +  [rank of doc_id within q]
+# The first term is a cumulative sum over the distinct-q histogram
+# (|distinct q| ≤ max tokens/doc — a bounded aggregate-fed frame), the
+# second a row_number PARTITIONED by q; ntile's closed-form group-size
+# formula then maps rank → decile. Same answer as the oracle's ntile,
+# zero corpus-sized single-partition stages.
 # ---------------------------------------------------------------------------
 @query(
     "quality_vs_dup_deciles",
@@ -463,8 +473,44 @@ def quality_vs_dup_deciles(spark, sf_dir):
         "doc_id", F.md5("text").alias("h"), _quality_cols().alias("q")
     )
     fam = q.groupBy("h").agg(F.count("*").alias("fam_n"))
-    dec = q.join(fam, "h").withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("q", "doc_id"))
+
+    # distinct-q histogram: counts + exclusive running total. The window
+    # here is single-partition BY DESIGN over |distinct q| rows — an
+    # aggregate-reduced frame the plan audit whitelists.
+    hist = q.groupBy("q").agg(F.count("*").alias("q_cnt"))
+    hist = hist.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("q_cnt").over(
+                Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    totals = q.agg(F.count("*").alias("n_total"))
+
+    ranked = (
+        q.join(fam, "h")
+        .join(F.broadcast(hist.select("q", "cum_before")), "q")
+        .withColumn(
+            "rk",
+            F.col("cum_before")
+            + F.row_number().over(Window.partitionBy("q").orderBy("doc_id")),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    # ntile(10) closed form: first (n % 10) groups get (n div 10 + 1)
+    # rows, the rest (n div 10); rank -> group id by size boundary.
+    # Integer `div` throughout — float division would round at 2^53.
+    dec = ranked.withColumn(
+        "decile",
+        F.expr(
+            "1 + CASE WHEN rk <= (n_total % 10) * (n_total div 10 + 1)"
+            " THEN (rk - 1) div (n_total div 10 + 1)"
+            " ELSE (n_total % 10)"
+            "  + (rk - (n_total % 10) * (n_total div 10 + 1) - 1)"
+            "    div greatest(n_total div 10, 1) END"
+        ).cast("int"),
     )
     return dec.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_docs"),

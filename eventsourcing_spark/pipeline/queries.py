@@ -2099,8 +2099,18 @@ def chi2_lang_terms(spark, sf_dir):
 # blocking key (here the first 24 chars of normalized text) and compare
 # only records within a sliding window of the sort order. Complements
 # the LSH candidate generator: SNM catches prefix-anchored near-dups
-# LSH's bag-of-tokens bands can miss. One global sort (range-partition
-# shuffle) + a lag window; candidate volume = (w−1)·n, never n².
+# LSH's bag-of-tokens bands can miss. Candidate volume = (w−1)·n, never n².
+#
+# Scale shape: the sort-order position is a DISTRIBUTED zip-with-index,
+# not a global row_number (which would funnel the corpus through one
+# task — the plans.unpartitioned_windows class): range-partition by the
+# blocking key, stamp partition ids, row_number WITHIN each partition,
+# then add the exclusive cumulative partition counts (a P-row aggregate
+# frame, broadcast back). Range partitioning guarantees every key in
+# partition p sorts before partition p+1, so offset + local rank IS the
+# global position; Spark's exchange reuse materializes the range shuffle
+# once for both consumers. Neighbor pairs across partition boundaries
+# need no special casing — the position self-join is key-hashed on pos.
 # ---------------------------------------------------------------------------
 SNM_WINDOW = 3  # compare each doc to the 2 previous docs in sort order
 
@@ -2144,8 +2154,11 @@ def sorted_neighborhood_pairs(spark, sf_dir):
         F.substring(F.lower("text"), 1, 24).alias("bkey"),
         toks.alias("ts"),
     )
-    w = Window.orderBy("bkey", "doc_id")
-    ordered = keyed.withColumn("pos", F.row_number().over(w))
+    from eventsourcing_spark.operators.ranking import global_rank
+
+    ordered = global_rank(keyed, "bkey", "doc_id", rank_col="pos").withColumn(
+        "pos", F.col("pos").cast("int")
+    )
     pairs = None
     for off in range(1, SNM_WINDOW):
         nxt = ordered.select(

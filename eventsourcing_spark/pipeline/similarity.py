@@ -9,9 +9,17 @@ so no floating-point boundary can flip between engines (all terms stay
 < 2^63 for 64-dim, |x|≤~30 inputs).
 
 Scale shape: near-dup and ANN candidate generation goes through LSH
-buckets (8 deterministic ±1 hyperplanes → 256 buckets); the quadratic
-verification join runs only within buckets. The hyperplanes are seeded
-literals shared verbatim between the Spark plan and the oracle SQL.
+buckets sized FROM THE DATA, never all-pairs: band/bucket bit-widths are
+computed at run time as ``band_bits = clamp(⌈log₂(n / target_occupancy)⌉,
+4..13)`` via exact integer arithmetic in a broadcast one-row sizing frame
+(``band_bits`` below), identically in the Spark plan and the
+DuckDB oracle — so bucket occupancy tracks corpus growth instead of
+collapsing (fixed 4-bit bands produced 0 surviving edges at 20×
+replication; sized bands 1.3 M cap-bounded ones, BASELINE.md §6). Bands
+slice a prefix of a 28-plane deterministic ±1 hyperplane pool whose
+seeded literals are shared verbatim between both engines; the quadratic
+verification join runs only within buckets, with an occupancy cap
+refusing quadratic blow-up on degenerate keys.
 """
 
 from __future__ import annotations

@@ -82,14 +82,143 @@ def plan_stats(df_or_plan: DataFrame | str) -> dict:
     return stats
 
 
-def audit(df: DataFrame, *, max_exchanges: int | None = None) -> list[str]:
+# nodes that merely reshape/pass rows through — transparent when walking
+# the plan tree to find what actually feeds or consumes an exchange
+_PASS_THROUGH = {
+    "Sort",
+    "Project",
+    "Filter",
+    "ColumnarToRow",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "AQEShuffleRead",
+    "Coalesce",
+}
+
+# producers that bound the row count entering a single-partition exchange:
+# aggregate outputs (|distinct keys| rows), top-k/limit rewrites, and
+# driver-local literal frames. A Window fed this way is NOT corpus-sized.
+_BOUNDED_PRODUCERS = {
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+    "LocalTableScan",
+    "ReusedExchange",
+    "Subquery",
+}
+
+
+def _parse_tree(plan: str) -> dict[int, dict]:
+    """Parse the tree section of ``explain("formatted")`` into
+    ``{node_id: {name, parent, children}}`` using indentation depth."""
+    nodes: dict[int, dict] = {}
+    stack: list[tuple[int, int]] = []  # (indent, node_id)
+    line_re = re.compile(r"^(?P<prefix>[\s+:*-]*)(?P<name>[A-Za-z][\w .]*?)\s*\((?P<id>\d+)\)")
+    for line in plan.splitlines():
+        if re.match(r"^\(\d+\) ", line):
+            break  # entering the numbered detail section
+        m = line_re.match(line)
+        if not m:
+            continue
+        indent = len(m.group("prefix"))
+        nid = int(m.group("id"))
+        name = m.group("name").split()[0]  # "Scan parquet ..." -> "Scan"
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        parent = stack[-1][1] if stack else None
+        nodes[nid] = {"name": name, "parent": parent, "children": []}
+        if parent is not None:
+            nodes[parent]["children"].append(nid)
+        stack.append((indent, nid))
+    return nodes
+
+
+def _single_partition_exchanges(plan: str) -> list[int]:
+    """Node ids of ``Exchange`` operators with ``SinglePartition``
+    distribution, read from the numbered detail section."""
+    ids = []
+    for m in re.finditer(
+        r"\((\d+)\) Exchange[^\n]*\n(?:(?!\(\d+\) )[^\n]*\n)*?Arguments: ([^\n]*)",
+        plan,
+    ):
+        if "SinglePartition" in m.group(2):
+            ids.append(int(m.group(1)))
+    return ids
+
+
+def _walk(nodes: dict[int, dict], nid: int, direction: str) -> str | None:
+    """First non-pass-through node name above (``up``) or below
+    (``down``) ``nid``, treating single-child chains as transparent."""
+    cur = nid
+    while True:
+        if direction == "up":
+            cur = nodes[cur]["parent"]
+            if cur is None:
+                return None
+        else:
+            kids = nodes[cur]["children"]
+            if len(kids) != 1:
+                return None if not kids else "_fanin_"
+            cur = kids[0]
+        name = nodes[cur]["name"]
+        if name not in _PASS_THROUGH:
+            return name
+
+
+def unpartitioned_windows(df_or_plan: DataFrame | str) -> list[str]:
+    """Corpus-sized single-partition window/sort stages — the class of
+    plan that runs an entire table through ONE task at 100 TB.
+
+    Flags every ``Exchange SinglePartition`` whose consumer (walking up
+    through Sort/Project/... pass-throughs) is a ``Window`` and whose
+    producer (walking down) is NOT cardinality-bounded (aggregate
+    output, top-k/limit rewrite, or driver-local literal frame). The
+    benign shapes — scalar aggregates, distinct-value histograms,
+    ``TakeOrderedAndProject``-fed top-k windows — all pass.
+    """
+    plan = (
+        df_or_plan if isinstance(df_or_plan, str) else formatted_plan(df_or_plan)
+    )
+    nodes = _parse_tree(plan)
+    flags = []
+    for xid in _single_partition_exchanges(plan):
+        if xid not in nodes:
+            continue
+        consumer = _walk(nodes, xid, "up")
+        if consumer != "Window":
+            continue
+        producer = _walk(nodes, xid, "down")
+        if producer not in _BOUNDED_PRODUCERS:
+            flags.append(
+                f"Window over Exchange SinglePartition (node {xid}) fed by "
+                f"{producer or 'source'}: whole input sorts on ONE task at "
+                "scale — partition the window, rewrite via distinct-value "
+                "histogram boundaries, or bound the input with a top-k"
+            )
+    return flags
+
+
+def audit(
+    df: DataFrame,
+    *,
+    max_exchanges: int | None = None,
+    allow_global_window: bool = False,
+) -> list[str]:
     """Heuristic red flags for a plan headed to a large cluster.
 
     Returns human-readable warnings (empty list = clean):
-    cartesian products, row-at-a-time python in the hot path, and —
+    cartesian products, row-at-a-time python in the hot path,
+    corpus-sized single-partition windows (suppressed when the caller
+    documents a cardinality bound via ``allow_global_window``), and —
     when ``max_exchanges`` is given — too many shuffles.
     """
-    stats = plan_stats(df)
+    plan = formatted_plan(df)
+    stats = plan_stats(plan)
     warnings: list[str] = []
     if stats["CartesianProduct"]:
         warnings.append(
@@ -100,6 +229,8 @@ def audit(df: DataFrame, *, max_exchanges: int | None = None) -> list[str]:
             f"{stats['BatchEvalPython']} row-at-a-time python stage(s): "
             "use Arrow-batched pandas UDFs"
         )
+    if not allow_global_window:
+        warnings.extend(unpartitioned_windows(plan))
     if max_exchanges is not None and stats["Exchange"] > max_exchanges:
         warnings.append(
             f"{stats['Exchange']} exchanges (budget {max_exchanges}): "

@@ -34,13 +34,19 @@ DEC = "decimal(18,2)"
 QueryFn = Callable[[SparkSession, str], DataFrame]
 SPARK_QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
+# queries whose plan contains a single-partition window that IS bounded:
+# name -> the written cardinality bound that justifies it. scale_audit
+# suppresses the unpartitioned-window flag for these and prints the bound.
+BOUNDED_WINDOW: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | None = None, bounded_window: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         SPARK_QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
+        if bounded_window is not None:
+            BOUNDED_WINDOW[name] = bounded_window
         return fn
 
     return deco
@@ -785,6 +791,62 @@ def value_percentiles(spark, sf_dir):
         F.percentile("value", 0.9).alias("p90"),
         F.percentile("value", 0.99).alias("p99"),
         F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact corpus-wide percentiles WITHOUT value buffering — the 100 TB
+# path. `percentile()` / `quantile_cont` buffer every value of a group
+# in executor memory (fine per-event_type above; fatal for one global
+# group at corpus scale). Here the exact discrete percentile is a
+# distributed global rank (operators/ranking.py: range shuffle +
+# partition-local row_number + broadcast offsets) followed by a
+# broadcast probe of the ceil(p·n) target ranks — no task ever holds
+# more than one partition of values, and the probe is a map-side join.
+# ---------------------------------------------------------------------------
+_PCT_PROBES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@query(
+    "global_value_percentiles_rank",
+    f"""
+    WITH s AS (
+        SELECT value, row_number() OVER (ORDER BY value, event_id) AS rk
+        FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT count(*) AS c FROM s),
+    probes AS (
+        SELECT * FROM (VALUES {", ".join(f"({p})" for p in _PCT_PROBES)}) t(p)
+    )
+    SELECT probes.p,
+           (SELECT s.value FROM s, n
+            WHERE s.rk = greatest(1, CAST(ceil(probes.p * n.c) AS BIGINT)))
+             AS pct_value,
+           (SELECT CAST(c AS BIGINT) FROM n) AS n
+    FROM probes
+    """,
+)
+def global_value_percentiles_rank(spark, sf_dir):
+    from eventsourcing_spark.operators.ranking import global_rank
+
+    vals = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("value", "event_id")
+    )
+    ranked = global_rank(vals, "value", "event_id")
+    n = vals.agg(F.count("*").alias("c"))
+    probes = (
+        spark.createDataFrame([(p,) for p in _PCT_PROBES], "p double")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p",
+            F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("c"))).alias("rk"),
+            F.col("c").cast("long").alias("n"),
+        )
+    )
+    return ranked.join(F.broadcast(probes), "rk").select(
+        "p", F.col("value").alias("pct_value"), "n"
     )
 
 

@@ -307,3 +307,96 @@ def test_sized_lsh_broadcasts_the_modulus(plans):
     p = plans["ann_lsh_buckets"]
     assert count_nodes(p, "BroadcastExchange") >= 1
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+# ---------------------------------------------------------------------------
+# unpartitioned-window flag (plans.unpartitioned_windows / audit) — the
+# standing gate for the corpus-sized single-partition window class
+# ---------------------------------------------------------------------------
+
+
+def test_audit_flags_injected_global_ntile(spark):
+    """A deliberately global ntile MUST trip the audit — the scale-killer
+    class the round-3 judge found sailing through a flagless audit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.plans import audit, unpartitioned_windows
+
+    df = spark.range(0, 500).withColumn("v", F.col("id") % 7)
+    bad = df.withColumn("dec", F.ntile(10).over(Window.orderBy("v", "id")))
+    assert unpartitioned_windows(bad), "global ntile not flagged"
+    assert any("SinglePartition" in w for w in audit(bad))
+    # the documented-bound escape hatch suppresses it
+    assert not any("SinglePartition" in w for w in audit(bad, allow_global_window=True))
+
+
+def test_audit_benign_window_shapes_pass(spark):
+    """Aggregate-fed, top-k-bounded, and key-partitioned windows are the
+    benign shapes — zero flags."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.plans import unpartitioned_windows
+
+    df = spark.range(0, 500).withColumn("v", F.col("id") % 7)
+    # distinct-value histogram: window over an aggregate-reduced frame
+    agg = df.groupBy("v").agg(F.count("*").alias("n"))
+    assert unpartitioned_windows(
+        agg.withColumn("rk", F.row_number().over(Window.orderBy("v")))
+    ) == []
+    # top-k rewrite: TakeOrderedAndProject bounds the frame
+    topk = df.orderBy(F.desc("v")).limit(5)
+    assert unpartitioned_windows(
+        topk.withColumn("rk", F.row_number().over(Window.orderBy("v")))
+    ) == []
+    # key-partitioned window: no SinglePartition exchange at all
+    assert unpartitioned_windows(
+        df.withColumn("rk", F.row_number().over(Window.partitionBy("v").orderBy("id")))
+    ) == []
+
+
+def test_rewritten_windows_have_no_corpus_single_partition(spark, sf_dir):
+    """The three round-3 scale-killers, after their rewrites: plans must
+    carry zero corpus-sized single-partition windows."""
+    from eventsourcing_spark.plans import unpartitioned_windows
+
+    for name in (
+        "quality_vs_dup_deciles",
+        "sorted_neighborhood_pairs",
+        "rfm_segmentation",
+    ):
+        df = SPARK_QUERIES[name](spark, sf_dir)
+        assert unpartitioned_windows(df) == [], name
+
+
+def test_global_rank_matches_window_row_number(spark):
+    """operators.ranking.global_rank == row_number() OVER (ORDER BY ...)
+    for asc and desc orders, and ntile_expr == ntile(k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.operators.ranking import global_rank, ntile_expr
+    from eventsourcing_spark.plans import unpartitioned_windows
+
+    df = spark.range(0, 997).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("v")
+    )
+    want = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy("v", "id"))
+    ).withColumn("t", F.ntile(7).over(Window.orderBy("v", "id")))
+    got = global_rank(df, "v", "id").crossJoin(
+        F.broadcast(df.agg(F.count("*").alias("n")))
+    ).withColumn("t", ntile_expr("rk", "n", 7))
+    w = {(r.id, r.rk, r.t) for r in want.collect()}
+    g = {(r.id, r.rk, r.t) for r in got.collect()}
+    assert w == g
+    assert unpartitioned_windows(global_rank(df, "v", "id")) == []
+
+    want_d = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("v"), F.asc("id")))
+    )
+    got_d = global_rank(df, F.desc("v"), F.asc("id"))
+    assert {(r.id, r.rk) for r in want_d.collect()} == {
+        (r.id, r.rk) for r in got_d.collect()
+    }

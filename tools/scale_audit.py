@@ -3,7 +3,10 @@
 Builds the physical plan of every registry query and prints
 its shuffle/scan/python-stage profile plus the heuristic red flags from
 ``eventsourcing_spark.plans.audit`` (cartesian products, row-at-a-time
-python). Exit code 1 if any query trips a flag — CI-able.
+python, corpus-sized single-partition windows). A query may declare a
+written cardinality bound via ``@query(..., bounded_window="...")`` to
+whitelist a provably small global window; the bound is printed alongside.
+Exit code 1 if any query trips a flag — CI-able.
 
 Usage:  python tools/scale_audit.py [sf_dir]
 """
@@ -16,6 +19,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from eventsourcing_spark.plans import audit, formatted_plan, plan_stats
+from eventsourcing_spark.queries import BOUNDED_WINDOW
 from eventsourcing_spark.registry import SPARK_QUERIES
 from eventsourcing_spark.session import get_spark
 
@@ -39,10 +43,12 @@ def main() -> int:
             s.get(k, 0)
             for k in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
         )
-        warnings = audit(df)
+        warnings = audit(df, allow_global_window=name in BOUNDED_WINDOW)
         if warnings:
             flagged += 1
         flags = "; ".join(warnings) if warnings else ""
+        if not flags and name in BOUNDED_WINDOW:
+            flags = f"[bounded window: {BOUNDED_WINDOW[name]}]"
         print(
             f"{name:40s} {s['Exchange']:4d} {s['scans']:4d} "
             f"{s['BroadcastHashJoin']:3d} {npy:3d}  {flags}"
