@@ -80,6 +80,11 @@ HEADLINE = [
     "cluster_rep_selection",
     "item_item_cosine",
     "link_prediction_ra",
+    # round 4: the distributed-rank rewrites + exact rank-probe percentiles
+    "quality_vs_dup_deciles",
+    "sorted_neighborhood_pairs",
+    "rfm_segmentation",
+    "global_value_percentiles_rank",
 ]
 
 

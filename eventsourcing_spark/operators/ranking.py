@@ -95,3 +95,68 @@ def ntile_expr(rank_col: str, total_col: str, k: int) -> Column:
             f"    div greatest({n} div {k}, 1) END"
         )
     ).cast("int")
+
+
+def global_rank_cumsum(
+    df: DataFrame,
+    value_col: str,
+    *order_cols: Column | str,
+    rank_col: str = "rk",
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` plus global rank AND inclusive prefix sum of ``value_col``
+    in the total order of ``order_cols`` — the distributed form of
+    ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
+
+    Same two-phase shape as :func:`global_rank`: range-partition, compute
+    the partition-local rank/cumsum, then add each partition's exclusive
+    predecessor totals from a broadcast P-row frame. Coverage curves,
+    Lorenz/Gini accumulations, and quantile boundary scans all reduce to
+    this without a single-partition window.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__rank_pid", F.spark_partition_id()
+    )
+    offs = (
+        ranged.groupBy("__rank_pid")
+        .agg(
+            F.count("*").alias("__pn"),
+            F.sum(value_col).alias("__pv"),
+        )
+        .select(
+            "__rank_pid",
+            F.coalesce(
+                F.sum("__pn").over(
+                    Window.orderBy("__rank_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__off"),
+            F.coalesce(
+                F.sum("__pv").over(
+                    Window.orderBy("__rank_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__voff"),
+        )
+    )
+    local = Window.partitionBy("__rank_pid").orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(offs), "__rank_pid")
+        .withColumn(rank_col, F.col("__off") + F.row_number().over(local))
+        .withColumn(
+            cum_col,
+            F.col("__voff")
+            + F.sum(value_col).over(
+                local.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .drop("__rank_pid", "__off", "__voff")
+    )

@@ -638,3 +638,102 @@ def pack_utilization_audit(spark, sf_dir):
         .cast("long")
         .alias("docs_per_seq_x100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix — the corpus-composition audit run before
+# mixing sources into one training set: for every source pair, how many
+# distinct 5-grams do they share, and what Jaccard fraction of their
+# combined gram vocabularies is common? High overlap between two crawls
+# means their mixing weights double-count the same text. Distributed
+# shape: distinct (source, gram) pairs shuffle ONCE keyed on the gram;
+# each gram's source list is bounded by |sources| (a handful), so the
+# within-gram pair explode is O(|sources|²) per key — never corpus-
+# quadratic — and the per-source gram-vocabulary sizes arrive via a
+# broadcast |sources|-row frame. Same gram definition as
+# contamination_overlap.
+# ---------------------------------------------------------------------------
+@query(
+    "source_overlap_matrix",
+    f"""
+    WITH toks AS (
+        SELECT source, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sg AS (
+        SELECT DISTINCT source,
+               unnest(list_distinct(
+                 list_transform(range(1, len(t) - {CONTAM_N} + 2),
+                   i -> array_to_string(
+                          list_slice(t, CAST(i AS INTEGER),
+                                     CAST(i + {CONTAM_N} - 1 AS INTEGER)),
+                          ' ')))) AS gram
+        FROM toks
+        WHERE len(t) >= {CONTAM_N}
+    ),
+    vocab AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS shared_grams
+        FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b,
+           CAST(s.shared_grams AS BIGINT) AS shared_grams,
+           CAST(va.n_grams AS BIGINT) AS grams_a,
+           CAST(vb.n_grams AS BIGINT) AS grams_b,
+           CAST((s.shared_grams * 1000000)
+                // (va.n_grams + vb.n_grams - s.shared_grams) AS BIGINT)
+             AS jaccard_ppm
+    FROM shared s
+    JOIN vocab va ON va.source = s.source_a
+    JOIN vocab vb ON vb.source = s.source_b
+    """,
+)
+def source_overlap_matrix(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split(F.lower("text"), " ").alias("t"))
+    sg = (
+        toks.filter(F.size("t") >= CONTAM_N)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - CONTAM_N + 1),
+                        lambda i: F.array_join(F.slice("t", i, CONTAM_N), " "),
+                    )
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    vocab = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    b = sg.select(F.col("source").alias("source_b"), "gram")
+    shared = (
+        sg.withColumnRenamed("source", "source_a")
+        .join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    va = vocab.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    vb = vocab.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        shared.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_grams").cast("long").alias("shared_grams"),
+            F.col("grams_a").cast("long").alias("grams_a"),
+            F.col("grams_b").cast("long").alias("grams_b"),
+            F.expr(
+                "cast((shared_grams * 1000000)"
+                " div (grams_a + grams_b - shared_grams) as bigint)"
+            ).alias("jaccard_ppm"),
+        )
+    )

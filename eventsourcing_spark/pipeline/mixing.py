@@ -398,3 +398,71 @@ def temporal_split_audit(spark, sf_dir):
             " * 1000000) div count(*) as bigint)"
         ).alias("straddle_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum shard ordering — easy-to-hard training order (Bengio et al.
+# 2009 curriculum learning), materialized the way a 100 TB ingestion
+# pipeline needs it: a GLOBAL order by difficulty (here: descending
+# distinct-token quality, doc_id tiebreak) chopped into rank-contiguous
+# shards of CURRICULUM_SHARD docs. The global order is the distributed
+# zip-with-index (operators/ranking.py), never a single-partition
+# window; shard id and in-shard position are integer arithmetic on the
+# rank, and the emitted per-shard summary (count, quality envelope,
+# boundary docs) is what a training launcher validates before reading.
+# Shard quality ranges must be non-overlapping by construction — the
+# oracle proves it by recomputing the same boundaries from a global
+# row_number.
+# ---------------------------------------------------------------------------
+CURRICULUM_SHARD = 64
+
+
+@query(
+    "curriculum_shard_order",
+    f"""
+    WITH q AS (
+        SELECT doc_id,
+               len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> ''))) * 1000 AS q
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, q,
+               row_number() OVER (ORDER BY q DESC, doc_id) AS rk
+        FROM q
+    )
+    SELECT CAST((rk - 1) // {CURRICULUM_SHARD} AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(q) AS BIGINT) AS q_first,
+           CAST(min(q) AS BIGINT) AS q_last,
+           CAST(min(doc_id) FILTER (WHERE rk = (SELECT min(rk) FROM r r2
+                WHERE (r2.rk - 1) // {CURRICULUM_SHARD} =
+                      (r.rk - 1) // {CURRICULUM_SHARD})) AS BIGINT)
+             AS first_doc,
+           CAST(min(doc_id) FILTER (WHERE rk = (SELECT max(rk) FROM r r2
+                WHERE (r2.rk - 1) // {CURRICULUM_SHARD} =
+                      (r.rk - 1) // {CURRICULUM_SHARD})) AS BIGINT)
+             AS last_doc
+    FROM r
+    GROUP BY 1
+    """,
+)
+def curriculum_shard_order(spark, sf_dir):
+    from eventsourcing_spark.operators.ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    q = docs.select(
+        "doc_id", (F.size(F.array_distinct(toks)) * 1000).alias("q")
+    )
+    ranked = global_rank(q, F.desc("q"), F.asc("doc_id"))
+    sharded = ranked.withColumn(
+        "shard_id", F.expr(f"(rk - 1) div {CURRICULUM_SHARD}").cast("long")
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("q").cast("long").alias("q_first"),
+        F.min("q").cast("long").alias("q_last"),
+        F.min_by("doc_id", "rk").cast("long").alias("first_doc"),
+        F.max_by("doc_id", "rk").cast("long").alias("last_doc"),
+    )

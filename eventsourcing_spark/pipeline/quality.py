@@ -521,3 +521,80 @@ def quality_vs_dup_deciles(spark, sf_dir):
             " div count(*) as bigint)"
         ).alias("dup_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — the Zipf audit behind tokenizer and vocab
+# budget decisions: how many of the most frequent tokens cover 50% /
+# 90% / 99% of all token occurrences? (Heaps/Zipf: a tiny head covers
+# half the corpus; the long tail decides the OOV rate.) Distributed
+# shape: the token-frequency table shuffles once; the cumulative
+# occurrence share uses the distributed prefix sum
+# (operators/ranking.global_rank_cumsum — range partition + local
+# cumsum + broadcast partition offsets), NOT a single-partition window,
+# because |vocab| at 100 TB is itself in the 10⁸ range. Threshold probes
+# arrive as a broadcast 3-row frame.
+# ---------------------------------------------------------------------------
+COVERAGE_THRESHOLDS = (50, 90, 99)
+
+
+@query(
+    "vocab_coverage_curve",
+    f"""
+    WITH f AS (
+        SELECT t AS token, count(*) AS c
+        FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS t
+              FROM documents)
+        GROUP BY t
+    ),
+    r AS (
+        SELECT token, c,
+               row_number() OVER (ORDER BY c DESC, token) AS rk,
+               sum(c) OVER (ORDER BY c DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM f
+    ),
+    n AS (SELECT sum(c) AS total, count(*) AS vocab FROM f),
+    thr AS (SELECT * FROM (VALUES {", ".join(f"({t})" for t in COVERAGE_THRESHOLDS)}) t(pct))
+    SELECT thr.pct,
+           CAST(min(r.rk) AS BIGINT) AS tokens_needed,
+           CAST((min(r.rk) * 1000000) // (SELECT vocab FROM n) AS BIGINT)
+             AS vocab_frac_ppm,
+           (SELECT CAST(vocab AS BIGINT) FROM n) AS vocab_size,
+           (SELECT CAST(total AS BIGINT) FROM n) AS total_occurrences
+    FROM thr, r, n
+    WHERE r.cum * 100 >= thr.pct * n.total
+    GROUP BY thr.pct
+    """,
+)
+def vocab_coverage_curve(spark, sf_dir):
+    from eventsourcing_spark.operators.ranking import global_rank_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("token")
+    )
+    f = toks.groupBy("token").agg(F.count("*").alias("c"))
+    r = global_rank_cumsum(f, "c", F.desc("c"), F.asc("token"))
+    n = f.agg(
+        F.sum("c").alias("total"), F.count("*").alias("vocab")
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in COVERAGE_THRESHOLDS], "pct int"
+    )
+    return (
+        r.crossJoin(F.broadcast(thr.crossJoin(n)))
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("total"))
+        .groupBy("pct")
+        .agg(
+            F.min("rk").cast("long").alias("tokens_needed"),
+            F.expr(
+                "cast((min(rk) * 1000000) div any_value(vocab) as bigint)"
+            ).alias("vocab_frac_ppm"),
+            F.any_value("vocab").cast("long").alias("vocab_size"),
+            F.any_value("total").cast("long").alias("total_occurrences"),
+        )
+    )

@@ -400,3 +400,26 @@ def test_global_rank_matches_window_row_number(spark):
     assert {(r.id, r.rk) for r in want_d.collect()} == {
         (r.id, r.rk) for r in got_d.collect()
     }
+
+
+def test_global_rank_cumsum_matches_window(spark):
+    """global_rank_cumsum == sum() OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING) + row_number, with zero unpartitioned-window flags."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.operators.ranking import global_rank_cumsum
+    from eventsourcing_spark.plans import unpartitioned_windows
+
+    df = spark.range(0, 731).select(
+        F.col("id"), (F.col("id") * 13 % 89).alias("v"), (F.col("id") % 5 + 1).alias("c")
+    )
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = df.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cum", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    got = global_rank_cumsum(df, "c", F.desc("v"), F.asc("id"))
+    assert {(r.id, r.rk, r.cum) for r in want.collect()} == {
+        (r.id, r.rk, r.cum) for r in got.collect()
+    }
+    assert unpartitioned_windows(got) == []

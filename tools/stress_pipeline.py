@@ -76,6 +76,12 @@ STRESS_QUERIES = (
     "trend_user_value",
     "cohort_retention",
     "locf_hourly_series",
+    # round 4: distributed-rank rewrites — cost must grow ~linearly,
+    # never concentrate (the replaced global windows would serialize here)
+    "quality_vs_dup_deciles",
+    "sorted_neighborhood_pairs",
+    "rfm_segmentation",
+    "global_value_percentiles_rank",
 )
 
 
