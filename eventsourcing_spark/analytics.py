@@ -3391,6 +3391,12 @@ def ks_statistic_values(spark, sf_dir):
             F.count(F.when(F.col("event_type") == KS_TYPE_Y, 1)).alias("cy"),
         )
     )
+    # Cardinality bound for the global cumulative window: its input is
+    # the GROUP BY value histogram — |distinct value| rows, bounded by
+    # the value domain (2-decimal money ⇒ ≤ 100·max_value cells), not by
+    # |events|. plans.unpartitioned_windows whitelists it mechanically
+    # (aggregate-fed); if the value domain ever becomes unbounded,
+    # switch to operators/ranking.global_rank_cumsum.
     wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
     c = s.select(

@@ -524,9 +524,10 @@ def quality_vs_dup_deciles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Vocabulary coverage curve — the Zipf audit behind tokenizer and vocab
-# budget decisions: how many of the most frequent tokens cover 50% /
-# 90% / 99% of all token occurrences? (Heaps/Zipf: a tiny head covers
+# Vocabulary coverage thresholds — the inverse of chunking.py's
+# vocab_coverage_curve (which sums coverage at FIXED vocab sizes): how
+# many of the most frequent tokens cover 50% / 90% / 99% of all token
+# occurrences? (Heaps/Zipf: a tiny head covers
 # half the corpus; the long tail decides the OOV rate.) Distributed
 # shape: the token-frequency table shuffles once; the cumulative
 # occurrence share uses the distributed prefix sum
@@ -539,7 +540,7 @@ COVERAGE_THRESHOLDS = (50, 90, 99)
 
 
 @query(
-    "vocab_coverage_curve",
+    "vocab_coverage_thresholds",
     f"""
     WITH f AS (
         SELECT t AS token, count(*) AS c
@@ -568,7 +569,7 @@ COVERAGE_THRESHOLDS = (50, 90, 99)
     GROUP BY thr.pct
     """,
 )
-def vocab_coverage_curve(spark, sf_dir):
+def vocab_coverage_thresholds(spark, sf_dir):
     from eventsourcing_spark.operators.ranking import global_rank_cumsum
 
     docs = load_table(spark, sf_dir, "documents")

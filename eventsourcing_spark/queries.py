@@ -42,6 +42,15 @@ BOUNDED_WINDOW: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None, bounded_window: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # duplicate-registration guard: a second @query with the same name
+        # would silently SHADOW the first in the gate (found the hard way:
+        # a new vocab_coverage_curve replaced chunking.py's). Fail loudly
+        # at import instead.
+        if name in SPARK_QUERIES:
+            raise ValueError(
+                f"duplicate gate query name {name!r}: already registered by "
+                f"{SPARK_QUERIES[name].__module__}.{SPARK_QUERIES[name].__qualname__}"
+            )
         SPARK_QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle

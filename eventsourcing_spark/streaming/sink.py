@@ -63,6 +63,58 @@ def kafka_frame(events: DataFrame, partitions: int | None = None) -> DataFrame:
     return out
 
 
+def kafka_subscriber_options(
+    topic: str,
+    brokers: str,
+    start_time=None,
+    partitions: int | None = None,
+    group_id: str | None = None,
+) -> dict[str, str]:
+    """ReadStream options for the S12 consumer side — the Spark mapping
+    of the reference subscriber's ``StartTime`` offset reset
+    (projection/kafka/subscriber.go:150-220): the reference seeks every
+    partition to the first offset at-or-after the resume timestamp via
+    ``OffsetsForTimes``; Spark's native equivalent is
+    ``startingOffsetsByTimestamp`` — a per-topic map of partition →
+    epoch-ms, with ``startingOffsetsByTimestampStrategy=latest`` for
+    partitions with no record after the timestamp (matching the
+    reference's fall-through to the head). Without a resume point the
+    subscriber starts at ``earliest`` (catch-up semantics, C1).
+
+    Pure config — unit-testable without a broker; apply with::
+
+        spark.readStream.format("kafka").options(**opts).load()
+    """
+    import json as _json
+    from datetime import datetime as _dt
+
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        # the projector handles dedup (C2/C9): deliver-at-least-once
+        "failOnDataLoss": "false",
+    }
+    if group_id:
+        opts["kafka.group.id"] = group_id
+    if start_time is None:
+        opts["startingOffsets"] = "earliest"
+        return opts
+    ms = (
+        int(start_time.timestamp() * 1000)
+        if isinstance(start_time, _dt)
+        else int(start_time)
+    )
+    if partitions is None:
+        # per-topic timestamp form (no partition enumeration needed)
+        opts["startingTimestamp"] = str(ms)
+    else:
+        opts["startingOffsetsByTimestamp"] = _json.dumps(
+            {topic: {str(p): ms for p in range(partitions)}}
+        )
+    opts["startingOffsetsByTimestampStrategy"] = "latest"
+    return opts
+
+
 def parse_messages(
     raw: DataFrame, value_col: str = "value", keep: tuple[str, ...] = ()
 ):

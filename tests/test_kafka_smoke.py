@@ -77,3 +77,39 @@ def test_kafka_writestream_roundtrip(spark, tmp_path):
     )
     msgs = parse_messages(readback)
     assert msgs.filter(msgs.aggregate_id == "acc-k").count() >= 1
+
+
+def test_kafka_subscriber_options_starttime_mapping():
+    """Consumer-side StartTime parity (projection/kafka/subscriber.go:
+    150-220) as pure config — runs broker-less. The reference seeks each
+    partition to the first offset at-or-after the resume timestamp; the
+    Spark mapping is startingOffsetsByTimestamp (partition-enumerated)
+    or startingTimestamp (whole topic), falling through to `latest` for
+    partitions with nothing after the timestamp, and `earliest` when no
+    resume point exists (C1 catch-up)."""
+    import json
+    from datetime import datetime, timezone
+
+    from eventsourcing_spark.streaming.sink import kafka_subscriber_options
+
+    # no resume point → catch-up from earliest
+    o = kafka_subscriber_options("events", "b:9092")
+    assert o["startingOffsets"] == "earliest"
+    assert o["failOnDataLoss"] == "false"
+    assert "startingOffsetsByTimestamp" not in o
+
+    # resume timestamp, partition-enumerated
+    t = datetime(2024, 3, 1, 12, 0, tzinfo=timezone.utc)
+    o = kafka_subscriber_options(
+        "events", "b:9092", start_time=t, partitions=3, group_id="proj-1"
+    )
+    by_ts = json.loads(o["startingOffsetsByTimestamp"])
+    ms = int(t.timestamp() * 1000)
+    assert by_ts == {"events": {"0": ms, "1": ms, "2": ms}}
+    assert o["startingOffsetsByTimestampStrategy"] == "latest"
+    assert o["kafka.group.id"] == "proj-1"
+    assert "startingOffsets" not in o
+
+    # resume timestamp without partition enumeration → whole-topic form
+    o = kafka_subscriber_options("events", "b:9092", start_time=ms)
+    assert o["startingTimestamp"] == str(ms)
