@@ -143,3 +143,31 @@ def test_asof_directions_match_bruteforce(spark, lrows, rrows):
                if kk == k and tt >= t]
         assert back[i] == (max(prior)[1] if prior else None), (i, k, t)
         assert fwd[i] == (min(nxt)[1] if nxt else None), (i, k, t)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    k=st.sampled_from([2, 3, 4, 7, 10, 16]),
+)
+@settings(max_examples=60, deadline=None)
+def test_ntile_closed_form_matches_definition(n, k):
+    """operators.ranking.ntile_expr's integer closed form must implement
+    ANSI ntile sizing exactly: the first n % k tiles get n // k + 1 rows,
+    the rest n // k — verified for every rank without Spark by evaluating
+    the same arithmetic in Python."""
+
+    def closed_form(r):
+        base, rem = n // k, n % k
+        cutoff = rem * (base + 1)
+        if r <= cutoff:
+            return 1 + (r - 1) // (base + 1)
+        return 1 + rem + (r - cutoff - 1) // max(base, 1)
+
+    # definition: assign ranks 1..n greedily into k tiles with ANSI sizes
+    sizes = [(n // k) + (1 if i < n % k else 0) for i in range(k)]
+    want, tile = [], 1
+    for sz in sizes:
+        want.extend([tile] * sz)
+        tile += 1
+    got = [closed_form(r) for r in range(1, n + 1)]
+    assert got == want
