@@ -24,8 +24,10 @@ omits ids (their ordering is asserted by the pytest golden instead).
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
+import re
 import shutil
 import tempfile
 from datetime import datetime, timezone
@@ -76,11 +78,31 @@ def _disc(uid: int) -> dict[str, str]:
     return {"tenant": f"t{uid % 3}", "region": f"r{uid % 2}"}
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def _build_fixture_store(spark, sf_dir: str, tag: str) -> EventStore:
     # stable digest, NOT hash(): PYTHONHASHSEED randomizes str hashes per
-    # process, which would name a fresh dir every run and strand the old ones
+    # process, which would name a fresh dir every run and strand the old
+    # ones. The pid suffix isolates CONCURRENT processes (two sessions
+    # building the same fixture raced on a purely-stable name); the sweep
+    # below reclaims dirs left by dead processes, so nothing strands.
+    tmp = tempfile.gettempdir()
+    for stale in glob.glob(os.path.join(tmp, "es_gate_*_pid*")):
+        m = re.search(r"_pid(\d+)$", stale)
+        if m and not _pid_alive(int(m.group(1))):
+            shutil.rmtree(stale, ignore_errors=True)
     sf_key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"es_gate_{tag}_{sf_key}")
+    base = os.path.join(
+        tmp, f"es_gate_{tag}_{sf_key}_pid{os.getpid()}"
+    )
     shutil.rmtree(base, ignore_errors=True)
     store = EventStore(spark, base)
     for uid in _fixture_uids(spark, sf_dir):

@@ -422,6 +422,12 @@ def skyline_quality_length(spark, sf_dir):
 
     schema = "doc_id long, n_chars long, q long"
     local = d.mapInPandas(local_front, schema)
+    # Cardinality bound for the SinglePartition stage (census class
+    # python_fed): its input is the UNION OF LOCAL PARETO FRONTS, not
+    # the corpus — each partition forwards only its non-dominated
+    # points, so the final batch holds ≤ P·|front| rows (two-phase
+    # distributed skyline; dominance is transitive, local pruning is
+    # lossless). The corpus itself never passes through one task.
     return local.repartition(1).mapInPandas(global_front, schema)
 
 

@@ -10,6 +10,9 @@ Takes the driver's raw document corpus to training-ready shards the way a
   3. export      — shard-partitioned parquet in a deterministic shuffle
                    order (no global sort; file sizes bounded at the writer)
   4. embeddings  — int8 quantization of the embedding column for ANN serving
+  5. curriculum  — easy-to-hard global training order in rank-contiguous
+                   shards, via the distributed zip-with-index (never a
+                   single-partition window)
 
 Every decision is content-keyed (md5 of stable ids), so re-running the
 pipeline — or re-partitioning its input — reproduces byte-identical
@@ -65,6 +68,14 @@ def main() -> None:
     quant = SPARK_QUERIES["emb_int8_quantize"](spark, SF)
     print(f"int8-quantized {quant.count()} embedding vectors "
           f"(per-vector symmetric scale, |q| <= 127)")
+
+    # 5. curriculum ordering — a global quality order WITHOUT a global
+    # sort: distributed rank (range partition + broadcast offsets), then
+    # rank-contiguous shard ids a training launcher reads in sequence
+    cur = SPARK_QUERIES["curriculum_shard_order"](spark, SF)
+    rows = cur.orderBy("shard_id").collect()
+    print(f"curriculum: {len(rows)} shards, quality envelopes "
+          f"{[(r.shard_id, r.q_first, r.q_last) for r in rows[:3]]} ...")
 
     spark.stop()
 

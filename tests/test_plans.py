@@ -423,3 +423,22 @@ def test_global_rank_cumsum_matches_window(spark):
         (r.id, r.rk, r.cum) for r in got.collect()
     }
     assert unpartitioned_windows(got) == []
+
+
+def test_single_partition_census_classification(spark):
+    """single_partition_census buckets each SinglePartition exchange by
+    its producer: aggregate-fed, limit-bounded, or unbounded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.plans import single_partition_census
+
+    df = spark.range(0, 300).withColumn("v", F.col("id") % 5)
+    bad = df.withColumn("r", F.row_number().over(Window.orderBy("v", "id")))
+    c = single_partition_census(bad)
+    assert c["unbounded"] == 1 and c["aggregate_fed"] == 0
+
+    agg = df.groupBy("v").agg(F.count("*").alias("n"))
+    ok = agg.withColumn("r", F.row_number().over(Window.orderBy("v")))
+    c = single_partition_census(ok)
+    assert c["aggregate_fed"] >= 1 and c["unbounded"] == 0

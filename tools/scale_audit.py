@@ -18,7 +18,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from eventsourcing_spark.plans import audit, formatted_plan, plan_stats
+from eventsourcing_spark.plans import (
+    audit,
+    formatted_plan,
+    plan_stats,
+    single_partition_census,
+)
 from eventsourcing_spark.queries import BOUNDED_WINDOW
 from eventsourcing_spark.registry import SPARK_QUERIES
 from eventsourcing_spark.session import get_spark
@@ -29,6 +34,8 @@ def main() -> int:
     spark = get_spark("scale-audit")
     spark.sparkContext.setLogLevel("ERROR")
     flagged = 0
+    census_total = {"aggregate_fed": 0, "limit_bounded": 0, "literal": 0,
+                    "python_fed": 0, "unbounded": 0}
     print(f"{'query':40s} {'exch':>4s} {'scan':>4s} {'bhj':>3s} {'py':>3s}  flags")
     for name in sorted(SPARK_QUERIES):
         try:
@@ -39,6 +46,8 @@ def main() -> int:
             print(f"{name:40s} PLAN ERROR: {exc}")
             continue
         s = plan_stats(plan)
+        for k, v in single_partition_census(plan).items():
+            census_total[k] += v
         npy = sum(
             s.get(k, 0)
             for k in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
@@ -53,7 +62,12 @@ def main() -> int:
             f"{name:40s} {s['Exchange']:4d} {s['scans']:4d} "
             f"{s['BroadcastHashJoin']:3d} {npy:3d}  {flags}"
         )
-    print(f"\n{flagged} flagged / {len(SPARK_QUERIES)} queries")
+    print(
+        f"\nSinglePartition exchange census: "
+        f"{sum(census_total.values())} total — "
+        + ", ".join(f"{v} {k}" for k, v in census_total.items())
+    )
+    print(f"{flagged} flagged / {len(SPARK_QUERIES)} queries")
     return 1 if flagged else 0
 
 
