@@ -2368,13 +2368,24 @@ def rfm_segmentation(spark, sf_dir):
     )
     from eventsourcing_spark.operators.ranking import global_rank, ntile_expr
 
-    ranked = global_rank(m, "recency_days", "user_id", rank_col="r_rk")
-    ranked = global_rank(
-        ranked, F.desc("freq"), F.asc("user_id"), rank_col="f_rk"
-    )
-    ranked = global_rank(
-        ranked, F.desc("cents"), F.asc("user_id"), rank_col="m_rk"
-    )
+    # three INDEPENDENT rank branches joined back on the key, not a
+    # chain: chaining nests each rank's window inside the next one's
+    # offsets-and-main branches, so earlier windows recompute per branch;
+    # independent branches each read the per-user aggregate once (its
+    # exchange is reused) and join on the natural key
+    r = global_rank(
+        m.select("user_id", "recency_days"),
+        "recency_days", "user_id", rank_col="r_rk",
+    ).select("user_id", "r_rk")
+    f_ = global_rank(
+        m.select("user_id", "freq"),
+        F.desc("freq"), F.asc("user_id"), rank_col="f_rk",
+    ).select("user_id", "f_rk")
+    mo = global_rank(
+        m.select("user_id", "cents"),
+        F.desc("cents"), F.asc("user_id"), rank_col="m_rk",
+    ).select("user_id", "m_rk")
+    ranked = m.join(r, "user_id").join(f_, "user_id").join(mo, "user_id")
     totals = m.agg(F.count("*").alias("n_users"))
     s = ranked.crossJoin(F.broadcast(totals)).select(
         "user_id",
