@@ -314,3 +314,148 @@ def value_variance_stats(spark, sf_dir):
             "(n * sum_sq_cents - sum_cents * sum_cents) div (n * (n - 1))"
         ).cast("long").alias("variance_cents2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingestion-order audit — the data-quality check an event-sourced
+# ingest needs before replays are trusted: within each stream, does the
+# id order (the reference's global ULID order, eventid/eventid.go)
+# agree with event time? Adjacent inversions (ts decreasing while
+# event_id increases) measure out-of-order arrival — the quantity
+# watermarks and the C9 dedup-not-drop rule exist to absorb. One
+# partitioned lag window keyed on the stream: a single shuffle at any
+# scale, inversions counted where they happen.
+# ---------------------------------------------------------------------------
+@query(
+    "ingestion_order_audit",
+    """
+    WITH s AS (
+        SELECT user_id,
+               epoch_ms(ts) AS ms,
+               lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS prev_ms
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               count(*) - 1 AS n_pairs,
+               count(*) FILTER (WHERE ms < prev_ms) AS n_inversions,
+               coalesce(max(prev_ms - ms), 0) AS max_backstep_ms
+        FROM s GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_streams,
+           CAST(count(*) FILTER (WHERE n_inversions > 0) AS BIGINT)
+             AS streams_with_inversions,
+           CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+           CAST(sum(n_inversions) AS BIGINT) AS n_inversions,
+           CAST(sum(n_inversions) * 1000000 // greatest(sum(n_pairs), 1)
+                AS BIGINT) AS inversion_ppm,
+           CAST(max(max_backstep_ms) AS BIGINT) AS max_backstep_ms
+    FROM u
+    """,
+)
+def ingestion_order_audit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.lag(F.unix_millis("ts")).over(w).alias("prev_ms"),
+    )
+    u = s.groupBy("user_id").agg(
+        (F.count("*") - 1).alias("n_pairs"),
+        F.count(F.when(F.col("ms") < F.col("prev_ms"), 1)).alias("n_inversions"),
+        F.coalesce(
+            F.max(F.col("prev_ms") - F.col("ms")), F.lit(0)
+        ).alias("max_backstep_ms"),
+    )
+    return u.agg(
+        F.count("*").cast("long").alias("n_streams"),
+        F.count(F.when(F.col("n_inversions") > 0, 1))
+        .cast("long")
+        .alias("streams_with_inversions"),
+        F.sum("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("n_inversions").cast("long").alias("n_inversions"),
+        F.expr(
+            "cast(sum(n_inversions) * 1000000"
+            " div greatest(sum(n_pairs), 1) as bigint)"
+        ).alias("inversion_ppm"),
+        F.max("max_backstep_ms").cast("long").alias("max_backstep_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness — traffic-shape profiling per event type:
+# coefficient of variation of the inter-arrival gaps within each
+# stream, aggregated per type. CV² > 1 means bursty (heavier than
+# Poisson), CV² < 1 means regular — the number that sizes streaming
+# state and micro-batch triggers. Exact integer sufficient statistics
+# (n, Σgap, Σgap²) as in value_variance_stats; CV²·1e6 compares
+# n·Σgap² − (Σgap)² against (Σgap)² cross-multiplied, so no float
+# reduction order can flip a classification. Headroom: (Σgap)²·10⁶ must
+# stay under DECIMAL(38); Σgap (total observed gap time per type) fits
+# while n_streams·window ≲ 10¹⁵ ms — beyond that, shard the audit by
+# time window (per-day audits roll up losslessly) before widening types.
+# ---------------------------------------------------------------------------
+@query(
+    "interarrival_burstiness",
+    """
+    WITH g AS (
+        SELECT user_id, event_type,
+               epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY epoch_ms(ts),
+                   event_id) AS gap_ms
+        FROM events
+    ),
+    s AS (
+        -- gap² can reach 10^20 (months in ms, squared): carry the
+        -- squared sums in DECIMAL(38,0) on BOTH engines (also keeps
+        -- DuckDB off HUGEINT)
+        SELECT event_type,
+               CAST(count(*) AS DECIMAL(38,0)) AS n,
+               CAST(sum(CAST(gap_ms AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                 AS sum_gap,
+               CAST(sum(CAST(gap_ms AS DECIMAL(38,0))
+                        * CAST(gap_ms AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                 AS sum_gap_sq
+        FROM g WHERE gap_ms IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_gaps,
+           -- floor() on both engines: DuckDB rounds on DECIMAL / and
+           -- CAST-to-BIGINT, Spark truncates
+           CAST(floor(sum_gap / n) AS BIGINT) AS mean_gap_ms,
+           CAST(floor((n * sum_gap_sq - sum_gap * sum_gap) * 1000000
+                / (sum_gap * sum_gap)) AS BIGINT) AS cv2_ppm,
+           CASE WHEN (n * sum_gap_sq - sum_gap * sum_gap) > sum_gap * sum_gap
+                THEN 'bursty' ELSE 'regular' END AS shape
+    FROM s
+    WHERE n > 1
+    """,
+)
+def interarrival_burstiness(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy(ms, "event_id")
+    g = ev.select(
+        "event_type", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    d = F.col("gap_ms").cast("decimal(38,0)")
+    s = g.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(d).cast("decimal(38,0)").alias("sum_gap"),
+        F.sum(d * d).cast("decimal(38,0)").alias("sum_gap_sq"),
+    ).filter(F.col("n") > 1)
+    num = F.col("n") * F.col("sum_gap_sq") - F.col("sum_gap") * F.col("sum_gap")
+    den = F.col("sum_gap") * F.col("sum_gap")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.floor(F.col("sum_gap") / F.col("n")).cast("long").alias("mean_gap_ms"),
+        F.floor(num * 1000000 / den).cast("long").alias("cv2_ppm"),
+        F.when(num > den, "bursty").otherwise("regular").alias("shape"),
+    )
