@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table
 from eventsourcing_spark.queries import query
 
 # Hex-prefix thresholds on md5(doc_id): first byte < 0x08 → ~3.1% test,
@@ -690,7 +690,7 @@ def pack_utilization_audit(spark, sf_dir):
     """,
 )
 def source_overlap_matrix(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("source", F.split(F.lower("text"), " ").alias("t"))
     sg = (
         toks.filter(F.size("t") >= CONTAM_N)

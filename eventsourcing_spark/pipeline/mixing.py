@@ -450,7 +450,9 @@ CURRICULUM_SHARD = 64
 def curriculum_shard_order(spark, sf_dir):
     from eventsourcing_spark.operators.ranking import global_rank
 
-    docs = load_table(spark, sf_dir, "documents")
+    from eventsourcing_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
     q = docs.select(
         "doc_id", (F.size(F.array_distinct(toks)) * 1000).alias("q")

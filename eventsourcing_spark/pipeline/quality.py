@@ -578,7 +578,7 @@ COVERAGE_THRESHOLDS = (50, 90, 99)
 def vocab_coverage_thresholds(spark, sf_dir):
     from eventsourcing_spark.operators.ranking import global_rank_cumsum
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         F.explode(
             F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
