@@ -459,3 +459,85 @@ def interarrival_burstiness(spark, sf_dir):
         F.floor(num * 1000000 / den).cast("long").alias("cv2_ppm"),
         F.when(num > den, "bursty").otherwise("regular").alias("shape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Backfill gap detection — the completeness audit an ingestion pipeline
+# runs before replay/backfill orchestration: which calendar days inside
+# the corpus's [first, last] span are missing or THIN (below
+# THIN_PCT% of the mean daily volume)? Gaps are emitted as
+# consecutive-day RANGES via the
+# gaps-and-islands trick (day − row_number is constant within a run).
+# Scale shape: the day spine explodes from a broadcast 1-row min/max
+# frame (|days| = calendar horizon, bounded); the per-day counts are
+# one keyed aggregate of the corpus; the islands window runs over the
+# missing-day frame only — every stage aggregate-bounded.
+# ---------------------------------------------------------------------------
+THIN_PCT = 95  # a day is thin below this % of the mean daily volume
+
+
+@query(
+    "backfill_gap_days",
+    f"""
+    WITH bounds AS (
+        SELECT min(epoch_ms(ts) // 86400000) AS d0,
+               max(epoch_ms(ts) // 86400000) AS d1,
+               count(*) AS total
+        FROM events
+    ),
+    spine AS (
+        SELECT gs.day FROM generate_series(0, 100000) t(i),
+             bounds, LATERAL (SELECT bounds.d0 + t.i AS day) gs
+        WHERE gs.day <= bounds.d1
+    ),
+    daily AS (
+        SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    -- floor: THIN_PCT% of the mean daily volume, cross-multiplied
+    thin AS (
+        SELECT spine.day, coalesce(daily.n, 0) AS n,
+               spine.day - row_number() OVER (ORDER BY spine.day) AS grp
+        FROM spine LEFT JOIN daily ON spine.day = daily.day, bounds
+        WHERE coalesce(daily.n, 0) * (bounds.d1 - bounds.d0 + 1) * 100
+              < bounds.total * THIN_PCT
+    )
+    SELECT CAST(min(day) AS BIGINT) AS gap_start_day,
+           CAST(max(day) AS BIGINT) AS gap_end_day,
+           CAST(count(*) AS BIGINT) AS gap_days,
+           CAST(sum(n) AS BIGINT) AS events_in_gap
+    FROM thin GROUP BY grp
+    """.replace("THIN_PCT", str(THIN_PCT)),
+)
+def backfill_gap_days(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_millis(ts) div 86400000")
+    bounds = ev.agg(
+        F.min(day).alias("d0"),
+        F.max(day).alias("d1"),
+        F.count("*").alias("total"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = ev.groupBy(day.alias("day")).agg(F.count("*").alias("n"))
+    thin = (
+        spine.join(daily, "day", "left")
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        # thin day: n < THIN_PCT% of mean, cross-multiplied integer-exact
+        .filter(
+            F.col("n") * (F.col("d1") - F.col("d0") + 1) * 100
+            < F.col("total") * THIN_PCT
+        )
+        # |thin| ≤ calendar days — aggregate-bounded global window
+        .withColumn("grp", F.col("day") - F.row_number().over(Window.orderBy("day")))
+    )
+    return thin.groupBy("grp").agg(
+        F.min("day").cast("long").alias("gap_start_day"),
+        F.max("day").cast("long").alias("gap_end_day"),
+        F.count("*").cast("long").alias("gap_days"),
+        F.sum("n").cast("long").alias("events_in_gap"),
+    ).drop("grp")
