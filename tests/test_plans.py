@@ -458,3 +458,20 @@ def test_every_gate_query_documented_in_coverage():
     ).read()
     missing = [n for n in sorted(SPARK_QUERIES) if n not in doc]
     assert not missing, f"queries missing from COVERAGE.md: {missing}"
+
+
+def test_global_rank_more_partitions_than_rows(spark):
+    """Degenerate parallelism: num_partitions far above the row count
+    leaves most range partitions empty — offsets must still reconstruct
+    the exact total order (empty pids simply never appear in the
+    partition-count frame)."""
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.operators.ranking import global_rank
+
+    df = spark.range(0, 7).select(F.col("id"), (F.col("id") * 31 % 11).alias("v"))
+    got = global_rank(df, "v", "id", num_partitions=64)
+    rows = sorted((r.v, r.id, r.rk) for r in got.collect())
+    want_order = sorted((r.v, r.id) for r in df.collect())
+    assert [(v, i) for v, i, _ in sorted(rows, key=lambda t: t[2])] == want_order
+    assert sorted(r[2] for r in rows) == list(range(1, 8))
