@@ -21,7 +21,12 @@ import time
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# bench runs FIRST: it is the only timing-sensitive stage, and ~30 min
+# of prior heavy Spark measurably inflates it (observed +20% late-day
+# drift on a shared host) — measure before heating the machine.
 STAGES: list[tuple[str, list[str]]] = [
+    ("bench", [sys.executable, "bench.py"]),
+    ("bench-compare", [sys.executable, "tools/bench_compare.py", "/tmp/close_bench.json"]),
     ("hugeint-guard", [sys.executable, "tools/hugeint_guard.py"]),
     ("correctness-sf0.01",
      [sys.executable, "tools/check_correctness.py", "/root/testdata/sf0.01"]),
@@ -30,8 +35,6 @@ STAGES: list[tuple[str, list[str]]] = [
     ("determinism", [sys.executable, "tools/determinism_check.py"]),
     ("driver-smoke", [sys.executable, "tools/driver_smoke.py", "--exec-all"]),
     ("scale-audit", [sys.executable, "tools/scale_audit.py"]),
-    ("bench", [sys.executable, "bench.py"]),
-    ("bench-compare", [sys.executable, "tools/bench_compare.py", "/tmp/close_bench.json"]),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
 ]
 
