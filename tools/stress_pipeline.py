@@ -82,6 +82,12 @@ STRESS_QUERIES = (
     "sorted_neighborhood_pairs",
     "rfm_segmentation",
     "global_value_percentiles_rank",
+    "curriculum_shard_order",
+    "vocab_coverage_thresholds",
+    # round 4: stream-keyed audits (scale with the streams axis)
+    "ingestion_order_audit",
+    "interarrival_burstiness",
+    "backfill_gap_days",
 )
 
 
