@@ -541,3 +541,93 @@ def backfill_gap_days(spark, sf_dir):
         F.count("*").cast("long").alias("gap_days"),
         F.sum("n").cast("long").alias("events_in_gap"),
     ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search — distributed kNN over per-entity
+# series (the EDBT'19 "Time Series Similarity Search for Streaming
+# Data in Distributed Systems" problem, batch form): which users'
+# daily-spend series are closest to a probe user's? Exact squared
+# Euclidean distance over the aligned day grid, decomposed so NO
+# pairwise day-join or pivot is needed:
+#     dist²(u) = Σc_u² − 2·Σ_d c_u(d)·c_p(d) + Σc_p²
+# The first term is a per-user aggregate, the middle a join against the
+# BROADCAST probe series (|days| rows), the last a broadcast scalar —
+# so the whole search is one keyed aggregate + a map-side probe at any
+# number of users, and top-k is a TakeOrdered. Integer cents throughout
+# (day sums ≲ 10⁶ cents, squares 10¹², corpus-summed 10¹⁵ — int64-safe;
+# at 10⁹-user scale widen to DECIMAL(38) like interarrival_burstiness).
+# ---------------------------------------------------------------------------
+SERIES_KNN_K = 10
+
+
+@query(
+    "series_knn_daily_spend",
+    f"""
+    WITH daily AS (
+        SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+               sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    probe_id AS (SELECT min(user_id) AS pid FROM daily),
+    probe AS (
+        SELECT day, cents FROM daily, probe_id WHERE user_id = pid
+    ),
+    self_sq AS (
+        SELECT user_id, sum(cents * cents) AS a FROM daily GROUP BY user_id
+    ),
+    cross_term AS (
+        SELECT d.user_id, sum(d.cents * p.cents) AS b
+        FROM daily d JOIN probe p ON d.day = p.day
+        GROUP BY d.user_id
+    ),
+    p_sq AS (SELECT sum(cents * cents) AS c FROM probe)
+    SELECT s.user_id,
+           CAST(s.a - 2 * coalesce(x.b, 0) + p_sq.c AS BIGINT) AS dist_sq
+    FROM self_sq s
+    LEFT JOIN cross_term x ON s.user_id = x.user_id
+    CROSS JOIN p_sq, probe_id
+    WHERE s.user_id <> probe_id.pid
+    ORDER BY dist_sq, s.user_id
+    LIMIT {SERIES_KNN_K}
+    """,
+)
+def series_knn_daily_spend(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.expr("unix_millis(ts) div 86400000").alias("day")
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    probe_id = daily.agg(F.min("user_id").alias("pid"))
+    probe = (
+        daily.join(F.broadcast(probe_id), daily.user_id == F.col("pid"))
+        .select("day", F.col("cents").alias("p_cents"))
+    )
+    self_sq = daily.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("cents")).alias("a")
+    )
+    cross_term = (
+        daily.join(F.broadcast(probe), "day")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("cents") * F.col("p_cents")).alias("b"))
+    )
+    p_sq = probe.agg(F.sum(F.col("p_cents") * F.col("p_cents")).alias("c"))
+    return (
+        self_sq.join(cross_term, "user_id", "left")
+        .crossJoin(F.broadcast(p_sq))
+        .crossJoin(F.broadcast(probe_id))
+        .filter(F.col("user_id") != F.col("pid"))
+        .select(
+            "user_id",
+            (
+                F.col("a") - 2 * F.coalesce(F.col("b"), F.lit(0)) + F.col("c")
+            ).cast("long").alias("dist_sq"),
+        )
+        .orderBy("dist_sq", "user_id")
+        .limit(SERIES_KNN_K)
+    )
