@@ -80,14 +80,18 @@ def migrate_in_place(
     # handler) pickles by module reference and dies on the executor
     # with ModuleNotFoundError. IDs are therefore encoded inline:
     # time prefix = base32(ms of `now`) > every pre-migration id,
-    # entropy = base32(md5₆₀(aggregate_id)·2²⁰ + seq) — strictly
+    # entropy = base32(md5₅₉(aggregate_id)·2²⁰ + seq) — strictly
     # increasing within the stream, deterministic, and collision-
     # resistant across streams: the reference's 80-bit random ULID
-    # entropy (eventid/eventid.go) is replaced by a 60-bit digest of
+    # entropy (eventid/eventid.go) is replaced by a 59-bit digest of
     # the FULL aggregate_id (not its 31-bit FNV hash, whose birthday
     # bound collides at ~54k streams) plus a 20-bit-aligned sequence;
-    # cross-stream collision needs a 60-bit md5 collision AND equal
-    # seq (~0.4% at 10⁸ streams per migration batch).
+    # cross-stream collision needs a 59-bit md5 collision AND equal
+    # seq (~0.9% at 10⁸ streams per migration batch). 59 bits (not
+    # 60) so digest·2²⁰ + seq provably fits the 16-char/80-bit
+    # entropy field for any seq < 2⁷⁹ — at 60 bits a near-max digest
+    # plus a long-enough stream would silently wrap and break the
+    # monotonicity guarantee.
     ms_now = int(now.timestamp() * 1000)
     out_columns = [f.name for f in EVENT_SCHEMA.fields]
 
@@ -112,10 +116,15 @@ def migrate_in_place(
         disc = dict(pdf.iloc[0].discriminator or {})
         version = int(pdf.aggregate_version.max())
 
-        # 60-bit collision-resistant stream digest (NOT the 31-bit FNV
+        # 59-bit collision-resistant stream digest (NOT the 31-bit FNV
         # partition hash); `+ seq` (plain addition, not OR) keeps ids
-        # unique and monotonic within a stream even past 2^20 events.
-        digest = int(_hashlib.md5(str(agg_id).encode()).hexdigest()[:15], 16)
+        # unique and monotonic within a stream even past 2^20 events,
+        # and 59 bits guarantees digest<<20 + seq < 2^80 (no silent
+        # truncation in enc) for any stream shorter than 2^79 events.
+        digest = (
+            int(_hashlib.md5(str(agg_id).encode()).hexdigest()[:15], 16)
+            & ((1 << 59) - 1)
+        )
         seq = 0
 
         def new_id():

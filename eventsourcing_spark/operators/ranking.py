@@ -30,6 +30,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _require_exchange_reuse(df: DataFrame) -> None:
+    """Both rank operators feed two consumers from one
+    ``repartitionByRange`` exchange; ``spark.sql.exchange.reuse=false``
+    makes each consumer re-sample range boundaries independently and
+    the ranks come out silently wrong (duplicates + out-of-range — see
+    tests/test_plans.py). Fail loudly at plan-build time instead."""
+    reuse = df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+    if str(reuse).lower() == "false":
+        raise ValueError(
+            "global_rank/global_rank_cumsum require spark.sql.exchange.reuse "
+            "(the offsets and rank branches must share one range exchange; "
+            "with reuse disabled the two branches re-sample range boundaries "
+            "independently and the ranks are silently wrong)"
+        )
+
+
 def global_rank(
     df: DataFrame,
     *order_cols: Column | str,
@@ -42,7 +58,22 @@ def global_rank(
     The order must be total (include a unique tiebreaker column) for the
     rank to be deterministic. Adds one range exchange + one pid-hash
     exchange; no stage sees more than one partition's rows.
+
+    **Correctness invariant — exchange reuse.** The offsets branch and
+    the main branch both consume the SAME ``repartitionByRange``
+    exchange; ``spark.sql.exchange.reuse`` (default true) materializes
+    it once, so ``spark_partition_id`` values line up between the two by
+    construction. With reuse disabled each branch re-runs the range
+    shuffle and the RangePartitioner re-SAMPLES its boundaries — which
+    is empirically NOT deterministic across re-executions (the parity
+    suite demonstrates ranks going silently wrong: duplicate and
+    out-of-range values). This function therefore REFUSES to build a
+    plan when ``spark.sql.exchange.reuse`` is ``false`` — a loud error
+    beats a silently corrupt total order — and the parity suite pins
+    both behaviors (permutation invariant with reuse on, ValueError
+    with reuse off).
     """
+    _require_exchange_reuse(df)
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -114,7 +145,10 @@ def global_rank_cumsum(
     predecessor totals from a broadcast P-row frame. Coverage curves,
     Lorenz/Gini accumulations, and quantile boundary scans all reduce to
     this without a single-partition window.
+
+    Same exchange-reuse requirement as :func:`global_rank` (enforced).
     """
+    _require_exchange_reuse(df)
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

@@ -2156,9 +2156,10 @@ def sorted_neighborhood_pairs(spark, sf_dir):
     )
     from eventsourcing_spark.operators.ranking import global_rank
 
-    ordered = global_rank(keyed, "bkey", "doc_id", rank_col="pos").withColumn(
-        "pos", F.col("pos").cast("int")
-    )
+    # pos stays LONG end-to-end: the distributed rank exists precisely to
+    # survive >2^31-row corpora, so the shifted join keys below must use
+    # long arithmetic (an int cast here would silently wrap the pairing)
+    ordered = global_rank(keyed, "bkey", "doc_id", rank_col="pos")
     pairs = None
     for off in range(1, SNM_WINDOW):
         nxt = ordered.select(

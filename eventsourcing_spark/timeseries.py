@@ -340,7 +340,7 @@ def value_variance_stats(spark, sf_dir):
         SELECT user_id,
                count(*) - 1 AS n_pairs,
                count(*) FILTER (WHERE ms < prev_ms) AS n_inversions,
-               coalesce(max(prev_ms - ms), 0) AS max_backstep_ms
+               coalesce(max(greatest(prev_ms - ms, 0)), 0) AS max_backstep_ms
         FROM s GROUP BY user_id
     )
     SELECT CAST(count(*) AS BIGINT) AS n_streams,
@@ -367,8 +367,11 @@ def ingestion_order_audit(spark, sf_dir):
     u = s.groupBy("user_id").agg(
         (F.count("*") - 1).alias("n_pairs"),
         F.count(F.when(F.col("ms") < F.col("prev_ms"), 1)).alias("n_inversions"),
+        # clamp at 0 so a fully in-order stream reports 0, not the
+        # negated smallest forward gap (both engines clamp identically)
         F.coalesce(
-            F.max(F.col("prev_ms") - F.col("ms")), F.lit(0)
+            F.max(F.greatest(F.col("prev_ms") - F.col("ms"), F.lit(0))),
+            F.lit(0),
         ).alias("max_backstep_ms"),
     )
     return u.agg(

@@ -56,9 +56,12 @@ def balance_step(
     quota = n // peers_count
 
     # all peers (me included) must hold the min quota before anyone
-    # claims a remainder slot (balance_workers.go:181-210)
+    # claims a remainder slot (balance_workers.go:181-210); the
+    # reference's loop checks EVERY ledger row including the caller's
+    # own, so a lagging self entry must also block the remainder claim
+    # — checking my_running alone would claim it one heartbeat early.
     all_have_min = len(my_running) >= quota and all(
-        len(p.workers) >= quota for p in peers if p.name != me
+        len(p.workers) >= quota for p in peers
     )
     if all_have_min and n % peers_count:
         quota += 1

@@ -425,6 +425,49 @@ def test_global_rank_cumsum_matches_window(spark):
     assert unpartitioned_windows(got) == []
 
 
+def test_global_rank_exchange_reuse_invariant(spark):
+    """global_rank's two branches share one range exchange via
+    spark.sql.exchange.reuse. With reuse ON the ranks must be an exact
+    permutation 1..n (max == count == distinct count). With reuse OFF
+    the range boundaries re-sample NON-deterministically (empirically:
+    duplicate + out-of-range ranks), so the operator must refuse to
+    build the plan rather than return silently wrong ranks."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.operators.ranking import (
+        global_rank,
+        global_rank_cumsum,
+    )
+
+    df = spark.range(0, 1499).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("v")
+    )
+    prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+        stats = global_rank(df, "v", "id").agg(
+            F.count("*").alias("n"),
+            F.max("rk").alias("mx"),
+            F.min("rk").alias("mn"),
+            F.countDistinct("rk").alias("nd"),
+        ).collect()[0]
+        assert (
+            stats.n == 1499
+            and stats.mx == 1499
+            and stats.mn == 1
+            and stats.nd == 1499
+        ), f"rank not a permutation with exchange reuse on: {stats}"
+
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        with pytest.raises(ValueError, match="exchange.reuse"):
+            global_rank(df, "v", "id")
+        with pytest.raises(ValueError, match="exchange.reuse"):
+            global_rank_cumsum(df, "v", "v", "id")
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", prev)
+
+
 def test_single_partition_census_classification(spark):
     """single_partition_census buckets each SinglePartition exchange by
     its producer: aggregate-fed, limit-bounded, or unbounded."""
