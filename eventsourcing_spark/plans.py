@@ -151,9 +151,10 @@ def _single_partition_exchanges(plan: str) -> list[int]:
     return ids
 
 
-def _walk(nodes: dict[int, dict], nid: int, direction: str) -> str | None:
-    """First non-pass-through node name above (``up``) or below
-    (``down``) ``nid``, treating single-child chains as transparent."""
+def _walk_id(nodes: dict[int, dict], nid: int, direction: str) -> int | None:
+    """Node id of the first non-pass-through node above (``up``) or below
+    (``down``) ``nid``, treating single-child chains as transparent.
+    Returns None at the tree edge or a fan-in (multi-child) boundary."""
     cur = nid
     while True:
         if direction == "up":
@@ -163,11 +164,112 @@ def _walk(nodes: dict[int, dict], nid: int, direction: str) -> str | None:
         else:
             kids = nodes[cur]["children"]
             if len(kids) != 1:
+                return None
+            cur = kids[0]
+        if nodes[cur]["name"] not in _PASS_THROUGH:
+            return cur
+
+
+def _walk(nodes: dict[int, dict], nid: int, direction: str) -> str | None:
+    """First non-pass-through node name above (``up``) or below
+    (``down``) ``nid``, treating single-child chains as transparent."""
+    if direction == "down":
+        # preserve the fan-in sentinel the census relies on
+        cur = nid
+        while True:
+            kids = nodes[cur]["children"]
+            if len(kids) != 1:
                 return None if not kids else "_fanin_"
             cur = kids[0]
-        name = nodes[cur]["name"]
-        if name not in _PASS_THROUGH:
-            return name
+            if nodes[cur]["name"] not in _PASS_THROUGH:
+                return nodes[cur]["name"]
+    rid = _walk_id(nodes, nid, direction)
+    return nodes[rid]["name"] if rid is not None else None
+
+
+def _node_detail(plan: str, nid: int) -> str:
+    """The numbered detail block of one node (header line + its
+    ``Input/Keys/Arguments/...`` lines) from ``explain("formatted")``."""
+    m = re.search(
+        rf"^\({nid}\) [^\n]*\n(?:(?!\(\d+\) )[^\n]*\n)*", plan, re.M
+    )
+    return m.group(0) if m else ""
+
+
+# --- grain classification of aggregate-fed global windows -------------------
+# An aggregate feeding a SinglePartition exchange bounds the row count at
+# |distinct grouping keys| — but "bounded" is only true if the grouping
+# GRAIN does not itself grow with the corpus. groupBy(user_id) → global
+# window passes a producer-only whitelist while multiplying without limit
+# at the 100 TB growth axis (the round-3 rfm defense). These patterns
+# classify the aggregate's `Keys [...]` detail line:
+#
+# * growing — per-entity identifiers whose cardinality tracks corpus size;
+# * bounded — calendar grains (day/hour/week expressions), small declared
+#   domains (lang, split, quality buckets, the `value` histogram), and the
+#   ranking family's P-row `__rank_pid` frames.
+#
+# A growing key inside a modulo/bucketing expression is still flagged —
+# a genuinely bounded derivation should use the @query(bounded_window=...)
+# escape hatch with a written bound instead of silently passing the audit.
+_GROWING_ID_RE = re.compile(
+    r"\b(user_id|doc_id|aggregate_id|stream_id|event_id|media_id|"
+    r"session_id|chunk_id|query_id|trace_id|span_id|"
+    r"o_orderkey|l_orderkey|c_custkey|s_suppkey|p_partkey|ps_partkey|"
+    r"orderkey|custkey|suppkey|partkey|id)#",
+)
+_BOUNDED_KEY_RE = re.compile(
+    r"\b(date_trunc|window|to_date|year|month|quarter|weekofyear|"
+    r"dayofweek|dayofmonth|hour|minute|unix_date|"
+    r"__rank_pid|day|date|cw|week|lang|language|split_id|split|"
+    r"q|qd|value|kind|event_type|source|shape|band|bucket|tile|decile|"
+    r"grp|bin|cohort|segment|label)[#(]",
+)
+
+
+def _agg_window_grain(plan: str, agg_nid: int) -> tuple[str, str]:
+    """Classify the grouping grain of an aggregate node feeding a global
+    window: ``("scalar", "")`` for keyless aggregates (1 row),
+    ``("bounded", keys)`` when every key is a calendar/domain/P-row
+    expression, ``("growing", keys)`` when any key contains a
+    corpus-growing identifier, ``("unknown", keys)`` otherwise (treated
+    as bounded today; the escape hatch documents real bounds)."""
+    detail = _node_detail(plan, agg_nid)
+    m = re.search(r"Keys \[\d+\]: \[(.*)\]", detail)
+    if not m or not m.group(1).strip():
+        return "scalar", ""
+    keys = m.group(1)
+    # grouping EXPRESSIONS are pre-projected as _groupingexpression#N —
+    # resolve each to (a bounded snippet of) its defining text so the
+    # grain markers (date_trunc, day arithmetic, id columns) are visible
+    for ref in set(re.findall(r"_groupingexpression#\d+", keys)):
+        pos = plan.find(f" AS {ref}")
+        if pos != -1:
+            # walk backwards to the expression start: the previous comma or
+            # '[' at bracket depth 0 (defining text sits in a Project's
+            # Output/Arguments list, so neighbors are comma-separated)
+            depth = 0
+            start = max(0, pos - 400)
+            i = pos - 1
+            while i > start:
+                ch = plan[i]
+                if ch in ")]":
+                    depth += 1
+                elif ch in "([":
+                    if depth == 0:
+                        i += 1
+                        break
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    i += 1
+                    break
+                i -= 1
+            keys = keys.replace(ref, f"{ref}={{{plan[i:pos].strip()}}}")
+    if _GROWING_ID_RE.search(keys):
+        return "growing", keys
+    if _BOUNDED_KEY_RE.search(keys):
+        return "bounded", keys
+    return "unknown", keys
 
 
 def unpartitioned_windows(df_or_plan: DataFrame | str) -> list[str]:
@@ -185,6 +287,7 @@ def unpartitioned_windows(df_or_plan: DataFrame | str) -> list[str]:
         df_or_plan if isinstance(df_or_plan, str) else formatted_plan(df_or_plan)
     )
     nodes = _parse_tree(plan)
+    agg = {"HashAggregate", "ObjectHashAggregate", "SortAggregate"}
     flags = []
     for xid in _single_partition_exchanges(plan):
         if xid not in nodes:
@@ -200,6 +303,22 @@ def unpartitioned_windows(df_or_plan: DataFrame | str) -> list[str]:
                 "scale — partition the window, rewrite via distinct-value "
                 "histogram boundaries, or bound the input with a top-k"
             )
+            continue
+        # aggregate-fed ≠ bounded: check the GRAIN of the grouping keys —
+        # a groupBy(user_id)-fed global window multiplies without limit at
+        # the corpus growth axis even though an aggregate feeds it
+        if producer in agg:
+            pid = _walk_id(nodes, xid, "down")
+            grain, keys = _agg_window_grain(plan, pid)
+            if grain == "growing":
+                flags.append(
+                    f"Window over Exchange SinglePartition (node {xid}) fed "
+                    f"by {producer} grouping on a corpus-growing grain "
+                    f"[{keys}]: |distinct keys| tracks corpus size, so the "
+                    "global window still funnels unbounded rows through ONE "
+                    "task — partition the window or rewrite via the "
+                    "distributed-rank family (operators/ranking.py)"
+                )
     return flags
 
 
@@ -207,7 +326,14 @@ def single_partition_census(df_or_plan: DataFrame | str) -> dict[str, int]:
     """Classify every ``Exchange SinglePartition`` in a plan by what
     feeds it — the audit the round-3 judge ran by hand, mechanized:
 
-    * ``aggregate_fed`` — |distinct keys| rows (histograms, scalar aggs);
+    * ``aggregate_fed`` — |distinct keys| rows (histograms, scalar aggs)
+      with a bounded grouping grain (calendar grains, small domains,
+      P-row ``__rank_pid`` frames);
+    * ``aggregate_fed_growing_grain`` — an aggregate feeds the exchange
+      but its grouping keys contain a corpus-growing identifier
+      (user_id, doc_id, ...) AND a Window consumes it: |distinct keys|
+      tracks corpus size, so this is the scale-killer class in disguise
+      (round-3's rfm_segmentation shape — must stay 0);
     * ``limit_bounded`` — top-k / limit survivors;
     * ``literal`` — driver-local constant frames;
     * ``python_fed`` — an Arrow python stage feeds the exchange: the
@@ -222,6 +348,7 @@ def single_partition_census(df_or_plan: DataFrame | str) -> dict[str, int]:
     nodes = _parse_tree(plan)
     census = {
         "aggregate_fed": 0,
+        "aggregate_fed_growing_grain": 0,
         "limit_bounded": 0,
         "literal": 0,
         "python_fed": 0,
@@ -247,7 +374,11 @@ def single_partition_census(df_or_plan: DataFrame | str) -> dict[str, int]:
             continue
         producer = _walk(nodes, xid, "down")
         if producer in agg:
-            census["aggregate_fed"] += 1
+            grain, _ = _agg_window_grain(plan, _walk_id(nodes, xid, "down"))
+            if grain == "growing" and _walk(nodes, xid, "up") == "Window":
+                census["aggregate_fed_growing_grain"] += 1
+            else:
+                census["aggregate_fed"] += 1
         elif producer in lim:
             census["limit_bounded"] += 1
         elif producer in ("LocalTableScan", "ReusedExchange", "Subquery"):

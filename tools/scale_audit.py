@@ -34,7 +34,8 @@ def main() -> int:
     spark = get_spark("scale-audit")
     spark.sparkContext.setLogLevel("ERROR")
     flagged = 0
-    census_total = {"aggregate_fed": 0, "limit_bounded": 0, "literal": 0,
+    census_total = {"aggregate_fed": 0, "aggregate_fed_growing_grain": 0,
+                    "limit_bounded": 0, "literal": 0,
                     "python_fed": 0, "unbounded": 0}
     print(f"{'query':40s} {'exch':>4s} {'scan':>4s} {'bhj':>3s} {'py':>3s}  flags")
     for name in sorted(SPARK_QUERIES):
