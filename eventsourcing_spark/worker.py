@@ -32,6 +32,62 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
+@dataclass(frozen=True)
+class PartitionSlot:
+    """One partition range a worker owns (worker/runworker.go:146-153):
+    ``PARTITION_SLOTS=1-6,7-12`` → two slots covering partitions 1-6 and
+    7-12. ``size`` mirrors ``PartitionSlot.Size()`` (To - From + 1)."""
+
+    low: int
+    high: int
+
+    @property
+    def size(self) -> int:
+        return self.high - self.low + 1
+
+
+def parse_slot(slot: str) -> PartitionSlot:
+    """``"1-6"`` → slot(1, 6); ``"3"`` → slot(3, 3)
+    (worker/runworker.go:166-184 ``ParseSlot``).
+
+    Divergences from the Go original, both loud-error where Go is
+    silent: more than one ``-`` raises (Go ignores everything past the
+    second token), and negative/reversed ranges raise (Go casts the
+    parsed int to uint32, so ``-1`` silently becomes 4294967295 and a
+    reversed range gets a wrapped Size). A config typo should stop the
+    worker, not hand it four billion partitions."""
+    parts = slot.split("-")
+    if len(parts) > 2:
+        raise ValueError(f"malformed partition slot {slot!r}: use N or N-M")
+    try:
+        low = int(parts[0])
+        high = int(parts[1]) if len(parts) == 2 else low
+    except ValueError:
+        raise ValueError(f"malformed partition slot {slot!r}: use N or N-M")
+    if low < 0 or high < low:
+        raise ValueError(
+            f"partition slot {slot!r} out of order: need 0 <= low <= high"
+        )
+    return PartitionSlot(low, high)
+
+
+def parse_slots(slots: list[str] | str) -> list[PartitionSlot]:
+    """``["1-4", "5-8"]`` (or the raw env string ``"1-4,5-8"``) → slot
+    list (worker/runworker.go:155-164 ``ParseSlots``; README's
+    ``PARTITION_SLOTS=1-4,5-8,9-12`` example)."""
+    if isinstance(slots, str):
+        slots = [s for s in (p.strip() for p in slots.split(",")) if s]
+    return [parse_slot(s) for s in slots]
+
+
+def partitioned_forwarder_names(name: str, slots: list[PartitionSlot]) -> list[str]:
+    """Worker names for a slot list — one forwarder per slot, named
+    ``{name}-{low}-{high}`` exactly as the reference builds them
+    (worker/forwarder.go:16-36 ``PartitionedEventForwarders``). These
+    are the ``all_workers`` the balancer spreads over peers."""
+    return [f"{name}-{s.low}-{s.high}" for s in slots]
+
+
 @dataclass
 class PeerView:
     """One row of the ledger: a peer and the workers it has registered

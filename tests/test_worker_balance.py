@@ -88,3 +88,70 @@ def test_no_double_assignment_under_any_interleaving():
                 state[me] = balance_step(me, ledger, WORKERS, state[me])
         allw = [w for ws in state.values() for w in ws]
         assert sorted(allw) == WORKERS, (order, state)
+
+
+# ---------------------------------------------------------------------------
+# C6 — PARTITION_SLOTS parsing (worker/runworker.go:146-184) and the
+# forwarder names built from slots (worker/forwarder.go:16-36), golden-
+# tested against the reference README's partitioning walkthrough
+# (README.md:510-553: PARTITION_SLOTS=1-4,5-8,9-12 over 3 replicas, and
+# the 12-partition 1-6/7-12 two-instance example).
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from eventsourcing_spark.worker import (
+    PartitionSlot,
+    parse_slot,
+    parse_slots,
+    partitioned_forwarder_names,
+    simulate_heartbeats,
+)
+
+
+def test_parse_slot_goldens():
+    assert parse_slot("1-6") == PartitionSlot(1, 6)
+    assert parse_slot("7-12") == PartitionSlot(7, 12)
+    assert parse_slot("3") == PartitionSlot(3, 3)
+    assert parse_slot("0") == PartitionSlot(0, 0)
+    assert parse_slot("1-6").size == 6
+    assert parse_slot("3").size == 1
+
+
+def test_parse_slots_readme_example():
+    # README.md:530 — PARTITION_SLOTS=1-4,5-8,9-12 (raw env string and
+    # pre-split list both accepted)
+    slots = parse_slots("1-4,5-8,9-12")
+    assert slots == [PartitionSlot(1, 4), PartitionSlot(5, 8),
+                     PartitionSlot(9, 12)]
+    assert [s.size for s in slots] == [4, 4, 4]
+    assert parse_slots(["1-6", "7-12"]) == [PartitionSlot(1, 6),
+                                            PartitionSlot(7, 12)]
+
+
+def test_parse_slot_rejects_malformed():
+    # loud-error divergences from Go documented at parse_slot: Go's
+    # uint32 cast would wrap "-1" to 4294967295 and silently ignore the
+    # third token of "1-2-3"
+    for bad in ("", "a", "1-b", "1-2-3", "-1", "5-2"):
+        with pytest.raises(ValueError):
+            parse_slot(bad)
+
+
+def test_forwarder_names_and_balance_integration():
+    # forwarder.go names one worker per slot "{name}-{low}-{high}"; the
+    # README walkthrough then balances 3 slots over 1→2→3 replicas
+    slots = parse_slots("1-4,5-8,9-12")
+    names = partitioned_forwarder_names("fwd", slots)
+    assert names == ["fwd-1-4", "fwd-5-8", "fwd-9-12"]
+
+    # 1 replica locks all 3 slots (x = 3/1)
+    s1 = simulate_heartbeats(["i1"], names)
+    assert sorted(s1["i1"]) == names
+    # second replica arrives: x = ceil-ish 3/2 → 2 + 1
+    s2 = simulate_heartbeats(["i1", "i2"], names, assignments=s1)
+    assert sorted(len(v) for v in s2.values()) == [1, 2]
+    # third replica: x = 3/3 → one slot each, full coverage
+    s3 = simulate_heartbeats(["i1", "i2", "i3"], names, assignments=s2)
+    assert sorted(len(v) for v in s3.values()) == [1, 1, 1]
+    assert sorted(w for v in s3.values() for w in v) == names
