@@ -614,6 +614,151 @@ def media_wav_decode_stats(spark, sf_dir):
     return docs.select("doc_id").mapInPandas(run, schema)
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (VERDICT r4 next-round #4): the media
+# family's cross-item dedup op — the standard 100 TB curation stage the
+# decode/audit queries lacked. dHash over the REAL PNG path: 16×16
+# greyscale images are genuinely PNG-encoded (all five scanline filters)
+# and decoded back in one Arrow stage, downsampled 2×2→8×8 by exact
+# integer block mean (sum div 4), and hashed with 56 right-neighbor
+# comparisons (bit r·7+c = cell[r][c] < cell[r][c+1]). Near-dup pairs
+# then come from SimHash-style banding (4 × 14-bit bands, join on band
+# equality — bucketed, NEVER all-pairs: candidate work is Σ|bucket|²,
+# bounded by band-collision statistics) with an exact Hamming-≤8 verify
+# on the full hash (`bit_count(xor)`). The image family is deterministic
+# doc_id arithmetic — clusters of 16 consecutive doc_ids share a base
+# pattern and differ by ~4 shifted pixels each (measured grain at
+# sf0.01: within-cluster Hamming med 3 / max 10, cross-cluster min 17,
+# max band bucket 25) — so the DuckDB oracle recomputes pixels, cells,
+# hash, bands, and pairs arithmetically without ever seeing the bytes:
+# a decode or downsample bug cannot cancel out. Banding recall is the
+# usual LSH property (a ≤8-distance pair missing from all 4 bands is
+# dropped by BOTH engines identically); scale levers are wider bands or
+# multiprobe, as in ann_lsh_multiprobe.
+# ---------------------------------------------------------------------------
+
+_PHASH_HAMMING_MAX = 8
+
+
+@query(
+    "media_phash_neardup_pairs",
+    f"""
+    WITH px AS (
+        SELECT doc_id, g.i AS i,
+               (97 * (doc_id // 16) + 13 * g.i * g.i
+                + 29 * (doc_id // 16) * g.i
+                + CASE WHEN g.i % 61 = doc_id % 61 THEN 128 ELSE 0 END)
+                 % 256 AS v
+        FROM documents, generate_series(0, 255) g(i)
+    ),
+    cells AS (
+        SELECT doc_id,
+               ((i // 16) // 2) * 8 + ((i % 16) // 2) AS j,
+               CAST(sum(v) // 4 AS BIGINT) AS cell
+        FROM px GROUP BY doc_id, ((i // 16) // 2) * 8 + ((i % 16) // 2)
+    ),
+    hashes AS (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN a.cell < b.cell
+                        THEN CAST(1 AS BIGINT) << ((a.j // 8) * 7 + (a.j % 8))
+                        ELSE 0 END) AS BIGINT) AS ph
+        FROM cells a JOIN cells b
+          ON b.doc_id = a.doc_id AND a.j % 8 < 7 AND b.j = a.j + 1
+        GROUP BY a.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, ph, gs.bi AS band, (ph >> (14 * gs.bi)) & 16383 AS bval
+        FROM hashes, generate_series(0, 3) gs(bi)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.ph AS ha, b.ph AS hb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {_PHASH_HAMMING_MAX}
+    """,
+)
+def media_phash_neardup_pairs(spark, sf_dir):
+    """Image near-dup via dHash banding over the real PNG codec path.
+    One Arrow stage computes per-image hashes; everything after —
+    banding, the bucketed candidate join, the exact Hamming verify —
+    is JVM-side DataFrame ops (dedup_simhash's shape,
+    pipeline/similarity.py)."""
+    from eventsourcing_spark.pipeline.media_codecs import decode_png, encode_png
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ph", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // 16
+                raw = bytes(
+                    (97 * g + 13 * i * i + 29 * g * i
+                     + (128 if i % 61 == d % 61 else 0)) % 256
+                    for i in range(256)
+                )
+                px = decode_png(encode_png(raw, 16, 16, 1))["pixels"]
+                h = 0
+                for r in range(8):
+                    prev = 0
+                    for c in range(8):
+                        s = (
+                            px[32 * r + 2 * c] + px[32 * r + 2 * c + 1]
+                            + px[32 * r + 16 + 2 * c]
+                            + px[32 * r + 16 + 2 * c + 1]
+                        ) // 4
+                        if c and prev < s:
+                            h |= 1 << (r * 7 + c - 1)
+                        prev = s
+                rows.append((d, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "ph"])
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id").mapInPandas(run, schema)
+    bands = hashed.select(
+        "doc_id",
+        "ph",
+        F.posexplode(
+            F.expr(
+                "array(ph & 16383, shiftright(ph, 14) & 16383,"
+                " shiftright(ph, 28) & 16383, shiftright(ph, 42) & 16383)"
+            )
+        ).alias("band", "bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ph").alias("ha"),
+            F.col("b.ph").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 _AVI_MAX_PX = 6 * 5 * 3   # w≤6, h≤5, BGR below
 _AVI_MAX_FRAMES = 5        # n = 2 + doc_id % 4
 
