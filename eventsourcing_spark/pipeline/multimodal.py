@@ -759,6 +759,319 @@ def media_phash_neardup_pairs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup — the WAV twin of media_phash_neardup_pairs,
+# making dedup modality-complete (text: MinHash/SimHash families; image:
+# dHash above; audio: here; video: frame-hash below). 128-sample PCM16
+# clips are genuinely RIFF/WAVE-encoded and decoded back through the
+# real codec, framed 2-samples-per-frame into 64 integer frame means
+# (exact: sum div 2 of the +2048-shifted samples), and fingerprinted
+# with 63 neighbor comparisons — a 1-D dHash, the shape audio
+# fingerprinters (Chromaprint-style energy-delta bits) reduce to under
+# integer arithmetic. Candidates from 4 × 16-bit bands (bucketed, never
+# all-pairs), exact verify Hamming ≤ 6. Clip family: clusters of 16
+# consecutive doc_ids share a base waveform, each doc perturbs ~4-5
+# samples by +384 (measured at sf0.01: within-cluster Hamming med 1 /
+# max 4, cross-cluster min 19, max band bucket 32). The DuckDB twin
+# recomputes samples → frames → bits → bands arithmetically, never
+# touching the RIFF bytes.
+# ---------------------------------------------------------------------------
+
+_AFP_HAMMING_MAX = 6
+
+
+@query(
+    "media_audio_fingerprint_neardup",
+    f"""
+    WITH sm AS (
+        SELECT doc_id, g.t AS t,
+               (31 * (doc_id // 16) + 7 * g.t * g.t
+                + 13 * (doc_id // 16) * g.t) % 4096
+               + CASE WHEN g.t % 29 = doc_id % 29 THEN 384 ELSE 0 END AS p
+        FROM documents, generate_series(0, 127) g(t)
+    ),
+    frames AS (
+        SELECT doc_id, t // 2 AS k, CAST(sum(p) // 2 AS BIGINT) AS fm
+        FROM sm GROUP BY doc_id, t // 2
+    ),
+    fps AS (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN a.fm < b.fm
+                        THEN CAST(1 AS BIGINT) << a.k ELSE 0 END)
+                    AS BIGINT) AS fp
+        FROM frames a JOIN frames b
+          ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        GROUP BY a.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, fp, gs.bi AS band, (fp >> (16 * gs.bi)) & 65535 AS bval
+        FROM fps, generate_series(0, 3) gs(bi)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.fp AS fa, b.fp AS fb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {_AFP_HAMMING_MAX}
+    """,
+)
+def media_audio_fingerprint_neardup(spark, sf_dir):
+    """Audio near-dup via 1-D dHash banding over the real WAV codec path.
+    One Arrow stage encodes+decodes the PCM and fingerprints it; banding,
+    the bucketed candidate join, and the exact Hamming verify are
+    JVM-side (same shape as media_phash_neardup_pairs)."""
+    from eventsourcing_spark.pipeline.media_codecs import decode_wav, encode_wav
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // 16
+                sm = [
+                    (31 * g + 7 * t * t + 13 * g * t) % 4096
+                    + (384 if t % 29 == d % 29 else 0)
+                    - 2048
+                    for t in range(128)
+                ]
+                dec = decode_wav(encode_wav(sm, 8000))["samples"]
+                p = [s + 2048 for s in dec]
+                frames = [(p[2 * k] + p[2 * k + 1]) // 2 for k in range(64)]
+                h = 0
+                for k in range(63):
+                    if frames[k] < frames[k + 1]:
+                        h |= 1 << k
+                rows.append((d, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "fp"])
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select("doc_id").mapInPandas(run, schema)
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.expr(
+                "array(fp & 65535, shiftright(fp, 16) & 65535,"
+                " shiftright(fp, 32) & 65535, shiftright(fp, 48) & 65535)"
+            )
+        ).alias("band", "bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(fa ^ fb)").cast("long"))
+        .filter(F.col("hamming") <= _AFP_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup — frame-hash overlap over the real AVI demux,
+# completing modality-complete dedup (text/image/audio/video). Each clip
+# is 3-5 genuinely AVI-encoded 8×8 greyscale frames (BGR triplets with
+# equal channels); the demuxed frames are hashed per-frame with a 24-bit
+# comparison hash (4×4 integer block means, 12 row-adjacent + 12
+# column-adjacent comparisons — brightness-shift tolerant, the pattern
+# video dedup reduces per frame). Near-dup pairs = clips sharing ≥ 2
+# exact (frame_idx, frame_hash) matches — the join key IS the bucket
+# (bucketed, never all-pairs; sf0.01: 571 buckets, max 16, zero
+# cross-cluster collisions) — scored by frame-set Jaccard. Clip family:
+# clusters of 16 consecutive doc_ids share base frames; each doc
+# perturbs ~2 cells of ONE frame (k = doc_id mod n_frames), so cluster
+# pairs agree on all but ≤ 2 frame indices. The DuckDB twin recomputes
+# frames → cells → hashes → matches arithmetically, never touching the
+# container bytes.
+# ---------------------------------------------------------------------------
+
+_VFH_MIN_MATCH = 2
+
+
+@query(
+    "media_video_framehash_neardup",
+    f"""
+    WITH px AS (
+        SELECT doc_id, fk.k AS k, g.j AS j,
+               (89 * (doc_id // 16) + 17 * g.j * g.j
+                + 23 * (doc_id // 16) * g.j + 71 * fk.k
+                + CASE WHEN g.j % 31 = doc_id % 31
+                        AND fk.k = doc_id % (3 + doc_id % 3)
+                       THEN 128 ELSE 0 END) % 256 AS v
+        FROM documents,
+             generate_series(0, 4) fk(k),
+             generate_series(0, 63) g(j)
+        WHERE fk.k < 3 + doc_id % 3
+    ),
+    cells AS (
+        SELECT doc_id, k,
+               ((j // 8) // 2) * 4 + ((j % 8) // 2) AS c,
+               CAST(sum(v) // 4 AS BIGINT) AS cell
+        FROM px GROUP BY doc_id, k, ((j // 8) // 2) * 4 + ((j % 8) // 2)
+    ),
+    rowbits AS (
+        -- bit index (c DIV 4)*3 + c%4 packs the 4x3 row comparisons into
+        -- bits 0-11, matching the Python packer exactly (raw a.c would
+        -- leak into the column-bit range 12+ and corrupt the hash)
+        SELECT a.doc_id, a.k,
+               CAST(sum(CASE WHEN a.cell < b.cell
+                        THEN CAST(1 AS BIGINT)
+                             << ((a.c // 4) * 3 + a.c % 4) ELSE 0 END)
+                    AS BIGINT) AS h
+        FROM cells a JOIN cells b
+          ON b.doc_id = a.doc_id AND b.k = a.k
+         AND a.c % 4 < 3 AND b.c = a.c + 1
+        GROUP BY a.doc_id, a.k
+    ),
+    colbits AS (
+        SELECT a.doc_id, a.k,
+               CAST(sum(CASE WHEN a.cell < b.cell
+                        THEN CAST(1 AS BIGINT) << (12 + a.c) ELSE 0 END)
+                    AS BIGINT) AS h
+        FROM cells a JOIN cells b
+          ON b.doc_id = a.doc_id AND b.k = a.k AND b.c = a.c + 4
+        GROUP BY a.doc_id, a.k
+    ),
+    fhs AS (
+        SELECT r.doc_id, r.k, r.h + c.h AS fh,
+               3 + r.doc_id % 3 AS nf
+        FROM rowbits r JOIN colbits c
+          ON c.doc_id = r.doc_id AND c.k = r.k
+    ),
+    matches AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               any_value(a.nf) AS na, any_value(b.nf) AS nb,
+               CAST(count(*) AS BIGINT) AS n_match
+        FROM fhs a JOIN fhs b
+          ON a.k = b.k AND a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_match,
+           CAST(n_match * 1000000 // (na + nb - n_match) AS BIGINT)
+             AS jaccard_ppm
+    FROM matches WHERE n_match >= {_VFH_MIN_MATCH}
+    """,
+)
+def media_video_framehash_neardup(spark, sf_dir):
+    """Video near-dup via per-frame comparison hashes over the real AVI
+    container path. One Arrow stage encodes, demuxes, and hashes the
+    frames (1 clip → n_frames rows, the UDTF shape); the (frame_idx,
+    frame_hash) self-join, pair aggregation, and Jaccard scoring are
+    JVM-side."""
+    from eventsourcing_spark.pipeline.media_codecs import decode_avi, encode_avi
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("k", T.IntegerType()),
+            T.StructField("fh", T.LongType()),
+            T.StructField("nf", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def fhash(px_bgr):
+            g = [px_bgr[3 * j] for j in range(64)]
+            cells = [
+                (
+                    g[(2 * r) * 8 + 2 * c] + g[(2 * r) * 8 + 2 * c + 1]
+                    + g[(2 * r + 1) * 8 + 2 * c]
+                    + g[(2 * r + 1) * 8 + 2 * c + 1]
+                ) // 4
+                for r in range(4) for c in range(4)
+            ]
+            h = 0
+            bit = 0
+            for r in range(4):
+                for c in range(3):
+                    if cells[r * 4 + c] < cells[r * 4 + c + 1]:
+                        h |= 1 << bit
+                    bit += 1
+            for r in range(3):
+                for c in range(4):
+                    if cells[r * 4 + c] < cells[(r + 1) * 4 + c]:
+                        h |= 1 << bit
+                    bit += 1
+            return h
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // 16
+                nf = 3 + d % 3
+                frames = []
+                for k in range(nf):
+                    buf = bytearray()
+                    for j in range(64):
+                        v = (89 * g + 17 * j * j + 23 * g * j + 71 * k) % 256
+                        if j % 31 == d % 31 and k == d % nf:
+                            v = (v + 128) % 256
+                        buf += bytes((v, v, v))
+                    frames.append(bytes(buf))
+                avi = decode_avi(encode_avi(frames, 8, 8, 10))
+                for k, f in enumerate(avi["frames"]):
+                    rows.append((d, k, fhash(f), nf))
+            yield pd.DataFrame(rows, columns=["doc_id", "k", "fh", "nf"])
+
+    docs = load_table(spark, sf_dir, "documents")
+    fhs = docs.select("doc_id").mapInPandas(run, schema)
+    a, b = fhs.alias("a"), fhs.alias("b")
+    matches = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.first(F.col("a.nf")).alias("na"),
+            F.first(F.col("b.nf")).alias("nb"),
+            F.count("*").cast("long").alias("n_match"),
+        )
+    )
+    return (
+        matches.filter(F.col("n_match") >= _VFH_MIN_MATCH)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            F.expr("n_match * 1000000 div (na + nb - n_match)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
 _AVI_MAX_PX = 6 * 5 * 3   # w≤6, h≤5, BGR below
 _AVI_MAX_FRAMES = 5        # n = 2 + doc_id % 4
 
