@@ -85,6 +85,12 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     "rfm_segmentation",
     "global_value_percentiles_rank",
+    # round 5: modality-complete near-dup (real codecs) + the PII pass
+    "media_phash_neardup_pairs",
+    "media_audio_fingerprint_neardup",
+    "media_video_framehash_neardup",
+    "pii_detection_stats",
+    "pii_redaction_endstate",
 ]
 
 
