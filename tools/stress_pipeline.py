@@ -88,6 +88,13 @@ STRESS_QUERIES = (
     "ingestion_order_audit",
     "interarrival_burstiness",
     "backfill_gap_days",
+    # round 5: modality-complete near-dup (doc_id-derived media — id
+    # shifts create NEW clusters, so the media corpus truly grows) + PII
+    "media_phash_neardup_pairs",
+    "media_audio_fingerprint_neardup",
+    "media_video_framehash_neardup",
+    "pii_detection_stats",
+    "pii_redaction_endstate",
 )
 
 
