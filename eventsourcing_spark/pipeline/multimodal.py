@@ -639,11 +639,10 @@ def media_wav_decode_stats(spark, sf_dir):
 
 _PHASH_HAMMING_MAX = 8
 
-
-@query(
-    "media_phash_neardup_pairs",
-    f"""
-    WITH px AS (
+# the phash CTE chain, shared by the pair gate query and the cross-modal
+# component capstone below (names px/cells/hashes/pbands/pcand are
+# internal to the WITH chain)
+_PHASH_SQL = f"""px AS (
         SELECT doc_id, g.i AS i,
                (97 * (doc_id // 16) + 13 * g.i * g.i
                 + 29 * (doc_id // 16) * g.i
@@ -666,26 +665,25 @@ _PHASH_HAMMING_MAX = 8
           ON b.doc_id = a.doc_id AND a.j % 8 < 7 AND b.j = a.j + 1
         GROUP BY a.doc_id
     ),
-    bands AS (
+    pbands AS (
         SELECT doc_id, ph, gs.bi AS band, (ph >> (14 * gs.bi)) & 16383 AS bval
         FROM hashes, generate_series(0, 3) gs(bi)
     ),
-    cand AS (
+    pcand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.ph AS ha, b.ph AS hb
-        FROM bands a JOIN bands b
+        FROM pbands a JOIN pbands b
           ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-    FROM cand WHERE bit_count(xor(ha, hb)) <= {_PHASH_HAMMING_MAX}
-    """,
-)
-def media_phash_neardup_pairs(spark, sf_dir):
-    """Image near-dup via dHash banding over the real PNG codec path.
-    One Arrow stage computes per-image hashes; everything after —
-    banding, the bucketed candidate join, the exact Hamming verify —
-    is JVM-side DataFrame ops (dedup_simhash's shape,
-    pipeline/similarity.py)."""
+    ),
+    pedges AS (
+        SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM pcand WHERE bit_count(xor(ha, hb)) <= {_PHASH_HAMMING_MAX}
+    )"""
+
+
+def _phash_hashed(docs):
+    """(doc_id, ph): dHash of the deterministic image family, computed
+    through the REAL PNG encode→decode path in one Arrow stage."""
     from eventsourcing_spark.pipeline.media_codecs import decode_png, encode_png
 
     schema = T.StructType(
@@ -724,8 +722,12 @@ def media_phash_neardup_pairs(spark, sf_dir):
                 rows.append((d, h))
             yield pd.DataFrame(rows, columns=["doc_id", "ph"])
 
-    docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select("doc_id").mapInPandas(run, schema)
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
+def _phash_pairs(hashed):
+    """Banded candidate join + exact Hamming verify over (doc_id, ph):
+    returns (doc_a, doc_b, hamming) with hamming ≤ the threshold."""
     bands = hashed.select(
         "doc_id",
         "ph",
@@ -757,6 +759,20 @@ def media_phash_neardup_pairs(spark, sf_dir):
         .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@query(
+    "media_phash_neardup_pairs",
+    "WITH " + _PHASH_SQL + "\n    SELECT doc_a, doc_b, hamming FROM pedges",
+)
+def media_phash_neardup_pairs(spark, sf_dir):
+    """Image near-dup via dHash banding over the real PNG codec path.
+    One Arrow stage computes per-image hashes; everything after —
+    banding, the bucketed candidate join, the exact Hamming verify —
+    is JVM-side DataFrame ops (dedup_simhash's shape,
+    pipeline/similarity.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _phash_pairs(_phash_hashed(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -1150,3 +1166,98 @@ def media_avi_demux_stats(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal duplicate components — the round-5 capstone: a document is
+# a duplicate if its TEXT is a near-dup (MinHash-LSH keeper edges,
+# pipeline/queries.py) OR its IMAGE is a near-dup (phash edges above);
+# components over the UNION of both edge sets give the multimodal
+# duplicate families a curation pass actually dedups on. Same min-label
+# propagation as dedup_components (3 keyed shuffles per round,
+# localCheckpoint to cut lineage, monotone label sum as the fixpoint
+# test; rounds scale with the bucket-graph diameter, not corpus size),
+# and the oracle replays the identical fixpoint as one DuckDB recursive
+# CTE over the combined edges — an iterative cross-modal algorithm with
+# an exact value-hash check.
+# ---------------------------------------------------------------------------
+
+
+def _multimodal_components_oracle() -> str:
+    from eventsourcing_spark.pipeline.queries import _BANDS_SQL
+
+    return (
+        _BANDS_SQL.replace("WITH sig", "WITH RECURSIVE sig", 1)
+        + ", "
+        + _PHASH_SQL
+        + """
+    , keepers AS (
+        SELECT band_id, band_key, min(doc_id) AS keeper
+        FROM bands GROUP BY band_id, band_key
+    ),
+    tedges AS (
+        SELECT DISTINCT b.doc_id AS member, k.keeper
+        FROM bands b
+        JOIN keepers k ON b.band_id = k.band_id AND b.band_key = k.band_key
+        WHERE b.doc_id > k.keeper
+    ),
+    und AS (
+        SELECT member AS src, keeper AS dst FROM tedges
+        UNION SELECT keeper, member FROM tedges
+        UNION SELECT doc_a, doc_b FROM pedges
+        UNION SELECT doc_b, doc_a FROM pedges
+    ),
+    walk(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.node, u.dst FROM walk w JOIN und u ON u.src = w.lab
+    )
+    SELECT node AS doc_id, min(lab) AS component
+    FROM walk GROUP BY node
+    """
+    )
+
+
+@query("multimodal_dedup_components", _multimodal_components_oracle())
+def multimodal_dedup_components(spark, sf_dir):
+    from eventsourcing_spark.pipeline.queries import _keeper_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    tedges = _keeper_edges(docs).select(
+        F.col("member").alias("src"), F.col("keeper").alias("dst")
+    )
+    pedges = _phash_pairs(_phash_hashed(docs)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    und = (
+        tedges.union(tedges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(pedges)
+        .union(pedges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("component")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(25):
+        nbr_min = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy(F.col("src").alias("nbr_node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.nbr_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), "component")

@@ -295,6 +295,84 @@ def dedup_components(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Incremental batch dedup — the continual-ingestion shape (round 5): a
+# NEW batch arrives and must be classified against the EXISTING corpus
+# index, not self-joined. Every self-dedup query above answers "what
+# duplicates exist in this corpus"; a 100 TB pipeline ingesting daily
+# asks the cheaper question "which of these N new docs are already
+# indexed" — exact (content hash in the index) vs near-dup (shares a
+# MinHash band with any indexed doc) vs novel. Both probes are SEMI
+# joins: existence only, so a duplicate mega-family in the index costs
+# one bucket hit, never O(k²) pairs — no MAX_BUCKET cap needed. At real
+# scale the incoming batch is tiny relative to the index and broadcasts;
+# the index's band table is exactly the artifact an incremental pipeline
+# keeps materialized between runs. Gate split: doc_id % 10 = 0 plays the
+# incoming batch, the rest the index.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_incremental_batch",
+    _BANDS_SQL
+    + """
+    , inc AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+    ),
+    idx_h AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+    ),
+    near AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a JOIN bands b
+          ON b.band_id = a.band_id AND b.band_key = a.band_key
+         AND b.doc_id % 10 <> 0
+        WHERE a.doc_id % 10 = 0
+    )
+    SELECT i.doc_id,
+           CASE WHEN i.h IN (SELECT h FROM idx_h) THEN 'exact_dup'
+                WHEN i.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                ELSE 'novel' END AS status
+    FROM inc i
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    indexed = docs.filter(F.col("doc_id") % 10 != 0)
+    exact_hit = (
+        incoming.select("doc_id", F.md5("text").alias("h"))
+        .join(
+            indexed.select(F.md5("text").alias("h")).distinct(),
+            "h",
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    near_hit = (
+        _bands(incoming)
+        .join(
+            _bands(indexed).select("band_id", "band_key").distinct(),
+            ["band_id", "band_key"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact_hit, "doc_id", "left")
+        .join(near_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, "exact_dup")
+            .when(F.col("is_near") == 1, "near_dup")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-set Jaccard verification on candidate pairs (n-gram Jaccard with
 # n=1; the LSH pairs bound the comparison set).
 # ---------------------------------------------------------------------------
