@@ -44,7 +44,8 @@ def _coverage_footer_count() -> int:
 
 
 def test_registry_count_pinned_across_documents():
-    """len(SPARK_QUERIES) == PLANS.md footer == COVERAGE.md footer."""
+    """len(SPARK_QUERIES) == PLANS.md footer == COVERAGE.md footer ==
+    the two README mentions."""
     n = _registry_count()
     assert _plans_footer_count() == n, (
         f"PLANS.md footer says {_plans_footer_count()} queries but the "
@@ -54,6 +55,14 @@ def test_registry_count_pinned_across_documents():
         f"COVERAGE.md footer says {_coverage_footer_count()} queries but "
         f"the registry has {n} — update the COVERAGE.md footer"
     )
+    readme = open(os.path.join(HERE, "README.md")).read()
+    for m in re.findall(
+        r"All (\d+) registered queries|queries\(\)` \((\d+) operators", readme
+    ):
+        count = int(m[0] or m[1])
+        assert count == n, (
+            f"README.md pins {count} queries but the registry has {n}"
+        )
 
 
 def test_close_state_matches_registry_when_present():
