@@ -681,6 +681,26 @@ _PHASH_SQL = f"""px AS (
     )"""
 
 
+def dhash_16x16_gray(px: bytes) -> int:
+    """56-bit dHash of a 16×16 greyscale image: 2×2 integer block means
+    (sum div 4) into an 8×8 grid, bit r·7+c = cell[r][c] < cell[r][c+1].
+    Pure function (module is pickled by value, so executor closures may
+    reference it); property-tested for brightness-shift invariance in
+    tests/test_media_hash_properties.py."""
+    h = 0
+    for r in range(8):
+        prev = 0
+        for c in range(8):
+            s = (
+                px[32 * r + 2 * c] + px[32 * r + 2 * c + 1]
+                + px[32 * r + 16 + 2 * c] + px[32 * r + 16 + 2 * c + 1]
+            ) // 4
+            if c and prev < s:
+                h |= 1 << (r * 7 + c - 1)
+            prev = s
+    return h
+
+
 def _phash_hashed(docs):
     """(doc_id, ph): dHash of the deterministic image family, computed
     through the REAL PNG encode→decode path in one Arrow stage."""
@@ -707,19 +727,7 @@ def _phash_hashed(docs):
                     for i in range(256)
                 )
                 px = decode_png(encode_png(raw, 16, 16, 1))["pixels"]
-                h = 0
-                for r in range(8):
-                    prev = 0
-                    for c in range(8):
-                        s = (
-                            px[32 * r + 2 * c] + px[32 * r + 2 * c + 1]
-                            + px[32 * r + 16 + 2 * c]
-                            + px[32 * r + 16 + 2 * c + 1]
-                        ) // 4
-                        if c and prev < s:
-                            h |= 1 << (r * 7 + c - 1)
-                        prev = s
-                rows.append((d, h))
+                rows.append((d, dhash_16x16_gray(px)))
             yield pd.DataFrame(rows, columns=["doc_id", "ph"])
 
     return docs.select("doc_id").mapInPandas(run, schema)
@@ -796,6 +804,20 @@ def media_phash_neardup_pairs(spark, sf_dir):
 _AFP_HAMMING_MAX = 6
 
 
+def audio_fingerprint_128(samples: list[int]) -> int:
+    """63-bit 1-D dHash of a 128-sample int16 clip: 64 integer frame
+    means over the +2048-shifted samples (sum div 2), bit k =
+    frame[k] < frame[k+1]. Pure function; property-tested for
+    gain-offset invariance in tests/test_media_hash_properties.py."""
+    p = [s + 2048 for s in samples]
+    frames = [(p[2 * k] + p[2 * k + 1]) // 2 for k in range(64)]
+    h = 0
+    for k in range(63):
+        if frames[k] < frames[k + 1]:
+            h |= 1 << k
+    return h
+
+
 @query(
     "media_audio_fingerprint_neardup",
     f"""
@@ -862,13 +884,7 @@ def media_audio_fingerprint_neardup(spark, sf_dir):
                     for t in range(128)
                 ]
                 dec = decode_wav(encode_wav(sm, 8000))["samples"]
-                p = [s + 2048 for s in dec]
-                frames = [(p[2 * k] + p[2 * k + 1]) // 2 for k in range(64)]
-                h = 0
-                for k in range(63):
-                    if frames[k] < frames[k + 1]:
-                        h |= 1 << k
-                rows.append((d, h))
+                rows.append((d, audio_fingerprint_128(dec)))
             yield pd.DataFrame(rows, columns=["doc_id", "fp"])
 
     docs = load_table(spark, sf_dir, "documents")
@@ -925,6 +941,36 @@ def media_audio_fingerprint_neardup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _VFH_MIN_MATCH = 2
+
+
+def frame_hash_8x8_bgr(px_bgr: bytes) -> int:
+    """24-bit comparison hash of one 8×8 BGR frame (grey = first
+    channel, channels equal in this family): 4×4 integer block means,
+    bits 0-11 = row-adjacent comparisons (r·3+c), bits 12-23 =
+    column-adjacent (12 + r·4+c). Pure function; brightness-shift
+    invariance property-tested."""
+    g = [px_bgr[3 * j] for j in range(64)]
+    cells = [
+        (
+            g[(2 * r) * 8 + 2 * c] + g[(2 * r) * 8 + 2 * c + 1]
+            + g[(2 * r + 1) * 8 + 2 * c]
+            + g[(2 * r + 1) * 8 + 2 * c + 1]
+        ) // 4
+        for r in range(4) for c in range(4)
+    ]
+    h = 0
+    bit = 0
+    for r in range(4):
+        for c in range(3):
+            if cells[r * 4 + c] < cells[r * 4 + c + 1]:
+                h |= 1 << bit
+            bit += 1
+    for r in range(3):
+        for c in range(4):
+            if cells[r * 4 + c] < cells[(r + 1) * 4 + c]:
+                h |= 1 << bit
+            bit += 1
+    return h
 
 
 @query(
@@ -1011,29 +1057,7 @@ def media_video_framehash_neardup(spark, sf_dir):
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        def fhash(px_bgr):
-            g = [px_bgr[3 * j] for j in range(64)]
-            cells = [
-                (
-                    g[(2 * r) * 8 + 2 * c] + g[(2 * r) * 8 + 2 * c + 1]
-                    + g[(2 * r + 1) * 8 + 2 * c]
-                    + g[(2 * r + 1) * 8 + 2 * c + 1]
-                ) // 4
-                for r in range(4) for c in range(4)
-            ]
-            h = 0
-            bit = 0
-            for r in range(4):
-                for c in range(3):
-                    if cells[r * 4 + c] < cells[r * 4 + c + 1]:
-                        h |= 1 << bit
-                    bit += 1
-            for r in range(3):
-                for c in range(4):
-                    if cells[r * 4 + c] < cells[(r + 1) * 4 + c]:
-                        h |= 1 << bit
-                    bit += 1
-            return h
+        fhash = frame_hash_8x8_bgr
 
         for pdf in batches:
             rows = []
