@@ -1398,6 +1398,47 @@ def x_zorder_key(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Hilbert layout key — the locality-preserving upgrade to x_zorder_key
+# (round 5): consecutive Hilbert keys are ALWAYS one grid step apart
+# (no Morton seam jumps), so range scans over the sort order touch
+# tighter (user, hour) neighborhoods and file stats prune better — why
+# Iceberg ships hilbert clustering alongside zorder. The 16-step xy2d
+# transform is generated from one expression builder for both engines
+# (chained projections / MATERIALIZED CTE steps — see
+# functions/hashing.py for the negative-intermediate and CTE-inlining
+# traps); path-adjacency and reference-transform parity are pinned in
+# tests/test_functions.py.
+# ---------------------------------------------------------------------------
+from eventsourcing_spark.functions.hashing import (  # noqa: E402
+    hilbert_oracle_cte,
+    with_hilbert_key,
+)
+
+
+@query(
+    "x_hilbert_key",
+    "WITH "
+    + hilbert_oracle_cte(
+        base_select=(
+            "SELECT event_id, user_id % 65536 AS ux,"
+            " (epoch_ms(ts) // 3600000) % 65536 AS hy FROM events"
+        ),
+        carry_cols=["event_id", "ux", "hy"],
+        x_col="ux",
+        y_col="hy",
+    ),
+)
+def x_hilbert_key(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        F.expr("user_id % 65536").alias("ux"),
+        F.expr("(unix_millis(ts) div 3600000) % 65536").alias("hy"),
+    )
+    return with_hilbert_key(base, "ux", "hy")
+
+
+# ---------------------------------------------------------------------------
 # Nearest as-of join — both directions at once: each purchase annotated
 # with the user's CLOSEST error event in time (prior or next), ties to
 # the prior side. The incident-correlation question ("what error is this
