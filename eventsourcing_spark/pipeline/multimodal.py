@@ -1285,3 +1285,96 @@ def multimodal_dedup_components(spark, sf_dir):
             break
         prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-media detection — gate coverage for the codec ERROR path. At
+# 100 TB some payloads are always damaged (truncated uploads, bit rot);
+# a decode stage must quarantine them loudly, never mis-decode or kill
+# the job. Here every 17th image is deliberately corrupted (one IDAT
+# byte XOR-flipped — CRC32 detects all single-byte errors, so the real
+# decoder's chunk CRC check MUST reject it), the decode stage
+# try/excepts per item, and the per-source quarantine counts plus the
+# pixel sums of the SURVIVORS are pinned by the arithmetic oracle — so
+# a decoder that silently "recovers" a corrupt payload, or one that
+# drops a good one, both fail the gate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_corrupt_detection",
+    f"""
+    WITH m AS (
+        SELECT doc_id, source,
+               8 + doc_id % 9 AS w,
+               8 + doc_id % 7 AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+               CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS corrupt
+        FROM documents
+    ),
+    px AS (
+        SELECT m.doc_id, m.source, m.corrupt,
+               (31 * m.doc_id + 7 * g.i) % 256 AS v
+        FROM m, generate_series(0, {_PNG_MAX_VALS - 1}) g(i)
+        WHERE g.i < m.w * m.h * m.ch
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_media,
+           CAST(count(DISTINCT CASE WHEN corrupt = 1 THEN doc_id END)
+                AS BIGINT) AS n_quarantined,
+           CAST(count(DISTINCT CASE WHEN corrupt = 0 THEN doc_id END)
+                AS BIGINT) AS n_decoded,
+           CAST(sum(CASE WHEN corrupt = 0 THEN v ELSE 0 END) AS BIGINT)
+             AS decoded_pixel_sum
+    FROM px GROUP BY source
+    """,
+)
+def media_corrupt_detection(spark, sf_dir):
+    """Encode the deterministic PNG family, flip one IDAT byte on every
+    17th payload, decode with per-item quarantine, and roll up per
+    source. The decode is the REAL codec — its CRC walk is what rejects
+    the damage."""
+    from eventsourcing_spark.pipeline.media_codecs import decode_png, encode_png
+
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ok", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                ch = 1 if d % 2 == 0 else 3
+                raw = bytes((31 * d + 7 * i) % 256 for i in range(w * h * ch))
+                payload = bytearray(encode_png(raw, w, h, ch))
+                if d % 17 == 0:
+                    # one byte inside the IDAT body: CRC32 catches every
+                    # single-byte error, so the decoder must reject this
+                    idat = bytes(payload).index(b"IDAT") + 6
+                    payload[idat] ^= 0xFF
+                try:
+                    img = decode_png(bytes(payload))
+                    rows.append((source, d, 1, sum(img["pixels"])))
+                except ValueError:
+                    rows.append((source, d, 0, 0))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = docs.select("doc_id", "source").mapInPandas(run, schema)
+    return decoded.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.sum(F.when(F.col("ok") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_quarantined"),
+        F.sum("ok").cast("long").alias("n_decoded"),
+        F.sum("pixel_sum").cast("long").alias("decoded_pixel_sum"),
+    )
