@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table
 from eventsourcing_spark.queries import query
 
 # Temperature-mixing hash threshold scale: first 6 hex chars of md5 as a
@@ -467,4 +467,113 @@ def curriculum_shard_order(spark, sf_dir):
         F.min("q").cast("long").alias("q_last"),
         F.min_by("doc_id", "rk").cast("long").alias("first_doc"),
         F.max_by("doc_id", "rk").cast("long").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling weights (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): score how
+# target-like each document is as the importance ratio between a
+# target distribution (here: the 'en' slice, standing in for a
+# high-quality seed corpus) and the raw corpus, over HASHED n-gram
+# features — the hashing trick makes the feature space a fixed 64
+# buckets, so both distributions are one tiny aggregate. The published
+# method multiplies per-feature probability ratios (log-sum); this
+# integer-exact form scores each document by the token-count-weighted
+# MEAN of per-bucket milli-ratios
+#     w[b] = (cnt_target[b] * total_source * 1000)
+#            // (cnt_source[b] * total_target)
+# (ratio > 1000 = bucket over-represented in the target), which
+# preserves the selection ORDER the ratio ranking induces while every
+# division is a truncating integer op both engines replay bit-exactly.
+# Plan shape: tokens explode map-side; the bucket histogram is a
+# 64-row aggregate broadcast back; per-doc scores are one doc-keyed
+# exchange; the audit rolls up to |sources| rows. At 100 TB the
+# bucket table stays 64 rows — only the doc-keyed shuffle scales, and
+# cnt*total products ride DECIMAL(38)/HUGEINT before the final BIGINT
+# cast.
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 64
+
+
+@query(
+    "dsir_importance_resample",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, lang, t.tok AS tok
+        FROM documents,
+             LATERAL (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                                x -> x <> '')) AS tok) t
+    ),
+    tb AS (
+        SELECT doc_id, source, lang,
+               CAST(('0x' || substr(md5(tok), 1, 4))::INTEGER % {DSIR_BUCKETS}
+                    AS BIGINT) AS b
+        FROM toks
+    ),
+    bt AS (
+        SELECT b, count(*) AS cs,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        FROM tb GROUP BY b
+    ),
+    tots AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM bt),
+    wts AS (
+        SELECT b, CAST((ct * ts * 1000) // (cs * tt) AS BIGINT) AS wmilli
+        FROM bt, tots
+    ),
+    dc AS (
+        SELECT doc_id, source, b, count(*) AS dc FROM tb GROUP BY doc_id, source, b
+    ),
+    ds AS (
+        SELECT doc_id, source,
+               CAST(sum(dc * wmilli) // sum(dc) AS BIGINT) AS score_milli
+        FROM dc JOIN wts USING (b) GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score_milli >= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           CAST(sum(score_milli) // count(*) AS BIGINT) AS avg_score_milli,
+           CAST(min(score_milli) AS BIGINT) AS min_score_milli,
+           CAST(max(score_milli) AS BIGINT) AS max_score_milli
+    FROM ds GROUP BY source
+    """,
+)
+def dsir_importance_resample(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+        % DSIR_BUCKETS,
+    )
+    bt = toks.groupBy("b").agg(
+        F.count("*").alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    tots = bt.agg(F.sum("cs").alias("ts"), F.sum("ct").alias("tt"))
+    wts = bt.crossJoin(F.broadcast(tots)).select(
+        "b", F.expr("(ct * ts * 1000) div (cs * tt)").alias("wmilli")
+    )
+    doc_score = (
+        toks.groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("dc"))
+        .join(F.broadcast(wts), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.expr("sum(dc * wmilli) div sum(dc)").alias("score_milli"))
+    )
+    return doc_score.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score_milli") >= 1000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_selected"),
+        F.expr("sum(score_milli) div count(*)").alias("avg_score_milli"),
+        F.min("score_milli").cast("long").alias("min_score_milli"),
+        F.max("score_milli").cast("long").alias("max_score_milli"),
     )

@@ -605,3 +605,52 @@ def vocab_coverage_thresholds(spark, sf_dir):
             F.any_value("total").cast("long").alias("total_occurrences"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio (lexical diversity) — the oldest quality signal in
+# corpus linguistics and still a standard column in pretraining-data
+# audit sheets (Gopher's "repetition" family measures its inverse):
+# distinct tokens / total tokens per document, in truncating ppm so
+# both engines agree bit-exactly, rolled up per source. A source whose
+# average TTR sags is serving templated or looping text even when no
+# exact duplicate exists. Map-only per-doc arithmetic (array HOFs, no
+# explode) followed by one |sources|-row aggregate — zero data-sized
+# shuffles at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "ttr_lexical_diversity",
+    """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST((1000000 * len(list_distinct(
+                        list_filter(string_split(lower(text), ' '),
+                                    x -> x <> ''))))
+                    // len(list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '')) AS BIGINT) AS ttr_ppm
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ttr_ppm) // count(*) AS BIGINT) AS avg_ttr_ppm,
+           CAST(min(ttr_ppm) AS BIGINT) AS min_ttr_ppm,
+           CAST(max(ttr_ppm) AS BIGINT) AS max_ttr_ppm
+    FROM t GROUP BY source
+    """,
+)
+def ttr_lexical_diversity(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    ttr = docs.select(
+        "source",
+        F.expr(
+            "(1000000 * size(array_distinct(filter(split(lower(text), ' '),"
+            " x -> x != '')))) div"
+            " size(filter(split(lower(text), ' '), x -> x != ''))"
+        ).alias("ttr_ppm"),
+    )
+    return ttr.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(ttr_ppm) div count(*)").alias("avg_ttr_ppm"),
+        F.min("ttr_ppm").cast("long").alias("min_ttr_ppm"),
+        F.max("ttr_ppm").cast("long").alias("max_ttr_ppm"),
+    )

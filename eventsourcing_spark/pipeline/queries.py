@@ -2460,3 +2460,215 @@ def corpus_fingerprint(spark, sf_dir):
         F.min("fp").cast("long").alias("fp_min"),
         F.max("fp").cast("long").alias("fp_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level dedup REWRITE — the write side of exact_substring_dedup
+# (Lee et al. 2022 "Deduplicating training data makes language models
+# better" §3: ExactSubstr *removes* the duplicated spans rather than
+# dropping whole documents; C4 does the same at line grain). A 50-char
+# window (stride 10) duplicated verbatim across >1 document marks its
+# char range for removal; overlapping/adjacent ranges merge into
+# islands (classic gaps-and-islands: a window opens a new island when
+# its start exceeds the previous start + W) and the per-source audit
+# pins bytes before/after plus span counts, so a rewriter that cuts
+# the wrong ranges, double-counts overlaps, or misses adjacent merges
+# fails the gate. Plan shape: windows explode map-side; ONE shuffle
+# keyed by window hash builds the cross-doc duplicate set (per-key
+# work = duplication degree); the semi-join back is the same keyed
+# exchange; island numbering is a doc_id-partitioned window (per-doc
+# frame ≤ len/stride rows — bounded, never corpus-sized). At 100 TB
+# the output transform would rewrite text with the same island list;
+# the audit aggregates to |sources| rows.
+# ---------------------------------------------------------------------------
+SPAN_W = 50
+SPAN_STRIDE = 10
+
+
+@query(
+    "dedup_span_rewrite",
+    f"""
+    WITH wins AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   range(0, (length(text) - {SPAN_W}) // {SPAN_STRIDE} + 1),
+                   i -> struct_pack(
+                       start := CAST(i * {SPAN_STRIDE} AS BIGINT),
+                       wh := md5(substr(text,
+                                        CAST(i * {SPAN_STRIDE} + 1 AS INTEGER),
+                                        {SPAN_W}))))) AS w
+        FROM documents WHERE length(text) >= {SPAN_W}
+    ),
+    flat AS (SELECT doc_id, source, w.start AS start, w.wh AS wh FROM wins),
+    dup AS (SELECT wh FROM flat GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+    dwins AS (SELECT f.* FROM flat f WHERE f.wh IN (SELECT wh FROM dup)),
+    isl AS (
+        SELECT doc_id, source, start,
+               CASE WHEN lag(start) OVER w IS NULL
+                      OR start > lag(start) OVER w + {SPAN_W} THEN 1 ELSE 0
+               END AS ni
+        FROM dwins
+        WINDOW w AS (PARTITION BY doc_id ORDER BY start)
+    ),
+    isl2 AS (
+        SELECT doc_id, source, start,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, source, island,
+               max(start) + {SPAN_W} - min(start) AS span_len
+        FROM isl2 GROUP BY doc_id, source, island
+    ),
+    per_doc AS (
+        SELECT doc_id, sum(span_len) AS removed, count(*) AS n_spans
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p.removed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_affected,
+           CAST(sum(length(d.text)) AS BIGINT) AS chars_before,
+           CAST(coalesce(sum(p.removed), 0) AS BIGINT) AS chars_removed,
+           CAST(sum(length(d.text)) - coalesce(sum(p.removed), 0) AS BIGINT)
+             AS chars_after,
+           CAST(coalesce(sum(p.n_spans), 0) AS BIGINT) AS n_spans
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def dedup_span_rewrite(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    wins = docs.filter(F.length("text") >= SPAN_W).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    ((F.length("text") - SPAN_W) / F.lit(SPAN_STRIDE)).cast("long"),
+                ),
+                lambda i: F.struct(
+                    (i * SPAN_STRIDE).cast("long").alias("start"),
+                    F.md5(
+                        F.substring(
+                            F.col("text"),
+                            (i * SPAN_STRIDE + 1).cast("int"),
+                            SPAN_W,
+                        )
+                    ).alias("wh"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", "source", "w.start", "w.wh")
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("wh")
+    )
+    dwins = wins.join(dup, "wh", "left_semi")
+    ww = Window.partitionBy("doc_id").orderBy("start")
+    prev_start = F.lag("start").over(ww)
+    new_isl = F.when(
+        prev_start.isNull() | (F.col("start") > prev_start + SPAN_W), 1
+    ).otherwise(0)
+    isl = dwins.withColumn("ni", new_isl).withColumn(
+        "island", F.sum("ni").over(ww.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "source", "island").agg(
+        (F.max("start") + SPAN_W - F.min("start")).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").alias("removed"), F.count("*").alias("n_spans")
+    )
+    return (
+        docs.select("doc_id", "source", F.length("text").alias("len"))
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("removed").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_affected"),
+            F.sum("len").cast("long").alias("chars_before"),
+            F.coalesce(F.sum("removed"), F.lit(0)).cast("long").alias("chars_removed"),
+            (F.sum("len") - F.coalesce(F.sum("removed"), F.lit(0)))
+            .cast("long")
+            .alias("chars_after"),
+            F.coalesce(F.sum("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty — the tail-side complement of boilerplate_ngrams:
+# instead of ranking the most-repeated n-grams (heavy hitters), measure
+# per source what fraction of its 5-gram instances are corpus-UNIQUE.
+# Low novelty = a crawl that re-serves templated text (memorization
+# risk concentrates there, Carlini et al. 2021/2023 quantify the
+# duplication→extraction link); high novelty = fresh text worth its
+# tokens. One gram-keyed shuffle (Zipf head combines map-side) and a
+# join back on the same key; the per-source rollup is |sources| rows.
+# The <5-token guard matters in Spark: sequence(1, 0) is DESCENDING
+# ([1,0]), so short docs must yield an empty gram array explicitly.
+# ---------------------------------------------------------------------------
+NOVELTY_N = 5
+
+
+@query(
+    "ngram_novelty_by_source",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - {NOVELTY_N - 1}, 0) + 1),
+                   i -> array_to_string(toks[i:i+{NOVELTY_N - 1}], ' '))) AS g
+        FROM t
+    ),
+    gc AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS total_grams,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unique_grams,
+           CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS novelty_ppm
+    FROM grams JOIN gc USING (g)
+    GROUP BY source
+    """,
+)
+def ngram_novelty_by_source(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"""CASE WHEN size(split(lower(text), ' ')) >= {NOVELTY_N}
+                    THEN transform(
+                        sequence(1, size(split(lower(text), ' ')) - {NOVELTY_N - 1}),
+                        i -> array_join(
+                            slice(split(lower(text), ' '), i, {NOVELTY_N}), ' '))
+                    ELSE array() END"""
+            )
+        ).alias("g"),
+    )
+    gc = grams.groupBy("g").agg(F.count("*").alias("c"))
+    return (
+        grams.join(gc, "g")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("total_grams"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("unique_grams"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) div count(*)"
+            ).alias("novelty_ppm"),
+        )
+    )
