@@ -577,3 +577,128 @@ def dsir_importance_resample(spark, sf_dir):
         F.min("score_milli").cast("long").alias("min_score_milli"),
         F.max("score_milli").cast("long").alias("max_score_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax mixture allocation (Chung et al. 2023, "UniMax: Fairer and
+# More Effective Language Sampling for Large-Scale Multilingual
+# Pretraining"): given a total token budget, allocate it across
+# languages as UNIFORMLY as possible subject to a per-language repeat
+# cap (here 1.3 epochs) — the published fix for temperature sampling's
+# over-repetition of low-resource languages. This is exact integer
+# waterfilling in closed form: sort languages by cap ascending; the
+# first index i* where the remaining budget spread over the remaining
+# languages fits under cap_{i*} splits the table — everything before
+# i* is capped, everything after shares floor((B - prefix)/(N-i*+1)),
+# with the division remainder handed to the first `rem` uncapped
+# languages in sort order so Σ allocation == budget EXACTLY
+# (conservation is part of the oracle contract). Plan shape: one
+# |langs|-row aggregate; the ordering window is aggregate-fed on the
+# bounded lang domain; everything downstream is arithmetic on that
+# tiny frame. At 100 TB only the first aggregate touches the corpus.
+# ---------------------------------------------------------------------------
+UNIMAX_CAP_NUM, UNIMAX_CAP_DEN = 13, 10  # 1.3 epochs per language
+
+
+@query(
+    "unimax_mixture_allocation",
+    f"""
+    WITH per_lang AS (
+        SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS budget, count(*) AS n_src FROM per_lang),
+    src AS (
+        SELECT p.*, t.budget, t.n_src,
+               p.n_tokens * {UNIMAX_CAP_NUM} // {UNIMAX_CAP_DEN} AS cap
+        FROM per_lang p, tot t
+    ),
+    idxd AS (
+        SELECT *, row_number() OVER (ORDER BY cap, lang) AS idx,
+               coalesce(sum(cap) OVER (ORDER BY cap, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS p_prev
+        FROM src
+    ),
+    flags AS (
+        SELECT *, (budget - p_prev) <= cap * (n_src - idx + 1) AS lvl_ok
+        FROM idxd
+    ),
+    istar AS (
+        SELECT min(idx) AS istar, min_by(p_prev, idx) AS p_star
+        FROM flags WHERE lvl_ok
+    )
+    SELECT lang, n_tokens,
+           CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(CASE WHEN istar IS NULL OR idx < istar THEN cap
+                     ELSE (budget - p_star) // (n_src - istar + 1)
+                          + CASE WHEN idx - istar <
+                                     (budget - p_star) % (n_src - istar + 1)
+                                 THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc_tokens,
+           CAST((1000000 * (CASE WHEN istar IS NULL OR idx < istar THEN cap
+                     ELSE (budget - p_star) // (n_src - istar + 1)
+                          + CASE WHEN idx - istar <
+                                     (budget - p_star) % (n_src - istar + 1)
+                                 THEN 1 ELSE 0 END END)) // n_tokens
+                AS BIGINT) AS epochs_ppm
+    FROM flags, istar
+    """,
+)
+def unimax_mixture_allocation(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("budget"), F.count("*").alias("n_src")
+    )
+    # cap/idx/p_prev depend only on per-lang token counts, so the global
+    # window sits DIRECTLY on the |langs|-row aggregate output (bounded
+    # lang domain — the audit's aggregate-fed whitelist); the 1-row
+    # budget frame joins in afterwards, below the window.
+    ranked = per_lang.withColumn(
+        "cap", F.expr(f"n_tokens * {UNIMAX_CAP_NUM} div {UNIMAX_CAP_DEN}")
+    )
+    w = Window.orderBy("cap", "lang")
+    ranked = ranked.withColumn("idx", F.row_number().over(w)).withColumn(
+        "p_prev",
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    src = ranked.crossJoin(F.broadcast(tot))
+    src = src.withColumn(
+        "lvl_ok",
+        (F.col("budget") - F.col("p_prev"))
+        <= F.col("cap") * (F.col("n_src") - F.col("idx") + 1),
+    )
+    istar = src.filter("lvl_ok").agg(
+        F.min("idx").alias("istar"), F.min_by("p_prev", "idx").alias("p_star")
+    )
+    return (
+        src.crossJoin(F.broadcast(istar))
+        .withColumn("theta", F.expr("(budget - p_star) div (n_src - istar + 1)"))
+        .withColumn("rem", F.expr("(budget - p_star) % (n_src - istar + 1)"))
+        .withColumn(
+            "allocation",
+            F.when(
+                F.col("istar").isNull() | (F.col("idx") < F.col("istar")),
+                F.col("cap"),
+            ).otherwise(
+                F.col("theta")
+                + F.when(
+                    F.col("idx") - F.col("istar") < F.col("rem"), 1
+                ).otherwise(0)
+            ),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            F.col("cap").cast("long").alias("cap_tokens"),
+            F.col("allocation").cast("long").alias("alloc_tokens"),
+            F.expr("(1000000 * allocation) div n_tokens").alias("epochs_ppm"),
+        )
+    )
