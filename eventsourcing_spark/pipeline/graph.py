@@ -630,3 +630,115 @@ def graph_kcore(spark, sf_dir):
         .groupBy("vec_id")
         .agg(F.count("*").cast("long").alias("core_degree"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (Raghavan et al. 2007) over the
+# near-dup graph — the standard linear-time community finder: every node
+# adopts the most frequent label among its neighbors each round. A
+# template farm or mirror cluster converges onto one label within a few
+# rounds, giving coarser (whole-community) curation units than k-core's
+# density filter or connected components' reachability classes.
+#
+# Determinism (the published algorithm breaks ties randomly and can
+# oscillate on bipartite structures): SYNCHRONOUS rounds, a FIXED round
+# count, and ties broken by the smallest label — both engines compute
+# the identical label table each round, so the 3-round snapshot has a
+# chained-CTE DuckDB oracle like pagerank/kcore. The argmax is expressed
+# as max-count-then-min-label (two aggregates + a join) rather than a
+# composite-ordered max_by so the SQL twin is engine-portable.
+#
+# Scale shape per round: one hash shuffle on (dst, label) for the
+# neighbor-label histogram, one on dst for the per-node max, one keyed
+# join back — all partial-agg friendly, nothing corpus-global. Labels
+# localCheckpoint per round (module idiom: flat lineage, no CacheManager
+# residue). Edges are the BUCKET_CAP-bounded LSH candidates, so
+# per-round work is O(|edges|) with corpus-linear |edges|.
+# ---------------------------------------------------------------------------
+LPA_ROUNDS = 3
+LPA_TOP = 50
+
+
+def _lpa_oracle() -> str:
+    # e is re-read every round and lab{r}/hist{r} twice each -> AS
+    # MATERIALIZED throughout (DuckDB inlines CTEs referenced more than
+    # once; the chain would otherwise re-derive LSH edges 2^rounds
+    # times — same measured cliff as kcore's note).
+    parts = [
+        f"""
+    WITH {_edges_sql(directed=True)},
+    e0 AS MATERIALIZED (SELECT src, dst FROM e),
+    lab0 AS MATERIALIZED (SELECT vec_id, vec_id AS comm FROM embeddings)"""
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(f"""
+    hist{r} AS MATERIALIZED (
+        SELECT e.src AS vec_id, l.comm, count(*) AS c
+        FROM e0 e JOIN lab{r - 1} l ON l.vec_id = e.dst
+        GROUP BY e.src, l.comm
+    ),
+    best{r} AS MATERIALIZED (
+        SELECT h.vec_id, min(h.comm) AS comm
+        FROM hist{r} h
+        JOIN (SELECT vec_id, max(c) AS mc FROM hist{r} GROUP BY vec_id) m
+          ON m.vec_id = h.vec_id AND h.c = m.mc
+        GROUP BY h.vec_id
+    ),
+    lab{r} AS MATERIALIZED (
+        SELECT p.vec_id, coalesce(b.comm, p.comm) AS comm
+        FROM lab{r - 1} p LEFT JOIN best{r} b ON b.vec_id = p.vec_id
+    )""")
+    parts.append(f"""
+    SELECT CAST(comm AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(vec_id) AS BIGINT) AS min_member
+    FROM lab{LPA_ROUNDS}
+    GROUP BY comm
+    ORDER BY n_members DESC, community
+    LIMIT {LPA_TOP}""")
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+@query("label_propagation_communities", _lpa_oracle())
+def label_propagation_communities(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    # directed=True yields both orientations of each unordered pair, so
+    # joining on dst gathers every neighbor's label for src
+    edges = _edges_df(spark, sf_dir, directed=True)
+    labels = emb.select(
+        "vec_id", F.col("vec_id").alias("comm")
+    ).localCheckpoint()
+    for _ in range(LPA_ROUNDS):
+        hist = (
+            edges.join(
+                labels.select(F.col("vec_id").alias("dst"), "comm"), "dst"
+            )
+            .groupBy(F.col("src").alias("nid"), "comm")
+            .agg(F.count("*").alias("c"))
+        )
+        mx = hist.groupBy("nid").agg(F.max("c").alias("mc"))
+        best = (
+            hist.join(mx, "nid")
+            .filter(F.col("c") == F.col("mc"))
+            .groupBy("nid")
+            .agg(F.min("comm").alias("new_comm"))
+        )
+        labels = (
+            labels.join(
+                best.withColumnRenamed("nid", "vec_id"), "vec_id", "left"
+            )
+            .select(
+                "vec_id",
+                F.coalesce("new_comm", "comm").alias("comm"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("comm").cast("long").alias("community"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("vec_id").cast("long").alias("min_member"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(LPA_TOP)
+    )

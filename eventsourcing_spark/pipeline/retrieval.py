@@ -1175,3 +1175,156 @@ def rm3_query_expansion(spark, sf_dir):
         cand.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= FB_TERMS)
     )
+
+
+# ---------------------------------------------------------------------------
+# MaxScore pruning audit (Turtle & Flood 1995; the WAND/MaxScore family
+# every production engine — Lucene, Tantivy, PISA — uses to skip
+# postings): with per-term score UPPER BOUNDS, terms whose cumulative
+# bound cannot lift a document past the current top-k threshold are
+# "non-essential" — their postings are never walked alone. This audit
+# computes, for the standing query, exactly how much of the index that
+# planning rule skips: per term, the exact BM25 upper bound (max
+# per-posting score, same fixed-point arithmetic as bm25_topk), the
+# MaxScore essential/non-essential split against the TRUE top-k
+# threshold theta (the k-th best full score), and the corpus-wide
+# share of postings skippable at this theta.
+#
+# Everything is exact int64 (bounds, theta, prefix sums, ppm with
+# truncating div), so both engines agree bit-for-bit. Plan shape: the
+# map-side inverted-index probe (explode -> filter) feeds one
+# groupBy(doc,term); bounds are a |terms|-row aggregate; theta is a
+# TakeOrdered(k); the prefix-sum window runs on the |terms|-row frame.
+# At 100 TB nothing after the probe touches corpus-sized data.
+# ---------------------------------------------------------------------------
+MAXSCORE_K = 10
+
+
+@query(
+    "maxscore_pruning_audit",
+    f"""
+    WITH stats AS (
+        SELECT count(*) AS n,
+               (1000 * sum(len(string_split(lower(text), ' ')))) // count(*)
+                   AS avgdl_milli
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+               unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, any_value(dl) AS dl, w, count(*) AS tf
+        FROM toks
+        WHERE list_contains({_TERMS_SQL}, w)
+        GROUP BY doc_id, w
+    ),
+    dft AS (SELECT w, count(DISTINCT doc_id) AS df FROM hits GROUP BY w),
+    ts AS MATERIALIZED (
+        SELECT h.doc_id, h.w,
+               (22000 * (s.n - dft.df) * h.tf * s.avgdl_milli)
+               // (10 * s.avgdl_milli * h.tf + 3 * s.avgdl_milli + 9000 * h.dl)
+                 AS tscore
+        FROM hits h JOIN dft USING (w) CROSS JOIN stats s
+    ),
+    theta AS (
+        SELECT min(total) AS theta FROM (
+            SELECT doc_id, sum(tscore) AS total FROM ts GROUP BY doc_id
+            ORDER BY total DESC, doc_id LIMIT {MAXSCORE_K}
+        )
+    ),
+    bounds AS MATERIALIZED (
+        SELECT t.w, max(t.tscore) AS ub, count(*) AS df_postings
+        FROM ts t GROUP BY t.w
+    ),
+    cum AS (
+        SELECT w, ub, df_postings,
+               sum(ub) OVER (ORDER BY ub, w) AS cum_ub,
+               sum(df_postings) OVER (ORDER BY ub, w) AS cum_postings,
+               sum(df_postings) OVER () AS total_postings
+        FROM bounds
+    )
+    SELECT w AS term,
+           CAST(df_postings AS BIGINT) AS df_postings,
+           CAST(ub AS BIGINT) AS ub_score,
+           CAST(cum_ub AS BIGINT) AS cum_ub_score,
+           CASE WHEN cum_ub <= theta THEN 'non-essential'
+                ELSE 'essential' END AS term_class,
+           CAST(theta AS BIGINT) AS theta_score,
+           CAST((1000000 * CASE WHEN cum_ub <= theta THEN cum_postings
+                                ELSE 0 END) // total_postings AS BIGINT)
+             AS skippable_upto_here_ppm
+    FROM cum, theta
+    ORDER BY ub_score, term
+    """,
+)
+def maxscore_pruning_audit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_col = F.split(F.lower("text"), " ")
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("(1000 * sum(size(split(lower(text), ' ')))) div count(*)")
+        .alias("avgdl_milli"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(toks_col).alias("dl"),
+        F.explode(toks_col).alias("w"),
+    ).filter(F.col("w").isin(QUERY_TERMS))
+    hits = toks.groupBy("doc_id", "w").agg(
+        F.any_value("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    dft = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    ts = (
+        hits.join(F.broadcast(dft), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "w",
+            F.expr(
+                "(22000 * (n - df) * tf * avgdl_milli)"
+                " div (10 * avgdl_milli * tf + 3 * avgdl_milli + 9000 * dl)"
+            ).alias("tscore"),
+        )
+        .localCheckpoint()  # feeds theta, bounds, and the totals
+    )
+    theta = (
+        ts.groupBy("doc_id")
+        .agg(F.sum("tscore").alias("total"))
+        .orderBy(F.desc("total"), "doc_id")
+        .limit(MAXSCORE_K)
+        .agg(F.min("total").alias("theta"))
+    )
+    bounds = ts.groupBy("w").agg(
+        F.max("tscore").alias("ub"), F.count("*").alias("df_postings")
+    )
+    w_ord = Window.orderBy("ub", "w")
+    cum = bounds.select(
+        "w",
+        "ub",
+        "df_postings",
+        F.sum("ub").over(w_ord).alias("cum_ub"),
+        F.sum("df_postings").over(w_ord).alias("cum_postings"),
+        F.sum("df_postings").over(Window.partitionBy()).alias("total_postings"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(theta))
+        .select(
+            F.col("w").alias("term"),
+            F.col("df_postings").cast("long").alias("df_postings"),
+            F.col("ub").cast("long").alias("ub_score"),
+            F.col("cum_ub").cast("long").alias("cum_ub_score"),
+            F.when(F.col("cum_ub") <= F.col("theta"), "non-essential")
+            .otherwise("essential")
+            .alias("term_class"),
+            F.col("theta").cast("long").alias("theta_score"),
+            F.expr(
+                "(1000000 * CASE WHEN cum_ub <= theta THEN cum_postings"
+                " ELSE 0 END) div total_postings"
+            ).alias("skippable_upto_here_ppm"),
+        )
+        .orderBy("ub_score", "term")
+    )

@@ -168,3 +168,92 @@ def setjoin_prefix_jaccard(spark, sf_dir):
             "jaccard_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact edit-distance-1 similarity join via deletion-neighborhood
+# blocking (FastSS — Bocek et al. 2007): two strings are within
+# Levenshtein distance 1 iff their deletion neighborhoods (the string
+# itself plus every single-character deletion) intersect. Generating
+# the |s|+1 keys per string turns the fuzzy join into an EQUI-join —
+# candidates are pairs sharing a key, verified by one levenshtein()
+# call — with zero false negatives, the exact-match complement to
+# fuzzy_match_topk's scored shortlist.
+#
+# The driving use case is dirty-key entity resolution: customer names
+# differing by a single typo'd character. Scale shape: the key table is
+# (L+1)·n rows (linear, map-only generation via posexplode); the
+# self-join is keyed (never all-pairs) with block sizes bounded by
+# alphabet×length, not corpus size; verification is a map filter on
+# candidate pairs; output is TakeOrdered-bounded. The same construction
+# extends to distance k by deleting k characters (keys ~ L^k — the
+# documented reason production FastSS stops at k ≤ 2).
+#
+# The DuckDB twin generates the identical key set (fixed series +
+# correlated WHERE — DuckDB's generate_series takes no lateral column
+# args) and both engines run their native levenshtein(), so the gate
+# also proves the two DP implementations agree on this corpus.
+# ---------------------------------------------------------------------------
+FASTSS_MAX_LEN = 64  # fixed position series bound (names are 18 chars)
+FASTSS_TOP = 100
+
+
+@query(
+    "fastss_editdist1_pairs",
+    f"""
+    WITH pos AS (SELECT unnest(generate_series(1, {FASTSS_MAX_LEN})) AS i),
+    keys AS (
+        SELECT c_custkey, c_name,
+               substr(c_name, 1, i-1) || substr(c_name, i+1) AS k
+        FROM customer, pos WHERE i <= len(c_name) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
+        FROM keys a JOIN keys b ON a.k = b.k AND a.c_custkey < b.c_custkey
+    ),
+    pairs AS MATERIALIZED (
+        SELECT name_a, name_b FROM cand
+        WHERE levenshtein(name_a, name_b) <= 1
+    ),
+    tot AS (SELECT count(*) AS n_pairs_total FROM pairs)
+    SELECT name_a, name_b, CAST(n_pairs_total AS BIGINT) AS n_pairs_total
+    FROM pairs, tot
+    ORDER BY name_a, name_b LIMIT {FASTSS_TOP}
+    """,
+)
+def fastss_editdist1_pairs(spark, sf_dir):
+    cust = ensure_parallelism(load_table(spark, sf_dir, "customer"))
+    # |s|+1 deletion keys per name: position i in 1..len+1, key = name
+    # with char i removed (i = len+1 keeps the original string, which
+    # catches the pure-insert/delete case between different lengths)
+    keys = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr("sequence(1, length(c_name) + 1)")
+        ).alias("i"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            f"concat(substring(c_name, 1, i-1),"
+            f" substring(c_name, i+1, {FASTSS_MAX_LEN}))"
+        ).alias("k"),
+    )
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), "k")
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    pairs = cand.filter(F.levenshtein("name_a", "name_b") <= 1)
+    tot = pairs.agg(F.count("*").cast("long").alias("n_pairs_total"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .orderBy("name_a", "name_b")
+        .limit(FASTSS_TOP)
+    )

