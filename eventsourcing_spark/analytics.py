@@ -3925,3 +3925,136 @@ def t_closeness_audit(spark, sf_dir):
         "n_rows",
         "max_tv_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# A-Priori frequent 3-itemsets (Agrawal & Srikant, VLDB'94) — the step
+# past basket_lift_pairs' pairwise lift: which TRIPLES of event types
+# co-occur in the same (user, day) basket above a support threshold.
+# The defining A-Priori move is candidate pruning by monotonicity: a
+# triple can only be frequent if ALL THREE of its pairs are, so
+# candidate generation joins the frequent-pair list against itself and
+# support counting only ever touches baskets through frequent-pair
+# filters — at 100 TB item scale this is what keeps the basket
+# self-join from exploding (the frequent-pair list is the small,
+# broadcastable object; raw per-basket triples are never enumerated).
+#
+# Support threshold is ppm of basket count, cross-multiplied in
+# integers (1e6·n_supp ≥ thr·n_baskets) on both engines. Plan shape:
+# baskets once (one distinct shuffle), pair counts once, then the
+# 3-way basket join is gated by TWO broadcast semi-joins on the
+# frequent-pair list before the triple groupBy.
+# ---------------------------------------------------------------------------
+APRIORI_MINSUP_PPM = 20_000  # 2% of baskets
+
+
+@query(
+    "apriori_triple_itemsets",
+    f"""
+    WITH baskets AS MATERIALIZED (
+        SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day, event_type
+        FROM events
+    ),
+    nb AS (SELECT count(DISTINCT (user_id, day)) AS n FROM baskets),
+    fpairs AS MATERIALIZED (
+        SELECT a.event_type AS ia, b.event_type AS ib, count(*) AS n_ab
+        FROM baskets a
+        JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                      AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+        HAVING 1000000 * count(*) >= {APRIORI_MINSUP_PPM} * (SELECT n FROM nb)
+    ),
+    triples AS (
+        SELECT a.event_type AS ia, b.event_type AS ib, c.event_type AS ic,
+               count(*) AS n_supp
+        FROM baskets a
+        JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                      AND a.event_type < b.event_type
+        JOIN baskets c ON a.user_id = c.user_id AND a.day = c.day
+                      AND b.event_type < c.event_type
+        JOIN fpairs pab ON pab.ia = a.event_type AND pab.ib = b.event_type
+        JOIN fpairs pac ON pac.ia = a.event_type AND pac.ib = c.event_type
+        JOIN fpairs pbc ON pbc.ia = b.event_type AND pbc.ib = c.event_type
+        GROUP BY a.event_type, b.event_type, c.event_type
+    )
+    SELECT ia AS item_a, ib AS item_b, ic AS item_c,
+           CAST(n_supp AS BIGINT) AS n_support,
+           CAST((1000000 * n_supp) // (SELECT n FROM nb) AS BIGINT)
+             AS support_ppm
+    FROM triples
+    WHERE 1000000 * n_supp >= {APRIORI_MINSUP_PPM} * (SELECT n FROM nb)
+    ORDER BY n_support DESC, item_a, item_b, item_c
+    """,
+)
+def apriori_triple_itemsets(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    baskets = (
+        ev.select(
+            "user_id",
+            F.expr("unix_millis(ts) div 86400000").alias("day"),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint()  # read by nb, the pair count, and 3 join legs
+    )
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n")
+    )
+    pairs = (
+        baskets.alias("a")
+        .join(baskets.alias("b"), ["user_id", "day"])
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ia"),
+            F.col("b.event_type").alias("ib"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    fpairs = (
+        pairs.crossJoin(F.broadcast(nb))
+        .filter(1000000 * F.col("n_ab") >= APRIORI_MINSUP_PPM * F.col("n"))
+        .select("ia", "ib")
+    )
+    trip = (
+        baskets.alias("a")
+        .join(baskets.alias("b"), ["user_id", "day"])
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .join(baskets.alias("c"), ["user_id", "day"])
+        .filter(F.col("b.event_type") < F.col("c.event_type"))
+        .join(
+            F.broadcast(fpairs.withColumnRenamed("ia", "pa")
+                        .withColumnRenamed("ib", "pb")),
+            (F.col("pa") == F.col("a.event_type"))
+            & (F.col("pb") == F.col("b.event_type")),
+        )
+        .join(
+            F.broadcast(fpairs.withColumnRenamed("ia", "qa")
+                        .withColumnRenamed("ib", "qb")),
+            (F.col("qa") == F.col("a.event_type"))
+            & (F.col("qb") == F.col("c.event_type")),
+        )
+        .join(
+            F.broadcast(fpairs.withColumnRenamed("ia", "ra")
+                        .withColumnRenamed("ib", "rb")),
+            (F.col("ra") == F.col("b.event_type"))
+            & (F.col("rb") == F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+            F.col("c.event_type").alias("item_c"),
+        )
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        trip.crossJoin(F.broadcast(nb))
+        .filter(1000000 * F.col("n_supp") >= APRIORI_MINSUP_PPM * F.col("n"))
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            F.col("n_supp").cast("long").alias("n_support"),
+            F.expr("(1000000 * n_supp) div n").cast("long").alias("support_ppm"),
+        )
+        .orderBy(F.desc("n_support"), "item_a", "item_b", "item_c")
+    )

@@ -659,11 +659,13 @@ LPA_ROUNDS = 3
 LPA_TOP = 50
 
 
-def _lpa_oracle() -> str:
-    # e is re-read every round and lab{r}/hist{r} twice each -> AS
-    # MATERIALIZED throughout (DuckDB inlines CTEs referenced more than
-    # once; the chain would otherwise re-derive LSH edges 2^rounds
-    # times — same measured cliff as kcore's note).
+def _lpa_chain_sql() -> str:
+    """CTE chain (open WITH) up to lab{LPA_ROUNDS}, the final label
+    table — shared by the community query and the modularity audit.
+    e0 is re-read every round and lab{r}/hist{r} twice each -> AS
+    MATERIALIZED throughout (DuckDB inlines CTEs referenced more than
+    once; the chain would otherwise re-derive LSH edges 2^rounds
+    times — same measured cliff as kcore's note)."""
     parts = [
         f"""
     WITH {_edges_sql(directed=True)},
@@ -688,6 +690,11 @@ def _lpa_oracle() -> str:
         SELECT p.vec_id, coalesce(b.comm, p.comm) AS comm
         FROM lab{r - 1} p LEFT JOIN best{r} b ON b.vec_id = p.vec_id
     )""")
+    return ",".join(parts)
+
+
+def _lpa_oracle() -> str:
+    parts = [_lpa_chain_sql()]
     parts.append(f"""
     SELECT CAST(comm AS BIGINT) AS community,
            CAST(count(*) AS BIGINT) AS n_members,
@@ -699,11 +706,13 @@ def _lpa_oracle() -> str:
     return ",".join(parts[:-1]) + parts[-1]
 
 
-@query("label_propagation_communities", _lpa_oracle())
-def label_propagation_communities(spark, sf_dir):
+def _lpa_labels(spark, sf_dir):
+    """Spark twin of ``_lpa_chain_sql``: the (vec_id, comm) label table
+    after LPA_ROUNDS synchronous rounds — shared by the community query
+    and the modularity audit. directed=True edges yield both
+    orientations of each unordered pair, so joining on dst gathers
+    every neighbor's label for src."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # directed=True yields both orientations of each unordered pair, so
-    # joining on dst gathers every neighbor's label for src
     edges = _edges_df(spark, sf_dir, directed=True)
     labels = emb.select(
         "vec_id", F.col("vec_id").alias("comm")
@@ -733,6 +742,12 @@ def label_propagation_communities(spark, sf_dir):
             )
             .localCheckpoint()
         )
+    return labels
+
+
+@query("label_propagation_communities", _lpa_oracle())
+def label_propagation_communities(spark, sf_dir):
+    labels = _lpa_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("comm").cast("long").alias("community"))
         .agg(
@@ -741,4 +756,174 @@ def label_propagation_communities(spark, sf_dir):
         )
         .orderBy(F.desc("n_members"), "community")
         .limit(LPA_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the LPA partition (Newman & Girvan 2004) — the number
+# that says whether the communities the propagation found are REAL
+# structure or noise: Q = Σ_c [ m_c/m − (d_c/2m)² ] over communities c,
+# with m undirected edges, m_c intra-community edges, d_c the summed
+# degree of c's members. Q ≈ 0 means no better than random; production
+# community pipelines gate on it before acting on a partition.
+#
+# Exactness: Q·(4m²) = Σ_c (4·m·m_c − d_c²) is pure integer; ONE
+# truncating division at the end yields q_ppm (summing per-community
+# floors would not equal the floor of the sum). Plan shape: the LPA
+# label table (shared helper) + one broadcast-label edge join for m_c,
+# one degree aggregate for d_c — both keyed, nothing corpus-global;
+# the community rollup is |communities|-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "community_modularity",
+    _lpa_chain_sql()
+    + f""",
+    ue AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src < dst),
+    m AS (SELECT count(*) AS m FROM ue),
+    intra AS (
+        SELECT la.comm, count(*) AS m_c
+        FROM ue
+        JOIN lab{LPA_ROUNDS} la ON la.vec_id = ue.src
+        JOIN lab{LPA_ROUNDS} lb ON lb.vec_id = ue.dst
+        WHERE la.comm = lb.comm
+        GROUP BY la.comm
+    ),
+    deg AS (
+        SELECT v, count(*) AS d FROM (
+            SELECT src AS v FROM ue UNION ALL SELECT dst AS v FROM ue
+        ) GROUP BY v
+    ),
+    dc AS (
+        SELECT l.comm, sum(d) AS d_c
+        FROM deg JOIN lab{LPA_ROUNDS} l ON l.vec_id = deg.v
+        GROUP BY l.comm
+    ),
+    terms AS (
+        SELECT dc.comm,
+               4 * m.m * coalesce(i.m_c, 0) - dc.d_c * dc.d_c AS num
+        FROM dc LEFT JOIN intra i ON i.comm = dc.comm CROSS JOIN m
+    )
+    SELECT CAST((SELECT count(DISTINCT comm) FROM lab{LPA_ROUNDS}) AS BIGINT)
+             AS n_communities,
+           CAST(any_value(m.m) AS BIGINT) AS m_edges,
+           CAST((1000000 * sum(terms.num)) // (4 * any_value(m.m)
+                                               * any_value(m.m)) AS BIGINT)
+             AS q_ppm
+    FROM terms, m
+    """,
+)
+def community_modularity(spark, sf_dir):
+    labels = _lpa_labels(spark, sf_dir)
+    ue = _edges_df(spark, sf_dir, directed=False)  # src < dst
+    m = ue.agg(F.count("*").alias("m"))
+    la = labels.select(F.col("vec_id").alias("src"), F.col("comm").alias("ca"))
+    lb = labels.select(F.col("vec_id").alias("dst"), F.col("comm").alias("cb"))
+    intra = (
+        ue.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("comm"))
+        .agg(F.count("*").alias("m_c"))
+    )
+    deg = (
+        ue.select(F.col("src").alias("v"))
+        .unionAll(ue.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    dc = (
+        deg.join(labels.withColumnRenamed("vec_id", "v"), "v")
+        .groupBy("comm")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    terms = (
+        dc.join(intra, "comm", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            (
+                4 * F.col("m") * F.coalesce(F.col("m_c"), F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            ).alias("num")
+        )
+    )
+    n_comm = labels.agg(
+        F.countDistinct("comm").cast("long").alias("n_communities")
+    )
+    return (
+        terms.agg(F.sum("num").alias("num_sum"))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(n_comm))
+        .select(
+            "n_communities",
+            F.col("m").cast("long").alias("m_edges"),
+            F.expr("(1000000 * num_sum) div (4 * m * m)")
+            .cast("long")
+            .alias("q_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002) — do high-degree nodes attach to
+# high-degree nodes? Positive r = hub-hub cores (mirror farms linking
+# mirror farms); negative r = hub-leaf stars (one template, many
+# near-copies) — the two need different curation actions, and r is the
+# one number separating them.
+#
+# Exactness without the textbook sqrt: counting every undirected edge
+# in BOTH orientations makes the x (source-degree) and y (target-
+# degree) samples identically distributed, so Pearson's denominator
+# √(var x)·√(var y) = var x exactly and r = (nΣxy − (Σx)²)/(nΣx² −
+# (Σx)²) is a plain integer ratio — cross-multiplied in DECIMAL(38,0)
+# (Σx² ~ n·cap² can pass int64 at 100 TB), floor()ed to ppm on both
+# engines. Plan: degree aggregate, two keyed joins to attach endpoint
+# degrees, one sufficient-stats aggregate. Nothing corpus-global.
+# ---------------------------------------------------------------------------
+@query(
+    "degree_assortativity",
+    f"""
+    WITH {_edges_sql(directed=True)},
+    deg AS MATERIALIZED (
+        SELECT src AS v, count(*) AS d FROM e GROUP BY src
+    ),
+    xy AS (
+        SELECT CAST(da.d AS DECIMAL(38,0)) AS x,
+               CAST(db.d AS DECIMAL(38,0)) AS y
+        FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_edge_ends,
+           CAST(floor((n * sxy - sx * sx) * 1000000
+                      / (n * sxx - sx * sx)) AS BIGINT) AS r_ppm
+    FROM s
+    """,
+)
+def degree_assortativity(spark, sf_dir):
+    e = _edges_df(spark, sf_dir, directed=True)
+    deg = e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+    xy = (
+        e.join(deg.select(F.col("v").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("d").alias("y")), "dst")
+        .select(
+            F.col("x").cast("decimal(38,0)").alias("x"),
+            F.col("y").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    s = xy.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").cast("long").alias("n_edge_ends"),
+        F.floor(num * 1000000 / den).cast("long").alias("r_ppm"),
     )
