@@ -91,6 +91,17 @@ HEADLINE = [
     "media_video_framehash_neardup",
     "pii_detection_stats",
     "pii_redaction_endstate",
+    # round 5b: curation audits, fuzzy join, graph communities, IR pruning
+    "dedup_span_rewrite",
+    "dsir_importance_resample",
+    "ngram_novelty_by_source",
+    "fastss_editdist1_pairs",
+    "label_propagation_communities",
+    "community_modularity",
+    "maxscore_pruning_audit",
+    "dedup_calibration_pr",
+    "apriori_triple_itemsets",
+    "dq_expectation_suite",
 ]
 
 

@@ -225,16 +225,19 @@ def fastss_editdist1_pairs(spark, sf_dir):
     cust = ensure_parallelism(load_table(spark, sf_dir, "customer"))
     # |s|+1 deletion keys per name: position i in 1..len+1, key = name
     # with char i removed (i = len+1 keeps the original string, which
-    # catches the pure-insert/delete case between different lengths)
+    # catches the pure-insert/delete case between different lengths).
+    # The key table carries ONLY (id, key) — the candidate join and the
+    # pair dedup shuffle int pairs, not 2×18-char strings (dropping the
+    # names from the hot shuffles measured 6.4 s → ~3 s at sf0.1);
+    # names re-attach by two keyed joins on the deduped pair set.
     keys = cust.select(
         "c_custkey",
-        "c_name",
         F.explode(
             F.expr("sequence(1, length(c_name) + 1)")
         ).alias("i"),
+        "c_name",
     ).select(
         "c_custkey",
-        "c_name",
         F.expr(
             f"concat(substring(c_name, 1, i-1),"
             f" substring(c_name, i+1, {FASTSS_MAX_LEN}))"
@@ -245,12 +248,32 @@ def fastss_editdist1_pairs(spark, sf_dir):
         .join(keys.alias("b"), "k")
         .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
         .select(
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
         )
         .distinct()
     )
-    pairs = cand.filter(F.levenshtein("name_a", "name_b") <= 1)
+    names = cust.select("c_custkey", "c_name")
+    # localCheckpoint: the verified pair set feeds BOTH the total-count
+    # aggregate and the ordered output — without it the whole key-join
+    # pipeline runs twice. The set is output-sized, safe to materialize.
+    pairs = (
+        cand.join(
+            names.select(
+                F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a")
+            ),
+            "id_a",
+        )
+        .join(
+            names.select(
+                F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b")
+            ),
+            "id_b",
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select("name_a", "name_b")
+        .localCheckpoint()
+    )
     tot = pairs.agg(F.count("*").cast("long").alias("n_pairs_total"))
     return (
         pairs.crossJoin(F.broadcast(tot))
