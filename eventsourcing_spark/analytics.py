@@ -4058,3 +4058,118 @@ def apriori_triple_itemsets(spark, sf_dir):
         )
         .orderBy(F.desc("n_support"), "item_a", "item_b", "item_c")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value attribution (Shapley 1953; applied to marketing
+# touchpoints per Zhao et al. 2018) — the game-theoretic upgrade to
+# multi_touch_linear_attribution: channel i's credit is its average
+# marginal contribution over ALL orderings of the channel set, the only
+# attribution rule that is efficient, symmetric, and dummy-free. The
+# coalition value v(S) = converted users whose touched-channel set ⊆ S.
+#
+# Tractability at 100 TB: the corpus collapses to an exact-touched-set
+# histogram in ONE user-grain aggregate (bit_or of channel bits +
+# conversion flag); everything after runs on the FIXED 2^m coalition
+# lattice (m = 4 channels → 16 rows), so the Shapley sum is exact, not
+# sampled. Integer-exact: credits are carried ×m! (24) — the factorial
+# weights |S|!·(m−1−|S|)! are integers — with one truncating division
+# into milli-conversions at the end. Conservation Σᵢ shapley = v(C) −
+# v(∅) holds exactly in the ×24 units.
+# ---------------------------------------------------------------------------
+SHAPLEY_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+SHAPLEY_CONVERSION = "purchase"
+_SHAP_M = len(SHAPLEY_CHANNELS)
+# |S|!·(m-1-|S|)! for |S| = 0..m-1 (m = 4): 6, 2, 2, 6
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 6}
+_SHAP_BITS_SQL = " ".join(
+    f"WHEN '{n}' THEN {b}" for n, b in SHAPLEY_CHANNELS
+)
+_SHAP_W_SQL = " ".join(f"WHEN {s} THEN {w}" for s, w in _SHAP_W.items())
+_SHAP_CH_SQL = ", ".join(f"('{n}', {b})" for n, b in SHAPLEY_CHANNELS)
+
+
+@query(
+    "shapley_attribution",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               bit_or(CASE event_type {_SHAP_BITS_SQL} ELSE 0 END) AS mask,
+               max(CASE WHEN event_type = '{SHAPLEY_CONVERSION}'
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    hist AS MATERIALIZED (
+        SELECT mask, count(*) AS n_conv FROM per_user
+        WHERE converted = 1 GROUP BY mask
+    ),
+    coalitions AS (
+        SELECT unnest(generate_series(0, {2 ** _SHAP_M - 1})) AS s
+    ),
+    v AS MATERIALIZED (
+        SELECT c.s, coalesce(sum(h.n_conv), 0) AS v
+        FROM coalitions c LEFT JOIN hist h ON (h.mask & c.s) = h.mask
+        GROUP BY c.s
+    ),
+    ch(channel, bit) AS (VALUES {_SHAP_CH_SQL}),
+    terms AS (
+        SELECT ch.channel,
+               (CASE bit_count(v0.s) {_SHAP_W_SQL} END)
+                 * (v1.v - v0.v) AS term
+        FROM ch
+        JOIN v v0 ON (v0.s & ch.bit) = 0
+        JOIN v v1 ON v1.s = (v0.s | ch.bit)
+    )
+    SELECT channel,
+           CAST(sum(term) AS BIGINT) AS shapley_x24,
+           CAST((1000 * sum(term)) // {24} AS BIGINT) AS shapley_milli
+    FROM terms
+    GROUP BY channel
+    ORDER BY shapley_x24 DESC, channel
+    """,
+)
+def shapley_attribution(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    bits = "CASE event_type " + _SHAP_BITS_SQL + " ELSE 0 END"
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(f"bit_or({bits})").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == SHAPLEY_CONVERSION, 1).otherwise(0)
+        ).alias("converted"),
+    )
+    hist = (
+        per_user.filter(F.col("converted") == 1)
+        .groupBy("mask")
+        .agg(F.count("*").alias("n_conv"))
+    )
+    coalitions = spark.range(0, 2 ** _SHAP_M).select(
+        F.col("id").cast("int").alias("s")
+    )
+    v = (
+        coalitions.join(
+            F.broadcast(hist), F.expr("(mask & s) = mask"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+    )
+    ch = spark.createDataFrame(SHAPLEY_CHANNELS, "channel string, bit int")
+    w_case = "CASE bit_count(s) " + _SHAP_W_SQL + " END"
+    v0 = v.select(F.col("s"), F.col("v").alias("v0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    terms = (
+        F.broadcast(ch)
+        .join(v0, F.expr("(s & bit) = 0"))
+        .join(v1, F.expr("s1 = (s | bit)"))
+        .select(
+            "channel",
+            (F.expr(w_case) * (F.col("v1") - F.col("v0"))).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(
+            F.sum("term").cast("long").alias("shapley_x24"),
+            F.expr("(1000 * sum(term)) div 24").cast("long").alias("shapley_milli"),
+        )
+        .orderBy(F.desc("shapley_x24"), "channel")
+    )

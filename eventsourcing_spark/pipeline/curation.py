@@ -737,3 +737,149 @@ def source_overlap_matrix(spark, sf_dir):
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010, "Rapid Automatic Keyword
+# Extraction") — the unsupervised keyphrase stage of a curation
+# pipeline: candidate phrases are the maximal runs of non-stopwords
+# (document text split AT stopwords), a word scores degree/frequency
+# (degree = summed length of every phrase it appears in — co-occurrence
+# favors words that live in long multi-word phrases), and a phrase
+# scores the sum of its members' word scores.
+#
+# Phrase segmentation is gaps-and-islands over token positions: flag
+# stopwords, island id = running count of stop flags within the doc
+# (per-DOC partitioned window — never global), phrase = the
+# position-ordered token list of each island (sort_array over collected
+# (pos, w) structs / list(... ORDER BY pos) — both engines order
+# explicitly, no collection-order luck). Scores are integer milli
+# (1000·degree // freq summed per phrase). Plan shape: one posexplode,
+# one doc-partitioned window, keyed phrase/word aggregates, a w-keyed
+# score join, TakeOrdered top-k. Degree/freq tables are vocab-sized.
+# ---------------------------------------------------------------------------
+RAKE_TOP = 30
+
+
+@query(
+    "rake_keyword_phrases",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, w,
+               CASE WHEN list_contains({STOPWORDS!r}, w)
+                    THEN 1 ELSE 0 END AS is_stop
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS w,
+                   unnest(generate_series(1,
+                       len(string_split(lower(text), ' ')))) AS i
+            FROM documents
+        )
+    ),
+    isl AS (
+        -- island BEFORE the stopword filter (WHERE runs before window
+        -- functions, which would collapse every doc into one phrase)
+        SELECT doc_id, pos, w, island FROM (
+            SELECT doc_id, pos, w, is_stop,
+                   sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS island
+            FROM toks
+        ) WHERE is_stop = 0 AND w <> ''
+    ),
+    phrases AS MATERIALIZED (
+        SELECT doc_id, island,
+               array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+               list(w ORDER BY pos) AS members,
+               count(*) AS plen
+        FROM isl GROUP BY doc_id, island
+    ),
+    wstat AS MATERIALIZED (
+        SELECT w, count(*) AS freq, sum(plen) AS degree
+        FROM (SELECT unnest(members) AS w, plen FROM phrases)
+        GROUP BY w
+    ),
+    dphrase AS (
+        -- one row per distinct phrase TEXT (members/plen are functions
+        -- of the text): the RAKE score is per phrase, not per instance
+        SELECT DISTINCT phrase, members, plen FROM phrases
+    ),
+    pscore AS (
+        SELECT p.phrase, p.plen,
+               sum((1000 * ws.degree) // ws.freq) AS score_milli
+        FROM (SELECT phrase, plen, unnest(members) AS w FROM dphrase) p
+        JOIN wstat ws USING (w)
+        GROUP BY p.phrase, p.plen
+    ),
+    pocc AS (
+        SELECT phrase, count(*) AS n_occurrences FROM phrases GROUP BY phrase
+    )
+    SELECT s.phrase,
+           CAST(s.plen AS BIGINT) AS n_words,
+           CAST(o.n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(s.score_milli AS BIGINT) AS score_milli
+    FROM pscore s
+    JOIN pocc o USING (phrase)
+    ORDER BY s.score_milli DESC, s.phrase
+    LIMIT {RAKE_TOP}
+    """,
+)
+def rake_keyword_phrases(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "w"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "w",
+        F.when(F.array_contains(stop_lit, F.col("w")), 1)
+        .otherwise(0)
+        .alias("is_stop"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        toks.withColumn("island", F.sum("is_stop").over(w_doc))
+        .filter((F.col("is_stop") == 0) & (F.col("w") != ""))
+    )
+    phrases = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("pw"),
+            F.count("*").alias("plen"),
+        )
+        .select(
+            "doc_id",
+            "island",
+            F.expr("transform(pw, x -> x.w)").alias("members"),
+            F.expr("array_join(transform(pw, x -> x.w), ' ')").alias("phrase"),
+            "plen",
+        )
+        .localCheckpoint()  # read by wstat, pscore, and pocc
+    )
+    wstat = (
+        phrases.select(F.explode("members").alias("w"), "plen")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("degree"))
+    )
+    dphrase = phrases.select("phrase", "members", "plen").dropDuplicates(
+        ["phrase"]
+    )
+    pscore = (
+        dphrase.select("phrase", "plen", F.explode("members").alias("w"))
+        .join(wstat, "w")
+        .groupBy("phrase", "plen")
+        .agg(F.expr("sum((1000 * degree) div freq)").alias("score_milli"))
+    )
+    pocc = phrases.groupBy("phrase").agg(F.count("*").alias("n_occurrences"))
+    return (
+        pscore.join(pocc, "phrase")
+        .select(
+            "phrase",
+            F.col("plen").cast("long").alias("n_words"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("score_milli").cast("long").alias("score_milli"),
+        )
+        .orderBy(F.desc("score_milli"), "phrase")
+        .limit(RAKE_TOP)
+    )
