@@ -654,3 +654,262 @@ def ttr_lexical_diversity(spark, sf_dir):
         F.min("ttr_ppm").cast("long").alias("min_ttr_ppm"),
         F.max("ttr_ppm").cast("long").alias("max_ttr_ppm"),
     )
+
+
+from eventsourcing_spark.pipeline.queries import (  # noqa: E402
+    MAX_BUCKET as _Q_MAX_BUCKET,
+    _BANDS_SQL as _Q_BANDS_SQL,
+    _qscore_sql,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC AUC of the quality score as a duplicate detector — the
+# Mann-Whitney rank-sum identity makes AUC computable without
+# thresholds, floats, or sampling: AUC = P(score_pos > score_neg) +
+# ½·P(equal), and over the DISTINCT-SCORE histogram that is
+# U×2 = Σ_s n_pos(s)·(2·cum_neg(<s) + n_neg(s)) — one integer per
+# score value, one running window over the bounded score domain (the
+# same distinct-value-histogram trick as the percentile family; the
+# corpus never sorts globally). Label: NEAR-duplicate membership (the
+# doc appears in a capped MinHash-band candidate pair — this corpus
+# has no byte-exact copies, so md5 families would be all-negative).
+# AUC far from 0.5 in either direction
+# means the cheap score carries dedup signal; ≈0.5 means it does not —
+# the go/no-go number before wiring a score into a kill rule.
+# DECIMAL(38,0) carries U×2 (P·N overflows int64 at 100 TB corpus
+# sizes); one floor()ed ppm division at the end.
+# ---------------------------------------------------------------------------
+@query(
+    "dup_quality_auc",
+    _Q_BANDS_SQL
+    + ", "
+    + _qscore_sql()
+    + f""",
+    sized AS (
+        SELECT doc_id, band_id, band_key,
+               count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+        FROM bands
+    ),
+    dupdocs AS (
+        SELECT DISTINCT a.doc_id
+        FROM sized a
+        JOIN sized b ON a.band_key = b.band_key AND a.band_id = b.band_id
+                    AND a.doc_id <> b.doc_id
+        WHERE a.bucket_n <= {_Q_MAX_BUCKET}
+    ),
+    lab AS (
+        SELECT d.doc_id,
+               CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        FROM documents d LEFT JOIN dupdocs dd ON dd.doc_id = d.doc_id
+    ),
+    hist AS (
+        SELECT qs.score,
+               CAST(sum(l.is_dup) AS DECIMAL(38,0)) AS n_pos,
+               CAST(sum(1 - l.is_dup) AS DECIMAL(38,0)) AS n_neg
+        FROM qs JOIN lab l USING (doc_id)
+        GROUP BY qs.score
+    ),
+    run AS (
+        SELECT score, n_pos, n_neg,
+               coalesce(sum(n_neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_neg
+        FROM hist
+    )
+    SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+           CAST(sum(n_neg) AS BIGINT) AS n_neg,
+           CAST(floor(sum(n_pos * (2 * cum_neg + n_neg)) * 1000000
+                      / (2 * sum(n_pos) * sum(n_neg))) AS BIGINT) AS auc_ppm
+    FROM run
+    """,
+)
+def dup_quality_auc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, x))).alias(
+            "n_stop"
+        ),
+    )
+    score = (
+        F.lit(W_TOK) * F.col("n_tok")
+        + F.lit(W_MWL) * F.expr("sum_len * 10 div n_tok")
+        + F.lit(W_STOP) * F.expr("n_stop * 1000 div n_tok")
+        + F.lit(W_UNIQ) * F.expr("n_uniq * 1000 div n_tok")
+    )
+    from eventsourcing_spark.pipeline.queries import _bands
+
+    sized = _bands(docs).withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band_id", "band_key")),
+    )
+    dupdocs = (
+        sized.alias("a")
+        .join(sized.alias("b"), ["band_id", "band_key"])
+        .filter(
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("a.bucket_n") <= _Q_MAX_BUCKET)
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    lab = (
+        m.select("doc_id", score.alias("score"))
+        .join(dupdocs, "doc_id", "left")
+        .select("doc_id", "score", F.coalesce("is_dup", F.lit(0)).alias("is_dup"))
+    )
+    hist = lab.groupBy("score").agg(
+        F.sum("is_dup").cast("decimal(38,0)").alias("n_pos"),
+        F.sum(1 - F.col("is_dup")).cast("decimal(38,0)").alias("n_neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    run = hist.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("cum_neg"),
+    )
+    return run.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.floor(
+            F.sum(F.col("n_pos") * (2 * F.col("cum_neg") + F.col("n_neg")))
+            * 1000000
+            / (2 * F.sum("n_pos") * F.sum("n_neg"))
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )
+
+from eventsourcing_spark.pipeline.queries import (  # noqa: E402
+    _LANG_MARKERS as _LM,
+)
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error (ECE; Naeini et al. 2015, Guo et al. 2017)
+# of the lang-ID heuristic — the standard "can you trust the
+# confidence?" audit run before using a classifier's score to route or
+# filter data. Confidence = winning-marker share of all marker hits in
+# milli (1000·s_max // total, 0 when no marker fires); predictions and
+# truth reuse lang_id_heuristic's argmax with its exact tie-break
+# order. Deciles of confidence → per-bucket accuracy vs mean
+# confidence in ppm (truncating); ECE = Σ n_b·|acc − conf| / n with
+# the division LAST. Every number is an integer; the per-bucket table
+# is the output (the reliability diagram, in rows) with the scalar ECE
+# repeated per row via a window sum over the ≤11-row bucket frame.
+# Plan: one map-only scan → bucket aggregate → tiny window. Nothing
+# corpus-global.
+# ---------------------------------------------------------------------------
+@query(
+    "langid_calibration_ece",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LM["en"]!r}, t))) AS s_en,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LM["es"]!r}, t))) AS s_es,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LM["de"]!r}, t))) AS s_de,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> list_contains({_LM["fr"]!r}, t))) AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred,
+               (1000 * greatest(s_en, s_es, s_de, s_fr))
+                 // greatest(s_en + s_es + s_de + s_fr, 1) AS conf_milli
+        FROM scored
+    ),
+    buckets AS (
+        SELECT conf_milli // 100 AS bucket,
+               count(*) AS n,
+               sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS n_correct,
+               sum(conf_milli) AS sum_conf
+        FROM pred GROUP BY 1
+    ),
+    rows_out AS (
+        SELECT bucket, n,
+               (1000000 * n_correct) // n AS acc_ppm,
+               (1000 * sum_conf) // n AS conf_ppm
+        FROM buckets
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(acc_ppm AS BIGINT) AS acc_ppm,
+           CAST(conf_ppm AS BIGINT) AS conf_ppm,
+           CAST(sum(n * abs(acc_ppm - conf_ppm)) OVER ()
+                // sum(n) OVER () AS BIGINT) AS ece_ppm
+    FROM rows_out
+    ORDER BY bucket
+    """,
+)
+def langid_calibration_ece(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+
+    def hits(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    s = {k: hits(v) for k, v in _LM.items()}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    total = (s["en"] + s["es"] + s["de"] + s["fr"]).cast("long")
+    p = docs.select(
+        "lang",
+        pred.alias("lang_pred"),
+        (F.lit(1000) * F.greatest(s["en"], s["es"], s["de"], s["fr"]))
+        .cast("long")
+        .alias("_num"),
+        F.greatest(total, F.lit(1).cast("long")).alias("_den"),
+    ).select("lang", "lang_pred", F.expr("_num div _den").alias("conf_milli"))
+    buckets = p.groupBy(F.expr("conf_milli div 100").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.sum("conf_milli").alias("sum_conf"),
+    )
+    rows_out = buckets.select(
+        "bucket",
+        "n",
+        F.expr("(1000000 * n_correct) div n").alias("acc_ppm"),
+        F.expr("(1000 * sum_conf) div n").alias("conf_ppm"),
+    )
+    return rows_out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("acc_ppm").cast("long").alias("acc_ppm"),
+        F.col("conf_ppm").cast("long").alias("conf_ppm"),
+        F.expr(
+            "sum(n * abs(acc_ppm - conf_ppm)) OVER () div sum(n) OVER ()"
+        )
+        .cast("long")
+        .alias("ece_ppm"),
+    ).orderBy("bucket")
