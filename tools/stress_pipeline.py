@@ -95,6 +95,19 @@ STRESS_QUERIES = (
     "media_video_framehash_neardup",
     "pii_detection_stats",
     "pii_redaction_endstate",
+    # round 5b: community/eval/keyword families — the graph trio must
+    # track the edge count (bucketed LSH candidates), the doc-corpus
+    # audits must stay ~linear, and the events pair grows on the
+    # streams axis (coalition lattice / item domain stay fixed)
+    "label_propagation_communities",
+    "community_modularity",
+    "degree_assortativity",
+    "dedup_calibration_pr",
+    "rake_keyword_phrases",
+    "dup_quality_auc",
+    "maxscore_pruning_audit",
+    "shapley_attribution",
+    "apriori_triple_itemsets",
 )
 
 
