@@ -179,6 +179,35 @@ def with_hilbert_key(
     return stepped.selectExpr(*carry, f"cd AS {out_col}")
 
 
+def hilbert_chain_sql(
+    base_select: str,
+    carry_cols: list[str],
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    prefix: str = "h",
+) -> str:
+    """The CTE chain of :func:`hilbert_oracle_cte` WITHOUT the final
+    SELECT — for embedding inside a larger oracle (the last CTE is
+    ``{prefix}{bits}`` with the key in column ``cd``). ``prefix``
+    namespaces the step CTEs when a query needs the chain next to
+    other CTEs."""
+    carry = ", ".join(carry_cols)
+    ctes = [
+        f"{prefix}0 AS MATERIALIZED (SELECT {carry},"
+        f" CAST({x_col} AS BIGINT) AS cx,"
+        f" CAST({y_col} AS BIGINT) AS cy, CAST(0 AS BIGINT) AS cd"
+        f" FROM ({base_select}))"
+    ]
+    for i in range(bits):
+        nx, ny, nd = _hilbert_step_exprs(1 << (bits - 1 - i))
+        ctes.append(
+            f"{prefix}{i + 1} AS MATERIALIZED (SELECT {carry}, ({nx}) AS cx,"
+            f" ({ny}) AS cy, ({nd}) AS cd FROM {prefix}{i})"
+        )
+    return ", ".join(ctes)
+
+
 def hilbert_oracle_cte(
     base_select: str,
     carry_cols: list[str],
@@ -193,18 +222,7 @@ def hilbert_oracle_cte(
     step (a plain CTE inlines once per reference and the multiply-
     referenced CASE expressions would blow up 4^bits)."""
     carry = ", ".join(carry_cols)
-    ctes = [
-        f"h0 AS MATERIALIZED (SELECT {carry}, CAST({x_col} AS BIGINT) AS cx,"
-        f" CAST({y_col} AS BIGINT) AS cy, CAST(0 AS BIGINT) AS cd"
-        f" FROM ({base_select}))"
-    ]
-    for i in range(bits):
-        nx, ny, nd = _hilbert_step_exprs(1 << (bits - 1 - i))
-        ctes.append(
-            f"h{i + 1} AS MATERIALIZED (SELECT {carry}, ({nx}) AS cx,"
-            f" ({ny}) AS cy, ({nd}) AS cd FROM h{i})"
-        )
     return (
-        ", ".join(ctes)
+        hilbert_chain_sql(base_select, carry_cols, x_col, y_col, bits)
         + f" SELECT {carry}, cd AS {out_col} FROM h{bits}"
     )

@@ -30,20 +30,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _require_exchange_reuse(df: DataFrame) -> None:
-    """Both rank operators feed two consumers from one
-    ``repartitionByRange`` exchange; ``spark.sql.exchange.reuse=false``
-    makes each consumer re-sample range boundaries independently and
-    the ranks come out silently wrong (duplicates + out-of-range — see
-    tests/test_plans.py). Fail loudly at plan-build time instead."""
-    reuse = df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
-    if str(reuse).lower() == "false":
-        raise ValueError(
-            "global_rank/global_rank_cumsum require spark.sql.exchange.reuse "
-            "(the offsets and rank branches must share one range exchange; "
-            "with reuse disabled the two branches re-sample range boundaries "
-            "independently and the ranks are silently wrong)"
-        )
+def _ranged_checkpoint(df: DataFrame, num_partitions: int, order_cols):
+    """Range-partition by the total order and FREEZE the partition ids
+    in materialized data (eager localCheckpoint).
+
+    Why materialize: the offsets branch and the rank branch both consume
+    this frame, and the RangePartitioner re-SAMPLES its boundaries on
+    every execution. Sharing the exchange via ``spark.sql.exchange.reuse``
+    was the round-4 design, but reuse depends on plan canonicalization
+    and was observed to silently fail under AQE in a larger query
+    (round 5: a rank consumed by an aggregate produced uneven
+    512-row groups — duplicate/skipped ranks — with reuse ON). A
+    checkpoint makes the invariant structural: one physical
+    materialization, both branches read the same pids, and the final
+    rank is partitioning-independent (any consistent boundaries give
+    the same total order), so results are deterministic across runs,
+    partition counts, and reuse/AQE settings."""
+    return (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("__rank_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
 
 
 def global_rank(
@@ -59,27 +66,20 @@ def global_rank(
     rank to be deterministic. Adds one range exchange + one pid-hash
     exchange; no stage sees more than one partition's rows.
 
-    **Correctness invariant — exchange reuse.** The offsets branch and
-    the main branch both consume the SAME ``repartitionByRange``
-    exchange; ``spark.sql.exchange.reuse`` (default true) materializes
-    it once, so ``spark_partition_id`` values line up between the two by
-    construction. With reuse disabled each branch re-runs the range
-    shuffle and the RangePartitioner re-SAMPLES its boundaries — which
-    is empirically NOT deterministic across re-executions (the parity
-    suite demonstrates ranks going silently wrong: duplicate and
-    out-of-range values). This function therefore REFUSES to build a
-    plan when ``spark.sql.exchange.reuse`` is ``false`` — a loud error
-    beats a silently corrupt total order — and the parity suite pins
-    both behaviors (permutation invariant with reuse on, ValueError
-    with reuse off).
+    **Correctness invariant — one materialization.** The offsets branch
+    and the main branch must see IDENTICAL partition ids, but the
+    RangePartitioner re-samples boundaries per execution, and exchange
+    reuse (the round-4 mechanism) was observed to silently fail under
+    AQE in larger plans. The range-partitioned frame is therefore
+    eagerly ``localCheckpoint``ed (see :func:`_ranged_checkpoint`):
+    both branches read one materialization, and the rank is exact under
+    any reuse/AQE/partition-count setting (pinned by the parity suite,
+    which now runs with exchange reuse disabled too).
     """
-    _require_exchange_reuse(df)
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "__rank_pid", F.spark_partition_id()
-    )
+    ranged = _ranged_checkpoint(df, num_partitions, order_cols)
     offs = (
         ranged.groupBy("__rank_pid")
         .agg(F.count("*").alias("__pn"))
@@ -146,15 +146,13 @@ def global_rank_cumsum(
     Lorenz/Gini accumulations, and quantile boundary scans all reduce to
     this without a single-partition window.
 
-    Same exchange-reuse requirement as :func:`global_rank` (enforced).
+    Same one-materialization invariant as :func:`global_rank`
+    (the ranged frame is eagerly checkpointed).
     """
-    _require_exchange_reuse(df)
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "__rank_pid", F.spark_partition_id()
-    )
+    ranged = _ranged_checkpoint(df, num_partitions, order_cols)
     offs = (
         ranged.groupBy("__rank_pid")
         .agg(

@@ -1729,3 +1729,154 @@ def join_skew_profile(spark, sf_dir):
         F.expr("(1000000 * max(c)) div sum(c)").cast("long").alias("skew_ppm"),
         F.expr("(max(c) * count(*)) div sum(c)").cast("long").alias("top1_vs_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Layout-skipping comparison — the measurement that justifies paying
+# for a clustering rewrite: given the SAME selective 2-d range query
+# (a 64-user × 64-hour box), how many 512-row rowgroups can min/max
+# stats prune under (a) row-major time-then-user order — the ingest
+# default, (b) the Z-order key, (c) the Hilbert key? This is the
+# planning query behind Delta OPTIMIZE ZORDER / Iceberg rewrite
+# decisions: run it on a sample, read the prune ratios, pick a layout.
+#
+# Mechanics: y is the hour index normalized by a broadcast min (no
+# data-dependent literal, no wraparound), each layout ranks the corpus
+# by its key through operators/ranking.global_rank — the distributed
+# zip-with-index, NO single-partition window — and rowgroup stats are
+# one keyed aggregate per layout. The predicate box is absolute in
+# normalized coordinates, so both engines prune identically and the
+# three summary rows hash-match. Oracle ranks with plain row_number()
+# (DuckDB is single-process; the Spark side is what must stay
+# distributed). At 100 TB the ratio is the deliverable: rowgroup size
+# and box size scale together, so local ratios transfer.
+# ---------------------------------------------------------------------------
+LAYOUT_GROUP_ROWS = 512
+LAYOUT_XLO, LAYOUT_XHI = 10, 73
+LAYOUT_YLO, LAYOUT_YHI = 100, 163
+
+
+def _layout_skip_oracle() -> str:
+    from eventsourcing_spark.functions.hashing import (
+        hilbert_chain_sql,
+        morton_key_sql,
+    )
+
+    g = LAYOUT_GROUP_ROWS
+    box = (f"gmin_x <= {LAYOUT_XHI} AND gmax_x >= {LAYOUT_XLO} "
+           f"AND gmin_y <= {LAYOUT_YHI} AND gmax_y >= {LAYOUT_YLO}")
+    per_layout = []
+    for name, key in (
+        ("linear", "y * 65536 + x"),
+        ("zorder", morton_key_sql("x", "y")),
+        ("hilbert", "hkey"),
+    ):
+        per_layout.append(f"""
+    rk_{name} AS (
+        SELECT x, y,
+               (row_number() OVER (ORDER BY {key}, event_id) - 1) // {g}
+                 AS grp
+        FROM keyed
+    ),
+    gr_{name} AS (
+        SELECT grp, count(*) AS n, min(x) AS gmin_x, max(x) AS gmax_x,
+               min(y) AS gmin_y, max(y) AS gmax_y
+        FROM rk_{name} GROUP BY grp
+    ),
+    sm_{name} AS (
+        SELECT '{name}' AS layout,
+               count(*) AS n_groups,
+               sum(CASE WHEN {box} THEN 0 ELSE 1 END) AS n_pruned,
+               sum(CASE WHEN {box} THEN n ELSE 0 END) AS rows_scanned
+        FROM gr_{name}
+    )""")
+    chain = hilbert_chain_sql(
+        base_select="SELECT event_id, x, y FROM base",
+        carry_cols=["event_id", "x", "y"],
+        x_col="x",
+        y_col="y",
+    )
+    head = f"""
+    WITH st AS (SELECT min(epoch_ms(ts) // 3600000) AS h0 FROM events),
+    base AS MATERIALIZED (
+        SELECT event_id, user_id % 65536 AS x,
+               epoch_ms(ts) // 3600000 - h0 AS y
+        FROM events, st
+    ),
+    {chain},
+    keyed AS MATERIALIZED (
+        SELECT event_id, x, y, cd AS hkey FROM h16
+    ),"""
+    tail = """
+    SELECT layout,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(n_pruned AS BIGINT) AS n_pruned,
+           CAST((1000000 * n_pruned) // n_groups AS BIGINT) AS prune_ppm,
+           CAST(rows_scanned AS BIGINT) AS rows_scanned
+    FROM (SELECT * FROM sm_linear UNION ALL SELECT * FROM sm_zorder
+          UNION ALL SELECT * FROM sm_hilbert)
+    ORDER BY layout
+    """
+    return head + ",".join(per_layout) + tail
+
+
+@query("layout_skipping_compare", _layout_skip_oracle())
+def layout_skipping_compare(spark, sf_dir):
+    from eventsourcing_spark.functions.hashing import (
+        morton_key_sql,
+        with_hilbert_key,
+    )
+    from eventsourcing_spark.operators.ranking import global_rank
+
+    ev = _events(spark, sf_dir)
+    st = ev.agg(F.expr("min(unix_millis(ts) div 3600000)").alias("h0"))
+    base = ev.crossJoin(F.broadcast(st)).select(
+        "event_id",
+        F.expr("user_id % 65536").alias("x"),
+        F.expr("unix_millis(ts) div 3600000 - h0").alias("y"),
+    )
+    keyed = with_hilbert_key(base, "x", "y").withColumn(
+        "zkey", F.expr(morton_key_sql("x", "y"))
+    ).withColumn("lkey", F.expr("y * 65536 + x")).localCheckpoint()
+
+    overlap = (
+        (F.col("gmin_x") <= LAYOUT_XHI)
+        & (F.col("gmax_x") >= LAYOUT_XLO)
+        & (F.col("gmin_y") <= LAYOUT_YHI)
+        & (F.col("gmax_y") >= LAYOUT_YLO)
+    )
+
+    def summary(name, key_col):
+        ranked = global_rank(keyed, key_col, "event_id")
+        groups = (
+            ranked.groupBy(
+                F.expr(f"(rk - 1) div {LAYOUT_GROUP_ROWS}").alias("grp")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.min("x").alias("gmin_x"),
+                F.max("x").alias("gmax_x"),
+                F.min("y").alias("gmin_y"),
+                F.max("y").alias("gmax_y"),
+            )
+        )
+        return groups.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(overlap, 0).otherwise(1)).alias("n_pruned"),
+            F.sum(F.when(overlap, F.col("n")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+        )
+    out = (
+        summary("linear", "lkey")
+        .unionByName(summary("zorder", "zkey"))
+        .unionByName(summary("hilbert", "hkey"))
+    )
+    return out.select(
+        "layout",
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("n_pruned").cast("long").alias("n_pruned"),
+        F.expr("(1000000 * n_pruned) div n_groups").alias("prune_ppm"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+    ).orderBy("layout")

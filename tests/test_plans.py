@@ -425,14 +425,16 @@ def test_global_rank_cumsum_matches_window(spark):
     assert unpartitioned_windows(got) == []
 
 
-def test_global_rank_exchange_reuse_invariant(spark):
-    """global_rank's two branches share one range exchange via
-    spark.sql.exchange.reuse. With reuse ON the ranks must be an exact
-    permutation 1..n (max == count == distinct count). With reuse OFF
-    the range boundaries re-sample NON-deterministically (empirically:
-    duplicate + out-of-range ranks), so the operator must refuse to
-    build the plan rather than return silently wrong ranks."""
-    import pytest
+def test_global_rank_independent_of_exchange_reuse(spark):
+    """The rank must be an exact permutation 1..n (max == count ==
+    distinct count) REGARDLESS of spark.sql.exchange.reuse. The round-4
+    design leaned on exchange reuse to share one range shuffle between
+    the offsets and rank branches; round 5 observed reuse silently
+    failing under AQE inside a larger plan (uneven rank buckets =
+    duplicate/skipped ranks with reuse ON). The operators now freeze
+    partition ids via an eager localCheckpoint, so BOTH settings must
+    yield exact ranks — and consuming the rank through an aggregate
+    (the shape that exposed the bug) must too."""
     from pyspark.sql import functions as F
 
     from eventsourcing_spark.operators.ranking import (
@@ -445,25 +447,37 @@ def test_global_rank_exchange_reuse_invariant(spark):
     )
     prev = spark.conf.get("spark.sql.exchange.reuse", "true")
     try:
-        spark.conf.set("spark.sql.exchange.reuse", "true")
-        stats = global_rank(df, "v", "id").agg(
-            F.count("*").alias("n"),
-            F.max("rk").alias("mx"),
-            F.min("rk").alias("mn"),
-            F.countDistinct("rk").alias("nd"),
-        ).collect()[0]
-        assert (
-            stats.n == 1499
-            and stats.mx == 1499
-            and stats.mn == 1
-            and stats.nd == 1499
-        ), f"rank not a permutation with exchange reuse on: {stats}"
+        for reuse in ("true", "false"):
+            spark.conf.set("spark.sql.exchange.reuse", reuse)
+            stats = global_rank(df, "v", "id").agg(
+                F.count("*").alias("n"),
+                F.max("rk").alias("mx"),
+                F.min("rk").alias("mn"),
+                F.countDistinct("rk").alias("nd"),
+            ).collect()[0]
+            assert (
+                stats.n == 1499
+                and stats.mx == 1499
+                and stats.mn == 1
+                and stats.nd == 1499
+            ), f"rank not a permutation (exchange.reuse={reuse}): {stats}"
 
-        spark.conf.set("spark.sql.exchange.reuse", "false")
-        with pytest.raises(ValueError, match="exchange.reuse"):
-            global_rank(df, "v", "id")
-        with pytest.raises(ValueError, match="exchange.reuse"):
-            global_rank_cumsum(df, "v", "v", "id")
+            # the aggregate-consumer shape that exposed the reuse bug:
+            # bucketing a correct permutation by (rk-1) div 100 must
+            # give exactly ceil(1499/100) buckets of size 100 (+ tail)
+            sizes = sorted(
+                r.c
+                for r in global_rank(df, "v", "id")
+                .groupBy(F.expr("(rk - 1) div 100").alias("b"))
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            assert sizes == [99] + [100] * 14, (reuse, sizes)
+
+            cum = global_rank_cumsum(df, "v", "v", "id").agg(
+                F.max("rk").alias("mx"), F.countDistinct("rk").alias("nd")
+            ).collect()[0]
+            assert cum.mx == 1499 and cum.nd == 1499, (reuse, cum)
     finally:
         spark.conf.set("spark.sql.exchange.reuse", prev)
 
