@@ -69,7 +69,14 @@ def test_close_state_matches_registry_when_present():
     """CLOSE_STATE.json (written by a green close battery) must match the
     current registry count; a stale SHA is allowed mid-round (work happens
     between battery runs) but a count mismatch means a query landed after
-    the battery — exactly the round-4 gap this file exists to close."""
+    the battery — exactly the round-4 gap this file exists to close.
+
+    The battery itself sets CLOSE_BATTERY_RUNNING for its pytest stage:
+    CLOSE_STATE is only written AFTER a green battery, so when the count
+    has grown since the last battery this check would deadlock the very
+    run that re-establishes the pin (hit at round 5: 304 -> 326)."""
+    if os.environ.get("CLOSE_BATTERY_RUNNING"):
+        return  # the enclosing battery run IS the re-verification
     path = os.path.join(HERE, "CLOSE_STATE.json")
     if not os.path.exists(path):
         return  # first round with the pin: battery has not run yet

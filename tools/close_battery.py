@@ -116,16 +116,22 @@ def main() -> int:
             continue
         t0 = time.time()
         out_path = f"/tmp/close_{name.replace('.', '_')}.log"
+        # the pytest stage must know it runs INSIDE the battery: the
+        # close-state pin test would otherwise deadlock every battery
+        # run after the registry count grew (CLOSE_STATE is only
+        # written after a green battery)
+        env = {**os.environ, "CLOSE_BATTERY_RUNNING": "1"}
         with open(out_path, "w") as out:
             if name == "bench":
                 # bench prints its JSON line on stdout; keep it for compare
                 with open("/tmp/close_bench.json", "w") as bench_out:
                     rc = subprocess.run(
-                        cmd, cwd=HERE, stdout=bench_out, stderr=out
+                        cmd, cwd=HERE, stdout=bench_out, stderr=out, env=env
                     ).returncode
             else:
                 rc = subprocess.run(
-                    cmd, cwd=HERE, stdout=out, stderr=subprocess.STDOUT
+                    cmd, cwd=HERE, stdout=out, stderr=subprocess.STDOUT,
+                    env=env,
                 ).returncode
         dt = time.time() - t0
         status = "PASS" if rc == 0 else "FAIL"
