@@ -878,7 +878,24 @@ def community_modularity(spark, sf_dir):
 # (Σx² ~ n·cap² can pass int64 at 100 TB), floor()ed to ppm on both
 # engines. Plan: degree aggregate, two keyed joins to attach endpoint
 # degrees, one sufficient-stats aggregate. Nothing corpus-global.
+#
+# Overflow proof (the 100 TB bound): the cross-multiplied num/den fit
+# DECIMAL(38,0) whenever |E|·dmax < 10¹⁹ (n·Σxy ≤ |E|²·dmax²; capped-
+# bucket edges at 100 TB give |E| ~ 10¹³, dmax ~ 10⁴ → 10¹⁷, 100×
+# headroom). But num·10⁶ for the ppm is NOT safe past den ~ 10³², so
+# before the ratio both are floor-divided by a stats-driven K =
+# 1 + den div C with C = 10¹⁸: num' = (num + K·C) div K − C (the
+# non-negative shift makes Spark's truncating `div` and DuckDB's
+# HUGEINT `//` equal floor; K·C ≥ den ≥ |num| by Cauchy-Schwarz, so
+# the shifted operand is ≥ 0 and quotients ≤ 2C fit BIGINT), den' =
+# den div K. Then num'·10⁶ ≤ 2·10²⁴ < 10³⁸ provably. K = 1 (exact,
+# bit-identical to the unclamped form) until den > 10¹⁸; past that the
+# clamp costs ≤ 2/den' ~ 10⁻¹⁸ relative error — far below 1 ppm — and
+# both engines compute identical integers either way.
 # ---------------------------------------------------------------------------
+ASSORT_CLAMP = 10**18
+
+
 @query(
     "degree_assortativity",
     f"""
@@ -887,21 +904,30 @@ def community_modularity(spark, sf_dir):
         SELECT src AS v, count(*) AS d FROM e GROUP BY src
     ),
     xy AS (
-        SELECT CAST(da.d AS DECIMAL(38,0)) AS x,
-               CAST(db.d AS DECIMAL(38,0)) AS y
+        SELECT CAST(da.d AS HUGEINT) AS x, CAST(db.d AS HUGEINT) AS y
         FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst
     ),
     s AS (
-        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
-               CAST(sum(x) AS DECIMAL(38,0)) AS sx,
-               CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
-               CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy
+        SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
         FROM xy
+    ),
+    r AS (
+        SELECT n, n * sxy - sx * sx AS num, n * sxx - sx * sx AS den
+        FROM s
+    ),
+    c AS (
+        SELECT n, num, den,
+               CAST(1 AS HUGEINT) + den // {ASSORT_CLAMP} AS k
+        FROM r
     )
     SELECT CAST(n AS BIGINT) AS n_edge_ends,
-           CAST(floor((n * sxy - sx * sx) * 1000000
-                      / (n * sxx - sx * sx)) AS BIGINT) AS r_ppm
-    FROM s
+           CAST(floor(
+               CAST((num + k * {ASSORT_CLAMP}) // k
+                    - CAST({ASSORT_CLAMP} AS HUGEINT) AS DECIMAL(38,0))
+               * 1000000
+               / CAST(den // k AS DECIMAL(38,0))) AS BIGINT) AS r_ppm
+    FROM c
     """,
 )
 def degree_assortativity(spark, sf_dir):
@@ -921,9 +947,27 @@ def degree_assortativity(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    return s.select(
+    r = s.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    c = r.select(
+        "n", "num", "den",
+        (F.lit(1).cast("long") + F.expr(f"den div {ASSORT_CLAMP}")).alias("k"),
+    )
+    return c.select(
         F.col("n").cast("long").alias("n_edge_ends"),
-        F.floor(num * 1000000 / den).cast("long").alias("r_ppm"),
+        F.floor(
+            (
+                F.expr(
+                    f"(num + cast(k as decimal(38,0)) * {ASSORT_CLAMP}) div k"
+                )
+                - F.lit(ASSORT_CLAMP)
+            ).cast("decimal(38,0)")
+            * 1000000
+            / F.expr("den div k").cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("r_ppm"),
     )

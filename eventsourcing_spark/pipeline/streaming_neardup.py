@@ -14,12 +14,24 @@ identical signature, so every exact duplicate is also a band hit.
 Per micro-batch (foreachBatch, driver-side plan building only):
 
 1. band the batch (2 bands of 2 md5 min-hashes per doc);
-2. within-batch keeper-star (same rule as dedup_lsh_clusters): a doc
-   sharing a band with a SMALLER doc_id in the batch is suppressed —
-   deterministic at any parallelism, no chained-transitivity ambiguity;
-3. semi-join the survivors' bands against the registry; any hit
-   suppresses the doc;
+2. semi-join the batch's bands against the registry; any hit
+   suppresses the doc (it is near something already admitted);
+3. within-batch keeper-star among the REGISTRY-CLEAN docs (same rule
+   as dedup_lsh_clusters): a doc sharing a band with a smaller doc_id
+   is suppressed — deterministic at any parallelism;
 4. append survivors to the corpus, then their bands to the registry.
+
+Probe-before-star ordering matters: star-then-probe would let a doc
+stay suppressed because of a keeper the registry itself then rejected,
+permanently dropping content that shares no band with anything admitted
+(near-dup is not transitive). Probing first removes registry-near docs
+before keepers are elected, so every within-batch suppression points at
+a keeper that is registry-clean. One deliberate residue of the batch
+family's star rule remains and is shared with dedup_lsh_clusters: when
+a doc's keeper is itself star-suppressed through a *different* band in
+the same micro-batch, the member stays suppressed (chained suppression
+within one batch) — the same deterministic star the batch sweep
+applies, so stream and batch classify identically.
 
 Write order is survivors-first (at-least-once): a crash between the two
 writes re-emits documents on retry instead of silently suppressing
@@ -36,8 +48,6 @@ machinery (projection/projector.py).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -47,11 +57,26 @@ BAND_REGISTRY_SCHEMA = "band_id int, band_key string"
 
 
 def _seen_bands(spark, registry_dir: str) -> DataFrame:
-    if os.path.isdir(registry_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(registry_dir)
-    ):
-        return spark.read.parquet(registry_dir)
-    return spark.createDataFrame([], BAND_REGISTRY_SCHEMA)
+    """Registry frame, or the empty frame when no registry exists yet.
+
+    Probe through ``spark.read`` (works on any Hadoop-compatible
+    filesystem — HDFS/S3/local alike) and fall back to the empty frame
+    only when the path does not exist or holds no parquet; an
+    ``os.path`` check would silently disable suppression on any
+    non-driver-local registry path."""
+    try:
+        return spark.read.schema(BAND_REGISTRY_SCHEMA).parquet(registry_dir)
+    except Exception as e:  # noqa: BLE001 — classify, re-raise real errors
+        name = type(e).__name__
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or name == "AnalysisException"
+        ):
+            return spark.createDataFrame([], BAND_REGISTRY_SCHEMA)
+        raise
 
 
 def neardup_batch(batch_df: DataFrame, registry_dir: str) -> DataFrame:
@@ -60,24 +85,29 @@ def neardup_batch(batch_df: DataFrame, registry_dir: str) -> DataFrame:
     Returns the admitted documents (original columns, no band columns).
     """
     bands = _bands(batch_df)
-    # Within-batch keeper-star: min doc_id per band bucket claims it.
+    # Registry probe FIRST: any band hit suppresses the doc. Running
+    # the probe before the keeper-star guarantees every star keeper is
+    # registry-clean — star-first would keep members suppressed under
+    # keepers the registry then rejected (see module docstring).
+    seen = _seen_bands(batch_df.sparkSession, registry_dir)
+    hit = (
+        bands.join(seen, ["band_id", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean_bands = bands.join(hit, "doc_id", "left_anti")
+    # Within-batch keeper-star among registry-clean docs: min doc_id
+    # per band bucket claims it.
     claim = Window.partitionBy("band_id", "band_key")
     suppressed = (
-        bands.withColumn("_keeper", F.min("doc_id").over(claim))
+        clean_bands.withColumn("_keeper", F.min("doc_id").over(claim))
         .filter(F.col("doc_id") > F.col("_keeper"))
         .select("doc_id")
         .distinct()
     )
-    kept = batch_df.join(suppressed, "doc_id", "left_anti")
-    # Registry probe: any band hit suppresses the doc.
-    seen = _seen_bands(batch_df.sparkSession, registry_dir)
-    hit = (
-        _bands(kept)
-        .join(seen, ["band_id", "band_key"], "left_semi")
-        .select("doc_id")
-        .distinct()
+    return batch_df.join(hit, "doc_id", "left_anti").join(
+        suppressed, "doc_id", "left_anti"
     )
-    return kept.join(hit, "doc_id", "left_anti")
 
 
 def neardup_at_ingest(

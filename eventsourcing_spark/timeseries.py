@@ -647,17 +647,33 @@ def series_knn_daily_spend(spark, sf_dir):
 # pair set by construction).
 #
 # Exactness: mean-centering is cross-multiplied through n (n·x_t − S
-# instead of x_t − S/n) so every term is integer; products can reach
-# (n·x)² ≈ 10²⁸ and carry in DECIMAL(38,0) with the final ppm ratio
-# floor()ed on both engines (DuckDB rounds DECIMAL division where Spark
-# truncates — the module-wide rule). n and S ride a broadcast 1-row
-# stats frame, never a data-dependent literal.
+# instead of x_t − S/n) so every term is integer, with the final ppm
+# ratio floor()ed on both engines (DuckDB rounds DECIMAL division where
+# Spark truncates — the module-wide rule). n and S ride a broadcast
+# 1-row stats frame, never a data-dependent literal.
+#
+# Overflow proof (the 100 TB bound): the raw deviation D_t = n·x_t − S
+# is harmless (|D| ≤ n·max_daily_cents, and n is CALENDAR-bounded by
+# the order-date spine, not data volume), but Σ D² is NOT — at ~10¹⁵
+# cents/day it passes 10³⁸ and Spark (non-ANSI) silently NULLs where
+# DuckDB raises. So the deviations are clamped through a stats-driven
+# scale factor before squaring: K = 1 + max|D| div C with C = 10¹³,
+# D' = floor(D/K) computed as (D + K·C) div K − C (the shift makes the
+# operand non-negative, where Spark's `div` and DuckDB's HUGEINT `//`
+# — both truncating — equal floor; K·C ≥ max|D| by construction of K).
+# Then |D'| ≤ C, so Σ D'² ≤ n_days·10²⁶ and the ppm numerator
+# Σ(D'·D')·10⁶ ≤ n_days·10³² < 10³⁸ for any day spine up to 10⁵ days
+# (the TPC-H date domain is ~2.4k days) — provable at ANY corpus size.
+# At test scale factors max|D| < C, so K = 1 and D' = D exactly: the
+# clamp only engages past ~10 TB and there costs < 2·K/rms(D) relative
+# error — sub-ppm. K rides the stats frame like n and S.
 #
 # Scale shape: ONE corpus-sized keyed aggregate (groupBy day); the lag
-# join, centering, and ratio all run on the bounded day spine (grows
-# with the calendar, not data volume).
+# join, centering, clamping, and ratio all run on the bounded day spine
+# (grows with the calendar, not data volume).
 # ---------------------------------------------------------------------------
 ACF_MAX_LAG = 7
+ACF_DEV_CLAMP = 10**13  # C above: post-clamp |deviation| bound
 
 
 @query(
@@ -670,28 +686,37 @@ ACF_MAX_LAG = 7
         FROM orders GROUP BY 1
     ),
     st0 AS MATERIALIZED (
-        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
-               CAST(sum(cents) AS DECIMAL(38,0)) AS s
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(cents) AS HUGEINT) AS s
         FROM daily
     ),
+    dev AS MATERIALIZED (
+        SELECT day, st0.n * CAST(cents AS HUGEINT) - st0.s AS d
+        FROM daily, st0
+    ),
+    sc AS MATERIALIZED (
+        SELECT CAST(1 AS HUGEINT) + max(abs(d)) // {ACF_DEV_CLAMP} AS k
+        FROM dev
+    ),
+    sdev AS MATERIALIZED (
+        SELECT day, (d + sc.k * {ACF_DEV_CLAMP}) // sc.k
+                    - CAST({ACF_DEV_CLAMP} AS HUGEINT) AS dd
+        FROM dev, sc
+    ),
     st AS MATERIALIZED (
-        SELECT st0.n, st0.s,
-               CAST(sum((st0.n * cents - st0.s) * (st0.n * cents - st0.s))
-                    AS DECIMAL(38,0)) AS den
-        FROM daily, st0 GROUP BY st0.n, st0.s
+        SELECT CAST(sum(dd * dd) AS DECIMAL(38,0)) AS den FROM sdev
     ),
     lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
     pairs AS (
-        SELECT l.lag,
-               (st.n * a.cents - st.s) * (st.n * b.cents - st.s) AS term
-        FROM daily a
+        SELECT l.lag, a.dd * b.dd AS term
+        FROM sdev a
         CROSS JOIN lags l
-        JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
-        CROSS JOIN st
+        JOIN sdev b ON b.day = a.day + l.lag * INTERVAL 1 DAY
     )
     SELECT lag AS lag_days,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(floor(sum(term) * 1000000 / any_value(st.den)) AS BIGINT)
+           CAST(floor(CAST(sum(term) AS DECIMAL(38,0)) * 1000000
+                      / any_value(st.den)) AS BIGINT)
              AS acf_ppm
     FROM pairs, st
     GROUP BY lag
@@ -713,8 +738,26 @@ def acf_daily_revenue(spark, sf_dir):
         F.count("*").cast("decimal(38,0)").alias("n"),
         F.sum("cents").cast("decimal(38,0)").alias("s"),
     )
-    centered = daily.crossJoin(F.broadcast(st)).select(
-        "day", (F.col("n") * F.col("cents") - F.col("s")).alias("dev")
+    dev = daily.crossJoin(F.broadcast(st)).select(
+        "day", (F.col("n") * F.col("cents") - F.col("s")).alias("d")
+    )
+    # Stats-driven clamp K (see header proof): K = 1 at test SFs, and
+    # floor(d/K) = (d + K·C) div K − C with the non-negative shift so
+    # Spark's truncating `div` equals floor.
+    sc = dev.agg(
+        (F.lit(1).cast("long") + F.expr(f"max(abs(d)) div {ACF_DEV_CLAMP}"))
+        .alias("k")
+    )
+    centered = dev.crossJoin(F.broadcast(sc)).select(
+        "day",
+        (
+            F.expr(
+                f"(d + cast(k as decimal(38,0)) * {ACF_DEV_CLAMP}) div k"
+            )
+            - F.lit(ACF_DEV_CLAMP)
+        )
+        .cast("decimal(38,0)")
+        .alias("dev"),
     )
     den = centered.agg(
         F.sum(F.col("dev") * F.col("dev")).cast("decimal(38,0)").alias("den")

@@ -19,6 +19,7 @@ import json
 import os
 import re
 import subprocess
+import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -91,7 +92,7 @@ def test_close_state_matches_registry_when_present():
 def test_close_battery_registry_pin_stage():
     """The battery's own pin check (stage 0) agrees with these tests."""
     rc = subprocess.run(
-        ["python", os.path.join(HERE, "tools", "close_battery.py"),
+        [sys.executable, os.path.join(HERE, "tools", "close_battery.py"),
          "--check-pin-only"],
         capture_output=True, text=True,
     )

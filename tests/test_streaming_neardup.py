@@ -76,7 +76,7 @@ def test_reordered_copy_suppressed_within_and_across_batches(spark, dirs):
 
 def test_stream_agrees_with_batch_replay(spark, dirs):
     """The streamed end-state equals replaying the same deterministic
-    rule (keeper-star, then registry probe) batch-by-batch statically."""
+    rule (registry probe, then keeper-star) batch-by-batch statically."""
     b1 = [
         (10, "one two three four five six", "en"),
         (11, "six five four three two one", "en"),
@@ -101,6 +101,16 @@ def test_stream_agrees_with_batch_replay(spark, dirs):
     for rows in (b1, b2):
         df = spark.createDataFrame(rows, DOCS_SCHEMA)
         bands = _bands(df)
+        if admitted_bands is not None:
+            hit = (
+                bands.join(
+                    admitted_bands, ["band_id", "band_key"], "left_semi"
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            df = df.join(hit, "doc_id", "left_anti")
+            bands = bands.join(hit, "doc_id", "left_anti")
         claim = Window.partitionBy("band_id", "band_key")
         supp = (
             bands.withColumn("_k", F.min("doc_id").over(claim))
@@ -109,14 +119,6 @@ def test_stream_agrees_with_batch_replay(spark, dirs):
             .distinct()
         )
         kept = df.join(supp, "doc_id", "left_anti")
-        if admitted_bands is not None:
-            hit = (
-                _bands(kept)
-                .join(admitted_bands, ["band_id", "band_key"], "left_semi")
-                .select("doc_id")
-                .distinct()
-            )
-            kept = kept.join(hit, "doc_id", "left_anti")
         expect.extend(r.doc_id for r in kept.collect())
         newb = _bands(kept).select("band_id", "band_key").distinct()
         admitted_bands = (
@@ -125,6 +127,54 @@ def test_stream_agrees_with_batch_replay(spark, dirs):
             else admitted_bands.union(newb).distinct()
         )
     assert streamed == sorted(expect)
+
+
+def test_member_readmitted_when_keeper_is_registry_suppressed(spark, dirs):
+    """Probe-before-star: a doc must NOT stay suppressed because of a
+    within-batch keeper that the registry itself rejected.
+
+    Construction (verified against the md5 minhash family): adding the
+    token 'orchid' to K's token set changes band 0 but preserves band 1,
+    so M shares exactly band 1 with K and nothing with a registry that
+    holds only K's band 0. Star-then-probe would drop BOTH (M under
+    keeper K, then K on the registry hit) — permanent loss of content
+    sharing no band with anything admitted."""
+    df = spark.createDataFrame(
+        [
+            (40, "tango victor whiskey xray", "en"),  # K: registry-near
+            (41, "tango victor whiskey xray orchid", "en"),  # M: near K only
+        ],
+        DOCS_SCHEMA,
+    )
+    # Registry holds only K's band 0 (as if a doc near K via that band
+    # was admitted earlier).
+    _bands(df.filter("doc_id = 40")).filter("band_id = 0").select(
+        "band_id", "band_key"
+    ).write.mode("overwrite").parquet(dirs["reg"])
+    # Sanity: M's band 0 differs from K's; band 1 matches (the premise).
+    kb = {
+        r.band_id: r.band_key
+        for r in _bands(df.filter("doc_id = 40")).collect()
+    }
+    mb = {
+        r.band_id: r.band_key
+        for r in _bands(df.filter("doc_id = 41")).collect()
+    }
+    assert mb[0] != kb[0] and mb[1] == kb[1]
+
+    fresh = neardup_batch(df, dirs["reg"])
+    assert sorted(r.doc_id for r in fresh.collect()) == [41]
+
+
+def test_seen_bands_raises_on_non_path_errors(spark, dirs):
+    """A missing registry yields the empty frame; anything else (a real
+    I/O or format error) must surface, not silently disable
+    suppression."""
+    from eventsourcing_spark.pipeline.streaming_neardup import _seen_bands
+
+    empty = _seen_bands(spark, dirs["reg"] + "/never_written")
+    assert empty.count() == 0
+    assert empty.columns == ["band_id", "band_key"]
 
 
 def test_neardup_batch_is_usable_statically(spark, dirs):
