@@ -193,8 +193,20 @@ def setjoin_prefix_jaccard(spark, sf_dir):
 # correlated WHERE — DuckDB's generate_series takes no lateral column
 # args) and both engines run their native levenshtein(), so the gate
 # also proves the two DP implementations agree on this corpus.
+#
+# Both engines share two structural rules so the key sets and pair
+# grains can never desynchronize on a different name domain:
+# (1) deletion positions are capped at FASTSS_MAX_LEN on BOTH sides
+#     (least(len+1, 64) / WHERE i <= least(len+1, 64)) — for keys
+#     longer than the cap, edits past position 64 are missed by both
+#     engines identically (the documented production bound on key
+#     count; this corpus's names are 18 chars);
+# (2) candidate/pair dedup is keyed on the CUSTKEY pair on both sides
+#     — duplicate name strings produce one verified pair per id pair
+#     in both engines (dedup by name would collapse them in one engine
+#     only).
 # ---------------------------------------------------------------------------
-FASTSS_MAX_LEN = 64  # fixed position series bound (names are 18 chars)
+FASTSS_MAX_LEN = 64  # deletion-position cap, mirrored on BOTH engines
 FASTSS_TOP = 100
 
 
@@ -205,15 +217,18 @@ FASTSS_TOP = 100
     keys AS (
         SELECT c_custkey, c_name,
                substr(c_name, 1, i-1) || substr(c_name, i+1) AS k
-        FROM customer, pos WHERE i <= len(c_name) + 1
+        FROM customer, pos WHERE i <= least(len(c_name) + 1, {FASTSS_MAX_LEN})
     ),
     cand AS (
-        SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
+        SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
         FROM keys a JOIN keys b ON a.k = b.k AND a.c_custkey < b.c_custkey
     ),
     pairs AS MATERIALIZED (
-        SELECT name_a, name_b FROM cand
-        WHERE levenshtein(name_a, name_b) <= 1
+        SELECT na.c_name AS name_a, nb.c_name AS name_b
+        FROM cand
+        JOIN customer na ON na.c_custkey = cand.id_a
+        JOIN customer nb ON nb.c_custkey = cand.id_b
+        WHERE levenshtein(na.c_name, nb.c_name) <= 1
     ),
     tot AS (SELECT count(*) AS n_pairs_total FROM pairs)
     SELECT name_a, name_b, CAST(n_pairs_total AS BIGINT) AS n_pairs_total
@@ -233,14 +248,13 @@ def fastss_editdist1_pairs(spark, sf_dir):
     keys = cust.select(
         "c_custkey",
         F.explode(
-            F.expr("sequence(1, length(c_name) + 1)")
+            F.expr(f"sequence(1, least(length(c_name) + 1, {FASTSS_MAX_LEN}))")
         ).alias("i"),
         "c_name",
     ).select(
         "c_custkey",
         F.expr(
-            f"concat(substring(c_name, 1, i-1),"
-            f" substring(c_name, i+1, {FASTSS_MAX_LEN}))"
+            "concat(substring(c_name, 1, i-1), substring(c_name, i+1))"
         ).alias("k"),
     )
     cand = (
