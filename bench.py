@@ -1,8 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
 
-Prints ONE JSON line:
+Prints the full JSON object:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {"q": sec, ...}, "sf": <sf>}
+then a compact summary line (no per-query detail) as the LAST line, so
+a bounded tail capture always holds a complete parseable object even
+when the per-query dict outgrows the capture window (round 5 lost the
+headline total to exactly that). The full object is also written to
+the ``bench_result.json`` sidecar next to this script.
 
 Each query is forced end-to-end with a noop sink (full materialization,
 no driver collect). Times include plan + execution, not session startup.
@@ -161,7 +166,22 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps(out))
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "sidecar": "bench_result.json",
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -32,8 +32,28 @@ HARD_FLOOR_SEC = 1.0
 
 
 def load_bench(path: str) -> dict:
+    """Accepts a driver BENCH_r{N}.json envelope, a single JSON object,
+    or bench.py's multi-line stdout (full object first, compact summary
+    last — take the first line that carries per-query times)."""
     with open(path, encoding="utf-8") as f:
-        d = json.load(f)
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        d = None
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                cand = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "queries" in cand:
+                d = cand
+                break
+        if d is None:
+            raise SystemExit(f"{path}: no parseable bench JSON found")
     if "parsed" in d:  # driver BENCH_r{N}.json envelope
         d = d["parsed"]
     if "queries" not in d:
