@@ -16,6 +16,7 @@ import eventsourcing_spark.pipeline.clustering  # noqa: F401
 import eventsourcing_spark.pipeline.curation  # noqa: F401
 import eventsourcing_spark.pipeline.expectations  # noqa: F401
 import eventsourcing_spark.pipeline.graph  # noqa: F401
+import eventsourcing_spark.pipeline.html_extract  # noqa: F401
 import eventsourcing_spark.pipeline.mixing  # noqa: F401
 import eventsourcing_spark.pipeline.multimodal  # noqa: F401
 import eventsourcing_spark.pipeline.pii  # noqa: F401
