@@ -1883,59 +1883,102 @@ def dedup_containment_verify(spark, sf_dir):
 # GPT-3/The-Pile style corpora (Lee et al. 2022, "Deduplicating
 # training data makes language models better"): any 50-char window
 # shared verbatim between two documents marks a duplicated span. The
-# suffix-array formulation is sequential; the distributed form hashes
-# overlapping windows (stride 10) and groups — a shuffle keyed by
-# window hash whose per-key population is the duplication degree, never
-# corpus size. Output: per window-hash family spanning >1 doc, its
-# spread; dedup acts on (doc, offset) spans downstream.
+# suffix-array formulation is sequential; this distributed form selects
+# windows by WINNOWING (Schleimer, Wilkerson, Aiken — SIGMOD 2003, the
+# MOSS fingerprinter): hash every 50-char window, then in each run of
+# SUBSTR_SEL consecutive window hashes keep only the minimum.
+#
+# Why content-defined selection and not a position stride: a stride-s
+# sampler on BOTH sides only matches spans whose cross-document
+# alignment offsets agree mod s — a duplicated span landing at offset
+# 3 in one doc and 7 in the other is missed at ANY length (~(s-1)/s of
+# random alignments). Winnowing selects by the window CONTENTS, so
+# both copies of a span select the same anchors regardless of where
+# the span sits, with the classic guarantee: any shared span of length
+# >= SUBSTR_W + SUBSTR_SEL - 1 = 65 chars shares at least one anchor
+# (zero false negatives above the threshold, and window equality means
+# candidate families are exact 50-char matches below it). Expected
+# anchor density ~ 2/(SUBSTR_SEL+1) ≈ 12% — the same row volume as the
+# old stride-10 form, with the alignment pathology removed.
+# tests/test_exact_substring.py plants misaligned duplicates at every
+# offset residue and proves each is caught.
+#
+# Anchors are selected by hash VALUE only (not position), so md5 ties
+# inside a selection window — identical 50-char substrings — emit the
+# identical anchor either way and the two engines can never diverge on
+# a tie rule. Per-doc anchors are deduped by value: the operator
+# detects CROSS-document duplication; within-doc repeats are one
+# anchor.
+#
+# Scale shape: the O(L·SEL) min-scan runs inside the map stage
+# (embarrassingly parallel, no shuffle growth); only the ~12% anchors
+# shuffle, keyed by hash, per-key population = duplication degree,
+# never corpus size.
 # ---------------------------------------------------------------------------
 SUBSTR_W = 50
-SUBSTR_STRIDE = 10
+SUBSTR_SEL = 16  # winnowing selection window; guarantee = W + SEL - 1 = 65
 
 
 @query(
     "exact_substring_dedup",
     f"""
-    WITH wins AS (
-        SELECT doc_id,
-               unnest(list_transform(
-                   range(0, (length(text) - {SUBSTR_W}) // {SUBSTR_STRIDE} + 1),
-                   i -> md5(substr(text,
-                                   CAST(i * {SUBSTR_STRIDE} + 1 AS INTEGER),
-                                   {SUBSTR_W})))) AS wh
-        FROM documents
+    -- window-function winnowing (min over a 16-row moving frame is the
+    -- O(n) monotonic-deque path; the list_slice form measured 2.5x the
+    -- whole gate query). Fixed position series + correlated WHERE
+    -- (generate_series takes no lateral args); 4096 covers the corpus'
+    -- max document length with 7x headroom — oracle-side bound only,
+    -- the Spark side has no position cap.
+    WITH pos AS (SELECT unnest(generate_series(0, 4095)) AS i),
+    wins AS (
+        SELECT doc_id, i,
+               length(text) - {SUBSTR_W} + 1 AS nwin,
+               md5(substr(text, CAST(i + 1 AS INTEGER), {SUBSTR_W})) AS h
+        FROM documents, pos
         WHERE length(text) >= {SUBSTR_W}
+          AND i < length(text) - {SUBSTR_W} + 1
+    ),
+    sel AS (
+        SELECT doc_id, i, nwin,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {SUBSTR_SEL - 1} FOLLOWING) AS wh
+        FROM wins
+    ),
+    anch AS (
+        SELECT DISTINCT doc_id, wh
+        FROM sel
+        WHERE i <= greatest(nwin - {SUBSTR_SEL}, 0)
     )
     SELECT wh AS window_hash,
-           CAST(count(*) AS BIGINT) AS n_windows,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_docs,
            CAST(min(doc_id) AS BIGINT) AS first_doc
-    FROM wins
+    FROM anch
     GROUP BY wh
-    HAVING count(DISTINCT doc_id) > 1
+    HAVING count(*) > 1
     """,
 )
 def exact_substring_dedup(spark, sf_dir):
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    n_wins = (F.length("text") - SUBSTR_W) / F.lit(SUBSTR_STRIDE)
-    wins = docs.filter(F.length("text") >= SUBSTR_W).select(
+    hs = F.expr(
+        f"transform(sequence(0, length(text) - {SUBSTR_W}),"
+        f" i -> md5(substring(text, cast(i + 1 as int), {SUBSTR_W})))"
+    )
+    anchors = docs.filter(F.length("text") >= SUBSTR_W).select(
+        "doc_id", hs.alias("hs")
+    ).select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_wins.cast("long")),
-                lambda i: F.md5(
-                    F.substring(
-                        F.col("text"), (i * SUBSTR_STRIDE + 1).cast("int"), SUBSTR_W
-                    )
-                ),
+            F.expr(
+                f"array_distinct(transform("
+                f" sequence(0, greatest(size(hs) - {SUBSTR_SEL}, 0)),"
+                f" k -> array_min(slice(hs, k + 1, {SUBSTR_SEL}))))"
             )
         ).alias("wh"),
     )
     return (
-        wins.groupBy(F.col("wh").alias("window_hash"))
+        anchors.groupBy(F.col("wh").alias("window_hash"))
         .agg(
-            F.count("*").cast("long").alias("n_windows"),
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_docs"),
             F.min("doc_id").cast("long").alias("first_doc"),
         )
         .filter(F.col("n_docs") > 1)
@@ -2466,7 +2509,13 @@ def corpus_fingerprint(spark, sf_dir):
 # Span-level dedup REWRITE — the write side of exact_substring_dedup
 # (Lee et al. 2022 "Deduplicating training data makes language models
 # better" §3: ExactSubstr *removes* the duplicated spans rather than
-# dropping whole documents; C4 does the same at line grain). A 50-char
+# dropping whole documents; C4 does the same at line grain). Detection
+# grain here is deliberately STRIDED (not the winnowed anchors the
+# detector upgraded to): the rewriter needs contiguous char RANGES to
+# cut, and a fixed stride gives every marked window a known extent for
+# the island merge; the alignment caveat of a two-sided stride applies
+# and is accepted for the rewrite audit (the winnowed detector is the
+# recall surface). A 50-char
 # window (stride 10) duplicated verbatim across >1 document marks its
 # char range for removal; overlapping/adjacent ranges merge into
 # islands (classic gaps-and-islands: a window opens a new island when
