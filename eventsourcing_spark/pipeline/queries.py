@@ -309,6 +309,42 @@ def dedup_components(spark, sf_dir):
 # keeps materialized between runs. Gate split: doc_id % 10 = 0 plays the
 # incoming batch, the rest the index.
 # ---------------------------------------------------------------------------
+def classify_against_index(incoming, hash_index, band_index):
+    """(doc_id, status): exact_dup / near_dup / novel against an index —
+    THE shared classification rule. ``dedup_incremental_batch`` (the
+    oracle-gated batch backfill) and the streaming ingest twin
+    (pipeline.streaming_incremental) both call this one function, so
+    the two paths cannot drift (the C2 dual-rule pattern applied to
+    curation). hash_index: DF[text_hash]; band_index: DF[band_id,
+    band_key]. SEMI joins only — a duplicate mega-family costs one
+    existence probe, never O(k²)."""
+    exact_hit = (
+        incoming.select("doc_id", F.md5("text").alias("text_hash"))
+        .join(hash_index, "text_hash", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    near_hit = (
+        _bands(incoming)
+        .join(band_index, ["band_id", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact_hit, "doc_id", "left")
+        .join(near_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, "exact_dup")
+            .when(F.col("is_near") == 1, "near_dup")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )
+
+
 @query(
     "dedup_incremental_batch",
     _BANDS_SQL
@@ -337,38 +373,10 @@ def dedup_incremental_batch(spark, sf_dir):
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     incoming = docs.filter(F.col("doc_id") % 10 == 0)
     indexed = docs.filter(F.col("doc_id") % 10 != 0)
-    exact_hit = (
-        incoming.select("doc_id", F.md5("text").alias("h"))
-        .join(
-            indexed.select(F.md5("text").alias("h")).distinct(),
-            "h",
-            "left_semi",
-        )
-        .select("doc_id")
-        .withColumn("is_exact", F.lit(1))
-    )
-    near_hit = (
-        _bands(incoming)
-        .join(
-            _bands(indexed).select("band_id", "band_key").distinct(),
-            ["band_id", "band_key"],
-            "left_semi",
-        )
-        .select("doc_id")
-        .distinct()
-        .withColumn("is_near", F.lit(1))
-    )
-    return (
-        incoming.select("doc_id")
-        .join(exact_hit, "doc_id", "left")
-        .join(near_hit, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("is_exact") == 1, "exact_dup")
-            .when(F.col("is_near") == 1, "near_dup")
-            .otherwise("novel")
-            .alias("status"),
-        )
+    return classify_against_index(
+        incoming,
+        indexed.select(F.md5("text").alias("text_hash")).distinct(),
+        _bands(indexed).select("band_id", "band_key").distinct(),
     )
 
 

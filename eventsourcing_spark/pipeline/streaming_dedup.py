@@ -44,8 +44,6 @@ try:  # pragma: no cover
 except Exception:  # noqa: BLE001
     pass
 
-import os
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,11 +51,23 @@ REGISTRY_SCHEMA = "text_hash string"
 
 
 def _seen_hashes(spark, registry_dir: str) -> DataFrame:
-    if os.path.isdir(registry_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(registry_dir)
-    ):
-        return spark.read.parquet(registry_dir)
-    return spark.createDataFrame([], REGISTRY_SCHEMA)
+    """Registry frame, or the empty frame when no registry exists yet.
+
+    Probed through ``spark.read`` (any Hadoop-compatible filesystem);
+    empty-frame fallback only on path-not-found — the same contract as
+    streaming_neardup._seen_bands."""
+    try:
+        return spark.read.schema(REGISTRY_SCHEMA).parquet(registry_dir)
+    except Exception as e:  # noqa: BLE001 — classify, re-raise real errors
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or type(e).__name__ == "AnalysisException"
+        ):
+            return spark.createDataFrame([], REGISTRY_SCHEMA)
+        raise
 
 
 def dedup_batch(batch_df: DataFrame, registry_dir: str) -> DataFrame:
