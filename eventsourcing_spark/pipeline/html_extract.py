@@ -203,6 +203,47 @@ def html_extract_stats(spark, sf_dir):
 
 
 @query(
+    "html_link_graph",
+    """
+    WITH t AS (SELECT doc_id FROM documents),
+    l AS (
+        SELECT doc_id, '/s' || j AS href
+        FROM t, (SELECT unnest(generate_series(1, 4)) AS j) s
+        WHERE j <= doc_id % 4 + 1
+        UNION ALL SELECT doc_id, '/buy' FROM t WHERE doc_id % 3 = 0
+        UNION ALL SELECT doc_id, '/tos' FROM t
+        UNION ALL SELECT doc_id, '/p' FROM t
+    )
+    SELECT href,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM l
+    GROUP BY href
+    """,
+)
+def html_link_graph(spark, sf_dir):
+    """Outlink graph from the markup — the crawl-frontier/PageRank
+    input a web pipeline derives right after extraction. Real regex
+    work on the JVM (regexp_extract_all over the page); the oracle
+    recomputes the link inventory arithmetically from the injection
+    rules, so an href pattern that over- or under-captures fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = wrap_as_html(docs)
+    links = pages.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("html", F.lit('<a href="([^"]*)"'), 1)
+        ).alias("href"),
+    )
+    return links.groupBy("href").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+@query(
     "html_density_rule_audit",
     f"""
     WITH t AS (

@@ -11,6 +11,7 @@ from __future__ import annotations
 import eventsourcing_spark.analytics  # noqa: F401
 import eventsourcing_spark.maintenance.gate  # noqa: F401
 import eventsourcing_spark.pipeline.bpe  # noqa: F401
+import eventsourcing_spark.pipeline.c4  # noqa: F401
 import eventsourcing_spark.pipeline.chunking  # noqa: F401
 import eventsourcing_spark.pipeline.clustering  # noqa: F401
 import eventsourcing_spark.pipeline.curation  # noqa: F401
