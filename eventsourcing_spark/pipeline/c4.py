@@ -217,3 +217,92 @@ def c4_line_filters(spark, sf_dir):
         .cast("long")
         .alias("n_final_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition flags (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1): the
+# within-document repetition filters — duplicate-line fraction and
+# duplicate-line CHARACTER fraction — that catch template spam and
+# scraper loops which whole-document dedup never sees (the document is
+# globally unique; its insides repeat). Gopher drops documents whose
+# duplicate-line fraction exceeds 0.30 or whose duplicate-line char
+# fraction exceeds 0.20; both thresholds here in exact ppm.
+#
+# A line is a DUPLICATE if the same line string appeared at a smaller
+# line_idx in the SAME document (first occurrence stays clean — the
+# Gopher counting rule). Lines are the same synthesized structure the
+# C4 pass uses, so the two filters read one grain.
+#
+# Scale shape: map-side explode, one window keyed by (doc_id, line) for
+# the first-occurrence test, one doc-grain aggregate. Nothing global.
+# ---------------------------------------------------------------------------
+DUP_LINE_PPM = 300_000   # Gopher: duplicate line fraction > 0.30
+DUP_CHAR_PPM = 200_000   # Gopher: duplicate line char fraction > 0.20
+
+
+@query(
+    "gopher_repetition_flags",
+    f"""
+    WITH {_LINES_SQL},
+    fo AS (
+        SELECT doc_id, source, line_idx, line,
+               line_idx > min(line_idx)
+                   OVER (PARTITION BY doc_id, line) AS is_dup
+        FROM ln
+    ),
+    d AS (
+        SELECT doc_id,
+               count(*) AS n_lines,
+               sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup,
+               sum(length(line)) AS n_chars,
+               sum(CASE WHEN is_dup THEN length(line) ELSE 0 END)
+                 AS n_dup_chars
+        FROM fo GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_dup AS BIGINT) AS n_dup_lines,
+           CAST(1000000 * n_dup // n_lines AS BIGINT) AS dup_line_ppm,
+           CAST(1000000 * n_dup_chars // n_chars AS BIGINT)
+             AS dup_char_ppm,
+           1000000 * n_dup // n_lines > {DUP_LINE_PPM}
+               OR 1000000 * n_dup_chars // n_chars > {DUP_CHAR_PPM}
+             AS flagged
+    FROM d
+    """,
+)
+def gopher_repetition_flags(spark, sf_dir):
+    """Within-document repetition audit at the shared line grain:
+    duplicate-line and duplicate-char fractions in ppm plus the Gopher
+    drop flag."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    fo = synthesize_lines(docs).withColumn(
+        "is_dup",
+        F.expr(
+            "line_idx > min(line_idx) OVER (PARTITION BY doc_id, line)"
+        ),
+    )
+    d = fo.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.expr("CASE WHEN is_dup THEN 1 ELSE 0 END")).alias("n_dup"),
+        F.sum(F.length("line")).alias("n_chars"),
+        F.sum(
+            F.expr("CASE WHEN is_dup THEN length(line) ELSE 0 END")
+        ).alias("n_dup_chars"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_dup").cast("long").alias("n_dup_lines"),
+        F.expr("(1000000 * n_dup) div n_lines")
+        .cast("long")
+        .alias("dup_line_ppm"),
+        F.expr("(1000000 * n_dup_chars) div n_chars")
+        .cast("long")
+        .alias("dup_char_ppm"),
+        (
+            (F.expr("(1000000 * n_dup) div n_lines") > DUP_LINE_PPM)
+            | (F.expr("(1000000 * n_dup_chars) div n_chars") > DUP_CHAR_PPM)
+        ).alias("flagged"),
+    )

@@ -143,6 +143,32 @@ _O_CANON = "replace(replace(text, '<', ' '), '>', ' ')"
 _O_APP = f"'{_APP_PRE}' || doc_id || '{_APP_SUF}'"
 
 
+def extraction_stats(pages):
+    """(doc_id, html, ...) → (doc_id, extracted_text, n_blocks,
+    n_content_blocks, boilerplate_ppm): THE extraction rule, shared by
+    the oracle-gated batch query and the streaming ingest twin
+    (pipeline.streaming_extract) so the two paths cannot drift."""
+    bs = extract_blocks(pages)
+    return bs.select(
+        "doc_id",
+        F.expr(
+            f"array_join(transform(filter(bs, x -> {_IS_CONTENT}),"
+            " x -> x.txt), chr(10))"
+        ).alias("extracted_text"),
+        F.expr("size(bs)").cast("long").alias("n_blocks"),
+        F.expr(f"size(filter(bs, x -> {_IS_CONTENT}))")
+        .cast("long")
+        .alias("n_content_blocks"),
+        F.expr(
+            f"(1000000 * aggregate(filter(bs, x -> not ({_IS_CONTENT})),"
+            " 0L, (a, x) -> a + length(x.txt)))"
+            " div aggregate(bs, 0L, (a, x) -> a + length(x.txt))"
+        )
+        .cast("long")
+        .alias("boilerplate_ppm"),
+    )
+
+
 @query(
     "html_extract_stats",
     f"""
@@ -181,25 +207,7 @@ def html_extract_stats(spark, sf_dir):
     (plus the injected appendix paragraph) — one leaked nav character
     or one eaten content character fails the value hash."""
     docs = load_table(spark, sf_dir, "documents")
-    bs = extract_blocks(wrap_as_html(docs))
-    return bs.select(
-        "doc_id",
-        F.expr(
-            f"array_join(transform(filter(bs, x -> {_IS_CONTENT}),"
-            " x -> x.txt), chr(10))"
-        ).alias("extracted_text"),
-        F.expr("size(bs)").cast("long").alias("n_blocks"),
-        F.expr(f"size(filter(bs, x -> {_IS_CONTENT}))")
-        .cast("long")
-        .alias("n_content_blocks"),
-        F.expr(
-            f"(1000000 * aggregate(filter(bs, x -> not ({_IS_CONTENT})),"
-            " 0L, (a, x) -> a + length(x.txt)))"
-            " div aggregate(bs, 0L, (a, x) -> a + length(x.txt))"
-        )
-        .cast("long")
-        .alias("boilerplate_ppm"),
-    )
+    return extraction_stats(wrap_as_html(docs))
 
 
 @query(
