@@ -107,6 +107,13 @@ HEADLINE = [
     "dedup_calibration_pr",
     "apriori_triple_itemsets",
     "dq_expectation_suite",
+    # round 6: extraction-first pipeline stages + the winnowed ExactSubstr
+    "html_extract_stats",
+    "html_link_graph",
+    "c4_line_filters",
+    "gopher_repetition_flags",
+    "text_normalize_endstate",
+    "exact_substring_dedup",
 ]
 
 
