@@ -303,3 +303,57 @@ def html_density_rule_audit(spark, sf_dir):
         )
         .orderBy("ld_decile", "is_content")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL parsing / host-level census — the domain view a crawl pipeline
+# derives right after extraction (host-level caps, per-domain quality
+# priors, tracking-parameter hygiene all key off it). The Spark side
+# exercises the REAL JVM url parser (parse_url HOST/PATH/QUERY); the
+# corpus has no URL column, so the gate synthesizes one per document
+# from (source, doc_id) — injection pattern — and the oracle recomputes
+# host/path/query facts arithmetically from the same rules, so a parser
+# invocation that grabs the wrong component fails the hash.
+# Map-only + one |hosts|-row aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "url_host_stats",
+    """
+    WITH u AS (
+        SELECT doc_id, source,
+               source || '-' || (doc_id % 7) || '.example.com' AS host,
+               length('/p/' || doc_id) AS path_len,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS has_query
+        FROM documents
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(has_query) AS BIGINT) AS n_with_query,
+           CAST(max(path_len) AS BIGINT) AS max_path_len,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM u
+    GROUP BY host
+    """,
+)
+def url_host_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.expr(
+        "concat('https://', source, '-', doc_id % 7, '.example.com/p/',"
+        " doc_id,"
+        " CASE WHEN doc_id % 3 = 0 THEN concat('?utm=1&ref=', doc_id % 5)"
+        " ELSE '' END)"
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.length(F.parse_url(url, F.lit("PATH"))).alias("path_len"),
+        F.when(F.parse_url(url, F.lit("QUERY")).isNotNull(), 1)
+        .otherwise(0)
+        .alias("has_query"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("has_query").cast("long").alias("n_with_query"),
+        F.max("path_len").cast("long").alias("max_path_len"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )

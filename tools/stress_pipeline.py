@@ -43,6 +43,11 @@ STRESS_QUERIES = (
     "dedup_lsh_clusters",
     "dedup_components",
     "dedup_simhash",
+    "exact_substring_dedup",
+    "html_extract_stats",
+    "c4_line_filters",
+    "gopher_repetition_flags",
+    "text_normalize_endstate",
     "text_winnow_fingerprints",
     "gopher_quality_flags",
     "boilerplate_ngrams",
