@@ -85,7 +85,17 @@ _LINES_SQL = f"""
                list_filter(string_split(text, ' '), x -> x <> '') AS ws
         FROM documents
     ),
-    pos AS (SELECT unnest(generate_series(0, 511)) AS i),
+    pos AS (
+        -- line-index domain derived from the corpus's longest document
+        -- (NOT a fixed literal: a fixed cap silently truncates any doc
+        -- beyond it and diverges from the uncapped Spark side — the
+        -- same loud-not-silent rule as exact_substring's bound)
+        SELECT unnest(generate_series(0, (
+            SELECT coalesce(max((len(list_filter(string_split(text, ' '),
+                                                 x -> x <> ''))
+                                 + {LINE_WORDS} - 1) // {LINE_WORDS}), 1)
+            FROM documents) - 1)) AS i
+    ),
     ln AS (
         SELECT doc_id, source, i AS line_idx,
                array_to_string(list_slice(ws, i * {LINE_WORDS} + 1,

@@ -187,7 +187,11 @@ def extraction_stats(pages):
                 WHEN L >= {MIN_CONTENT_CHARS} THEN t2
                 WHEN has_app = 1 THEN app_txt
                 ELSE '' END AS extracted_text,
-           CAST(3 + has_ad + has_app AS BIGINT) AS n_blocks,
+           -- nav + content-p + footer, but the extractor drops empty
+           -- inter-tag fragments, so an empty-text doc contributes no
+           -- content block (L = 0 → 2 fixed blocks, not 3)
+           CAST(CASE WHEN L > 0 THEN 3 ELSE 2 END + has_ad + has_app
+                AS BIGINT) AS n_blocks,
            CAST(CASE WHEN L >= {MIN_CONTENT_CHARS} THEN 1 ELSE 0 END
                 + has_app AS BIGINT) AS n_content_blocks,
            CAST(1000000 * (6 * n_nav - 1

@@ -19,6 +19,29 @@ duplicate keys and ordering are invisible.
 Directory swap is os.rename — atomic on a POSIX filesystem; on an
 object store, point the registry at a manifest or use a table format
 with atomic commit (the same caveat compact_events carries).
+
+CONCURRENCY CONTRACT: ingest MUST be quiesced for the duration of
+``compact_registry`` (stop the streaming query, compact, restart).
+Two races make live compaction unsafe without a manifest layer:
+
+* a micro-batch file appended between the rewrite scan and the
+  directory swap would be silently deleted with the old directory —
+  lost dedup keys re-admit previously-suppressed duplicates with no
+  error anywhere;
+* a reader probing between the two renames sees a missing path and
+  treats the registry as empty (the probe helpers' path-not-found
+  fallback), suppressing nothing for that batch.
+
+The first race is now *enforced*, not just documented: the live
+directory's file listing is snapshotted before the rewrite scan and
+re-verified immediately before the swap; any change (new, removed, or
+resized file) aborts the compaction with the registry untouched. The
+residual window between that final check and os.rename is a few
+microseconds of pure filesystem calls — quiescing ingest remains the
+contract; the check converts a violated contract from silent data loss
+into a loud abort. The second race is inherent to directory-swap
+storage; a manifest/table format with atomic commit is the production
+answer on object stores.
 """
 
 from __future__ import annotations
@@ -38,6 +61,20 @@ def _dir_stats(path: str) -> tuple[int, int]:
                 n += 1
                 size += os.path.getsize(os.path.join(root, f))
     return n, size
+
+
+def _listing_snapshot(path: str) -> frozenset[tuple[str, int]]:
+    """(relative path, size) of every data file — the identity of the
+    live registry contents for the pre-swap concurrent-append check."""
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")) and f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                entries.append(
+                    (os.path.relpath(full, path), os.path.getsize(full))
+                )
+    return frozenset(entries)
 
 
 def _key_fingerprint(df, key_cols) -> tuple[int, int]:
@@ -60,11 +97,15 @@ def compact_registry(
     """Rewrite a registry directory into ``n_files`` parquet files of
     distinct keys. Returns {files_before, files_after, keys, rows_before};
     no-op on a missing/empty registry. Aborts (registry untouched) if
-    the rewritten key set does not fingerprint-match the live one."""
+    the rewritten key set does not fingerprint-match the live one, OR if
+    the live directory's file listing changed between the rewrite scan
+    and the swap (a concurrent micro-batch append — see the module
+    docstring's quiescence contract)."""
     if not os.path.isdir(registry_dir):
         return {"files_before": 0, "files_after": 0, "keys": 0,
                 "rows_before": 0}
     files_before, _ = _dir_stats(registry_dir)
+    listing_at_scan = _listing_snapshot(registry_dir)
     live = spark.read.parquet(registry_dir)
     rows_before = live.count()
     n_keys, fp = _key_fingerprint(live, key_cols)
@@ -86,6 +127,16 @@ def compact_registry(
             f"registry compaction verification failed: keys "
             f"{n_keys}->{n_new}, fingerprint {fp}->{fp_new}; "
             f"registry left untouched"
+        )
+    listing_now = _listing_snapshot(registry_dir)
+    if listing_now != listing_at_scan:
+        added = sorted(p for p, _ in listing_now - listing_at_scan)
+        removed = sorted(p for p, _ in listing_at_scan - listing_now)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "registry changed during compaction (ingest not quiesced): "
+            f"+{added[:5]} -{removed[:5]}; registry left untouched — "
+            "stop the streaming query before compacting"
         )
     old = f"{registry_dir}.old-{uuid.uuid4().hex[:8]}"
     os.rename(registry_dir, old)

@@ -50,22 +50,43 @@ from pyspark.sql import functions as F
 REGISTRY_SCHEMA = "text_hash string"
 
 
+def _is_missing_registry(e: Exception) -> bool:
+    """True only for 'the registry path does not exist / holds no
+    parquet yet' — the two error CONDITIONS Spark raises for a
+    never-written registry. Any other failure (permissions, corrupt
+    footer, transient FS error surfaced as AnalysisException) must
+    re-raise: treating it as an empty registry would silently disable
+    duplicate suppression for the batch. Error-condition check first
+    (PySpark 4's stable contract); message substrings only as the
+    fallback for exceptions that carry no condition."""
+    get_cond = getattr(e, "getCondition", None) or getattr(
+        e, "getErrorClass", None
+    )
+    if get_cond is not None:
+        try:
+            cond = get_cond()
+        except Exception:  # noqa: BLE001 — defensive; fall through to msg
+            cond = None
+        if cond is not None:
+            return cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+    msg = str(e)
+    return (
+        "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+        or "UNABLE_TO_INFER_SCHEMA" in msg
+    )
+
+
 def _seen_hashes(spark, registry_dir: str) -> DataFrame:
     """Registry frame, or the empty frame when no registry exists yet.
 
     Probed through ``spark.read`` (any Hadoop-compatible filesystem);
-    empty-frame fallback only on path-not-found — the same contract as
-    streaming_neardup._seen_bands."""
+    empty-frame fallback only on the missing-path error conditions —
+    the same contract as streaming_neardup._seen_bands."""
     try:
         return spark.read.schema(REGISTRY_SCHEMA).parquet(registry_dir)
     except Exception as e:  # noqa: BLE001 — classify, re-raise real errors
-        msg = str(e)
-        if (
-            "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-            or type(e).__name__ == "AnalysisException"
-        ):
+        if _is_missing_registry(e):
             return spark.createDataFrame([], REGISTRY_SCHEMA)
         raise
 

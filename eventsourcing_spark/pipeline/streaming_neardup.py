@@ -61,20 +61,18 @@ def _seen_bands(spark, registry_dir: str) -> DataFrame:
 
     Probe through ``spark.read`` (works on any Hadoop-compatible
     filesystem — HDFS/S3/local alike) and fall back to the empty frame
-    only when the path does not exist or holds no parquet; an
-    ``os.path`` check would silently disable suppression on any
-    non-driver-local registry path."""
+    only on the missing-path error CONDITIONS (PATH_NOT_FOUND /
+    UNABLE_TO_INFER_SCHEMA, via streaming_dedup._is_missing_registry);
+    any other AnalysisException re-raises — a real read failure must
+    fail the batch, not silently disable suppression."""
+    from eventsourcing_spark.pipeline.streaming_dedup import (
+        _is_missing_registry,
+    )
+
     try:
         return spark.read.schema(BAND_REGISTRY_SCHEMA).parquet(registry_dir)
     except Exception as e:  # noqa: BLE001 — classify, re-raise real errors
-        name = type(e).__name__
-        msg = str(e)
-        if (
-            "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-            or name == "AnalysisException"
-        ):
+        if _is_missing_registry(e):
             return spark.createDataFrame([], BAND_REGISTRY_SCHEMA)
         raise
 

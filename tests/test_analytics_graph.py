@@ -249,3 +249,43 @@ def test_bfs_hops_are_consistent(spark):
         a, b = rows.get(e["src"]), rows.get(e["dst"])
         if a is not None and b is not None and max(a, b) < MAX_HOPS:
             assert abs(a - b) <= 1
+
+
+def test_graph_memo_fingerprints_and_invalidation(spark, tmp_path):
+    """Memo misses when the data under sf_dir changes (mtime/size), and
+    the explicit invalidation hook clears everything."""
+    import os
+    import time
+
+    import eventsourcing_spark.pipeline.graph as g
+
+    d = str(tmp_path / "sfX")
+    os.makedirs(d)
+    p = os.path.join(d, "embeddings.parquet")
+    with open(p, "wb") as f:
+        f.write(b"v1-bytes")
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return object()
+
+    g.invalidate_graph_memo()
+    a = g._memoized(spark, ("edges", d, False), build)
+    b = g._memoized(spark, ("edges", d, False), build)
+    assert a is b and calls["n"] == 1
+
+    time.sleep(0.01)
+    with open(p, "wb") as f:  # regenerate the data in-session
+        f.write(b"v2-bytes!")
+    c = g._memoized(spark, ("edges", d, False), build)
+    assert c is not a and calls["n"] == 2
+    # the superseded entry was evicted, not just shadowed
+    assert sum(1 for k in g._MEMO if k[2:] == ("edges", d, False)) == 1
+
+    g.invalidate_graph_memo()
+    assert g._MEMO == {}
+    g._memoized(spark, ("edges", d, False), build)
+    assert calls["n"] == 3
+    g.invalidate_graph_memo()

@@ -96,3 +96,41 @@ def test_wrap_block_census_matches_module_table(spark):
         (47 + 1, 0),   # appendix, digits(0) = 1
         (58, 35),      # footer
     ]
+
+
+def test_empty_text_doc_engine_parity(spark, tmp_path):
+    """An empty-text document drops its empty content fragment on the
+    Spark side; the oracle's block census must agree (ADVICE r6: the
+    old oracle hard-coded 3 fixed blocks and diverged at L = 0)."""
+    import duckdb
+    import pandas as pd
+
+    import eventsourcing_spark.registry as reg
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 3],
+            "text": ["", "plenty of honest content " * 4, "x"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, 104, 1],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    sdf = (
+        reg.SPARK_QUERIES["html_extract_stats"](spark, d)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    odf = (
+        con.sql(reg.ORACLE_SQL["html_extract_stats"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_blocks", "n_content_blocks", "boilerplate_ppm"):
+        assert list(sdf[c].astype(int)) == list(odf[c].astype(int)), c
+    assert list(sdf["extracted_text"]) == list(odf["extracted_text"])

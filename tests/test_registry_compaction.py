@@ -77,6 +77,37 @@ def test_compaction_folds_duplicate_keys(spark, tmp_path):
     assert spark.read.parquet(reg).count() == 2
 
 
+def test_compaction_aborts_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """A micro-batch file landing between the rewrite scan and the swap
+    must abort the compaction (loud error, registry untouched) instead
+    of being silently deleted with the old directory."""
+    import eventsourcing_spark.pipeline.registry_maintenance as rm
+
+    reg = str(tmp_path / "reg")
+    df = spark.createDataFrame([("h1",), ("h2",)], "text_hash string")
+    df.coalesce(1).write.mode("append").parquet(reg)
+
+    real_fp = rm._key_fingerprint
+    state = {"fired": False}
+
+    def fp_with_injected_append(frame, key_cols):
+        # second call = tmp verification, i.e. inside the compaction
+        # window: append a new key file to the LIVE registry first.
+        if state["fired"]:
+            spark.createDataFrame(
+                [("h3-late",)], "text_hash string"
+            ).coalesce(1).write.mode("append").parquet(reg)
+        state["fired"] = True
+        return real_fp(frame, key_cols)
+
+    monkeypatch.setattr(rm, "_key_fingerprint", fp_with_injected_append)
+    with pytest.raises(RuntimeError, match="ingest not quiesced"):
+        rm.compact_registry(spark, reg, ["text_hash"])
+    # The late key survives — nothing was deleted.
+    keys = {r.text_hash for r in spark.read.parquet(reg).collect()}
+    assert "h3-late" in keys and keys >= {"h1", "h2"}
+
+
 def test_compaction_noop_on_missing_dir(spark, tmp_path):
     stats = compact_registry(spark, str(tmp_path / "nope"), ["text_hash"])
     assert stats == {

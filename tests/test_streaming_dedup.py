@@ -69,3 +69,35 @@ def test_dedup_batch_is_usable_statically(spark, dirs):
     fresh = dedup_batch(df, dirs["reg"])  # empty registry
     assert sorted(r.doc_id for r in fresh.collect()) == [10, 12]
     assert "text_hash" in fresh.columns
+
+
+def test_missing_registry_classifier_narrow(spark, tmp_path):
+    """Only PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA fall back to the
+    empty frame; any other AnalysisException re-raises (a real read
+    failure must fail the batch, not silently disable suppression)."""
+    from pyspark.errors import AnalysisException
+
+    from eventsourcing_spark.pipeline.streaming_dedup import (
+        _is_missing_registry,
+        _seen_hashes,
+    )
+
+    # Real missing path → classified missing, probe yields empty frame.
+    try:
+        spark.read.schema("a int").parquet(str(tmp_path / "nope"))
+        raise AssertionError("expected AnalysisException")
+    except AnalysisException as e:
+        assert _is_missing_registry(e)
+    assert _seen_hashes(spark, str(tmp_path / "nope")).count() == 0
+
+    # A different analysis failure (ambiguous/unresolved column) must
+    # NOT be classified as a missing registry.
+    try:
+        spark.range(1).select("no_such_column").collect()
+        raise AssertionError("expected AnalysisException")
+    except AnalysisException as e:
+        assert not _is_missing_registry(e)
+
+    # Condition-less exceptions fall back to message substrings only.
+    assert _is_missing_registry(RuntimeError("PATH_NOT_FOUND: gone"))
+    assert not _is_missing_registry(RuntimeError("disk on fire"))
