@@ -1,0 +1,727 @@
+"""Train-and-apply Naive Bayes classifiers — the quality-gate and
+language-ID stages a FineWeb/DCLM-style curation pipeline runs after
+extraction (public recipe: fastText-style linear/NB scorers over token
+or char-n-gram features; Joulin et al. 2016, Penedo et al. 2024).
+
+The engine could already *evaluate* classifiers exactly
+(``dup_quality_auc``, ``langid_calibration_ece``); these queries make
+it *produce* one, with both the training and scoring paths
+oracle-exact. Everything is integer arithmetic end to end:
+
+* **Training** is counting: one ``groupBy(token, label)`` aggregation
+  (multinomial NB sufficient statistics), a vocab cap via TakeOrdered,
+  and Laplace(+1) smoothing — all exact integers at any scale.
+* **Log-likelihoods** use a fixed-point base-2 logarithm computed by
+  the classic *repeated-squaring binary-digit* algorithm (Majithia &
+  Levan 1973; the CORDIC-family schoolbook method): normalize the
+  mantissa to [2^S, 2^(S+1)) with S = 28 fraction bits, then 20 rounds
+  of "square; if ≥ 2, emit bit and halve" in pure BIGINT ops. Both
+  engines run the *same integer recurrence*, so the resulting
+  ``ilog2_fx(x) ≈ floor(2^20·log2 x)`` is bit-identical by
+  construction — no libm/StrictMath transcendental ever runs, which is
+  what makes an NB scorer value-hash-comparable across engines (the
+  gate compares floats at atol=0). Measured error < 1 fixed-point ulp
+  over 1..5000 and at 2^31..2^40; valid domain 1 ≤ x < 2^63 (mantissa
+  squaring peaks at 2^58).
+* **Scoring** is map-only: the vocab-capped model collapses to a ONE-ROW
+  broadcast frame holding a ``map<token, llr>`` column; each document's
+  score is a JVM higher-order fold over its token array — zero
+  doc-grain exchanges, zero Python. At 100 TB the scan dominates and
+  the model rides the broadcast, exactly like the reference's in-process
+  projection handlers ride the upcaster registry
+  (store/codec.go:40-75 analog: a small immutable lookup applied
+  row-wise at scan time).
+
+Weak supervision: the quality label reuses the engine's own integer
+linear quality score (pipeline/quality.py ``quality_linear_score``) at
+the established SCORE_LO threshold — the standard bootstrap where a
+cheap heuristic labels the training set for a token-level model
+(DCLM's fastText-on-heuristic-labels recipe). Language ID trains on
+the corpus's ``lang`` column over char 3-grams.
+
+Train/eval hygiene: train on ``doc_id % 2 = 0``, report on all docs
+(quality) or the held-out half (langid confusion / calibration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.pipeline.quality import (
+    SCORE_LO,
+    STOPWORDS,
+    W_MWL,
+    W_STOP,
+    W_TOK,
+    W_UNIQ,
+)
+from eventsourcing_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Fixed-point integer log2 kernel (shared by every NB query).
+# ---------------------------------------------------------------------------
+ILOG_S = 28  # mantissa fraction bits (m² ≤ 2^58 < 2^63)
+ILOG_F = 20  # output fraction bits: ilog2_fx(x) ≈ floor(2^20 · log2 x)
+_P2S = 1 << ILOG_S
+_P2S1 = 1 << (ILOG_S + 1)
+_P2F = 1 << ILOG_F
+
+
+def ilog2_spark(x: str) -> str:
+    """Spark SQL fragment: fixed-point log2 of integer expression ``x``
+    (1 ≤ x < 2^63) via 20 repeated-squaring rounds in exact BIGINT."""
+    b = f"(length(bin({x})) - 1)"
+    m0 = (
+        f"CASE WHEN {b} >= {ILOG_S}"
+        f" THEN shiftright(CAST({x} AS BIGINT), {b} - {ILOG_S})"
+        f" ELSE shiftleft(CAST({x} AS BIGINT), {ILOG_S} - {b}) END"
+    )
+    return (
+        f"({b} * CAST({_P2F} AS BIGINT) + "
+        f"aggregate(sequence(1, {ILOG_F}),"
+        f" named_struct('m', {m0}, 'r', CAST(0 AS BIGINT)),"
+        f" (a, z) -> CASE WHEN (a.m * a.m) div {_P2S} >= {_P2S1}"
+        f" THEN named_struct('m', shiftright((a.m * a.m) div {_P2S}, 1),"
+        f" 'r', a.r * 2 + 1)"
+        f" ELSE named_struct('m', (a.m * a.m) div {_P2S}, 'r', a.r * 2) END,"
+        f" a -> a.r))"
+    )
+
+
+def ilog2_duck(x: str) -> str:
+    """DuckDB twin of ``ilog2_spark`` — the same integer recurrence
+    (list_reduce has no init arg, so the seed struct is prepended and
+    the list elements are ignored)."""
+    b = f"(length(bin({x})) - 1)"
+    m0 = (
+        f"CASE WHEN {b} >= {ILOG_S}"
+        f" THEN ({x})::BIGINT >> ({b} - {ILOG_S})"
+        f" ELSE ({x})::BIGINT << ({ILOG_S} - {b}) END"
+    )
+    return f"""({b} * {_P2F} + list_reduce(
+      list_concat([struct_pack(m := {m0}, r := 0::BIGINT)],
+        list_transform(generate_series(1, {ILOG_F}),
+                       i -> struct_pack(m := 0::BIGINT, r := 0::BIGINT))),
+      (a, z) -> CASE WHEN (a.m * a.m) // {_P2S} >= {_P2S1}
+        THEN struct_pack(m := ((a.m * a.m) // {_P2S}) >> 1,
+                         r := a.r * 2 + 1)
+        ELSE struct_pack(m := (a.m * a.m) // {_P2S}, r := a.r * 2) END
+    ).r)"""
+
+
+def ilog2_py(x: int) -> int:
+    """Pure-python reference of the same recurrence (tests)."""
+    assert 1 <= x < 1 << 63
+    b = x.bit_length() - 1
+    m = (x >> (b - ILOG_S)) if b >= ILOG_S else (x << (ILOG_S - b))
+    r = 0
+    for _ in range(ILOG_F):
+        m = (m * m) >> ILOG_S
+        if m >= _P2S1:
+            m >>= 1
+            r = r * 2 + 1
+        else:
+            r = r * 2
+    return b * _P2F + r
+
+
+# ---------------------------------------------------------------------------
+# Weak-supervision quality label (the engine's own integer linear
+# score at the SCORE_LO threshold) — identical fragments both engines.
+# ---------------------------------------------------------------------------
+_STOP_SPARK = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+
+def _label_spark(text: str) -> str:
+    ws = f"split(lower({text}), ' ')"
+    return (
+        f"(CASE WHEN {W_TOK} * size({ws})"
+        f" + {W_MWL} * (aggregate(transform({ws},"
+        f" x -> CAST(length(x) AS BIGINT)), CAST(0 AS BIGINT),"
+        f" (a, x) -> a + x) * 10 div size({ws}))"
+        f" + {W_STOP} * (size(filter({ws},"
+        f" x -> array_contains({_STOP_SPARK}, x))) * 1000 div size({ws}))"
+        f" + {W_UNIQ} * (size(array_distinct({ws})) * 1000 div size({ws}))"
+        f" >= {SCORE_LO} THEN 1 ELSE 0 END)"
+    )
+
+
+def _label_duck(text: str) -> str:
+    ws = f"string_split(lower({text}), ' ')"
+    return (
+        f"(CASE WHEN {W_TOK} * len({ws})"
+        f" + {W_MWL} * (list_aggregate(list_transform({ws},"
+        f" x -> len(x)), 'sum') * 10 // len({ws}))"
+        f" + {W_STOP} * (len(list_filter({ws},"
+        f" x -> list_contains({STOPWORDS!r}, x))) * 1000 // len({ws}))"
+        f" + {W_UNIQ} * (len(list_distinct({ws})) * 1000 // len({ws}))"
+        f" >= {SCORE_LO} THEN 1 ELSE 0 END)"
+    )
+
+
+VOCAB_K = 4096  # model vocab cap: top-K tokens by frequency (fastText's
+# vocab pruning). Keeps the broadcast model bounded by construction —
+# at 100 TB the model row is K·(token + 8B) regardless of corpus size.
+
+# Shared model CTE (DuckDB): token counts per class over the train
+# split, vocab-capped, with fixed-point llr per token.
+_MODEL_DUCK = f"""
+    lab AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws,
+               {_label_duck("text")} AS good
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    tok AS (SELECT unnest(ws) AS token, good FROM lab),
+    cnt AS MATERIALIZED (
+        SELECT token,
+               sum(good)::BIGINT AS cnt_good,
+               sum(1 - good)::BIGINT AS cnt_bad
+        FROM tok GROUP BY token
+        ORDER BY (sum(good) + sum(1 - good)) DESC, token
+        LIMIT {VOCAB_K}
+    ),
+    tot AS (
+        SELECT sum(cnt_good)::BIGINT AS ng, sum(cnt_bad)::BIGINT AS nb,
+               count(*)::BIGINT AS v
+        FROM cnt
+    ),
+    model AS (
+        SELECT token, cnt_good, cnt_bad,
+               ({ilog2_duck("cnt_good + 1")} - {ilog2_duck("ng + v")})
+               - ({ilog2_duck("cnt_bad + 1")} - {ilog2_duck("nb + v")})
+                 AS llr_fx
+        FROM cnt, tot
+    )
+"""
+
+
+def _model_df(spark, sf_dir):
+    """Spark twin of ``_MODEL_DUCK``: the vocab-capped NB model frame
+    (token, cnt_good, cnt_bad, llr_fx). Shapes: one explode + one
+    token-grain aggregation (map-side combine), a TakeOrdered vocab
+    cap, and a broadcast 1-row totals join — nothing corpus-global."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("split(lower(text), ' ')").alias("ws"),
+        F.expr(_label_spark("text")).alias("good"),
+    )
+    cnt = (
+        lab.select(F.explode("ws").alias("token"), "good")
+        .groupBy("token")
+        .agg(
+            F.sum("good").cast("long").alias("cnt_good"),
+            F.sum(1 - F.col("good")).cast("long").alias("cnt_bad"),
+        )
+        .orderBy(
+            F.desc(F.col("cnt_good") + F.col("cnt_bad")), F.asc("token")
+        )
+        .limit(VOCAB_K)
+    )
+    tot = cnt.agg(
+        F.sum("cnt_good").cast("long").alias("ng"),
+        F.sum("cnt_bad").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("v"),
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "cnt_good",
+        "cnt_bad",
+        F.expr(
+            f"({ilog2_spark('cnt_good + 1')} - {ilog2_spark('ng + v')})"
+            f" - ({ilog2_spark('cnt_bad + 1')} - {ilog2_spark('nb + v')})"
+        ).alias("llr_fx"),
+    )
+
+
+@query(
+    "nb_quality_train",
+    f"""
+    WITH {_MODEL_DUCK}
+    SELECT token, cnt_good, cnt_bad, CAST(llr_fx AS BIGINT) AS llr_fx
+    FROM model
+    """,
+)
+def nb_quality_train(spark, sf_dir):
+    """Multinomial-NB quality model over tokens: per vocab token, the
+    class counts (sufficient statistics) and the Laplace-smoothed
+    fixed-point log-likelihood ratio. Training IS one aggregation —
+    the 100 TB cost is the token explode, which partial-aggregates
+    map-side to vocab grain before the only exchange."""
+    return _model_df(spark, sf_dir)
+
+
+@query(
+    "nb_quality_score",
+    f"""
+    WITH {_MODEL_DUCK},
+    prior AS (
+        SELECT {ilog2_duck("sum(good) + 1")}
+               - {ilog2_duck("sum(1 - good) + 1")} AS prior_fx
+        FROM lab
+    ),
+    inst AS (
+        SELECT d.doc_id, d.lang, unnest(string_split(lower(d.text), ' '))
+                 AS token
+        FROM documents d
+    ),
+    persum AS (
+        SELECT i.doc_id, sum(coalesce(m.llr_fx, 0))::BIGINT AS tok_sum
+        FROM inst i LEFT JOIN model m ON i.token = m.token
+        GROUP BY i.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_train,
+           CAST({_label_duck("d.text")} AS BIGINT) AS label_good,
+           CAST(p.tok_sum + pr.prior_fx AS BIGINT) AS score_fx,
+           CAST(CASE WHEN p.tok_sum + pr.prior_fx >= 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS pred_good
+    FROM documents d
+    JOIN persum p ON p.doc_id = d.doc_id
+    CROSS JOIN prior pr
+    """,
+)
+def nb_quality_score(spark, sf_dir):
+    """Apply the NB quality model to every document — THE map-only
+    scoring pass. The model collapses to a one-row broadcast frame
+    (map<token, llr_fx> + prior); each doc's score is a JVM fold over
+    its token array inside the scan stage: zero doc-grain exchanges,
+    zero Python, linear in corpus tokens. The oracle recomputes the
+    same model and scores via explode + join (correctness twin, not
+    the scale shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = _model_df(spark, sf_dir)
+    prior = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.expr(_label_spark("text")).alias("good"))
+        .agg(
+            F.expr(
+                f"{ilog2_spark('sum(good) + 1')}"
+                f" - {ilog2_spark('sum(1 - good) + 1')}"
+            ).alias("prior_fx")
+        )
+    )
+    model_row = model.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token", "llr_fx"))
+        ).alias("llr_map")
+    ).crossJoin(F.broadcast(prior))
+    return docs.crossJoin(F.broadcast(model_row)).select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END")
+        .cast("long")
+        .alias("is_train"),
+        F.expr(_label_spark("text")).cast("long").alias("label_good"),
+        F.expr(
+            "prior_fx + aggregate(split(lower(text), ' '),"
+            " CAST(0 AS BIGINT),"
+            " (acc, t) -> acc + coalesce(element_at(llr_map, t),"
+            " CAST(0 AS BIGINT)))"
+        )
+        .cast("long")
+        .alias("score_fx"),
+        F.expr(
+            "CASE WHEN prior_fx + aggregate(split(lower(text), ' '),"
+            " CAST(0 AS BIGINT),"
+            " (acc, t) -> acc + coalesce(element_at(llr_map, t),"
+            " CAST(0 AS BIGINT))) >= 0 THEN 1 ELSE 0 END"
+        )
+        .cast("long")
+        .alias("pred_good"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: multinomial NB over char 3-grams (the classic n-gram
+# langid recipe — Cavnar & Trenkle 1994; fastText's langid uses the
+# same feature space). Supervised on the corpus's lang column, trained
+# on the even half, evaluated on the held-out odd half.
+# ---------------------------------------------------------------------------
+LANGS = ["de", "en", "es", "fr", "zh"]  # class order = tie-break order
+GRAM_K = 8192  # vocab cap, same broadcast-bound discipline as VOCAB_K
+_NEG = -(1 << 62)  # sentinel for "excluded class" in second-best
+
+
+def _grams_spark(text: str) -> str:
+    t = f"lower({text})"
+    return (
+        f"CASE WHEN length({t}) < 3 THEN array()"
+        f" ELSE transform(sequence(1, length({t}) - 2),"
+        f" i -> substr({t}, i, 3)) END"
+    )
+
+
+def _grams_duck(text: str) -> str:
+    t = f"lower({text})"
+    return (
+        f"CASE WHEN length({t}) < 3 THEN []::VARCHAR[]"
+        f" ELSE list_transform(generate_series(1, length({t}) - 2),"
+        f" i -> substring({t}, i, 3)) END"
+    )
+
+
+def _cnt_col(i: int) -> str:
+    return f"cnt_{LANGS[i]}"
+
+
+# Model CTE (DuckDB): per capped gram, the 5 class counts and the 5
+# fixed-point log-likelihoods L_c = ilog(cnt_c+1) − ilog(N_c+V).
+_SUM_COLS = ", ".join(
+    f"sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END)::BIGINT AS cnt_{lg}"
+    for lg in LANGS
+)
+_L_COLS = ", ".join(
+    f"({ilog2_duck(f'cnt_{lg} + 1')} - {ilog2_duck(f'n_{lg} + v')})"
+    f" AS l_{lg}"
+    for lg in LANGS
+)
+_LANGID_MODEL_DUCK = f"""
+    ginst AS (
+        SELECT lang, unnest({_grams_duck("text")}) AS gram
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    gcnt AS MATERIALIZED (
+        SELECT gram, {_SUM_COLS}
+        FROM ginst GROUP BY gram
+        ORDER BY {" + ".join("cnt_" + lg for lg in LANGS)} DESC, gram
+        LIMIT {GRAM_K}
+    ),
+    gtot AS (
+        SELECT {", ".join(f"sum(cnt_{lg})::BIGINT AS n_{lg}" for lg in LANGS)},
+               count(*)::BIGINT AS v
+        FROM gcnt
+    ),
+    gmodel AS MATERIALIZED (
+        SELECT gram, {", ".join("cnt_" + lg for lg in LANGS)}, {_L_COLS}
+        FROM gcnt, gtot
+    ),
+    gprior AS (
+        SELECT {", ".join(
+            ilog2_duck(f"sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) + 1")
+            + f" AS p_{lg}"
+            for lg in LANGS
+        )}
+        FROM documents WHERE doc_id % 2 = 0
+    )
+"""
+
+# Per-doc class scores (DuckDB): docs LEFT JOIN the per-doc model-gram
+# sums (docs with no model gram score on priors alone).
+_LANGID_SCORES_DUCK = f"""
+    {_LANGID_MODEL_DUCK},
+    dinst AS (
+        SELECT doc_id, unnest({_grams_duck("text")}) AS gram
+        FROM documents
+    ),
+    dsum AS MATERIALIZED (
+        SELECT i.doc_id,
+               {", ".join(
+                   f"sum(coalesce(m.l_{lg}, 0))::BIGINT AS t_{lg}"
+                   for lg in LANGS
+               )}
+        FROM dinst i JOIN gmodel m ON i.gram = m.gram
+        GROUP BY i.doc_id
+    ),
+    scores AS MATERIALIZED (
+        SELECT d.doc_id, d.lang,
+               CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_train,
+               {", ".join(
+                   f"coalesce(s.t_{lg}, 0) + p.p_{lg} AS s_{lg}"
+                   for lg in LANGS
+               )}
+        FROM documents d
+        LEFT JOIN dsum s ON s.doc_id = d.doc_id
+        CROSS JOIN gprior p
+    )
+"""
+
+
+def _argmax_sql(prefix: str = "s_") -> str:
+    """Deterministic argmax over the 5 class scores, ties to the
+    earlier class in LANGS — byte-identical chain in both engines."""
+    cases = []
+    for i, lg in enumerate(LANGS[:-1]):
+        conds = " AND ".join(
+            f"{prefix}{lg} >= {prefix}{other}" for other in LANGS[i + 1 :]
+        )
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{LANGS[-1]}' END"
+
+
+def _second_best_sql(prefix: str = "s_") -> str:
+    pred = _argmax_sql(prefix)
+    parts = ", ".join(
+        f"CASE WHEN ({pred}) = '{lg}' THEN {_NEG} ELSE {prefix}{lg} END"
+        for lg in LANGS
+    )
+    return f"greatest({parts})"
+
+
+def _langid_scores_df(spark, sf_dir):
+    """Spark twin of ``_LANGID_SCORES_DUCK`` — but in the scale shape:
+    one-row broadcast model (map<gram, array<5 × llr>> + prior array),
+    scores via a JVM fold over the doc's gram array. Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ginst = train.select(
+        "lang", F.explode(F.expr(_grams_spark("text"))).alias("gram")
+    )
+    gcnt = (
+        ginst.groupBy("gram")
+        .agg(
+            *[
+                F.sum(F.when(F.col("lang") == lg, 1).otherwise(0))
+                .cast("long")
+                .alias(f"cnt_{lg}")
+                for lg in LANGS
+            ]
+        )
+        .orderBy(
+            F.desc(sum(F.col(f"cnt_{lg}") for lg in LANGS)), F.asc("gram")
+        )
+        .limit(GRAM_K)
+    )
+    gtot = gcnt.agg(
+        *[
+            F.sum(f"cnt_{lg}").cast("long").alias(f"n_{lg}")
+            for lg in LANGS
+        ],
+        F.count("*").cast("long").alias("v"),
+    )
+    gmodel = gcnt.crossJoin(F.broadcast(gtot)).select(
+        "gram",
+        F.array(
+            *[
+                F.expr(
+                    f"({ilog2_spark(f'cnt_{lg} + 1')}"
+                    f" - {ilog2_spark(f'n_{lg} + v')})"
+                )
+                for lg in LANGS
+            ]
+        ).alias("ls"),
+    )
+    prior = train.agg(
+        F.array(
+            *[
+                F.expr(
+                    ilog2_spark(
+                        f"sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) + 1"
+                    )
+                )
+                for lg in LANGS
+            ]
+        ).alias("pr")
+    )
+    model_row = gmodel.agg(
+        F.map_from_entries(F.collect_list(F.struct("gram", "ls"))).alias(
+            "gmap"
+        )
+    ).crossJoin(F.broadcast(prior))
+    zero5 = "array(" + ", ".join(["CAST(0 AS BIGINT)"] * 5) + ")"
+    folded = docs.crossJoin(F.broadcast(model_row)).select(
+        "doc_id",
+        "lang",
+        F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END")
+        .cast("long")
+        .alias("is_train"),
+        F.expr(
+            f"aggregate({_grams_spark('text')}, {zero5},"
+            f" (acc, g) -> zip_with(acc,"
+            f" coalesce(element_at(gmap, g), {zero5}),"
+            f" (a, b) -> a + b))"
+        ).alias("tsum"),
+        F.col("pr"),
+    )
+    return folded.select(
+        "doc_id",
+        "lang",
+        "is_train",
+        *[
+            (
+                F.element_at("tsum", i + 1) + F.element_at("pr", i + 1)
+            ).alias(f"s_{lg}")
+            for i, lg in enumerate(LANGS)
+        ],
+    )
+
+
+@query(
+    "langid_ngram_train",
+    f"""
+    WITH {_LANGID_MODEL_DUCK}
+    SELECT gram,
+           {", ".join(f"CAST(cnt_{lg} AS BIGINT) AS cnt_{lg}" for lg in LANGS)},
+           {", ".join(f"CAST(l_{lg} AS BIGINT) AS l_{lg}" for lg in LANGS)}
+    FROM gmodel
+    """,
+)
+def langid_ngram_train(spark, sf_dir):
+    """The char-3-gram NB language model: per capped gram, 5 class
+    counts and 5 fixed-point log-likelihoods. Same shapes as
+    nb_quality_train (explode → gram-grain agg → TakeOrdered cap →
+    broadcast totals)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ginst = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", F.explode(F.expr(_grams_spark("text"))).alias("gram")
+    )
+    gcnt = (
+        ginst.groupBy("gram")
+        .agg(
+            *[
+                F.sum(F.when(F.col("lang") == lg, 1).otherwise(0))
+                .cast("long")
+                .alias(f"cnt_{lg}")
+                for lg in LANGS
+            ]
+        )
+        .orderBy(
+            F.desc(sum(F.col(f"cnt_{lg}") for lg in LANGS)), F.asc("gram")
+        )
+        .limit(GRAM_K)
+    )
+    gtot = gcnt.agg(
+        *[
+            F.sum(f"cnt_{lg}").cast("long").alias(f"n_{lg}")
+            for lg in LANGS
+        ],
+        F.count("*").cast("long").alias("v"),
+    )
+    return gcnt.crossJoin(F.broadcast(gtot)).select(
+        "gram",
+        *[F.col(f"cnt_{lg}") for lg in LANGS],
+        *[
+            F.expr(
+                f"({ilog2_spark(f'cnt_{lg} + 1')}"
+                f" - {ilog2_spark(f'n_{lg} + v')})"
+            )
+            .cast("long")
+            .alias(f"l_{lg}")
+            for lg in LANGS
+        ],
+    )
+
+
+@query(
+    "langid_ngram_classify",
+    f"""
+    WITH {_LANGID_SCORES_DUCK}
+    SELECT lang, {_argmax_sql()} AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scores WHERE is_train = 0
+    GROUP BY lang, pred_lang
+    """,
+)
+def langid_ngram_classify(spark, sf_dir):
+    """Held-out confusion matrix of the NB langid model — the
+    train-and-APPLY pass langid_calibration_ece could only simulate
+    with a marker heuristic. Score path is map-only (one-row broadcast
+    model, JVM fold per doc); the confusion rollup is a ≤25-group
+    aggregate.
+
+    Honesty note on the synthetic corpus: the ``lang`` column is
+    independent of the text (every language draws from one shared
+    English word pool), so held-out accuracy is data-capped near the
+    class prior — what the gate verifies is exact cross-engine parity
+    of the trained model and its decisions, and
+    test_nb_classifier.py proves the same machinery reaches 100% on a
+    separable corpus. The calibration twin below correctly reports the
+    noise-feature overconfidence (large ECE), which is precisely the
+    audit's job."""
+    scores = _langid_scores_df(spark, sf_dir)
+    return (
+        scores.filter(F.col("is_train") == 0)
+        .select("lang", F.expr(_argmax_sql()).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+# Margin→confidence squashing constant: one fixed-point bit of
+# log-likelihood (2^ILOG_F) maps to confidence 500/1000.
+_CONF_C = 1 << ILOG_F
+
+
+@query(
+    "langid_nb_calibration_ece",
+    f"""
+    WITH {_LANGID_SCORES_DUCK},
+    pred AS (
+        SELECT lang, {_argmax_sql()} AS lang_pred,
+               (1000 * (greatest({", ".join("s_" + lg for lg in LANGS)})
+                        - ({_second_best_sql()})))
+                 // ((greatest({", ".join("s_" + lg for lg in LANGS)})
+                      - ({_second_best_sql()})) + {_CONF_C}) AS conf_milli
+        FROM scores WHERE is_train = 0
+    ),
+    buckets AS (
+        SELECT conf_milli // 100 AS bucket,
+               count(*) AS n,
+               sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+                 AS n_correct,
+               sum(conf_milli) AS sum_conf
+        FROM pred GROUP BY 1
+    ),
+    rows_out AS (
+        SELECT bucket, n,
+               (1000000 * n_correct) // n AS acc_ppm,
+               (1000 * sum_conf) // n AS conf_ppm
+        FROM buckets
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(acc_ppm AS BIGINT) AS acc_ppm,
+           CAST(conf_ppm AS BIGINT) AS conf_ppm,
+           CAST(sum(n * abs(acc_ppm - conf_ppm)) OVER ()
+                // sum(n) OVER () AS BIGINT) AS ece_ppm
+    FROM rows_out
+    ORDER BY bucket
+    """,
+)
+def langid_nb_calibration_ece(spark, sf_dir):
+    """Calibration audit of the REAL trained langid classifier
+    (supersedes the heuristic-input langid_calibration_ece as the
+    router-trust check): confidence = margin-squash
+    1000·m/(m + 2^20) where m = top-vs-runner-up fixed-point
+    log-likelihood margin — integer, monotone in the margin, exactly
+    mirrored in both engines. Same reliability-diagram output contract
+    as the heuristic query; the final window runs over ≤11 bucket
+    rows (aggregate-fed)."""
+    scores = _langid_scores_df(spark, sf_dir)
+    smax = f"greatest({', '.join('s_' + lg for lg in LANGS)})"
+    pred = scores.filter(F.col("is_train") == 0).select(
+        "lang",
+        F.expr(_argmax_sql()).alias("lang_pred"),
+        F.expr(
+            f"(1000 * ({smax} - ({_second_best_sql()})))"
+            f" div (({smax} - ({_second_best_sql()})) + {_CONF_C})"
+        ).alias("conf_milli"),
+    )
+    buckets = pred.groupBy(
+        F.expr("conf_milli div 100").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.sum("conf_milli").alias("sum_conf"),
+    )
+    rows_out = buckets.select(
+        "bucket",
+        "n",
+        F.expr("(1000000 * n_correct) div n").alias("acc_ppm"),
+        F.expr("(1000 * sum_conf) div n").alias("conf_ppm"),
+    )
+    return rows_out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("acc_ppm").cast("long").alias("acc_ppm"),
+        F.col("conf_ppm").cast("long").alias("conf_ppm"),
+        F.expr(
+            "sum(n * abs(acc_ppm - conf_ppm)) OVER ()"
+            " div sum(n) OVER ()"
+        )
+        .cast("long")
+        .alias("ece_ppm"),
+    ).orderBy("bucket")

@@ -20,6 +20,7 @@ import eventsourcing_spark.pipeline.graph  # noqa: F401
 import eventsourcing_spark.pipeline.html_extract  # noqa: F401
 import eventsourcing_spark.pipeline.mixing  # noqa: F401
 import eventsourcing_spark.pipeline.multimodal  # noqa: F401
+import eventsourcing_spark.pipeline.nb_classifier  # noqa: F401
 import eventsourcing_spark.pipeline.normalize  # noqa: F401
 import eventsourcing_spark.pipeline.pii  # noqa: F401
 import eventsourcing_spark.pipeline.quality  # noqa: F401
