@@ -361,3 +361,120 @@ def url_host_stats(spark, sf_dir):
         F.max("path_len").cast("long").alias("max_path_len"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + canonical-URL first-occurrence dedup — the
+# cheapest dedup stage a CommonCrawl-style corpus runs before any
+# content hashing (RFC 3986 §6 normalization subset: lowercase scheme
+# and host, strip the scheme's default port (keep non-default ports),
+# drop the fragment, sort query parameters; path and parameter
+# names/values untouched). Spark runs the REAL kernels (parse_url
+# PROTOCOL/AUTHORITY/PATH/QUERY + regex + array_sort); the corpus has
+# no URL column, so the gate injects 8 deterministic messy variants
+# per document (uppercase host, uppercase scheme + :443, :8080 +
+# fragment, unsorted query, sorted query, http + :80, clean, query +
+# fragment) and the oracle recomputes the canonical form ARITHMETICALLY
+# from the injection rules — a canonicalizer that eats a port it
+# should keep, keeps one it should strip, or mis-sorts a query fails
+# the value hash. Map-only + one canonical-grain aggregate.
+# ---------------------------------------------------------------------------
+_RAW_URL_SPARK = """
+    CASE doc_id % 8
+      WHEN 0 THEN concat('https://H', doc_id % 4, '.EXAMPLE.COM/a/',
+                         doc_id % 7)
+      WHEN 1 THEN concat('HTTPS://h', doc_id % 4, '.example.com:443/a/',
+                         doc_id % 7)
+      WHEN 2 THEN concat('https://h', doc_id % 4, '.example.com:8080/a/',
+                         doc_id % 7, '#frag')
+      WHEN 3 THEN concat('https://h', doc_id % 4, '.example.com/a/',
+                         doc_id % 7, '?b=2&a=', doc_id % 7 % 3)
+      WHEN 4 THEN concat('https://h', doc_id % 4, '.example.com/a/',
+                         doc_id % 7, '?a=', doc_id % 7 % 3, '&b=2')
+      WHEN 5 THEN concat('http://h', doc_id % 4, '.example.com:80/a/',
+                         doc_id % 7)
+      WHEN 6 THEN concat('https://h', doc_id % 4, '.example.com/a/',
+                         doc_id % 7)
+      ELSE concat('https://h', doc_id % 4, '.example.com/a/',
+                  doc_id % 7, '?a=', doc_id % 7 % 3, '&b=2#x')
+    END
+"""
+
+# The raw-URL synthesis uses only concat/CASE/% — a dialect subset the
+# two engines share verbatim.
+_RAW_URL_DUCK = _RAW_URL_SPARK
+
+
+@query(
+    "url_canonical_dedup",
+    f"""
+    WITH u AS (
+        SELECT doc_id,
+               {_RAW_URL_DUCK} AS raw_url,
+               CASE WHEN doc_id % 8 = 5
+                    THEN 'http://h' || (doc_id % 4) || '.example.com/a/'
+                         || (doc_id % 7)
+                    WHEN doc_id % 8 = 2
+                    THEN 'https://h' || (doc_id % 4)
+                         || '.example.com:8080/a/' || (doc_id % 7)
+                    WHEN doc_id % 8 IN (3, 4, 7)
+                    THEN 'https://h' || (doc_id % 4) || '.example.com/a/'
+                         || (doc_id % 7) || '?a=' || (doc_id % 7 % 3)
+                         || '&b=2'
+                    ELSE 'https://h' || (doc_id % 4) || '.example.com/a/'
+                         || (doc_id % 7)
+               END AS canonical_url
+        FROM documents
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM u
+    GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark, sf_dir):
+    """Canonical-URL dedup census: per canonical URL, how many docs
+    collapse onto it, how many distinct raw spellings they arrived
+    with, and the kept first occurrence. The canonicalizer is pure JVM
+    (parse_url + regex + array_sort inside the scan stage); the only
+    exchange is the canonical-grain aggregate — at 100 TB this is the
+    same shape as exact-hash dedup with a far cheaper key."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", F.expr(_RAW_URL_SPARK).alias("raw_url"))
+    scheme = F.lower(F.parse_url("raw_url", F.lit("PROTOCOL")))
+    auth = F.lower(F.parse_url("raw_url", F.lit("AUTHORITY")))
+    port = F.regexp_extract(auth, ":([0-9]+)$", 1)
+    host = F.regexp_replace(auth, ":[0-9]+$", "")
+    keep_port = (
+        (port != "")
+        & ~((scheme == "https") & (port == "443"))
+        & ~((scheme == "http") & (port == "80"))
+    )
+    path = F.parse_url("raw_url", F.lit("PATH"))
+    qsorted = F.array_join(
+        F.array_sort(F.split(F.parse_url("raw_url", F.lit("QUERY")), "&")),
+        "&",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
+        path,
+        F.when(
+            F.parse_url("raw_url", F.lit("QUERY")).isNotNull()
+            & (F.parse_url("raw_url", F.lit("QUERY")) != ""),
+            F.concat(F.lit("?"), qsorted),
+        ).otherwise(""),
+    )
+    return (
+        u.select("doc_id", "raw_url", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("raw_url").cast("long").alias("n_raw_forms"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )
