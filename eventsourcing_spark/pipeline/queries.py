@@ -1891,40 +1891,51 @@ def dedup_containment_verify(spark, sf_dir):
 # GPT-3/The-Pile style corpora (Lee et al. 2022, "Deduplicating
 # training data makes language models better"): any 50-char window
 # shared verbatim between two documents marks a duplicated span. The
-# suffix-array formulation is sequential; this distributed form selects
-# windows by WINNOWING (Schleimer, Wilkerson, Aiken — SIGMOD 2003, the
-# MOSS fingerprinter): hash every 50-char window, then in each run of
-# SUBSTR_SEL consecutive window hashes keep only the minimum.
+# suffix-array formulation is sequential; this distributed form is
+# TWO-STAGE and EXACT at the paper's 50-char threshold (round 7 closed
+# the 65→50 gap the single-scale winnowed form carried):
 #
-# Why content-defined selection and not a position stride: a stride-s
-# sampler on BOTH sides only matches spans whose cross-document
-# alignment offsets agree mod s — a duplicated span landing at offset
-# 3 in one doc and 7 in the other is missed at ANY length (~(s-1)/s of
-# random alignments). Winnowing selects by the window CONTENTS, so
-# both copies of a span select the same anchors regardless of where
-# the span sits, with the classic guarantee: any shared span of length
-# >= SUBSTR_W + SUBSTR_SEL - 1 = 65 chars shares at least one anchor
-# (zero false negatives above the threshold, and window equality means
-# candidate families are exact 50-char matches below it). Expected
-# anchor density ~ 2/(SUBSTR_SEL+1) ≈ 12% — the same row volume as the
-# old stride-10 form, with the alignment pathology removed.
-# tests/test_exact_substring.py plants misaligned duplicates at every
-# offset residue and proves each is caught.
+#   Stage 1 (candidate docs, sampled): hash every SUBSTR_CAND=35-char
+#   window and select anchors by WINNOWING (Schleimer, Wilkerson,
+#   Aiken — SIGMOD 2003): in each run of SUBSTR_SEL=16 consecutive
+#   window hashes keep only the minimum. The classic guarantee: any
+#   span shared verbatim across documents of length
+#   >= SUBSTR_CAND + SUBSTR_SEL - 1 = 50 chars shares at least one
+#   anchor — so the candidate-doc set provably contains EVERY document
+#   participating in a >=50-char duplication. Anchor density
+#   ~2/(SEL+1) ≈ 12%.
+#
+#   Stage 2 (exact verify, full windows, candidates only): explode ALL
+#   SUBSTR_W=50-char window hashes of the candidate docs and keep the
+#   hashes seen in >1 doc. Because any two docs sharing a 50-char
+#   window are both stage-1 candidates, the result is exactly the set
+#   of cross-document duplicated 50-char windows of the WHOLE corpus —
+#   zero false negatives at >=50 (the paper's bar) and zero false
+#   positives (every reported family is a verbatim 50-char match).
+#
+# Why content-defined selection and not a position stride in stage 1: a
+# stride-s sampler on BOTH sides only matches spans whose cross-document
+# alignment offsets agree mod s — a duplicated span landing at offset 3
+# in one doc and 7 in the other is missed at ANY length. Winnowing
+# selects by window CONTENTS, so both copies select the same anchors
+# regardless of position. tests/test_exact_substring.py plants 50-char
+# duplicates at every offset residue and proves each is caught.
 #
 # Anchors are selected by hash VALUE only (not position), so md5 ties
-# inside a selection window — identical 50-char substrings — emit the
-# identical anchor either way and the two engines can never diverge on
-# a tie rule. Per-doc anchors are deduped by value: the operator
-# detects CROSS-document duplication; within-doc repeats are one
-# anchor.
+# inside a selection window emit the identical anchor either way and
+# the two engines can never diverge on a tie rule.
 #
-# Scale shape: the O(L·SEL) min-scan runs inside the map stage
-# (embarrassingly parallel, no shuffle growth); only the ~12% anchors
-# shuffle, keyed by hash, per-key population = duplication degree,
-# never corpus size.
+# Scale shape: stage 1's O(L·SEL) min-scan runs inside the map stage;
+# ~12% anchors shuffle keyed by hash. Stage 2's full-window explode is
+# restricted to candidate docs — a set sized by the corpus's actual
+# duplication (plus 35-49-char near-threshold matches), NOT by corpus
+# size (measured: ~10% of docs on this corpus at both sf0.01 and
+# sf0.1). The candidate semi-join broadcasts when small and shuffles
+# when not — AQE's call, no collect anywhere.
 # ---------------------------------------------------------------------------
-SUBSTR_W = 50
-SUBSTR_SEL = 16  # winnowing selection window; guarantee = W + SEL - 1 = 65
+SUBSTR_W = 50  # the ExactSubstr match length (Lee et al. 2022)
+SUBSTR_CAND = 35  # stage-1 window; guarantee = CAND + SEL - 1 = 50
+SUBSTR_SEL = 16  # winnowing selection window
 
 
 @query(
@@ -1939,11 +1950,11 @@ SUBSTR_SEL = 16  # winnowing selection window; guarantee = W + SEL - 1 = 65
     WITH pos AS (SELECT unnest(generate_series(0, 4095)) AS i),
     wins AS (
         SELECT doc_id, i,
-               length(text) - {SUBSTR_W} + 1 AS nwin,
-               md5(substr(text, CAST(i + 1 AS INTEGER), {SUBSTR_W})) AS h
+               length(text) - {SUBSTR_CAND} + 1 AS nwin,
+               md5(substr(text, CAST(i + 1 AS INTEGER), {SUBSTR_CAND})) AS h
         FROM documents, pos
-        WHERE length(text) >= {SUBSTR_W}
-          AND i < length(text) - {SUBSTR_W} + 1
+        WHERE length(text) >= {SUBSTR_CAND}
+          AND i < length(text) - {SUBSTR_CAND} + 1
     ),
     sel AS (
         SELECT doc_id, i, nwin,
@@ -1952,39 +1963,74 @@ SUBSTR_SEL = 16  # winnowing selection window; guarantee = W + SEL - 1 = 65
                             AND {SUBSTR_SEL - 1} FOLLOWING) AS wh
         FROM wins
     ),
-    anch AS (
+    anch AS MATERIALIZED (
         SELECT DISTINCT doc_id, wh
         FROM sel
         WHERE i <= greatest(nwin - {SUBSTR_SEL}, 0)
-    )
-    SELECT wh AS window_hash,
+    ),
+    fam AS (SELECT wh FROM anch GROUP BY wh HAVING count(*) > 1),
+    cand AS (
+        SELECT DISTINCT a.doc_id FROM anch a JOIN fam f ON a.wh = f.wh
+    ),
+    fullw AS (
+        SELECT d.doc_id,
+               md5(substr(d.text, CAST(i + 1 AS INTEGER), {SUBSTR_W})) AS h
+        FROM documents d JOIN cand c ON c.doc_id = d.doc_id, pos
+        WHERE length(d.text) >= {SUBSTR_W}
+          AND i < length(d.text) - {SUBSTR_W} + 1
+    ),
+    fdist AS (SELECT DISTINCT doc_id, h FROM fullw)
+    SELECT h AS window_hash,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(min(doc_id) AS BIGINT) AS first_doc
-    FROM anch
-    GROUP BY wh
+    FROM fdist
+    GROUP BY h
     HAVING count(*) > 1
     """,
 )
 def exact_substring_dedup(spark, sf_dir):
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Stage 1: winnowed 35-char anchors → candidate doc set.
     hs = F.expr(
-        f"transform(sequence(0, length(text) - {SUBSTR_W}),"
-        f" i -> md5(substring(text, cast(i + 1 as int), {SUBSTR_W})))"
+        f"transform(sequence(0, length(text) - {SUBSTR_CAND}),"
+        f" i -> md5(substring(text, cast(i + 1 as int), {SUBSTR_CAND})))"
     )
-    anchors = docs.filter(F.length("text") >= SUBSTR_W).select(
-        "doc_id", hs.alias("hs")
-    ).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform("
-                f" sequence(0, greatest(size(hs) - {SUBSTR_SEL}, 0)),"
-                f" k -> array_min(slice(hs, k + 1, {SUBSTR_SEL}))))"
-            )
-        ).alias("wh"),
+    anchors = (
+        docs.filter(F.length("text") >= SUBSTR_CAND)
+        .select("doc_id", hs.alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f" sequence(0, greatest(size(hs) - {SUBSTR_SEL}, 0)),"
+                    f" k -> array_min(slice(hs, k + 1, {SUBSTR_SEL}))))"
+                )
+            ).alias("wh"),
+        )
+    )
+    fam = anchors.groupBy("wh").count().filter(F.col("count") > 1)
+    cand = (
+        anchors.join(fam, "wh", "left_semi").select("doc_id").distinct()
+    )
+    # Stage 2: full 50-char windows over candidate docs only — exact.
+    fullw = (
+        docs.join(cand, "doc_id", "left_semi")
+        .filter(F.length("text") >= SUBSTR_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f" sequence(0, length(text) - {SUBSTR_W}),"
+                    f" i -> md5(substring(text, cast(i + 1 as int),"
+                    f" {SUBSTR_W}))))"
+                )
+            ).alias("h"),
+        )
     )
     return (
-        anchors.groupBy(F.col("wh").alias("window_hash"))
+        fullw.groupBy(F.col("h").alias("window_hash"))
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.min("doc_id").cast("long").alias("first_doc"),

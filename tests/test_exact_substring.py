@@ -1,16 +1,23 @@
-"""ExactSubstr winnowing guarantee: a duplicated span of length >=
-SUBSTR_W + SUBSTR_SEL - 1 is caught at EVERY cross-document alignment
-— the exact miss class of the old stride-10 sampler (which only caught
-spans whose offsets agreed mod 10)."""
+"""ExactSubstr exactness at the Lee et al. 50-char threshold: a
+duplicated span of length >= SUBSTR_W = 50 is caught at EVERY
+cross-document alignment (round 7 closed the 65→50 gap: stage-1
+winnowing of 35-char windows guarantees candidates at 50, stage-2
+verifies with full 50-char windows over candidates only), and every
+reported family is a verbatim 50-char match (no false positives)."""
 
 from __future__ import annotations
 
 import duckdb
 
-from eventsourcing_spark.pipeline.queries import SUBSTR_SEL, SUBSTR_W
+from eventsourcing_spark.pipeline.queries import (
+    SUBSTR_CAND,
+    SUBSTR_SEL,
+    SUBSTR_W,
+)
 from eventsourcing_spark.registry import ORACLE_SQL, SPARK_QUERIES
 
-GUARANTEE = SUBSTR_W + SUBSTR_SEL - 1  # 65
+# stage-1 candidate guarantee must sit exactly at the match length
+assert SUBSTR_CAND + SUBSTR_SEL - 1 == SUBSTR_W
 
 
 def _mk_corpus(spark, tmp_path, rows):
@@ -23,7 +30,7 @@ def _mk_corpus(spark, tmp_path, rows):
 
 
 def _fillers(n, seed):
-    # Deterministic non-repeating filler that shares no 50-gram across
+    # Deterministic non-repeating filler that shares no 35-gram across
     # docs (distinct per-doc alphabet soup keyed by seed).
     import hashlib
 
@@ -35,32 +42,7 @@ def _fillers(n, seed):
     return out[:n]
 
 
-def test_planted_span_caught_at_every_alignment_residue(spark, tmp_path):
-    span = ("the quick brown fox jumps over the lazy dog " * 2)[:GUARANTEE]
-    assert len(span) == GUARANTEE, len(span)
-    rows = [(0, "src0", _fillers(7, "a0") + span + _fillers(40, "a1"))]
-    # Doc 0 holds the span at offset 7; docs 1..10 at offsets 0..9 —
-    # every alignment-delta residue mod 10 (the old sampler caught only
-    # delta % 10 == 0, i.e. one of these).
-    for off in range(10):
-        rows.append(
-            (
-                off + 1,
-                "src1",
-                _fillers(off, f"b{off}") + span + _fillers(35, f"c{off}"),
-            )
-        )
-    sf = _mk_corpus(spark, tmp_path, rows)
-    fams = SPARK_QUERIES["exact_substring_dedup"](spark, sf).collect()
-    # At least one family must span doc 0 and ALL ten planted docs:
-    # winnowing selects by content, so every copy of the span picks the
-    # same anchors. (Families from filler can't exist by construction.)
-    assert fams, "no duplicate family found at all"
-    best = max(fams, key=lambda r: r.n_docs)
-    assert best.n_docs == 11, fams
-    assert best.first_doc == 0
-
-    # Engine agreement on the planted corpus (not just TPC-H data).
+def _assert_parity(spark, sf, fams):
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM read_parquet("
@@ -71,10 +53,67 @@ def test_planted_span_caught_at_every_alignment_residue(spark, tmp_path):
     assert got == [(a, int(b), int(c)) for a, b, c in oracle]
 
 
-def test_below_guarantee_spans_may_still_match_but_never_false_positive(
+def test_planted_50char_span_caught_at_every_alignment_residue(
     spark, tmp_path
 ):
-    # Two docs sharing NOTHING 50 chars long -> zero families.
+    """THE paper bar: exactly-50-char spans, planted at offsets 0..9 on
+    one side vs offset 7 on the other — every alignment-delta residue.
+    The old 65-guarantee form provably missed some of these."""
+    span = ("the quick brown fox jumps over the lazy dog " * 2)[:SUBSTR_W]
+    assert len(span) == SUBSTR_W == 50
+    rows = [(0, "src0", _fillers(7, "a0") + span + _fillers(40, "a1"))]
+    for off in range(10):
+        rows.append(
+            (
+                off + 1,
+                "src1",
+                _fillers(off, f"b{off}") + span + _fillers(35, f"c{off}"),
+            )
+        )
+    sf = _mk_corpus(spark, tmp_path, rows)
+    fams = SPARK_QUERIES["exact_substring_dedup"](spark, sf).collect()
+    assert fams, "no duplicate family found at all"
+    # The planted span is exactly one 50-char window; stage 2 reports it
+    # as one family spanning doc 0 and ALL ten planted docs.
+    best = max(fams, key=lambda r: r.n_docs)
+    assert best.n_docs == 11, fams
+    assert best.first_doc == 0
+    _assert_parity(spark, sf, fams)
+
+
+def test_longer_span_still_caught_everywhere(spark, tmp_path):
+    # Regression for the old guarantee class too (65+ chars).
+    span = ("portable water proof speaker with huge battery life " * 2)[:80]
+    rows = [(0, "src0", _fillers(3, "p") + span + _fillers(30, "q"))]
+    for off in range(8):
+        rows.append(
+            (off + 1, "src1",
+             _fillers(off, f"r{off}") + span + _fillers(20, f"s{off}"))
+        )
+    sf = _mk_corpus(spark, tmp_path, rows)
+    fams = SPARK_QUERIES["exact_substring_dedup"](spark, sf).collect()
+    best = max(fams, key=lambda r: r.n_docs)
+    assert best.n_docs == 9
+    _assert_parity(spark, sf, fams)
+
+
+def test_49char_span_is_not_reported(spark, tmp_path):
+    """Exactness from below: a 49-char shared span contains no 50-char
+    shared window, so it must NOT produce a family (it may produce
+    stage-1 candidates — the 35-char scale sees it — but stage 2's
+    full-window verify rejects it)."""
+    span = ("zebra crossing near the old lighthouse today " * 2)[:49]
+    rows = [
+        (0, "src0", _fillers(11, "m") + span + _fillers(60, "n")),
+        (1, "src1", _fillers(4, "o") + span + _fillers(60, "p")),
+    ]
+    sf = _mk_corpus(spark, tmp_path, rows)
+    fams = SPARK_QUERIES["exact_substring_dedup"](spark, sf).collect()
+    assert fams == [], fams
+    _assert_parity(spark, sf, fams)
+
+
+def test_no_shared_content_no_false_positive(spark, tmp_path):
     rows = [
         (0, "src0", _fillers(200, "x")),
         (1, "src0", _fillers(200, "y")),
@@ -84,10 +123,12 @@ def test_below_guarantee_spans_may_still_match_but_never_false_positive(
 
 
 def test_short_doc_degenerate_window(spark, tmp_path):
-    # Docs shorter than W + SEL - 1 but >= W: a single global-min anchor
-    # per doc; identical docs still pair up.
+    # Docs shorter than CAND + SEL - 1 but >= W: a single global-min
+    # stage-1 anchor per doc; identical docs still pair up and stage 2
+    # reports every shared 50-window.
     txt = _fillers(55, "z")
     rows = [(0, "src0", txt), (1, "src0", txt)]
     sf = _mk_corpus(spark, tmp_path, rows)
     fams = SPARK_QUERIES["exact_substring_dedup"](spark, sf).collect()
-    assert len(fams) >= 1 and all(r.n_docs == 2 for r in fams)
+    assert len(fams) == 55 - 50 + 1 and all(r.n_docs == 2 for r in fams)
+    _assert_parity(spark, sf, fams)
