@@ -26,12 +26,19 @@ stay suppressed because of a keeper the registry itself then rejected,
 permanently dropping content that shares no band with anything admitted
 (near-dup is not transitive). Probing first removes registry-near docs
 before keepers are elected, so every within-batch suppression points at
-a keeper that is registry-clean. One deliberate residue of the batch
-family's star rule remains and is shared with dedup_lsh_clusters: when
-a doc's keeper is itself star-suppressed through a *different* band in
-the same micro-batch, the member stays suppressed (chained suppression
-within one batch) — the same deterministic star the batch sweep
-applies, so stream and batch classify identically.
+a keeper that is registry-clean. A RE-ADMIT pass (round 7) then
+rescues the chained-suppression case: a doc whose every conflict was
+with docs that were themselves suppressed (its keeper fell to a star
+through a band the doc doesn't share) is re-admitted, after a second
+star among the re-admission candidates so no two band-sharing
+candidates come back together. Residue after the pass: suppression
+chains >= 3 levels deep inside one micro-batch (regression-tested at
+2 levels; deeper chains need >= 4 mutually-chained near-dups landing
+in a single batch). This deliberately diverges from the batch
+dedup_lsh_clusters sweep, which keeps one representative per
+TRANSITIVE component — online suppression must not lose content no
+admitted doc resembles, because unlike the batch sweep it cannot
+revisit the decision.
 
 Write order is survivors-first (at-least-once): a crash between the two
 writes re-emits documents on retry instead of silently suppressing
@@ -103,8 +110,44 @@ def neardup_batch(batch_df: DataFrame, registry_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+    # RE-ADMIT pass (round 7, VERDICT r6 #6): a doc suppressed only by
+    # docs that were THEMSELVES suppressed (its keeper fell to a star
+    # through a band the member doesn't share) would lose content no
+    # admitted doc resembles. Candidates = suppressed docs sharing no
+    # band with any admitted doc; a second star among the candidates
+    # keeps the no-near-dup-pair invariant (two candidates sharing a
+    # band must not both come back). Residue after this pass: only
+    # suppression chains >= 3 levels deep within ONE micro-batch (the
+    # candidate's candidate-star keeper was itself suppressed) — the
+    # regression test pins the 2-level case.
+    admitted_bands = clean_bands.join(suppressed, "doc_id", "left_anti")
+    conflicted = (
+        clean_bands.join(suppressed, "doc_id", "left_semi")
+        .join(
+            admitted_bands.select("band_id", "band_key"),
+            ["band_id", "band_key"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    cand_bands = clean_bands.join(suppressed, "doc_id", "left_semi").join(
+        conflicted, "doc_id", "left_anti"
+    )
+    still_out = (
+        cand_bands.withColumn("_keeper", F.min("doc_id").over(claim))
+        .filter(F.col("doc_id") > F.col("_keeper"))
+        .select("doc_id")
+        .distinct()
+    )
+    readmit = (
+        cand_bands.select("doc_id")
+        .distinct()
+        .join(still_out, "doc_id", "left_anti")
+    )
+    suppressed_final = suppressed.join(readmit, "doc_id", "left_anti")
     return batch_df.join(hit, "doc_id", "left_anti").join(
-        suppressed, "doc_id", "left_anti"
+        suppressed_final, "doc_id", "left_anti"
     )
 
 

@@ -189,3 +189,87 @@ def test_neardup_batch_is_usable_statically(spark, dirs):
     fresh = neardup_batch(df, dirs["reg"])  # empty registry
     assert sorted(r.doc_id for r in fresh.collect()) == [20, 22]
     assert fresh.columns == df.columns
+
+
+def _fake_bands_factory(spark, mapping):
+    """_bands stand-in emitting prescribed (doc_id, band_id, band_key)
+    rows — lets the star/re-admit set logic be tested with exact
+    collision topology instead of engineering minhash collisions."""
+
+    def fake_bands(df):
+        ids = {r.doc_id for r in df.select("doc_id").distinct().collect()}
+        rows = [
+            (d, bid, bkey)
+            for d, bs in mapping.items()
+            if d in ids
+            for (bid, bkey) in bs
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, band_id int, band_key string"
+        )
+
+    return fake_bands
+
+
+def test_chained_suppression_member_is_readmitted(spark, dirs, monkeypatch):
+    """The documented round-6 residue, now fixed: A-B share band x,
+    B-C share band y, A-C share nothing. The star suppresses B under A
+    and C under B — but B was never admitted, so C's content would
+    vanish with no admitted representative. The re-admit pass must
+    bring C back."""
+    import eventsourcing_spark.pipeline.streaming_neardup as sn
+
+    mapping = {1: [(0, "x")], 2: [(0, "x"), (1, "y")], 3: [(1, "y")]}
+    monkeypatch.setattr(sn, "_bands", _fake_bands_factory(spark, mapping))
+    df = spark.createDataFrame(
+        [(1, "aaa", "en"), (2, "bbb", "en"), (3, "ccc", "en")],
+        "doc_id long, text string, lang string",
+    )
+    kept = sorted(
+        r.doc_id for r in sn.neardup_batch(df, dirs["reg"]).collect()
+    )
+    assert kept == [1, 3], kept  # pre-fix: [1]
+
+
+def test_readmit_candidates_get_their_own_star(spark, dirs, monkeypatch):
+    """Two re-admission candidates sharing a band must not BOTH come
+    back: C and D share band w; C re-admits (smaller id), D stays
+    suppressed under the now-admitted C."""
+    import eventsourcing_spark.pipeline.streaming_neardup as sn
+
+    mapping = {
+        1: [(0, "x")],
+        2: [(0, "x"), (1, "y")],
+        3: [(1, "y"), (2, "w")],
+        4: [(2, "w")],
+    }
+    monkeypatch.setattr(sn, "_bands", _fake_bands_factory(spark, mapping))
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "en") for i in (1, 2, 3, 4)],
+        "doc_id long, text string, lang string",
+    )
+    kept = sorted(
+        r.doc_id for r in sn.neardup_batch(df, dirs["reg"]).collect()
+    )
+    assert kept == [1, 3], kept
+
+
+def test_registry_hit_still_wins_over_readmit(spark, dirs, monkeypatch):
+    """A suppressed doc whose band is already IN the registry is a
+    registry hit, never a re-admission candidate."""
+    import eventsourcing_spark.pipeline.streaming_neardup as sn
+
+    mapping = {1: [(0, "x")], 2: [(0, "x"), (1, "y")], 3: [(1, "y")]}
+    monkeypatch.setattr(sn, "_bands", _fake_bands_factory(spark, mapping))
+    spark.createDataFrame(
+        [(1, "y")], "band_id int, band_key string"
+    ).write.mode("append").parquet(dirs["reg"])
+    df = spark.createDataFrame(
+        [(1, "aaa", "en"), (2, "bbb", "en"), (3, "ccc", "en")],
+        "doc_id long, text string, lang string",
+    )
+    kept = sorted(
+        r.doc_id for r in sn.neardup_batch(df, dirs["reg"]).collect()
+    )
+    # band y is registered: B and C are registry hits; A survives.
+    assert kept == [1], kept
