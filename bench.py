@@ -114,6 +114,11 @@ HEADLINE = [
     "gopher_repetition_flags",
     "text_normalize_endstate",
     "exact_substring_dedup",
+    # round 7: trained classifiers (exact NB) + URL canonical dedup
+    "nb_quality_train",
+    "nb_quality_score",
+    "langid_ngram_classify",
+    "url_canonical_dedup",
 ]
 
 

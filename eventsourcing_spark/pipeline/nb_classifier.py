@@ -47,7 +47,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table
 from eventsourcing_spark.pipeline.quality import (
     SCORE_LO,
     STOPWORDS,
@@ -283,14 +283,17 @@ def nb_quality_train(spark, sf_dir):
     """,
 )
 def nb_quality_score(spark, sf_dir):
-    """Apply the NB quality model to every document — THE map-only
-    scoring pass. The model collapses to a one-row broadcast frame
-    (map<token, llr_fx> + prior); each doc's score is a JVM fold over
-    its token array inside the scan stage: zero doc-grain exchanges,
-    zero Python, linear in corpus tokens. The oracle recomputes the
-    same model and scores via explode + join (correctness twin, not
-    the scale shape)."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Apply the NB quality model to every document. Scoring shape:
+    explode token instances → BROADCAST HASH JOIN against the
+    vocab-capped model → doc-grain aggregation. The big side never
+    shuffles rows (the join is map-side) and the aggregation partial-
+    combines to ONE row per document before its exchange, so shuffle
+    volume is O(docs), not O(tokens). A one-row map<token,llr> fold
+    was tried and rejected: Spark's element_at on a MapType column is
+    a LINEAR scan, making the fold O(tokens · vocab) — 13× slower at
+    the 8k-entry vocab cap (profiled round 7). The oracle scores via
+    the same explode + join."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     model = _model_df(spark, sf_dir)
     prior = (
         load_table(spark, sf_dir, "documents")
@@ -303,33 +306,35 @@ def nb_quality_score(spark, sf_dir):
             ).alias("prior_fx")
         )
     )
-    model_row = model.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("token", "llr_fx"))
-        ).alias("llr_map")
-    ).crossJoin(F.broadcast(prior))
-    return docs.crossJoin(F.broadcast(model_row)).select(
-        "doc_id",
-        F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END")
-        .cast("long")
-        .alias("is_train"),
-        F.expr(_label_spark("text")).cast("long").alias("label_good"),
-        F.expr(
-            "prior_fx + aggregate(split(lower(text), ' '),"
-            " CAST(0 AS BIGINT),"
-            " (acc, t) -> acc + coalesce(element_at(llr_map, t),"
-            " CAST(0 AS BIGINT)))"
+    inst = docs.select(
+        "doc_id", F.explode(F.expr("split(lower(text), ' ')")).alias("token")
+    )
+    persum = (
+        inst.join(F.broadcast(model.select("token", "llr_fx")), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("llr_fx").cast("long").alias("tok_sum"))
+    )
+    return (
+        docs.join(persum, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END")
+            .cast("long")
+            .alias("is_train"),
+            F.expr(_label_spark("text")).cast("long").alias("label_good"),
+            (F.coalesce(F.col("tok_sum"), F.lit(0)) + F.col("prior_fx"))
+            .cast("long")
+            .alias("score_fx"),
+            F.when(
+                F.coalesce(F.col("tok_sum"), F.lit(0)) + F.col("prior_fx")
+                >= 0,
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("pred_good"),
         )
-        .cast("long")
-        .alias("score_fx"),
-        F.expr(
-            "CASE WHEN prior_fx + aggregate(split(lower(text), ' '),"
-            " CAST(0 AS BIGINT),"
-            " (acc, t) -> acc + coalesce(element_at(llr_map, t),"
-            " CAST(0 AS BIGINT))) >= 0 THEN 1 ELSE 0 END"
-        )
-        .cast("long")
-        .alias("pred_good"),
     )
 
 
@@ -460,10 +465,14 @@ def _second_best_sql(prefix: str = "s_") -> str:
 
 
 def _langid_scores_df(spark, sf_dir):
-    """Spark twin of ``_LANGID_SCORES_DUCK`` — but in the scale shape:
-    one-row broadcast model (map<gram, array<5 × llr>> + prior array),
-    scores via a JVM fold over the doc's gram array. Map-only."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Spark twin of ``_LANGID_SCORES_DUCK`` in the scale shape:
+    explode grams → broadcast hash join against the capped model →
+    doc-grain partial aggregation of the 5 class sums (shuffle volume
+    = one row per doc). The one-row map<gram, array<llr>> fold was
+    rejected after profiling: MapType element_at is a linear scan, so
+    the fold was O(grams · vocab) — 134 s at the 20× stress corpus vs
+    seconds for this shape."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     train = docs.filter(F.col("doc_id") % 2 == 0)
     ginst = train.select(
         "lang", F.explode(F.expr(_grams_spark("text"))).alias("gram")
@@ -514,36 +523,38 @@ def _langid_scores_df(spark, sf_dir):
             ]
         ).alias("pr")
     )
-    model_row = gmodel.agg(
-        F.map_from_entries(F.collect_list(F.struct("gram", "ls"))).alias(
-            "gmap"
-        )
-    ).crossJoin(F.broadcast(prior))
-    zero5 = "array(" + ", ".join(["CAST(0 AS BIGINT)"] * 5) + ")"
-    folded = docs.crossJoin(F.broadcast(model_row)).select(
-        "doc_id",
-        "lang",
-        F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END")
-        .cast("long")
-        .alias("is_train"),
-        F.expr(
-            f"aggregate({_grams_spark('text')}, {zero5},"
-            f" (acc, g) -> zip_with(acc,"
-            f" coalesce(element_at(gmap, g), {zero5}),"
-            f" (a, b) -> a + b))"
-        ).alias("tsum"),
-        F.col("pr"),
+    dinst = docs.select(
+        "doc_id", F.explode(F.expr(_grams_spark("text"))).alias("gram")
     )
-    return folded.select(
-        "doc_id",
-        "lang",
-        "is_train",
-        *[
-            (
-                F.element_at("tsum", i + 1) + F.element_at("pr", i + 1)
-            ).alias(f"s_{lg}")
-            for i, lg in enumerate(LANGS)
-        ],
+    dsum = (
+        dinst.join(F.broadcast(gmodel), "gram")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.element_at("ls", i + 1))
+                .cast("long")
+                .alias(f"t_{lg}")
+                for i, lg in enumerate(LANGS)
+            ]
+        )
+    )
+    return (
+        docs.join(dsum, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END")
+            .cast("long")
+            .alias("is_train"),
+            *[
+                (
+                    F.coalesce(F.col(f"t_{lg}"), F.lit(0))
+                    + F.element_at("pr", i + 1)
+                ).alias(f"s_{lg}")
+                for i, lg in enumerate(LANGS)
+            ],
+        )
     )
 
 

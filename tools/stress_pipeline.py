@@ -113,6 +113,13 @@ STRESS_QUERIES = (
     "maxscore_pruning_audit",
     "shapley_attribution",
     "apriori_triple_itemsets",
+    # round 7: classifier stage + URL dedup — training is token/gram
+    # grain (must track corpus linearly), scoring is map-only, and the
+    # URL census is one keyed aggregate
+    "nb_quality_train",
+    "nb_quality_score",
+    "langid_ngram_classify",
+    "url_canonical_dedup",
 )
 
 
@@ -165,6 +172,12 @@ def build_stress_dir(spark, sf_dir: str, replicas: int) -> str:
 def main() -> int:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    # optional query-name filter: stress only the named queries
+    only = set(sys.argv[3:])
+    queries = (
+        [q for q in STRESS_QUERIES if q in only] if only
+        else list(STRESS_QUERIES)
+    )
     spark = get_spark("stress-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -175,7 +188,7 @@ def main() -> int:
     print(f"{'query':28s} {'best(s)':>8s} {'runs':>12s}")
 
     total = 0.0
-    for name in STRESS_QUERIES:
+    for name in queries:
         times = []
         for _ in range(2):
             t0 = time.time()
@@ -187,12 +200,16 @@ def main() -> int:
         print(f"{name:28s} {min(times):8.2f} {str([round(t, 2) for t in times]):>12s}")
 
     t0 = time.time()
+    if only:
+        print(f"\ntotal best-of-two: {total:.1f}s over {len(queries)} queries at {n_docs} docs")
+        shutil.rmtree(stress_dir, ignore_errors=True)
+        return 0
     export.export_documents(
         spark, stress_dir, os.path.join(stress_dir, "shards"), max_records_per_file=10000
     )
     t_export = time.time() - t0
     print(f"{'export_training_shards':28s} {t_export:8.2f}")
-    print(f"\ntotal best-of-two: {total:.1f}s over {len(STRESS_QUERIES)} queries "
+    print(f"\ntotal best-of-two: {total:.1f}s over {len(queries)} queries "
           f"+ {t_export:.1f}s export at {n_docs} docs")
     shutil.rmtree(stress_dir, ignore_errors=True)
     return 0
