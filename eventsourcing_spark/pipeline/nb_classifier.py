@@ -23,14 +23,17 @@ oracle-exact. Everything is integer arithmetic end to end:
   gate compares floats at atol=0). Measured error < 1 fixed-point ulp
   over 1..5000 and at 2^31..2^40; valid domain 1 ≤ x < 2^63 (mantissa
   squaring peaks at 2^58).
-* **Scoring** is map-only: the vocab-capped model collapses to a ONE-ROW
-  broadcast frame holding a ``map<token, llr>`` column; each document's
-  score is a JVM higher-order fold over its token array — zero
-  doc-grain exchanges, zero Python. At 100 TB the scan dominates and
-  the model rides the broadcast, exactly like the reference's in-process
-  projection handlers ride the upcaster registry
-  (store/codec.go:40-75 analog: a small immutable lookup applied
-  row-wise at scan time).
+* **Scoring** is explode → BROADCAST HASH JOIN against the vocab-capped
+  model → per-doc partial aggregation: the big side never shuffles rows
+  (the join is map-side) and the aggregation combines to ONE row per
+  document before its exchange, so shuffle volume is O(docs), not
+  O(tokens); zero Python. A one-row ``map<token, llr>`` fold was the
+  first implementation and was rejected after 20× profiling: Spark's
+  ``element_at`` on a MapType value is a LINEAR scan, so the fold was
+  O(tokens · vocab) — 134 s vs 8.8 s at a 100k-doc corpus (SCALE.md
+  round-7 lesson). The model plays the same role as the reference's
+  in-process upcaster registry (store/codec.go:40-75): a small
+  immutable lookup applied at scan time.
 
 Weak supervision: the quality label reuses the engine's own integer
 linear quality score (pipeline/quality.py ``quality_linear_score``) at
@@ -715,6 +718,192 @@ def langid_nb_calibration_ece(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(
             F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.sum("conf_milli").alias("sum_conf"),
+    )
+    rows_out = buckets.select(
+        "bucket",
+        "n",
+        F.expr("(1000000 * n_correct) div n").alias("acc_ppm"),
+        F.expr("(1000 * sum_conf) div n").alias("conf_ppm"),
+    )
+    return rows_out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("acc_ppm").cast("long").alias("acc_ppm"),
+        F.col("conf_ppm").cast("long").alias("conf_ppm"),
+        F.expr(
+            "sum(n * abs(acc_ppm - conf_ppm)) OVER ()"
+            " div sum(n) OVER ()"
+        )
+        .cast("long")
+        .alias("ece_ppm"),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Operating-point selection + calibration for the quality model — the
+# two audits a team runs before wiring a trained gate into the
+# pipeline: a threshold sweep (which score cutoff gives the
+# precision/recall the corpus budget wants) and a reliability check
+# (can the score's implied confidence be trusted for routing).
+# Both reuse the exact scoring shape above; both are pure integers.
+# ---------------------------------------------------------------------------
+# Threshold sweep grid: ±8 fixed-point BITS of log-likelihood in 1-bit
+# steps (a bit = a factor-2 likelihood ratio — the natural NB unit).
+PR_BITS = 8
+
+_SCORES_DUCK = f"""
+    prior AS (
+        SELECT {ilog2_duck("sum(good) + 1")}
+               - {ilog2_duck("sum(1 - good) + 1")} AS prior_fx
+        FROM lab
+    ),
+    inst AS (
+        SELECT d.doc_id, unnest(string_split(lower(d.text), ' ')) AS token
+        FROM documents d
+    ),
+    persum AS (
+        SELECT i.doc_id, sum(coalesce(m.llr_fx, 0))::BIGINT AS tok_sum
+        FROM inst i LEFT JOIN model m ON i.token = m.token
+        GROUP BY i.doc_id
+    ),
+    scored AS MATERIALIZED (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_train,
+               {_label_duck("d.text")} AS label_good,
+               p.tok_sum + pr.prior_fx AS score_fx
+        FROM documents d
+        JOIN persum p ON p.doc_id = d.doc_id
+        CROSS JOIN prior pr
+    )
+"""
+
+
+@query(
+    "nb_quality_pr_curve",
+    f"""
+    WITH {_MODEL_DUCK},
+    {_SCORES_DUCK},
+    grid AS (
+        SELECT unnest(generate_series(-{PR_BITS}, {PR_BITS})) AS t_bits
+    ),
+    ev AS (SELECT * FROM scored WHERE is_train = 0)
+    SELECT CAST(g.t_bits AS BIGINT) AS t_bits,
+           CAST(sum(CASE WHEN e.score_fx >= g.t_bits * {_P2F}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+           CAST(sum(CASE WHEN e.score_fx >= g.t_bits * {_P2F}
+                          AND e.label_good = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+           CAST((1000000 * sum(CASE WHEN e.score_fx >= g.t_bits * {_P2F}
+                                     AND e.label_good = 1
+                                    THEN 1 ELSE 0 END))
+                // greatest(sum(CASE WHEN e.score_fx >= g.t_bits * {_P2F}
+                                     THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS precision_ppm,
+           CAST((1000000 * sum(CASE WHEN e.score_fx >= g.t_bits * {_P2F}
+                                     AND e.label_good = 1
+                                    THEN 1 ELSE 0 END))
+                // greatest(sum(e.label_good), 1) AS BIGINT) AS recall_ppm
+    FROM ev e CROSS JOIN grid g
+    GROUP BY g.t_bits
+    """,
+)
+def nb_quality_pr_curve(spark, sf_dir):
+    """Precision/recall of the NB quality gate on the held-out half at
+    17 thresholds (±8 likelihood bits around 0) — the operating-point
+    table a curation team reads to pick the gate's cutoff for a target
+    kept-fraction. One scored frame crossJoined with a broadcast
+    17-row grid, one ≤17-group aggregate."""
+    scores = nb_quality_score(spark, sf_dir)
+    grid = spark.range(-PR_BITS, PR_BITS + 1).select(
+        F.col("id").cast("long").alias("t_bits")
+    )
+    ev = scores.filter(F.col("is_train") == 0)
+    hit = F.col("score_fx") >= F.col("t_bits") * _P2F
+    return (
+        ev.crossJoin(F.broadcast(grid))
+        .groupBy("t_bits")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pred_pos"),
+            F.sum(F.when(hit & (F.col("label_good") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tp"),
+            F.expr(
+                f"CAST((1000000 * sum(CASE WHEN score_fx >= t_bits * {_P2F}"
+                f" AND label_good = 1 THEN 1 ELSE 0 END))"
+                f" div greatest(sum(CASE WHEN score_fx >= t_bits * {_P2F}"
+                f" THEN 1 ELSE 0 END), 1) AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                f"CAST((1000000 * sum(CASE WHEN score_fx >= t_bits * {_P2F}"
+                f" AND label_good = 1 THEN 1 ELSE 0 END))"
+                f" div greatest(sum(label_good), 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+@query(
+    "nb_quality_calibration_ece",
+    f"""
+    WITH {_MODEL_DUCK},
+    {_SCORES_DUCK},
+    pred AS (
+        SELECT label_good,
+               CASE WHEN score_fx >= 0 THEN 1 ELSE 0 END AS pred_good,
+               (1000 * abs(score_fx)) // (abs(score_fx) + {_CONF_C})
+                 AS conf_milli
+        FROM scored WHERE is_train = 0
+    ),
+    buckets AS (
+        SELECT conf_milli // 100 AS bucket,
+               count(*) AS n,
+               sum(CASE WHEN pred_good = label_good THEN 1 ELSE 0 END)
+                 AS n_correct,
+               sum(conf_milli) AS sum_conf
+        FROM pred GROUP BY 1
+    ),
+    rows_out AS (
+        SELECT bucket, n,
+               (1000000 * n_correct) // n AS acc_ppm,
+               (1000 * sum_conf) // n AS conf_ppm
+        FROM buckets
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(acc_ppm AS BIGINT) AS acc_ppm,
+           CAST(conf_ppm AS BIGINT) AS conf_ppm,
+           CAST(sum(n * abs(acc_ppm - conf_ppm)) OVER ()
+                // sum(n) OVER () AS BIGINT) AS ece_ppm
+    FROM rows_out
+    ORDER BY bucket
+    """,
+)
+def nb_quality_calibration_ece(spark, sf_dir):
+    """Reliability diagram + ECE of the binary quality gate on the
+    held-out half: confidence = margin-squash 1000·|s|/(|s| + 2^20),
+    accuracy vs the weak label per confidence decile. Same integer ECE
+    contract as the langid twin; the final window runs over ≤11 bucket
+    rows (aggregate-fed)."""
+    from pyspark.sql import Window  # noqa: F401 — parity with siblings
+
+    scores = nb_quality_score(spark, sf_dir)
+    pred = scores.filter(F.col("is_train") == 0).select(
+        "label_good",
+        "pred_good",
+        F.expr(
+            f"(1000 * abs(score_fx)) div (abs(score_fx) + {_CONF_C})"
+        ).alias("conf_milli"),
+    )
+    buckets = pred.groupBy(
+        F.expr("conf_milli div 100").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("pred_good") == F.col("label_good"), 1).otherwise(0)
         ).alias("n_correct"),
         F.sum("conf_milli").alias("sum_conf"),
     )

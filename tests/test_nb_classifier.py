@@ -141,6 +141,8 @@ ALL_NB = (
     "langid_ngram_train",
     "langid_ngram_classify",
     "langid_nb_calibration_ece",
+    "nb_quality_pr_curve",
+    "nb_quality_calibration_ece",
 )
 
 
