@@ -199,28 +199,33 @@ _MODEL_DUCK = f"""
 """
 
 
-def _model_df(spark, sf_dir):
-    """Spark twin of ``_MODEL_DUCK``: the vocab-capped NB model frame
-    (token, cnt_good, cnt_bad, llr_fx). Shapes: one explode + one
-    token-grain aggregation (map-side combine), a TakeOrdered vocab
-    cap, and a broadcast 1-row totals join — nothing corpus-global."""
-    docs = load_table(spark, sf_dir, "documents")
-    lab = docs.filter(F.col("doc_id") % 2 == 0).select(
+def token_counts_df(docs):
+    """UNCAPPED (token, cnt_good, cnt_bad) sufficient statistics of a
+    document frame — the additive unit of NB training (batch trains on
+    one aggregation of these; the streaming twin appends them per
+    micro-batch and sums, pipeline/streaming_nb.py)."""
+    lab = docs.select(
         F.expr("split(lower(text), ' ')").alias("ws"),
         F.expr(_label_spark("text")).alias("good"),
     )
-    cnt = (
+    return (
         lab.select(F.explode("ws").alias("token"), "good")
         .groupBy("token")
         .agg(
             F.sum("good").cast("long").alias("cnt_good"),
             F.sum(1 - F.col("good")).cast("long").alias("cnt_bad"),
         )
-        .orderBy(
-            F.desc(F.col("cnt_good") + F.col("cnt_bad")), F.asc("token")
-        )
-        .limit(VOCAB_K)
     )
+
+
+def model_from_counts(cnt_uncapped):
+    """(token, cnt_good, cnt_bad) → the vocab-capped model with
+    fixed-point llr: TakeOrdered cap, broadcast 1-row totals join,
+    ilog2 kernel. Shared verbatim by batch training and the streaming
+    counts registry so the two paths cannot drift."""
+    cnt = cnt_uncapped.orderBy(
+        F.desc(F.col("cnt_good") + F.col("cnt_bad")), F.asc("token")
+    ).limit(VOCAB_K)
     tot = cnt.agg(
         F.sum("cnt_good").cast("long").alias("ng"),
         F.sum("cnt_bad").cast("long").alias("nb"),
@@ -234,6 +239,17 @@ def _model_df(spark, sf_dir):
             f"({ilog2_spark('cnt_good + 1')} - {ilog2_spark('ng + v')})"
             f" - ({ilog2_spark('cnt_bad + 1')} - {ilog2_spark('nb + v')})"
         ).alias("llr_fx"),
+    )
+
+
+def _model_df(spark, sf_dir):
+    """Spark twin of ``_MODEL_DUCK``: the vocab-capped NB model frame
+    (token, cnt_good, cnt_bad, llr_fx). Shapes: one explode + one
+    token-grain aggregation (map-side combine), a TakeOrdered vocab
+    cap, and a broadcast 1-row totals join — nothing corpus-global."""
+    docs = load_table(spark, sf_dir, "documents")
+    return model_from_counts(
+        token_counts_df(docs.filter(F.col("doc_id") % 2 == 0))
     )
 
 
