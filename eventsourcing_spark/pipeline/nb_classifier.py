@@ -94,23 +94,37 @@ def ilog2_spark(x: str) -> str:
 
 def ilog2_duck(x: str) -> str:
     """DuckDB twin of ``ilog2_spark`` — the same integer recurrence
-    (list_reduce has no init arg, so the seed struct is prepended and
-    the list elements are ignored)."""
+    with the (m, r) state PACKED into one BIGINT accumulator
+    (``acc = m·2^F + r``; m ≤ 2^29 and r < 2^20 so acc < 2^50).
+
+    Why packed and not a struct accumulator: DuckDB 1.0.0's
+    ``list_reduce`` with a STRUCT-typed accumulator returns
+    context-dependent WRONG values — the same scalar input computes
+    correctly in one query shape and garbage in another (reproduced
+    10/10 on a 5-row VALUES list: 854 → 11130329 instead of 10211129,
+    plus an impossible 4.7e9² overflow, i.e. cross-row accumulator
+    contamination in the vectorized lambda). The BIGINT-packed form is
+    correct 10/10 in the failing context and over a 1..20000 sweep.
+    list_reduce has no init arg, so the packed seed is prepended and
+    the list elements are ignored."""
     b = f"(length(bin({x})) - 1)"
     m0 = (
         f"CASE WHEN {b} >= {ILOG_S}"
         f" THEN ({x})::BIGINT >> ({b} - {ILOG_S})"
         f" ELSE ({x})::BIGINT << ({ILOG_S} - {b}) END"
     )
-    return f"""({b} * {_P2F} + list_reduce(
-      list_concat([struct_pack(m := {m0}, r := 0::BIGINT)],
-        list_transform(generate_series(1, {ILOG_F}),
-                       i -> struct_pack(m := 0::BIGINT, r := 0::BIGINT))),
-      (a, z) -> CASE WHEN (a.m * a.m) // {_P2S} >= {_P2S1}
-        THEN struct_pack(m := ((a.m * a.m) // {_P2S}) >> 1,
-                         r := a.r * 2 + 1)
-        ELSE struct_pack(m := (a.m * a.m) // {_P2S}, r := a.r * 2) END
-    ).r)"""
+    mm = f"(((a >> {ILOG_F}) * (a >> {ILOG_F})) >> {ILOG_S})"
+    step = (
+        f"CASE WHEN {mm} >= {_P2S1}"
+        f" THEN (({mm} >> 1) << {ILOG_F}) + (a & {_P2F - 1}) * 2 + 1"
+        f" ELSE ({mm} << {ILOG_F}) + (a & {_P2F - 1}) * 2 END"
+    )
+    return (
+        f"({b} * {_P2F} + (list_reduce("
+        f"list_concat([({m0}) << {ILOG_F}],"
+        f" list_transform(generate_series(1, {ILOG_F}), i -> 0::BIGINT)),"
+        f" (a, z) -> {step}) & {_P2F - 1}))"
+    )
 
 
 def ilog2_py(x: int) -> int:
@@ -941,3 +955,81 @@ def nb_quality_calibration_ece(spark, sf_dir):
         .cast("long")
         .alias("ece_ppm"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Unigram cross-entropy in exact fixed-point BITS — the CCNet/Wenzek
+# 2020 perplexity-family quality signal (low bits/token = formulaic or
+# boilerplate text, high = rare-token soup), here against the corpus's
+# own unigram LM so no trained artifact is needed. The existing
+# rare_token_score / bigram_lm_score express LM familiarity as count
+# RATIOS; this is the log-space form every LM-filter paper reports,
+# made oracle-exact by the ilog2 kernel: per token instance the
+# surprisal is ilog2(N) − ilog2(c_t) (fixed-point bits, no smoothing
+# needed — every scored token is in the corpus by construction).
+#
+# Scale shape: instances pre-aggregate to (doc, token) pairs map-side,
+# join the vocab-grain freq table on token (AQE picks broadcast vs
+# shuffle by actual vocab size — Zipf corpora keep it small), then one
+# doc-grain rollup. The surplus ilog2 runs once per VOCAB row, not per
+# instance.
+# ---------------------------------------------------------------------------
+@query(
+    "unigram_xent_bits",
+    f"""
+    WITH inst AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    dt AS (
+        SELECT doc_id, token, count(*) AS n_dt
+        FROM inst GROUP BY doc_id, token
+    ),
+    freq AS MATERIALIZED (
+        SELECT token, count(*) AS c FROM inst GROUP BY token
+    ),
+    nn AS (
+        SELECT sum(c)::BIGINT AS n,
+               {ilog2_duck("sum(c)")} AS ilog_n
+        FROM freq
+    ),
+    fl AS (SELECT token, {ilog2_duck("c")} AS ilog_c FROM freq)
+    SELECT d.doc_id,
+           CAST(sum(d.n_dt) AS BIGINT) AS n_tok,
+           CAST(sum(d.n_dt * (nn.ilog_n - f.ilog_c)) AS BIGINT) AS xent_fx,
+           CAST((1000 * sum(d.n_dt * (nn.ilog_n - f.ilog_c)))
+                // (sum(d.n_dt) * {_P2F}) AS BIGINT) AS bits_per_tok_milli
+    FROM dt d JOIN fl f ON f.token = d.token CROSS JOIN nn
+    GROUP BY d.doc_id
+    """,
+)
+def unigram_xent_bits(spark, sf_dir):
+    """Per-document unigram cross-entropy: total fixed-point bits and
+    milli-bits-per-token against the corpus unigram distribution —
+    the exact-integer stand-in for the LM-perplexity filter."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    inst = docs.select(
+        "doc_id", F.explode(F.expr("split(lower(text), ' ')")).alias("token")
+    )
+    dt = inst.groupBy("doc_id", "token").agg(F.count("*").alias("n_dt"))
+    freq = inst.groupBy("token").agg(F.count("*").alias("c"))
+    nn = freq.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.expr(ilog2_spark("sum(c)")).alias("ilog_n"),
+    )
+    fl = freq.select("token", F.expr(ilog2_spark("c")).alias("ilog_c"))
+    return (
+        dt.join(fl, "token")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_dt").cast("long").alias("n_tok"),
+            F.sum(F.col("n_dt") * (F.col("ilog_n") - F.col("ilog_c")))
+            .cast("long")
+            .alias("xent_fx"),
+            F.expr(
+                f"CAST((1000 * sum(n_dt * (ilog_n - ilog_c)))"
+                f" div (sum(n_dt) * {_P2F}) AS BIGINT)"
+            ).alias("bits_per_tok_milli"),
+        )
+    )

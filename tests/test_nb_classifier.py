@@ -33,6 +33,26 @@ def test_ilog2_py_accuracy_and_monotonicity():
     assert ilog2_py(2**62) == 62 * 2**ILOG_F
 
 
+def test_ilog2_duck_regression_struct_reduce_bug():
+    """Pin the DuckDB 1.0.0 list_reduce bug workaround: the 5-row
+    VALUES context where a STRUCT accumulator returned wrong values
+    10/10 (854 → 11130329 instead of 10211129; cross-row accumulator
+    contamination). The packed-BIGINT form must be exact here and over
+    a wide sweep, on repeated trials."""
+    con = duckdb.connect()
+    for _ in range(5):
+        rows = con.sql(
+            f"SELECT x, {ilog2_duck('x')} FROM (VALUES (854), (937),"
+            " (943), (896), (910)) t(x)"
+        ).fetchall()
+        for x, il in rows:
+            assert il == ilog2_py(x), (x, il)
+    rows = con.sql(
+        f"SELECT x, {ilog2_duck('x')} FROM range(1, 20001) t(x)"
+    ).fetchall()
+    assert all(il == ilog2_py(x) for x, il in rows)
+
+
 def test_ilog2_engines_match_python(spark):
     exprs = ", ".join(
         f"({ilog2_spark(str(x))}) AS v{i}" for i, x in enumerate(SAMPLE_XS)
