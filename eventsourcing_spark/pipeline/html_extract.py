@@ -404,6 +404,50 @@ _RAW_URL_SPARK = """
 # two engines share verbatim.
 _RAW_URL_DUCK = _RAW_URL_SPARK
 
+# Oracle-side canonical form, derived arithmetically from the injection
+# rules (shared by url_canonical_dedup and the composed curation gate).
+CANON_URL_DUCK = """
+    CASE WHEN doc_id % 8 = 5
+         THEN 'http://h' || (doc_id % 4) || '.example.com/a/'
+              || (doc_id % 7)
+         WHEN doc_id % 8 = 2
+         THEN 'https://h' || (doc_id % 4)
+              || '.example.com:8080/a/' || (doc_id % 7)
+         WHEN doc_id % 8 IN (3, 4, 7)
+         THEN 'https://h' || (doc_id % 4) || '.example.com/a/'
+              || (doc_id % 7) || '?a=' || (doc_id % 7 % 3)
+              || '&b=2'
+         ELSE 'https://h' || (doc_id % 4) || '.example.com/a/'
+              || (doc_id % 7)
+    END
+"""
+
+
+def canonical_url_col():
+    """The REAL canonicalizer as a Column over the injected raw URL —
+    exposed for composition (classifier-gated curation)."""
+    scheme = F.lower(F.parse_url(F.expr(_RAW_URL_SPARK), F.lit("PROTOCOL")))
+    auth = F.lower(F.parse_url(F.expr(_RAW_URL_SPARK), F.lit("AUTHORITY")))
+    port = F.regexp_extract(auth, ":([0-9]+)$", 1)
+    host = F.regexp_replace(auth, ":[0-9]+$", "")
+    keep_port = (
+        (port != "")
+        & ~((scheme == "https") & (port == "443"))
+        & ~((scheme == "http") & (port == "80"))
+    )
+    path = F.parse_url(F.expr(_RAW_URL_SPARK), F.lit("PATH"))
+    q = F.parse_url(F.expr(_RAW_URL_SPARK), F.lit("QUERY"))
+    qsorted = F.array_join(F.array_sort(F.split(q, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
+        path,
+        F.when(q.isNotNull() & (q != ""), F.concat(F.lit("?"), qsorted))
+        .otherwise(""),
+    )
+
 
 @query(
     "url_canonical_dedup",
@@ -411,19 +455,7 @@ _RAW_URL_DUCK = _RAW_URL_SPARK
     WITH u AS (
         SELECT doc_id,
                {_RAW_URL_DUCK} AS raw_url,
-               CASE WHEN doc_id % 8 = 5
-                    THEN 'http://h' || (doc_id % 4) || '.example.com/a/'
-                         || (doc_id % 7)
-                    WHEN doc_id % 8 = 2
-                    THEN 'https://h' || (doc_id % 4)
-                         || '.example.com:8080/a/' || (doc_id % 7)
-                    WHEN doc_id % 8 IN (3, 4, 7)
-                    THEN 'https://h' || (doc_id % 4) || '.example.com/a/'
-                         || (doc_id % 7) || '?a=' || (doc_id % 7 % 3)
-                         || '&b=2'
-                    ELSE 'https://h' || (doc_id % 4) || '.example.com/a/'
-                         || (doc_id % 7)
-               END AS canonical_url
+               {CANON_URL_DUCK} AS canonical_url
         FROM documents
     )
     SELECT canonical_url,
@@ -442,35 +474,12 @@ def url_canonical_dedup(spark, sf_dir):
     exchange is the canonical-grain aggregate — at 100 TB this is the
     same shape as exact-hash dedup with a far cheaper key."""
     docs = load_table(spark, sf_dir, "documents")
-    u = docs.select("doc_id", F.expr(_RAW_URL_SPARK).alias("raw_url"))
-    scheme = F.lower(F.parse_url("raw_url", F.lit("PROTOCOL")))
-    auth = F.lower(F.parse_url("raw_url", F.lit("AUTHORITY")))
-    port = F.regexp_extract(auth, ":([0-9]+)$", 1)
-    host = F.regexp_replace(auth, ":[0-9]+$", "")
-    keep_port = (
-        (port != "")
-        & ~((scheme == "https") & (port == "443"))
-        & ~((scheme == "http") & (port == "80"))
-    )
-    path = F.parse_url("raw_url", F.lit("PATH"))
-    qsorted = F.array_join(
-        F.array_sort(F.split(F.parse_url("raw_url", F.lit("QUERY")), "&")),
-        "&",
-    )
-    canon = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
-        path,
-        F.when(
-            F.parse_url("raw_url", F.lit("QUERY")).isNotNull()
-            & (F.parse_url("raw_url", F.lit("QUERY")) != ""),
-            F.concat(F.lit("?"), qsorted),
-        ).otherwise(""),
-    )
     return (
-        u.select("doc_id", "raw_url", canon.alias("canonical_url"))
+        docs.select(
+            "doc_id",
+            F.expr(_RAW_URL_SPARK).alias("raw_url"),
+            canonical_url_col().alias("canonical_url"),
+        )
         .groupBy("canonical_url")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

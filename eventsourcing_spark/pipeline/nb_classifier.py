@@ -1033,3 +1033,91 @@ def unigram_xent_bits(spark, sf_dir):
             ).alias("bits_per_tok_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier-gated curation — the composed round-7 stage: apply the
+# trained NB quality gate, then canonical-URL first-occurrence dedup
+# among the survivors, and report per-source retention. This is the
+# "wire the trained gate into the pipeline" end-state (the analog of
+# curation_pipeline's dedup→quality→split chain, with a TRAINED model
+# in the quality slot); both engines derive the verdict per doc and
+# aggregate to source grain, so one flipped gate decision or one wrong
+# dedup keeper shifts the counts and fails the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "classifier_gated_curation",
+    f"""
+    WITH {_MODEL_DUCK},
+    {_SCORES_DUCK},
+    gated AS MATERIALIZED (
+        SELECT d.doc_id, d.source,
+               CASE WHEN s.score_fx >= 0 THEN 1 ELSE 0 END AS kept_gate,
+               {{canon}} AS canonical_url
+        FROM documents d
+        JOIN (SELECT doc_id AS s_doc_id, score_fx FROM scored) s
+          ON s.s_doc_id = d.doc_id
+    ),
+    dedup AS (
+        SELECT *,
+               CASE WHEN kept_gate = 1 AND doc_id = min(CASE WHEN
+                        kept_gate = 1 THEN doc_id END)
+                        OVER (PARTITION BY canonical_url)
+                    THEN 1 ELSE 0 END AS kept_final
+        FROM gated
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(1 - kept_gate) AS BIGINT) AS n_gated_out,
+           CAST(sum(kept_gate) - sum(kept_final) AS BIGINT)
+             AS n_url_dup_out,
+           CAST(sum(kept_final) AS BIGINT) AS n_kept
+    FROM dedup
+    GROUP BY source
+    """.replace("{canon}", __import__(
+        "eventsourcing_spark.pipeline.html_extract",
+        fromlist=["CANON_URL_DUCK"],
+    ).CANON_URL_DUCK),
+)
+def classifier_gated_curation(spark, sf_dir):
+    """Per-source retention through the composed gate: NB quality
+    verdict (map-only vs the broadcast model) → canonical-URL
+    first-occurrence dedup among gate survivors (min doc_id per
+    canonical, a keyed window at canonical grain) → one ≤|sources|
+    aggregate. At 100 TB the chain is the scoring scan + one
+    canonical-grain shuffle — the same exchanges the two component
+    queries pay, fused into one plan."""
+    from pyspark.sql import Window
+
+    from eventsourcing_spark.pipeline.html_extract import canonical_url_col
+
+    scores = nb_quality_score(spark, sf_dir).select("doc_id", "score_fx")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    gated = docs.join(scores, "doc_id").select(
+        "doc_id",
+        "source",
+        F.when(F.col("score_fx") >= 0, 1).otherwise(0).alias("kept_gate"),
+        canonical_url_col().alias("canonical_url"),
+    )
+    w = Window.partitionBy("canonical_url")
+    dedup = gated.withColumn(
+        "kept_final",
+        F.when(
+            (F.col("kept_gate") == 1)
+            & (
+                F.col("doc_id")
+                == F.min(
+                    F.when(F.col("kept_gate") == 1, F.col("doc_id"))
+                ).over(w)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return dedup.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(1 - F.col("kept_gate")).cast("long").alias("n_gated_out"),
+        (F.sum("kept_gate") - F.sum("kept_final"))
+        .cast("long")
+        .alias("n_url_dup_out"),
+        F.sum("kept_final").cast("long").alias("n_kept"),
+    )
