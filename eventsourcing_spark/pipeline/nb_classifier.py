@@ -267,6 +267,38 @@ def _model_df(spark, sf_dir):
     )
 
 
+def prior_df(train_docs):
+    """One-row (prior_fx) frame: the fixed-point log class-prior ratio
+    of a training frame."""
+    return train_docs.select(
+        F.expr(_label_spark("text")).alias("good")
+    ).agg(
+        F.expr(
+            f"{ilog2_spark('sum(good) + 1')}"
+            f" - {ilog2_spark('sum(1 - good) + 1')}"
+        ).alias("prior_fx")
+    )
+
+
+def score_docs(docs, model, prior):
+    """THE scoring pass, shared by the batch gate query and the
+    streaming ingest gate (pipeline/streaming_quality_gate.py) so the
+    two paths cannot drift: explode token instances → broadcast hash
+    join against the (token, llr_fx) model → doc-grain partial
+    aggregation → original columns + ``tok_sum``/``prior_fx``. The big
+    side never shuffles rows; the only exchange carries one row per
+    document."""
+    inst = docs.select(
+        "doc_id", F.explode(F.expr("split(lower(text), ' ')")).alias("token")
+    )
+    persum = (
+        inst.join(F.broadcast(model.select("token", "llr_fx")), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("llr_fx").cast("long").alias("tok_sum"))
+    )
+    return docs.join(persum, "doc_id", "left").crossJoin(F.broadcast(prior))
+
+
 @query(
     "nb_quality_train",
     f"""
@@ -328,29 +360,10 @@ def nb_quality_score(spark, sf_dir):
     the same explode + join."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     model = _model_df(spark, sf_dir)
-    prior = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 2 == 0)
-        .select(F.expr(_label_spark("text")).alias("good"))
-        .agg(
-            F.expr(
-                f"{ilog2_spark('sum(good) + 1')}"
-                f" - {ilog2_spark('sum(1 - good) + 1')}"
-            ).alias("prior_fx")
-        )
+    prior = prior_df(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     )
-    inst = docs.select(
-        "doc_id", F.explode(F.expr("split(lower(text), ' ')")).alias("token")
-    )
-    persum = (
-        inst.join(F.broadcast(model.select("token", "llr_fx")), "token")
-        .groupBy("doc_id")
-        .agg(F.sum("llr_fx").cast("long").alias("tok_sum"))
-    )
-    return (
-        docs.join(persum, "doc_id", "left")
-        .crossJoin(F.broadcast(prior))
-        .select(
+    return score_docs(docs, model, prior).select(
             "doc_id",
             F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END")
             .cast("long")
@@ -367,7 +380,6 @@ def nb_quality_score(spark, sf_dir):
             .otherwise(0)
             .cast("long")
             .alias("pred_good"),
-        )
     )
 
 
