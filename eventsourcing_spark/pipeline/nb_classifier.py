@@ -1133,3 +1133,135 @@ def classifier_gated_curation(spark, sf_dir):
         .alias("n_url_dup_out"),
         F.sum("kept_final").cast("long").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick NB — the vocab-cap-free scaling variant (Weinberger et
+# al. 2009, fastText's bucket hashing): tokens hash into a FIXED
+# 2^14-bucket feature space, so the model's size is a constant
+# regardless of corpus vocabulary — no TakeOrdered cap, no
+# frequency-ordering pass, and the broadcast bound holds by
+# construction at any scale. Collisions merge rare features (the
+# documented trade); the md5-prefix bucket hash is byte-identical in
+# both engines (CAST(conv(substr(md5(t),1,8),16,10)) ==
+# ('0x'||substr(md5(t),1,8))::BIGINT, verified). Same train/score
+# shapes as the exact-vocab model: one bucket-grain aggregation to
+# train, broadcast-hash-join + doc-grain partial agg to score.
+# ---------------------------------------------------------------------------
+HASH_BUCKETS = 1 << 14
+
+
+@query(
+    "nb_quality_hashed_score",
+    f"""
+    WITH lab AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws,
+               {_label_duck("text")} AS good
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    tok AS (
+        SELECT ('0x' || substr(md5(unnest(ws)), 1, 8))::BIGINT
+                 % {HASH_BUCKETS} AS bucket,
+               good
+        FROM lab
+    ),
+    hcnt AS MATERIALIZED (
+        SELECT bucket,
+               sum(good)::BIGINT AS cnt_good,
+               sum(1 - good)::BIGINT AS cnt_bad
+        FROM tok GROUP BY bucket
+    ),
+    htot AS (
+        SELECT sum(cnt_good)::BIGINT AS ng, sum(cnt_bad)::BIGINT AS nb,
+               count(*)::BIGINT AS v
+        FROM hcnt
+    ),
+    hmodel AS MATERIALIZED (
+        SELECT bucket,
+               ({ilog2_duck("cnt_good + 1")} - {ilog2_duck("ng + v")})
+               - ({ilog2_duck("cnt_bad + 1")} - {ilog2_duck("nb + v")})
+                 AS llr_fx
+        FROM hcnt, htot
+    ),
+    hprior AS (
+        SELECT {ilog2_duck("sum(good) + 1")}
+               - {ilog2_duck("sum(1 - good) + 1")} AS prior_fx
+        FROM lab
+    ),
+    dinst AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(unnest(string_split(lower(text), ' '))),
+                               1, 8))::BIGINT % {HASH_BUCKETS} AS bucket
+        FROM documents
+    ),
+    dsum AS (
+        SELECT i.doc_id, sum(m.llr_fx)::BIGINT AS tok_sum
+        FROM dinst i JOIN hmodel m ON i.bucket = m.bucket
+        GROUP BY i.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_train,
+           CAST(coalesce(s.tok_sum, 0) + p.prior_fx AS BIGINT) AS score_fx,
+           CAST(CASE WHEN coalesce(s.tok_sum, 0) + p.prior_fx >= 0
+                THEN 1 ELSE 0 END AS BIGINT) AS pred_good
+    FROM documents d
+    LEFT JOIN dsum s ON s.doc_id = d.doc_id
+    CROSS JOIN hprior p
+    """,
+)
+def nb_quality_hashed_score(spark, sf_dir):
+    """Score every document with the hashed-feature NB model — the
+    constant-memory variant of nb_quality_score whose model is bounded
+    by the 2^14 hash space instead of a frequency-ordered vocab cap.
+    At 100 TB this removes the cap's ordering pass entirely: training
+    is one bucket-grain aggregation whose key domain never grows."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    bucket = (
+        f"CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)"
+        f" % {HASH_BUCKETS}"
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    tok = train.select(
+        F.explode(F.expr("split(lower(text), ' ')")).alias("token"),
+        F.expr(_label_spark("text")).alias("good"),
+    ).select(F.expr(bucket).alias("bucket"), "good")
+    hcnt = tok.groupBy("bucket").agg(
+        F.sum("good").cast("long").alias("cnt_good"),
+        F.sum(1 - F.col("good")).cast("long").alias("cnt_bad"),
+    )
+    htot = hcnt.agg(
+        F.sum("cnt_good").cast("long").alias("ng"),
+        F.sum("cnt_bad").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("v"),
+    )
+    hmodel = hcnt.crossJoin(F.broadcast(htot)).select(
+        "bucket",
+        F.expr(
+            f"({ilog2_spark('cnt_good + 1')} - {ilog2_spark('ng + v')})"
+            f" - ({ilog2_spark('cnt_bad + 1')} - {ilog2_spark('nb + v')})"
+        ).alias("llr_fx"),
+    )
+    prior = prior_df(train)
+    dinst = docs.select(
+        "doc_id",
+        F.explode(F.expr("split(lower(text), ' ')")).alias("token"),
+    ).select("doc_id", F.expr(bucket).alias("bucket"))
+    dsum = (
+        dinst.join(F.broadcast(hmodel), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("llr_fx").cast("long").alias("tok_sum"))
+    )
+    score = F.coalesce(F.col("tok_sum"), F.lit(0)) + F.col("prior_fx")
+    return (
+        docs.join(dsum, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END")
+            .cast("long")
+            .alias("is_train"),
+            score.cast("long").alias("score_fx"),
+            F.when(score >= 0, 1).otherwise(0).cast("long").alias("pred_good"),
+        )
+    )

@@ -163,6 +163,7 @@ ALL_NB = (
     "langid_nb_calibration_ece",
     "nb_quality_pr_curve",
     "nb_quality_calibration_ece",
+    "nb_quality_hashed_score",
 )
 
 
