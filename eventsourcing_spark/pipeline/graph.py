@@ -38,7 +38,9 @@ fires on true duplicate pileups, not on corpus growth.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -120,16 +122,34 @@ def _edges_sql(directed: bool = False) -> str:
 # per-query oracle independence is untouched.
 _MEMO: dict = {}
 
+# Fingerprint cache: walking + stat-ing every parquet file under sf_dir
+# on EVERY _memoized call (including hits) is per-query driver latency
+# that grows with file count and is expensive on slow filesystems. The
+# listing is re-checked at most once per _FP_TTL seconds per sf_dir;
+# mutations inside the window are served stale until the TTL lapses or
+# ``invalidate_graph_memo()`` (the documented escape hatch) is called.
+_FP_CACHE: dict = {}
+_FP_TTL = 30.0
+
 
 def invalidate_graph_memo() -> None:
     """Drop every memoized frame (test hooks, data-regeneration flows)."""
     _MEMO.clear()
+    _FP_CACHE.clear()
 
 
 def _source_fingerprint(sf_dir: str):
-    """Order-free hash of the sf_dir parquet listing, or None when the
+    """Order-free digest of the sf_dir parquet listing, or None when the
     path is not driver-stat-able (object store) — key degrades to
-    path-only for those."""
+    path-only for those. An empty-but-statable directory gets its own
+    sentinel (distinct from un-statable) so files appearing later miss
+    the memo. The digest is a content md5, never Python's salted
+    hash(), so it would stay meaningful even if a key ever escaped the
+    process. Cached per sf_dir for _FP_TTL seconds."""
+    now = time.monotonic()
+    hit = _FP_CACHE.get(sf_dir)
+    if hit is not None and now - hit[0] < _FP_TTL:
+        return hit[1]
     try:
         entries = []
         for root, _dirs, files in os.walk(sf_dir):
@@ -141,10 +161,15 @@ def _source_fingerprint(sf_dir: str):
                          st.st_size, st.st_mtime_ns)
                     )
         if not entries:
-            return None
-        return hash(frozenset(entries))
+            fp = "empty" if os.path.isdir(sf_dir) else None
+        else:
+            fp = hashlib.md5(
+                repr(sorted(entries)).encode()
+            ).hexdigest()
     except OSError:
-        return None
+        fp = None
+    _FP_CACHE[sf_dir] = (now, fp)
+    return fp
 
 
 def _memoized(spark, key, build):

@@ -339,11 +339,15 @@ def nb_quality_train(spark, sf_dir):
            CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
              AS is_train,
            CAST({_label_duck("d.text")} AS BIGINT) AS label_good,
-           CAST(p.tok_sum + pr.prior_fx AS BIGINT) AS score_fx,
-           CAST(CASE WHEN p.tok_sum + pr.prior_fx >= 0 THEN 1 ELSE 0 END
+           CAST(coalesce(p.tok_sum, 0) + pr.prior_fx AS BIGINT) AS score_fx,
+           CAST(CASE WHEN coalesce(p.tok_sum, 0) + pr.prior_fx >= 0
+                     THEN 1 ELSE 0 END
                 AS BIGINT) AS pred_good
+    -- LEFT JOIN: a NULL-text document has no token rows and would be
+    -- dropped by an inner join, while the Spark twin keeps it via
+    -- left join + coalesce(tok_sum, 0).
     FROM documents d
-    JOIN persum p ON p.doc_id = d.doc_id
+    LEFT JOIN persum p ON p.doc_id = d.doc_id
     CROSS JOIN prior pr
     """,
 )
@@ -814,9 +818,9 @@ _SCORES_DUCK = f"""
         SELECT d.doc_id,
                CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_train,
                {_label_duck("d.text")} AS label_good,
-               p.tok_sum + pr.prior_fx AS score_fx
+               coalesce(p.tok_sum, 0) + pr.prior_fx AS score_fx
         FROM documents d
-        JOIN persum p ON p.doc_id = d.doc_id
+        LEFT JOIN persum p ON p.doc_id = d.doc_id
         CROSS JOIN prior pr
     )
 """

@@ -1944,10 +1944,14 @@ SUBSTR_SEL = 16  # winnowing selection window
     -- window-function winnowing (min over a 16-row moving frame is the
     -- O(n) monotonic-deque path; the list_slice form measured 2.5x the
     -- whole gate query). Fixed position series + correlated WHERE
-    -- (generate_series takes no lateral args); 4096 covers the corpus'
-    -- max document length with 7x headroom — oracle-side bound only,
-    -- the Spark side has no position cap.
-    WITH pos AS (SELECT unnest(generate_series(0, 4095)) AS i),
+    -- (generate_series takes no lateral args); the position domain is
+    -- derived from the corpus's longest document (NOT a fixed literal:
+    -- a fixed cap silently truncates any doc beyond it and diverges
+    -- from the uncapped Spark side — same rule as c4's line bound).
+    WITH pos AS (
+        SELECT unnest(generate_series(0, (
+            SELECT coalesce(max(length(text)), 1) FROM documents) - 1)) AS i
+    ),
     wins AS (
         SELECT doc_id, i,
                length(text) - {SUBSTR_CAND} + 1 AS nwin,

@@ -279,6 +279,13 @@ def test_graph_memo_fingerprints_and_invalidation(spark, tmp_path):
     time.sleep(0.01)
     with open(p, "wb") as f:  # regenerate the data in-session
         f.write(b"v2-bytes!")
+    # the fingerprint is TTL-cached (round-8 ADVICE: don't re-walk the
+    # listing on every hit) — inside the TTL the memo serves stale...
+    c = g._memoized(spark, ("edges", d, False), build)
+    assert c is a and calls["n"] == 1
+    # ...and expiring the cache (simulating TTL lapse) re-fingerprints
+    # and misses; invalidate_graph_memo() is the immediate escape hatch.
+    g._FP_CACHE.clear()
     c = g._memoized(spark, ("edges", d, False), build)
     assert c is not a and calls["n"] == 2
     # the superseded entry was evicted, not just shadowed

@@ -174,6 +174,15 @@ def main() -> int:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     # optional query-name filter: stress only the named queries
     only = set(sys.argv[3:])
+    unknown = only - set(STRESS_QUERIES)
+    if unknown:
+        # a typo must fail loudly, not print a successful 0-query run
+        print(
+            f"unknown stress queries: {sorted(unknown)}; "
+            f"known: {sorted(STRESS_QUERIES)}",
+            file=sys.stderr,
+        )
+        return 2
     queries = (
         [q for q in STRESS_QUERIES if q in only] if only
         else list(STRESS_QUERIES)
