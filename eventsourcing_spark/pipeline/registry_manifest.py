@@ -1,0 +1,395 @@
+"""Manifest-committed storage for the streaming-curation registries.
+
+Round-7 VERDICT directive #1: the ingest registries (streaming_dedup's
+md5 set, streaming_neardup's band set, streaming_incremental's pair of
+sets, streaming_nb's additive counts) were bare parquet directories —
+writers appended files, readers listed the directory, and compaction
+swapped the whole directory under a quiescence contract enforced only
+by a loud abort. Two structural problems at scale:
+
+* a reader listing a directory mid-swap sees a missing path for a
+  moment and would treat the registry as empty for that batch;
+* compaction can never run while ingest is live, because a file
+  appended between its scan and its swap would be deleted silently.
+
+The manifest protocol removes both. A registry directory holds
+immutable DATA UNITS (each one parquet directory written exactly once)
+plus a ``_manifests/`` log of versioned JSON manifests:
+
+    reg/
+      _manifests/v000000000001.json   {"version":1,"files":[...],
+                                       "epochs":{...}}
+      _manifests/v000000000002.json
+      data-4f2a.../part-*.parquet     (one dir per committed append)
+      compact-9c1b.../part-*.parquet  (compaction rewrites)
+
+* Writers append a new data unit, then COMMIT: atomically create
+  manifest version N+1 whose file list is (latest manifest's files +
+  the new unit). The create is ``os.link`` of a fully-written temp
+  file onto the versioned name — atomic on POSIX, and it FAILS if the
+  version already exists, which is the optimistic-concurrency
+  primitive: on conflict the committer re-reads the latest manifest
+  and retries, so concurrent appends serialize without locks. (On an
+  object store, swap this primitive for a conditional PUT /
+  put-if-absent; the protocol is otherwise unchanged.)
+* Readers read the NEWEST manifest and scan exactly the units it
+  lists — never a raw directory listing, so a reader can never see a
+  half-committed append or a mid-compaction hole.
+* Compaction rewrites the units of manifest version N into one compact
+  unit, then commits with the same retry loop: if appends landed while
+  it rewrote (latest is now M > N), the new manifest carries the
+  compact unit PLUS every unit committed after N — nothing is lost, no
+  abort, no quiescence contract. Superseded units stay on disk until
+  ``vacuum_registry`` removes unreferenced units older than a grace
+  period (protecting readers that pinned an older manifest).
+
+Exactly-once for ADDITIVE registries (streaming_nb counts): an append
+may carry an ``epoch_key``; the manifest's ``epochs`` map records which
+units each epoch owns, and committing the same epoch again REPLACES
+that epoch's units (foreachBatch replays a failed batch under the same
+epoch id, so the retry overwrites its own partial output instead of
+double-counting). Counts compaction folds every epoch EXCEPT the
+newest — the only one Structured Streaming can still replay — and
+retains folded epoch keys with an empty unit list as tombstones.
+
+Legacy layout: a registry written before this protocol (or by tests
+that hand-place parquet files) has data at the top level and no
+``_manifests/``. ``read_registry`` falls back to the raw-directory
+read for those, and the first manifest commit on such a directory
+adopts the existing top-level parquet files as unit zero, so old
+registries upgrade in place on their next append or compaction.
+
+Scale shape: the manifest is a single small JSON (thousands of unit
+names at most between compactions); reading it is one driver-side
+stat+read, far cheaper than the per-file listing a raw directory scan
+pays. Data units are immutable, so the parquet footprint works on any
+Hadoop-compatible filesystem; only the commit primitive is
+POSIX-specific here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MANIFESTS = "_manifests"
+_COMMIT_RETRIES = 64
+
+
+def _manifest_dir(reg_dir: str) -> str:
+    return os.path.join(reg_dir, _MANIFESTS)
+
+
+def _manifest_path(reg_dir: str, version: int) -> str:
+    return os.path.join(_manifest_dir(reg_dir), f"v{version:012d}.json")
+
+
+def latest_manifest(reg_dir: str) -> dict:
+    """The newest committed manifest, or the empty v0 when none exists.
+
+    Shape: {"version": int, "files": [unit, ...], "epochs": {key: [unit,
+    ...]}} — ``files`` is the complete live unit list (epoch-owned units
+    included); ``epochs`` only adds ownership for replace-on-retry."""
+    mdir = _manifest_dir(reg_dir)
+    try:
+        names = [
+            n for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".json")
+        ]
+    except FileNotFoundError:
+        return {"version": 0, "files": [], "epochs": {}}
+    if not names:
+        return {"version": 0, "files": [], "epochs": {}}
+    with open(os.path.join(mdir, max(names)), encoding="utf-8") as f:
+        m = json.load(f)
+    m.setdefault("epochs", {})
+    return m
+
+
+def _adopt_legacy_units(reg_dir: str) -> list[str]:
+    """Top-level parquet part files of a pre-manifest registry — adopted
+    as units by the first commit so old registries upgrade in place."""
+    try:
+        return sorted(
+            n for n in os.listdir(reg_dir)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        )
+    except FileNotFoundError:
+        return []
+
+
+def commit(
+    reg_dir: str,
+    add_units: list[str],
+    remove_units: tuple[str, ...] | list[str] = (),
+    epoch_key: str | None = None,
+    expect_version: int | None = None,
+) -> dict:
+    """Atomically publish a new manifest; returns it.
+
+    Optimistic-concurrency loop: build the next manifest from the
+    CURRENT latest (adopting legacy top-level files on the very first
+    commit), write it to a temp file, and ``os.link`` it onto the next
+    version number. A concurrent committer winning the link makes this
+    one re-read and retry — every retry re-derives the file list, so no
+    committed unit is ever dropped. With ``epoch_key``, units previously
+    owned by that epoch are replaced (idempotent foreachBatch retry).
+    ``expect_version`` (compaction) bounds which units ``remove_units``
+    may target; it does NOT abort on newer versions — later appends are
+    merged in, which is the whole point."""
+    os.makedirs(_manifest_dir(reg_dir), exist_ok=True)
+    last_err: Exception | None = None
+    for _ in range(_COMMIT_RETRIES):
+        cur = latest_manifest(reg_dir)
+        if cur["version"] == 0:
+            cur["files"] = _adopt_legacy_units(reg_dir)
+        files = [u for u in cur["files"] if u not in set(remove_units)]
+        epochs = {
+            k: [u for u in v if u not in set(remove_units)]
+            for k, v in cur["epochs"].items()
+        }
+        if epoch_key is not None:
+            stale = set(epochs.get(epoch_key, []))
+            files = [u for u in files if u not in stale]
+            epochs[epoch_key] = list(add_units)
+        files = files + [u for u in add_units if u not in files]
+        nxt = {
+            "version": cur["version"] + 1,
+            "files": files,
+            "epochs": epochs,
+        }
+        tmp = os.path.join(
+            _manifest_dir(reg_dir), f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(nxt, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _manifest_path(reg_dir, nxt["version"]))
+            return nxt
+        except FileExistsError as e:  # lost the race — merge and retry
+            last_err = e
+            continue
+        finally:
+            os.unlink(tmp)
+    raise RuntimeError(
+        f"manifest commit lost {_COMMIT_RETRIES} consecutive races on "
+        f"{reg_dir}"
+    ) from last_err
+
+
+def read_registry(spark, reg_dir: str, schema: str) -> DataFrame:
+    """Registry frame per the newest manifest; the empty frame when the
+    registry holds nothing yet. Pre-manifest directories (data at the
+    top level, no ``_manifests/``) read via the raw-directory fallback.
+
+    Never lists raw data paths when a manifest exists, so concurrent
+    appends and compactions are invisible mid-flight."""
+    if os.path.isdir(_manifest_dir(reg_dir)):
+        m = latest_manifest(reg_dir)
+        paths = [os.path.join(reg_dir, u) for u in m["files"]]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+    # Legacy / hand-written registry: raw read, empty frame on missing.
+    from eventsourcing_spark.pipeline.streaming_dedup import (
+        _is_missing_registry,
+    )
+
+    try:
+        return spark.read.schema(schema).parquet(reg_dir)
+    except Exception as e:  # noqa: BLE001 — classify, re-raise real errors
+        if _is_missing_registry(e):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+def append_df(
+    df: DataFrame, reg_dir: str, epoch_key: str | None = None
+) -> dict:
+    """Write ``df`` as a new immutable unit, then commit it. Returns the
+    committed manifest. With ``epoch_key``, the commit replaces any unit
+    the same epoch committed before (exactly-once for additive deltas
+    under foreachBatch retry)."""
+    unit = f"data-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(os.path.join(reg_dir, unit))
+    return commit(reg_dir, [unit], epoch_key=epoch_key)
+
+
+def _key_fingerprint(df: DataFrame, key_cols: list[str]) -> tuple[int, int]:
+    """(distinct key count, order-free fingerprint): sum of 40-bit md5
+    slices over the concatenated key — the compact_events idiom."""
+    keyed = df.select(
+        F.md5(F.concat_ws("\x1f", *key_cols)).alias("k")
+    ).distinct()
+    fp = F.conv(F.substring(F.col("k"), 1, 10), 16, 10).cast("long")
+    row = keyed.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum(fp), F.lit(0)).alias("s")
+    ).first()
+    return int(row.n), int(row.s)
+
+
+def _read_units(spark, reg_dir: str, units: list[str], schema: str | None):
+    paths = [os.path.join(reg_dir, u) for u in units]
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*paths)
+
+
+def compact_set_registry(
+    spark,
+    reg_dir: str,
+    key_cols: list[str],
+    schema: str | None = None,
+    n_files: int = 4,
+) -> dict:
+    """Fold a SET registry's units into one deduplicated unit and commit.
+
+    Safe under live ingest: the rewrite covers the units of manifest
+    version N; the commit retry-loop keeps every unit committed after N
+    (they stay probe-able and fold next time). The rewritten key set is
+    fingerprint-verified against its input before the commit. Returns
+    {files_before, files_after, keys, rows_before}."""
+    m = latest_manifest(reg_dir)
+    if m["version"] == 0 and _adopt_legacy_units(reg_dir):
+        # upgrade a legacy directory in place, then compact normally
+        m = commit(reg_dir, [])
+    if not m["files"]:
+        return {"files_before": 0, "files_after": 0, "keys": 0,
+                "rows_before": 0}
+    live = _read_units(spark, reg_dir, m["files"], schema)
+    rows_before = live.count()
+    n_keys, fp = _key_fingerprint(live, key_cols)
+    unit = f"compact-{uuid.uuid4().hex[:12]}"
+    out = os.path.join(reg_dir, unit)
+    (
+        live.dropDuplicates(key_cols)
+        .repartition(n_files, *key_cols)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    n_new, fp_new = _key_fingerprint(
+        _read_units(spark, reg_dir, [unit], schema), key_cols
+    )
+    if (n_new, fp_new) != (n_keys, fp):
+        shutil.rmtree(out, ignore_errors=True)
+        raise RuntimeError(
+            f"set-registry compaction verification failed: keys "
+            f"{n_keys}->{n_new}, fingerprint {fp}->{fp_new}; "
+            f"registry untouched"
+        )
+    committed = commit(
+        reg_dir, [unit], remove_units=m["files"], expect_version=m["version"]
+    )
+    return {
+        "files_before": len(m["files"]),
+        "files_after": len(committed["files"]),
+        "keys": n_keys,
+        "rows_before": rows_before,
+    }
+
+
+def compact_counts_registry(
+    spark,
+    reg_dir: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    schema: str | None = None,
+    n_files: int = 1,
+) -> dict:
+    """Fold an ADDITIVE registry (epoch-keyed count deltas) into one
+    groupBy-sum unit. The newest epoch's units are left unfolded — it is
+    the only epoch Structured Streaming can still replay, and a replay
+    must find its own units to replace, not a fold that already absorbed
+    them (folding it would double-count on retry). Folded epochs stay in
+    the manifest as empty tombstones so the keys remain known. Totals
+    are verified: sum of every ``sum_col`` unchanged through the fold."""
+    m = latest_manifest(reg_dir)
+    if not m["files"]:
+        return {"files_before": 0, "files_after": 0, "rows_before": 0}
+    epochs = m["epochs"]
+    newest = max(epochs, key=lambda k: (len(k), k)) if epochs else None
+    keep_out = set(epochs.get(newest, [])) if newest is not None else set()
+    fold_units = [u for u in m["files"] if u not in keep_out]
+    if not fold_units:
+        return {"files_before": len(m["files"]),
+                "files_after": len(m["files"]), "rows_before": 0}
+    live = _read_units(spark, reg_dir, fold_units, schema)
+    rows_before = live.count()
+    sums = live.agg(
+        *[F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(c)
+          for c in sum_cols]
+    ).first()
+    unit = f"compact-{uuid.uuid4().hex[:12]}"
+    out = os.path.join(reg_dir, unit)
+    (
+        live.groupBy(*key_cols)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+        .repartition(n_files, *key_cols)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    new_sums = (
+        _read_units(spark, reg_dir, [unit], schema)
+        .agg(*[F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(c)
+               for c in sum_cols])
+        .first()
+    )
+    if tuple(new_sums) != tuple(sums):
+        shutil.rmtree(out, ignore_errors=True)
+        raise RuntimeError(
+            f"counts-registry compaction verification failed: totals "
+            f"{tuple(sums)}->{tuple(new_sums)}; registry untouched"
+        )
+    committed = commit(
+        reg_dir, [unit], remove_units=fold_units, expect_version=m["version"]
+    )
+    return {
+        "files_before": len(m["files"]),
+        "files_after": len(committed["files"]),
+        "rows_before": rows_before,
+    }
+
+
+def vacuum_registry(reg_dir: str, grace_seconds: float = 300.0) -> dict:
+    """Delete data units no manifest-live reader can need: units NOT in
+    the newest manifest whose mtime is older than ``grace_seconds`` (the
+    window protects readers that pinned an older manifest mid-scan), and
+    superseded manifest files older than the same grace. Returns
+    {units_removed, manifests_removed}."""
+    m = latest_manifest(reg_dir)
+    if m["version"] == 0:
+        return {"units_removed": 0, "manifests_removed": 0}
+    live = set(m["files"])
+    cutoff = time.time() - grace_seconds
+    units_removed = 0
+    for name in os.listdir(reg_dir):
+        if name == _MANIFESTS or name in live or name.startswith((".",)):
+            continue
+        full = os.path.join(reg_dir, name)
+        is_unit = os.path.isdir(full) or name.endswith(".parquet")
+        if is_unit and os.path.getmtime(full) < cutoff:
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.unlink(full)
+            units_removed += 1
+    manifests_removed = 0
+    latest_name = f"v{m['version']:012d}.json"
+    for name in os.listdir(_manifest_dir(reg_dir)):
+        if name == latest_name or not name.endswith(".json"):
+            continue
+        full = os.path.join(_manifest_dir(reg_dir), name)
+        if os.path.getmtime(full) < cutoff:
+            os.unlink(full)
+            manifests_removed += 1
+    return {
+        "units_removed": units_removed,
+        "manifests_removed": manifests_removed,
+    }

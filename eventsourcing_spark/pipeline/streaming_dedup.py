@@ -80,15 +80,15 @@ def _is_missing_registry(e: Exception) -> bool:
 def _seen_hashes(spark, registry_dir: str) -> DataFrame:
     """Registry frame, or the empty frame when no registry exists yet.
 
-    Probed through ``spark.read`` (any Hadoop-compatible filesystem);
-    empty-frame fallback only on the missing-path error conditions —
-    the same contract as streaming_neardup._seen_bands."""
-    try:
-        return spark.read.schema(REGISTRY_SCHEMA).parquet(registry_dir)
-    except Exception as e:  # noqa: BLE001 — classify, re-raise real errors
-        if _is_missing_registry(e):
-            return spark.createDataFrame([], REGISTRY_SCHEMA)
-        raise
+    Manifest-committed read (registry_manifest.read_registry): the
+    newest manifest pins exactly the committed units, so a concurrent
+    append or compaction is invisible mid-flight — no missing-path
+    window, no raw directory listing. Legacy bare directories (tests,
+    pre-round-8 registries) fall back to the raw read with the
+    empty-frame-on-missing contract."""
+    from eventsourcing_spark.pipeline.registry_manifest import read_registry
+
+    return read_registry(spark, registry_dir, REGISTRY_SCHEMA)
 
 
 def dedup_batch(batch_df: DataFrame, registry_dir: str) -> DataFrame:
@@ -116,14 +116,16 @@ def dedup_at_ingest(
     what exists, then stop; swap the trigger for continuous ingest)."""
 
     def process(batch_df: DataFrame, _epoch_id: int) -> None:
+        from eventsourcing_spark.pipeline.registry_manifest import append_df
+
         fresh = dedup_batch(batch_df, registry_dir).persist()
         try:
             if fresh.isEmpty():
                 return
             fresh.drop("text_hash").write.mode("append").parquet(out_dir)
-            fresh.select("text_hash").distinct().write.mode("append").parquet(
-                registry_dir
-            )
+            # manifest-committed append: the unit becomes visible to
+            # probes only at the atomic manifest commit
+            append_df(fresh.select("text_hash").distinct(), registry_dir)
         finally:
             fresh.unpersist()
 

@@ -134,11 +134,19 @@ def incremental_ingest(
             "append"
         ).parquet(audit_dir)
         if not admitted.isEmpty():
-            admitted.select(F.md5("text").alias("text_hash")).distinct(
-            ).write.mode("append").parquet(hash_dir)
-            _bands(admitted).select(
-                "band_id", "band_key"
-            ).distinct().write.mode("append").parquet(band_dir)
+            from eventsourcing_spark.pipeline.registry_manifest import (
+                append_df,
+            )
+
+            # manifest-committed appends (atomic visibility at commit)
+            append_df(
+                admitted.select(F.md5("text").alias("text_hash")).distinct(),
+                hash_dir,
+            )
+            append_df(
+                _bands(admitted).select("band_id", "band_key").distinct(),
+                band_dir,
+            )
 
     return (
         stream_docs.writeStream.foreachBatch(process)

@@ -12,21 +12,23 @@ pipeline/streaming_incremental.py).
 
 Exactly-once counting: counts are ADDITIVE, so the at-least-once
 append the dedup registries tolerate (sets are idempotent) would
-DOUBLE-COUNT here. Every batch therefore writes its delta to an
-epoch-keyed subdirectory (``counts_dir/batch=<epoch_id>``) with
-mode=overwrite: a foreachBatch retry of the same epoch overwrites its
-own previous (possibly partial) output instead of appending a second
-copy. Structured Streaming replays a failed batch under the SAME epoch
-id, which makes the write idempotent end to end.
+DOUBLE-COUNT here. Every batch therefore commits its delta unit under
+its EPOCH KEY in the counts manifest
+(registry_manifest.append_df(epoch_key=...)): a foreachBatch retry of
+the same epoch REPLACES that epoch's previously committed unit instead
+of adding a second copy. Structured Streaming replays a failed batch
+under the SAME epoch id, which makes the commit idempotent end to end
+— and unlike the old ``batch=<epoch>``-subdirectory overwrite, a
+reader can never observe the half-overwritten state, because the old
+unit stays live until the replacement's atomic manifest commit.
 
 Scale shape: the per-batch aggregation is batch-sized (map-side
 combine to token grain); the registry grows by one small token-grain
 delta per batch; deriving the model is one keyed sum over token-grain
-rows — never a rescan of the raw corpus. Registry compaction
-(pipeline/registry_maintenance.py) does NOT apply here: that swap
-dedups a key SET, while these rows are additive deltas — compact by
-replacing the directory with its groupBy-sum under the same quiescence
-contract if file counts ever matter.
+rows — never a rescan of the raw corpus. File-count maintenance is
+``registry_manifest.compact_counts_registry``: groupBy-sum fold of
+every epoch except the newest (the only one a retry can still
+replace), total-sum-verified, safe under live ingest.
 
 Reference parity: none — training-pipeline surface on the projection
 live phase's foreachBatch machinery (projection/projector.py), like
@@ -34,8 +36,6 @@ the other streaming_* twins.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,11 +61,12 @@ def nb_counts_at_ingest(
     trigger for continuous ingest)."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from eventsourcing_spark.pipeline.registry_manifest import append_df
+
         delta = nb_counts_batch(batch_df)
-        # epoch-keyed overwrite = idempotent under foreachBatch retry
-        delta.write.mode("overwrite").parquet(
-            os.path.join(counts_dir, f"batch={epoch_id}")
-        )
+        # epoch-keyed manifest commit = idempotent under foreachBatch
+        # retry (the retry's commit replaces this epoch's prior unit)
+        append_df(delta, counts_dir, epoch_key=str(epoch_id))
 
     return (
         stream_docs.writeStream.foreachBatch(process)
@@ -79,9 +80,9 @@ def nb_model_from_registry(spark, counts_dir: str) -> DataFrame:
     """The current model: sum the registry's per-batch deltas to total
     counts, then the SAME vocab-cap + ilog2 finisher as batch
     training."""
-    deltas = spark.read.schema(COUNTS_SCHEMA).parquet(
-        os.path.join(counts_dir, "*")
-    )
+    from eventsourcing_spark.pipeline.registry_manifest import read_registry
+
+    deltas = read_registry(spark, counts_dir, COUNTS_SCHEMA)
     totals = deltas.groupBy("token").agg(
         F.sum("cnt_good").cast("long").alias("cnt_good"),
         F.sum("cnt_bad").cast("long").alias("cnt_bad"),

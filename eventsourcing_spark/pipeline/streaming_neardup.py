@@ -66,22 +66,16 @@ BAND_REGISTRY_SCHEMA = "band_id int, band_key string"
 def _seen_bands(spark, registry_dir: str) -> DataFrame:
     """Registry frame, or the empty frame when no registry exists yet.
 
-    Probe through ``spark.read`` (works on any Hadoop-compatible
-    filesystem — HDFS/S3/local alike) and fall back to the empty frame
-    only on the missing-path error CONDITIONS (PATH_NOT_FOUND /
-    UNABLE_TO_INFER_SCHEMA, via streaming_dedup._is_missing_registry);
-    any other AnalysisException re-raises — a real read failure must
-    fail the batch, not silently disable suppression."""
-    from eventsourcing_spark.pipeline.streaming_dedup import (
-        _is_missing_registry,
-    )
+    Manifest-committed read (registry_manifest.read_registry): the
+    newest manifest pins exactly the committed units — no missing-path
+    window under concurrent append/compaction, no raw directory
+    listing. Legacy bare directories fall back to the raw read with
+    the empty-frame-on-missing contract (any other read failure
+    re-raises — a real failure must fail the batch, not silently
+    disable suppression)."""
+    from eventsourcing_spark.pipeline.registry_manifest import read_registry
 
-    try:
-        return spark.read.schema(BAND_REGISTRY_SCHEMA).parquet(registry_dir)
-    except Exception as e:  # noqa: BLE001 — classify, re-raise real errors
-        if _is_missing_registry(e):
-            return spark.createDataFrame([], BAND_REGISTRY_SCHEMA)
-        raise
+    return read_registry(spark, registry_dir, BAND_REGISTRY_SCHEMA)
 
 
 def neardup_batch(batch_df: DataFrame, registry_dir: str) -> DataFrame:
@@ -163,14 +157,18 @@ def neardup_at_ingest(
     what exists, then stop; swap the trigger for continuous ingest)."""
 
     def process(batch_df: DataFrame, _epoch_id: int) -> None:
+        from eventsourcing_spark.pipeline.registry_manifest import append_df
+
         fresh = neardup_batch(batch_df, registry_dir).persist()
         try:
             if fresh.isEmpty():
                 return
             fresh.write.mode("append").parquet(out_dir)
-            _bands(fresh).select("band_id", "band_key").distinct().write.mode(
-                "append"
-            ).parquet(registry_dir)
+            # manifest-committed append (atomic visibility at commit)
+            append_df(
+                _bands(fresh).select("band_id", "band_key").distinct(),
+                registry_dir,
+            )
         finally:
             fresh.unpersist()
 

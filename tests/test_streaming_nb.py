@@ -66,14 +66,15 @@ def test_streamed_model_equals_batch_model(spark, dirs):
 
 
 def test_epoch_keyed_write_is_idempotent(spark, dirs):
-    """Re-running an epoch's write (foreachBatch retry semantics)
-    leaves the counts unchanged — no double counting."""
+    """Re-running an epoch's commit (foreachBatch retry semantics)
+    leaves the counts unchanged — each retry's manifest commit REPLACES
+    the epoch's prior unit, so no double counting."""
+    from eventsourcing_spark.pipeline.registry_manifest import append_df
+
     df = spark.createDataFrame(BATCHES[0], DOCS_SCHEMA)
     delta = nb_counts_batch(df)
     for _ in range(3):  # three retries of the SAME epoch
-        delta.write.mode("overwrite").parquet(
-            os.path.join(dirs["counts"], "batch=7")
-        )
+        append_df(delta, dirs["counts"], epoch_key="7")
     model = {
         r.token: (r.cnt_good, r.cnt_bad)
         for r in nb_model_from_registry(spark, dirs["counts"]).collect()
