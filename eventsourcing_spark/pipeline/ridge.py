@@ -1,0 +1,410 @@
+"""Exact-trained ridge quality scorer — round-8 VERDICT directive #2.
+
+One step past the NB classifier: a LEARNED LINEAR model over integer
+document-quality features, trained by EXACT least squares. The model is
+ridge regression on the same weak label the NB bootstrap uses
+(nb_classifier._label_spark/_label_duck), so the two learned scorers
+share a target and can be audited against each other
+(``ridge_nb_agreement``).
+
+Why this is oracle-exact when "training a model" normally isn't:
+
+* the features are small integers (4-bit buckets, below), so the
+  normal-equation sufficient statistics X^T X and X^T y are integer
+  sums — map-combinable, one aggregation over the training half, the
+  same distributed shape as NB's count sums;
+* the 4×4 ridge system (X^T X + λI) w = X^T y is solved by CRAMER'S
+  RULE with every determinant expanded into its 24 signed products —
+  pure integer arithmetic, no pivoting, no rounding (this is the n=4
+  special case of fraction-free / Bareiss elimination: for a fixed tiny
+  dimension the explicit minor expansion IS the fraction-free solve);
+* each weight is the exact rational det_i/det emitted as 20-bit
+  fixed point via three-stage long division (integer part, then two
+  10-bit fraction stages), every division trunc-toward-zero — verified
+  identical between Spark's ``div`` on DECIMAL(38,0) and DuckDB's
+  ``//`` on HUGEINT, so the weights are bit-identical across engines
+  BY CONSTRUCTION, the same twin-fragment discipline as
+  nb_classifier.ilog2_spark/_duck.
+
+Magnitude budget (the reason for 4-bit features): with features
+f ≤ 15 and N training docs, |X^T X| entries ≤ 225·N, determinant terms
+≤ (225·N)^4·24, and the largest intermediate (remainder · 2^10 in the
+long division) ≤ 24·(225·N)^4·2^10 — inside HUGEINT/DECIMAL(38,0) for
+N up to ~1e6. Beyond that the failure is LOUD, not silent: DuckDB
+raises OutOfRangeException, and the Spark side asserts the determinant
+is non-null and positive (decimal overflow nulls under non-ANSI).
+At 100 TB you train the 4-weight scorer on a deterministic sample
+(``doc_id % k``) well under the bound; scoring is unbounded — it's a
+map-only broadcast of 4 weights.
+
+Plan shape: training = one partial-aggregated pass over the train half
+to a 1-row stats frame (SinglePartition aggregate-fed — the whitelisted
+census shape), then driver-free column arithmetic on that row; scoring
+= crossJoin(broadcast(1-row weights)) + per-row integer arithmetic, no
+shuffle of the corpus at all.
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.pipeline.nb_classifier import (
+    _label_duck,
+    _label_spark,
+)
+from eventsourcing_spark.pipeline.quality import STOPWORDS
+from eventsourcing_spark.queries import query
+
+RIDGE_LAMBDA = 4  # ridge λ — keeps X^TX + λI positive definite
+FMAX = 15  # 4-bit feature ceiling (the magnitude budget above)
+FRAC_BITS = 20  # weight fixed point: w_fx = trunc(det_i · 2^20 / det)
+PRED_T = 1 << (FRAC_BITS - 1)  # 0.5 in fixed point — the 0/1 midpoint
+
+_STOP_SPARK = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+_STOP_DUCK = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Feature fragments — identical arithmetic, per-dialect syntax.
+# f1 = length bucket, f2 = type-token ratio, f3 = stopword ratio,
+# all in 0..15; NULL text → all-zero features (the intercept still
+# scores it, matching the LEFT-JOIN discipline of the NB scorer).
+# ---------------------------------------------------------------------------
+
+
+def _feats_spark(text: str) -> dict[str, str]:
+    ws = f"split(lower({text}), ' ')"
+    nt = f"(CASE WHEN {text} IS NULL THEN 0 ELSE size({ws}) END)"
+    return {
+        "f1": f"(CASE WHEN {nt} = 0 THEN 0 ELSE"
+              f" least({nt} div 16, {FMAX}) END)",
+        "f2": f"(CASE WHEN {nt} = 0 THEN 0 ELSE"
+              f" (size(array_distinct({ws})) * {FMAX}) div {nt} END)",
+        "f3": f"(CASE WHEN {nt} = 0 THEN 0 ELSE"
+              f" (size(filter({ws}, x -> array_contains({_STOP_SPARK}, x)))"
+              f" * {FMAX}) div {nt} END)",
+    }
+
+
+def _feats_duck(text: str) -> dict[str, str]:
+    ws = f"string_split(lower({text}), ' ')"
+    nt = f"(CASE WHEN {text} IS NULL THEN 0 ELSE len({ws}) END)"
+    return {
+        "f1": f"(CASE WHEN {nt} = 0 THEN 0 ELSE"
+              f" least({nt} // 16, {FMAX}) END)",
+        "f2": f"(CASE WHEN {nt} = 0 THEN 0 ELSE"
+              f" (len(list_distinct({ws})) * {FMAX}) // {nt} END)",
+        "f3": f"(CASE WHEN {nt} = 0 THEN 0 ELSE"
+              f" (len(list_filter({ws}, x -> list_contains({_STOP_DUCK}, x)))"
+              f" * {FMAX}) // {nt} END)",
+    }
+
+
+# Sufficient-statistic column names: moments of x = (1, f1, f2, f3)
+# against itself (upper triangle of X^T X) and against y (X^T y).
+_STAT_COLS = [
+    "n", "s1", "s2", "s3",
+    "s11", "s12", "s13", "s22", "s23", "s33",
+    "b0", "b1", "b2", "b3",
+]
+
+
+def _stat_exprs() -> dict[str, str]:
+    """Aggregation fragments over per-doc columns (f1, f2, f3, y) —
+    dialect-neutral (sum/CASE only)."""
+    return {
+        "n": "count(*)",
+        "s1": "sum(f1)", "s2": "sum(f2)", "s3": "sum(f3)",
+        "s11": "sum(f1*f1)", "s12": "sum(f1*f2)", "s13": "sum(f1*f3)",
+        "s22": "sum(f2*f2)", "s23": "sum(f2*f3)", "s33": "sum(f3*f3)",
+        "b0": "sum(y)", "b1": "sum(f1*y)", "b2": "sum(f2*y)",
+        "b3": "sum(f3*y)",
+    }
+
+
+def _matrix(stats: dict[str, str]) -> list[list[str]]:
+    """A = X^T X + λI as fragments over the stats row."""
+    lam = RIDGE_LAMBDA
+    s = stats
+    return [
+        [f"({s['n']} + {lam})", s["s1"], s["s2"], s["s3"]],
+        [s["s1"], f"({s['s11']} + {lam})", s["s12"], s["s13"]],
+        [s["s2"], s["s12"], f"({s['s22']} + {lam})", s["s23"]],
+        [s["s3"], s["s13"], s["s23"], f"({s['s33']} + {lam})"],
+    ]
+
+
+def _det4_expr(m: list[list[str]], cast) -> str:
+    """Explicit 24-term expansion of a 4×4 determinant; ``cast`` wraps
+    each entry into the dialect's wide integer type. Deterministic term
+    order (lexicographic permutations) — integer addition is exact, so
+    order is cosmetic, but identical text helps eyeball the twins."""
+    terms = []
+    for perm in permutations(range(4)):
+        sign = 1
+        p = list(perm)
+        for i in range(4):
+            for j in range(i + 1, 4):
+                if p[i] > p[j]:
+                    sign = -sign
+        prod = " * ".join(cast(m[r][p[r]]) for r in range(4))
+        terms.append(f"{'+' if sign > 0 else '-'} ({prod})")
+    return "(0 " + " ".join(terms) + ")"
+
+
+def _weight_exprs(cast, div: str) -> dict[str, str]:
+    """det / num_i / fixed-point weight fragments over the stats
+    columns. ``div`` is the dialect's trunc-toward-zero integer
+    division operator ('div' for Spark DECIMAL, '//' for DuckDB
+    HUGEINT) — verified identical on negatives (both -7/2 → -3)."""
+    stats = {c: c for c in _STAT_COLS}
+    a = _matrix(stats)
+    b = [stats["b0"], stats["b1"], stats["b2"], stats["b3"]]
+    out = {"det": _det4_expr(a, cast)}
+    for i in range(4):
+        ai = [row[:] for row in a]
+        for r in range(4):
+            ai[r][i] = b[r]
+        out[f"num{i}"] = _det4_expr(ai, cast)
+    # three-stage exact long division to 20-bit fixed point:
+    #   q  = num div det            (integer part)
+    #   h1 = (rem · 2^10) div det   (high fraction bits)
+    #   h2 = (rem2 · 2^10) div det  (low fraction bits)
+    # every remainder < det, so rem·2^10 stays inside the budget.
+    half = 1 << (FRAC_BITS // 2)
+    for i in range(4):
+        q = f"(num{i} {div} det)"
+        r1 = f"(num{i} - {q} * det)"
+        h1 = f"(({r1} * {half}) {div} det)"
+        r2 = f"(({r1} * {half}) - {h1} * det)"
+        h2 = f"(({r2} * {half}) {div} det)"
+        out[f"w{i}_fx"] = f"({q} * {1 << FRAC_BITS} + {h1} * {half} + {h2})"
+    return out
+
+
+def _cast_spark(e: str) -> str:
+    return f"CAST({e} AS DECIMAL(38,0))"
+
+
+def _cast_duck(e: str) -> str:
+    return f"({e})::HUGEINT"
+
+
+# ---------------------------------------------------------------------------
+# Spark side.
+# ---------------------------------------------------------------------------
+
+
+def _doc_features(docs):
+    fe = _feats_spark("text")
+    return docs.select(
+        "doc_id",
+        F.expr(fe["f1"]).cast("long").alias("f1"),
+        F.expr(fe["f2"]).cast("long").alias("f2"),
+        F.expr(fe["f3"]).cast("long").alias("f3"),
+        F.expr(_label_spark("text")).cast("long").alias("y"),
+    )
+
+
+def _weights_df(spark, sf_dir):
+    """1-row frame of exact fixed-point ridge weights, trained on the
+    doc_id%2=0 half. No collect — the stats row stays a frame and the
+    weight arithmetic is column expressions on it."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    feats = _doc_features(docs)
+    stats = feats.agg(
+        *[
+            F.expr(e).cast("long").alias(c)
+            for c, e in _stat_exprs().items()
+        ]
+    )
+    wx = _weight_exprs(_cast_spark, "div")
+    solved = stats.select(
+        "n",
+        F.expr(wx["det"]).alias("det"),
+        *[F.expr(wx[f"num{i}"]).alias(f"num{i}") for i in range(4)],
+    )
+    # loud-not-silent: DECIMAL(38,0) overflow nulls under non-ANSI; a
+    # null/non-positive determinant must fail the query, not emit
+    # garbage weights (the DuckDB twin raises OutOfRange on its own).
+    solved = solved.filter(
+        F.assert_true(
+            F.col("det").isNotNull() & (F.col("det") > 0),
+            F.lit("ridge determinant overflow or non-PD system"),
+        ).isNull()
+    )
+    return solved.select(
+        F.col("n").cast("long").alias("n_train"),
+        *[
+            F.expr(wx[f"w{i}_fx"]).cast("long").alias(f"w{i}_fx")
+            for i in range(4)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments.
+# ---------------------------------------------------------------------------
+
+
+def _duck_weights_ctes() -> str:
+    fe = _feats_duck("text")
+    stat_sel = ", ".join(
+        f"CAST({e} AS BIGINT) AS {c}" for c, e in _stat_exprs().items()
+    )
+    wx = _weight_exprs(_cast_duck, "//")
+    return f"""
+    feats AS (
+        SELECT doc_id,
+               CAST({fe['f1']} AS BIGINT) AS f1,
+               CAST({fe['f2']} AS BIGINT) AS f2,
+               CAST({fe['f3']} AS BIGINT) AS f3,
+               CAST({_label_duck('text')} AS BIGINT) AS y
+        FROM documents
+    ),
+    stats AS (
+        SELECT {stat_sel} FROM feats WHERE doc_id % 2 = 0
+    ),
+    solved AS (
+        SELECT n, {wx['det']} AS det,
+               {wx['num0']} AS num0, {wx['num1']} AS num1,
+               {wx['num2']} AS num2, {wx['num3']} AS num3
+        FROM stats
+    ),
+    weights AS (
+        SELECT CAST(n AS BIGINT) AS n_train,
+               CAST({wx['w0_fx']} AS BIGINT) AS w0_fx,
+               CAST({wx['w1_fx']} AS BIGINT) AS w1_fx,
+               CAST({wx['w2_fx']} AS BIGINT) AS w2_fx,
+               CAST({wx['w3_fx']} AS BIGINT) AS w3_fx
+        FROM solved
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gate queries.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ridge_quality_train",
+    f"""
+    WITH {_duck_weights_ctes()}
+    SELECT n_train, w0_fx, w1_fx, w2_fx, w3_fx FROM weights
+    """,
+)
+def ridge_quality_train(spark, sf_dir):
+    """Exact ridge training: one aggregation pass to the 14 integer
+    sufficient statistics, Cramer expansion + three-stage long division
+    as column arithmetic on the 1-row stats frame. Bit-identical to the
+    DuckDB oracle by shared expression generation."""
+    return _weights_df(spark, sf_dir)
+
+
+@query(
+    "ridge_quality_score",
+    f"""
+    WITH {_duck_weights_ctes()}
+    SELECT f.doc_id,
+           CAST(CASE WHEN f.doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_train,
+           f.y AS label_good,
+           CAST(w.w0_fx + w.w1_fx * f.f1 + w.w2_fx * f.f2
+                + w.w3_fx * f.f3 AS BIGINT) AS score_fx,
+           CAST(CASE WHEN w.w0_fx + w.w1_fx * f.f1 + w.w2_fx * f.f2
+                          + w.w3_fx * f.f3 >= {PRED_T}
+                     THEN 1 ELSE 0 END AS BIGINT) AS pred_good
+    FROM feats f CROSS JOIN weights w
+    """,
+)
+def ridge_quality_score(spark, sf_dir):
+    """Score every document with the exact-trained weights: a map-only
+    crossJoin(broadcast(1-row weights)) — the corpus never shuffles.
+    pred_good thresholds the linear probability at 0.5 (2^19 fixed
+    point)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    feats = _doc_features(docs)
+    w = _weights_df(spark, sf_dir)
+    score = (
+        F.col("w0_fx")
+        + F.col("w1_fx") * F.col("f1")
+        + F.col("w2_fx") * F.col("f2")
+        + F.col("w3_fx") * F.col("f3")
+    )
+    return (
+        feats.crossJoin(F.broadcast(w.drop("n_train")))
+        .select(
+            "doc_id",
+            F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END")
+            .cast("long")
+            .alias("is_train"),
+            F.col("y").alias("label_good"),
+            score.cast("long").alias("score_fx"),
+            (score >= PRED_T).cast("long").alias("pred_good"),
+        )
+    )
+
+
+def _agreement_sql() -> str:
+    from eventsourcing_spark.pipeline.nb_classifier import (
+        _MODEL_DUCK,
+        _SCORES_DUCK,
+    )
+
+    return f"""
+    WITH {_MODEL_DUCK},
+    {_SCORES_DUCK},
+    {_duck_weights_ctes()},
+    ridge AS (
+        SELECT f.doc_id, f.y AS label_good,
+               CASE WHEN w.w0_fx + w.w1_fx * f.f1 + w.w2_fx * f.f2
+                         + w.w3_fx * f.f3 >= {PRED_T}
+                    THEN 1 ELSE 0 END AS ridge_pred
+        FROM feats f CROSS JOIN weights w
+        WHERE f.doc_id % 2 = 1
+    )
+    SELECT CAST(r.ridge_pred AS BIGINT) AS ridge_pred,
+           CAST(CASE WHEN s.score_fx >= 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS nb_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(r.label_good) AS BIGINT) AS n_label_good
+    FROM ridge r JOIN scored s ON s.doc_id = r.doc_id
+    GROUP BY 1, 2
+    ORDER BY ridge_pred, nb_pred
+    """
+
+
+@query("ridge_nb_agreement", _agreement_sql())
+def ridge_nb_agreement(spark, sf_dir):
+    """Agreement/disagreement audit between the two learned scorers on
+    the held-out half: confusion counts of (ridge_pred, nb_pred) with
+    the weak-label positives in each cell. Both model derivations are
+    1-row/model-grain broadcasts; the audit join is doc-keyed."""
+    from eventsourcing_spark.pipeline.nb_classifier import nb_quality_score
+
+    ridge = ridge_quality_score(spark, sf_dir).filter(
+        F.col("is_train") == 0
+    )
+    nb = (
+        nb_quality_score(spark, sf_dir)
+        .filter(F.col("is_train") == 0)
+        .select("doc_id", F.col("pred_good").alias("nb_pred"))
+    )
+    return (
+        ridge.join(nb, "doc_id")
+        .groupBy(
+            F.col("pred_good").alias("ridge_pred"),
+            "nb_pred",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("label_good").cast("long").alias("n_label_good"),
+        )
+        .orderBy("ridge_pred", "nb_pred")
+    )

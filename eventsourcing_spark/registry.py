@@ -26,6 +26,7 @@ import eventsourcing_spark.pipeline.pii  # noqa: F401
 import eventsourcing_spark.pipeline.quality  # noqa: F401
 import eventsourcing_spark.pipeline.queries  # noqa: F401
 import eventsourcing_spark.pipeline.retrieval  # noqa: F401
+import eventsourcing_spark.pipeline.ridge  # noqa: F401
 import eventsourcing_spark.pipeline.setjoin  # noqa: F401
 import eventsourcing_spark.pipeline.similarity  # noqa: F401
 import eventsourcing_spark.sketches  # noqa: F401
