@@ -1,0 +1,251 @@
+"""Mergeable quantile sketch with a provable rank-error guarantee —
+round-8 VERDICT directive #3 (the one sketch family that was missing:
+``histogram_quantile_estimate`` is equi-width, so its error is
+data-dependent; this one's is ε·n by construction).
+
+The sketch is the KLL/MRL compactor cascade (Karnin-Lang-Liberty 2016;
+Manku-Rajagopalan-Lindsay 1998) DERANDOMIZED: fixed capacity k per
+level, and every compaction keeps the EVEN positions of its sorted
+buffer (KLL flips a coin per compaction; the fixed choice trades the
+randomized sqrt bound for MRL's deterministic one — exactly the
+"deterministic compaction schedule makes it oracle-exact" trade).
+
+Why this is oracle-exact: feed the cascade the items in CANONICAL
+order (sorted by (value, event_id) — any fixed order works; sorted
+makes the algebra transparent). Compaction preserves arrival order, so
+level ℓ sees items with rank ≡ 0 (mod 2^ℓ) at position p = rank/2^ℓ,
+and a completed block advances its even positions. The whole cascade
+collapses to CLOSED FORM over the global rank r:
+
+    n_0 = n,  m_ℓ = n_ℓ div k,  n_{ℓ+1} = m_ℓ · (k div 2)
+    item r sits in the final sketch at level
+        ℓ*(r) = min{ ℓ : r ≡ 0 (mod 2^ℓ)  ∧  r div 2^ℓ > m_ℓ·k }
+    (no such ℓ → the item was compacted away), with weight 2^ℓ*.
+
+The min is sound because for every j < ℓ*, divisibility holds and the
+residue test failed — i.e. the item really did pass through level j's
+completed blocks. Both engines evaluate the same 40-level candidate
+expression (generated once in Python, the ridge/ilog2 twin-fragment
+discipline), so the sketch — not just the estimates — is bit-identical
+across engines.
+
+Guarantee (checked as a column IN the gate query, per the directive):
+one compaction at level ℓ perturbs any rank estimate by at most 2^ℓ
+(only the pair straddling the query point errs), so
+
+    |r̂(v) − r(v)| ≤ B = Σ_ℓ m_ℓ·2^ℓ      (ε = B/n ≈ log₂(n/k)/k)
+
+and the reported quantile's true rank is within B + w_item of its
+target (the extra term: the item's own weight straddles the target).
+``within_bound`` must be 1 on every row — asserted against the exact
+ranks that ``global_value_percentiles_rank`` also certifies.
+
+Scale shape: the only corpus-wide operations are one distributed
+global rank (operators/ranking.py: range exchange + broadcast offsets)
+and a map-only 40-case level classifier; everything downstream runs on
+the sketch, which is ≤ k·(levels+1) ≈ a few thousand rows no matter
+the corpus size — that bounded-state property is the whole point of a
+sketch at 100 TB. The one unpartitioned window (cumulative weight) is
+over those sketch rows only.
+
+The true ONLINE cascade (arrival order, alternating offsets, bounded
+buffers) is the streaming twin in streaming/kll.py, pytest-verified
+against the same bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventsourcing_spark.io import load_table
+from eventsourcing_spark.queries import query
+
+KLL_K = 256  # compactor capacity per level
+KLL_LEVELS = 40  # covers n up to ~2^40·k — fixed, data-independent
+_QM = (10, 50, 100, 250, 500, 750, 900, 950, 990)  # target permilles
+
+
+# Level classifier. The naive form is 40 CASE branches (min candidate
+# level); it collapses to ONE filter-count because the per-level
+# consumed-mass thresholds c_ℓ = m_ℓ·k·2^ℓ are NON-INCREASING in ℓ
+# (c_ℓ = n_{ℓ+1}·2^{ℓ+1} ≥ m_{ℓ+1}·k·2^{ℓ+1} = c_{ℓ+1}), so
+# "first level whose completed blocks don't cover rank r" is simply
+# how many thresholds still reach r:
+#     lvl(r) = |{ℓ : c_ℓ ≥ r}|,  in sketch iff r ≡ 0 (mod 2^lvl).
+# (Equivalence to the min-candidate form is simulation-verified in
+# tests/test_kll.py.) One array filter per row beats a 40-branch CASE
+# in codegen size and JIT time by an order of magnitude.
+
+
+def _carr_expr_spark() -> str:
+    return (
+        f"transform(sequence(0, {KLL_LEVELS - 1}),"
+        f" l -> (element_at(narr, l + 1) div {KLL_K}) * {KLL_K}"
+        f" * shiftleft(CAST(1 AS BIGINT), l))"
+    )
+
+
+_LEVEL_SPARK = (
+    "size(filter(carr, x -> x >= rk))"
+)
+
+_LEVEL_DUCK = (
+    "len(list_filter(carr, x -> x >= rk))"
+)
+
+
+def kll_sketch_df(spark, vals, value_col: str = "value",
+                  id_col: str = "event_id"):
+    """(sketch rows, stats 1-row frame): the derandomized-KLL summary of
+    ``vals`` — columns (value, rk, lvl, w) — plus (c=n, narr, b=Σm_ℓ2^ℓ).
+    Reusable operator; the gate query is this + the estimate probe."""
+    from eventsourcing_spark.operators.ranking import global_rank
+
+    ranked = global_rank(
+        vals.select(F.col(value_col).alias("value"),
+                    F.col(id_col).alias("id")),
+        "value", "id", rank_col="rk",
+    )
+    stats = vals.agg(F.count("*").cast("long").alias("c")).select(
+        "c",
+        F.expr(
+            f"aggregate(sequence(1, {KLL_LEVELS}),"
+            f" array(CAST(c AS BIGINT)),"
+            f" (acc, i) -> array_append(acc,"
+            f" (element_at(acc, -1) div {KLL_K}) * {KLL_K // 2}))"
+        ).alias("narr"),
+    ).select(
+        "c", "narr",
+        F.expr(_carr_expr_spark()).alias("carr"),
+        F.expr(
+            f"aggregate(sequence(0, {KLL_LEVELS - 1}),"
+            f" CAST(0 AS BIGINT),"
+            f" (a, l) -> a + (element_at(narr, l + 1) div {KLL_K})"
+            f" * shiftleft(CAST(1 AS BIGINT), l))"
+        ).alias("b"),
+    )
+    sketch = (
+        ranked.crossJoin(F.broadcast(stats.select("carr")))
+        .withColumn("lvl", F.expr(_LEVEL_SPARK).cast("int"))
+        .filter(F.expr("rk % shiftleft(CAST(1 AS BIGINT), lvl) = 0"))
+        .select(
+            "value", "rk", "lvl",
+            F.expr("shiftleft(CAST(1 AS BIGINT), lvl)").alias("w"),
+        )
+    )
+    return sketch, stats
+
+
+_DUCK_CTES = f"""
+    s AS (
+        SELECT value, event_id,
+               row_number() OVER (ORDER BY value, event_id) AS rk
+        FROM events WHERE value IS NOT NULL
+    ),
+    lv AS (
+        WITH RECURSIVE rec(l, nl) AS (
+            SELECT 0, (SELECT count(*) FROM events WHERE value IS NOT NULL)
+            UNION ALL
+            SELECT l + 1, (nl // {KLL_K}) * {KLL_K // 2}
+            FROM rec WHERE l < {KLL_LEVELS}
+        ) SELECT l, nl FROM rec
+    ),
+    stats AS (
+        SELECT (SELECT nl FROM lv WHERE l = 0) AS c,
+               (SELECT list((nl // {KLL_K}) * {KLL_K} * (1::BIGINT << l)
+                            ORDER BY l)
+                FROM lv WHERE l < {KLL_LEVELS}) AS carr,
+               (SELECT sum((nl // {KLL_K}) * (1::BIGINT << l))
+                FROM lv WHERE l < {KLL_LEVELS})::BIGINT AS b
+    ),
+    sk AS (
+        SELECT value, rk, lvl, (1::BIGINT << lvl) AS w
+        FROM (
+            SELECT s.value, s.rk, {_LEVEL_DUCK} AS lvl
+            FROM s, stats
+        ) WHERE rk % (1::BIGINT << lvl) = 0
+    ),
+    skw AS (
+        SELECT value, rk, lvl, w,
+               sum(w) OVER (ORDER BY value, rk) AS cum
+        FROM sk
+    ),
+    t(q_mille) AS (VALUES {", ".join(f"({q})" for q in _QM)})
+"""
+
+
+@query(
+    "kll_quantile_sketch",
+    f"""
+    WITH {_DUCK_CTES}
+    SELECT CAST(t.q_mille AS BIGINT) AS q_mille,
+           CAST(greatest(1, (t.q_mille * st.c) // 1000) AS BIGINT)
+             AS target_rank,
+           k.value AS est_value,
+           CAST(k.rk AS BIGINT) AS est_rank,
+           CAST(abs(k.rk - greatest(1, (t.q_mille * st.c) // 1000))
+                AS BIGINT) AS abs_err,
+           CAST(st.b + k.w AS BIGINT) AS err_bound,
+           CAST(CASE WHEN abs(k.rk - greatest(1,
+                    (t.q_mille * st.c) // 1000)) <= st.b + k.w
+                THEN 1 ELSE 0 END AS BIGINT) AS within_bound,
+           (SELECT CAST(count(*) AS BIGINT) FROM sk) AS sketch_rows,
+           CAST(st.c AS BIGINT) AS n
+    FROM t, stats st
+    JOIN skw k
+      ON k.cum >= greatest(1, (t.q_mille * st.c) // 1000)
+     AND k.cum - k.w < greatest(1, (t.q_mille * st.c) // 1000)
+    ORDER BY q_mille
+    """,
+    bounded_window="cumulative weight runs over the SKETCH only: "
+    f"≤ k·(levels+1) = {KLL_K * (KLL_LEVELS + 1)} rows at any corpus size",
+)
+def kll_quantile_sketch(spark, sf_dir):
+    """Derandomized-KLL quantile estimates with the ε·n rank bound
+    asserted in-row (within_bound). See the module docstring for the
+    closed form and the guarantee derivation."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("value").isNotNull()).select("value", "event_id")
+    sketch, stats = kll_sketch_df(spark, vals)
+    # Three consumers read the sketch (window, size agg, probe join);
+    # it is ≤ k·(levels+1) rows, so materialize once — the corpus-wide
+    # rank+classify must not re-run per consumer (graph.py discipline).
+    sketch = sketch.localCheckpoint()
+    stats = stats.localCheckpoint()
+    from pyspark.sql import Window
+
+    skw = sketch.withColumn(
+        "cum", F.sum("w").over(Window.orderBy("value", "rk"))
+    )
+    n_sketch = sketch.agg(F.count("*").cast("long").alias("sketch_rows"))
+    targets = (
+        spark.createDataFrame([(q,) for q in _QM], "q_mille long")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_sketch))
+        .select(
+            "q_mille",
+            F.expr("greatest(CAST(1 AS BIGINT),"
+                   " (q_mille * c) div 1000)").alias("target_rank"),
+            F.col("b"), "sketch_rows", F.col("c").alias("n"),
+        )
+    )
+    est = targets.join(
+        F.broadcast(skw),
+        (F.col("cum") >= F.col("target_rank"))
+        & (F.col("cum") - F.col("w") < F.col("target_rank")),
+    )
+    return est.select(
+        "q_mille",
+        "target_rank",
+        F.col("value").alias("est_value"),
+        F.col("rk").cast("long").alias("est_rank"),
+        F.abs(F.col("rk") - F.col("target_rank"))
+        .cast("long").alias("abs_err"),
+        (F.col("b") + F.col("w")).cast("long").alias("err_bound"),
+        (
+            F.abs(F.col("rk") - F.col("target_rank"))
+            <= F.col("b") + F.col("w")
+        ).cast("long").alias("within_bound"),
+        "sketch_rows",
+        "n",
+    ).orderBy("q_mille")
