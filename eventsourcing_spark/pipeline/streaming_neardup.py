@@ -26,19 +26,19 @@ stay suppressed because of a keeper the registry itself then rejected,
 permanently dropping content that shares no band with anything admitted
 (near-dup is not transitive). Probing first removes registry-near docs
 before keepers are elected, so every within-batch suppression points at
-a keeper that is registry-clean. A RE-ADMIT pass (round 7) then
-rescues the chained-suppression case: a doc whose every conflict was
-with docs that were themselves suppressed (its keeper fell to a star
-through a band the doc doesn't share) is re-admitted, after a second
-star among the re-admission candidates so no two band-sharing
-candidates come back together. Residue after the pass: suppression
-chains >= 3 levels deep inside one micro-batch (regression-tested at
-2 levels; deeper chains need >= 4 mutually-chained near-dups landing
-in a single batch). This deliberately diverges from the batch
-dedup_lsh_clusters sweep, which keeps one representative per
-TRANSITIVE component — online suppression must not lose content no
-admitted doc resembles, because unlike the batch sweep it cannot
-revisit the decision.
+a keeper that is registry-clean. A RE-ADMIT FIXPOINT (round 8; a
+single pass shipped in round 7) then rescues the chained-suppression
+case: a doc whose every conflict was with docs that were themselves
+suppressed (its keeper fell to a star through a band the doc doesn't
+share) is re-admitted, after a star among the re-admission candidates
+so no two band-sharing candidates come back together — iterated until
+no round re-admits, which rescues suppression chains of ANY depth
+inside one micro-batch (each round provably admits the candidate
+set's minimum doc_id, so rounds ≤ chain depth). This deliberately
+diverges from the batch dedup_lsh_clusters sweep, which keeps one
+representative per TRANSITIVE component — online suppression must not
+lose content no admitted doc resembles, because unlike the batch sweep
+it cannot revisit the decision.
 
 Write order is survivors-first (at-least-once): a crash between the two
 writes re-emits documents on retry instead of silently suppressing
@@ -94,7 +94,10 @@ def neardup_batch(batch_df: DataFrame, registry_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean_bands = bands.join(hit, "doc_id", "left_anti")
+    # clean_bands is consumed on every re-admit round: materialize the
+    # batch-sized frame once (flat lineage; the loop below must not
+    # re-probe the registry per round).
+    clean_bands = bands.join(hit, "doc_id", "left_anti").localCheckpoint()
     # Within-batch keeper-star among registry-clean docs: min doc_id
     # per band bucket claims it.
     claim = Window.partitionBy("band_id", "band_key")
@@ -103,45 +106,54 @@ def neardup_batch(batch_df: DataFrame, registry_dir: str) -> DataFrame:
         .filter(F.col("doc_id") > F.col("_keeper"))
         .select("doc_id")
         .distinct()
+        .localCheckpoint()
     )
-    # RE-ADMIT pass (round 7, VERDICT r6 #6): a doc suppressed only by
-    # docs that were THEMSELVES suppressed (its keeper fell to a star
-    # through a band the member doesn't share) would lose content no
-    # admitted doc resembles. Candidates = suppressed docs sharing no
-    # band with any admitted doc; a second star among the candidates
-    # keeps the no-near-dup-pair invariant (two candidates sharing a
-    # band must not both come back). Residue after this pass: only
-    # suppression chains >= 3 levels deep within ONE micro-batch (the
-    # candidate's candidate-star keeper was itself suppressed) — the
-    # regression test pins the 2-level case.
-    admitted_bands = clean_bands.join(suppressed, "doc_id", "left_anti")
-    conflicted = (
-        clean_bands.join(suppressed, "doc_id", "left_semi")
-        .join(
-            admitted_bands.select("band_id", "band_key"),
-            ["band_id", "band_key"],
-            "left_semi",
+    # RE-ADMIT to FIXPOINT (round 8, VERDICT r7 #4; one pass shipped in
+    # round 7): a doc suppressed only by docs that were THEMSELVES
+    # suppressed (its keeper fell to a star through a band the member
+    # doesn't share) would lose content no admitted doc resembles.
+    # Each round: candidates = suppressed docs sharing no band with any
+    # currently-admitted doc; a star among the candidates keeps the
+    # no-near-dup-pair invariant (two candidates sharing a band must
+    # not both come back); winners rejoin the admitted set. A round
+    # with a nonempty candidate set always admits its minimum doc_id
+    # (it wins every bucket it touches), so the loop strictly shrinks
+    # the suppressed set and terminates — after at most chain-depth
+    # rounds, i.e. suppression chains of ANY depth inside one
+    # micro-batch are rescued, not just 2 levels.
+    while True:
+        admitted_bands = clean_bands.join(suppressed, "doc_id", "left_anti")
+        conflicted = (
+            clean_bands.join(suppressed, "doc_id", "left_semi")
+            .join(
+                admitted_bands.select("band_id", "band_key"),
+                ["band_id", "band_key"],
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
         )
-        .select("doc_id")
-        .distinct()
-    )
-    cand_bands = clean_bands.join(suppressed, "doc_id", "left_semi").join(
-        conflicted, "doc_id", "left_anti"
-    )
-    still_out = (
-        cand_bands.withColumn("_keeper", F.min("doc_id").over(claim))
-        .filter(F.col("doc_id") > F.col("_keeper"))
-        .select("doc_id")
-        .distinct()
-    )
-    readmit = (
-        cand_bands.select("doc_id")
-        .distinct()
-        .join(still_out, "doc_id", "left_anti")
-    )
-    suppressed_final = suppressed.join(readmit, "doc_id", "left_anti")
+        cand_bands = clean_bands.join(
+            suppressed, "doc_id", "left_semi"
+        ).join(conflicted, "doc_id", "left_anti")
+        still_out = (
+            cand_bands.withColumn("_keeper", F.min("doc_id").over(claim))
+            .filter(F.col("doc_id") > F.col("_keeper"))
+            .select("doc_id")
+            .distinct()
+        )
+        readmit = (
+            cand_bands.select("doc_id")
+            .distinct()
+            .join(still_out, "doc_id", "left_anti")
+        )
+        if readmit.isEmpty():
+            break
+        suppressed = suppressed.join(
+            readmit, "doc_id", "left_anti"
+        ).localCheckpoint()
     return batch_df.join(hit, "doc_id", "left_anti").join(
-        suppressed_final, "doc_id", "left_anti"
+        suppressed, "doc_id", "left_anti"
     )
 
 

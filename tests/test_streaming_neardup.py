@@ -273,3 +273,60 @@ def test_registry_hit_still_wins_over_readmit(spark, dirs, monkeypatch):
     )
     # band y is registered: B and C are registry hits; A survives.
     assert kept == [1], kept
+
+
+def test_three_level_chain_is_rescued(spark, dirs, monkeypatch):
+    """Round-8 fixpoint (VERDICT r7 #4): the round-7 residue case.
+    A-B share x, B-C share y, C-D share w, no other overlaps. Star:
+    B under A, C under B, D under C. One re-admit pass brings back C
+    (its only conflict B is out) but leaves D (conflicted with the
+    just-readmitted C? no — D's conflict C was still suppressed when
+    the single pass ran). The fixpoint's second round re-evaluates D
+    against the NOW-admitted C: D shares band w with admitted C, so D
+    stays correctly suppressed. Expected survivors: A and C."""
+    import eventsourcing_spark.pipeline.streaming_neardup as sn
+
+    mapping = {
+        1: [(0, "x")],
+        2: [(0, "x"), (1, "y")],
+        3: [(1, "y"), (2, "w")],
+        4: [(2, "w"), (3, "z")],
+        5: [(3, "z")],
+    }
+    monkeypatch.setattr(sn, "_bands", _fake_bands_factory(spark, mapping))
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "en") for i in (1, 2, 3, 4, 5)],
+        "doc_id long, text string, lang string",
+    )
+    kept = sorted(
+        r.doc_id for r in sn.neardup_batch(df, dirs["reg"]).collect()
+    )
+    # chain 1-2-3-4-5: admitted alternate = 1, 3, 5 (B/D suppressed
+    # under genuinely admitted neighbors). Pre-fixpoint (single pass):
+    # [1, 3] — doc 5's rescue needed the second round.
+    assert kept == [1, 3, 5], kept
+
+
+def test_deep_chain_alternates_to_fixpoint(spark, dirs, monkeypatch):
+    """An 8-deep chain resolves to the alternating independent set in
+    <= depth rounds — chains of ANY depth are rescued."""
+    import eventsourcing_spark.pipeline.streaming_neardup as sn
+
+    n = 8
+    mapping = {}
+    for i in range(1, n + 1):
+        bs = []
+        if i > 1:
+            bs.append((i - 2, f"b{i - 1}"))
+        if i < n:
+            bs.append((i - 1, f"b{i}"))
+        mapping[i] = bs
+    monkeypatch.setattr(sn, "_bands", _fake_bands_factory(spark, mapping))
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "en") for i in range(1, n + 1)],
+        "doc_id long, text string, lang string",
+    )
+    kept = sorted(
+        r.doc_id for r in sn.neardup_batch(df, dirs["reg"]).collect()
+    )
+    assert kept == [1, 3, 5, 7], kept
