@@ -1925,13 +1925,27 @@ def dedup_containment_verify(spark, sf_dir):
 # inside a selection window emit the identical anchor either way and
 # the two engines can never diverge on a tie rule.
 #
-# Scale shape: stage 1's O(L·SEL) min-scan runs inside the map stage;
-# ~12% anchors shuffle keyed by hash. Stage 2's full-window explode is
-# restricted to candidate docs — a set sized by the corpus's actual
-# duplication (plus 35-49-char near-threshold matches), NOT by corpus
-# size (measured: ~10% of docs on this corpus at both sf0.01 and
-# sf0.1). The candidate semi-join broadcasts when small and shuffles
-# when not — AQE's call, no collect anywhere.
+# TEXT-GRAIN FOLD (round 8, VERDICT r7 #5): both stages run over
+# DISTINCT texts, not documents. Byte-identical documents share every
+# window, so the corpus is first grouped by md5(text) into
+# (representative text, multiplicity, min doc_id); a window's document
+# count is then the SUM of multiplicities of the distinct texts
+# containing it and its first_doc the min of their min_docs — the
+# output is provably unchanged, but the adversarial worst case (a
+# ~95%-replicated corpus, where every doc is a candidate) collapses to
+# the distinct-text count before any window is hashed. This is the
+# "dedup to existence grain before the explode" discipline: exact
+# duplication is resolved at text grain for the price of one
+# text-keyed aggregation, and the expensive window work only ever sees
+# unique byte content.
+#
+# Scale shape: stage 1's O(L·SEL) min-scan runs inside the map stage
+# over distinct texts; ~12% anchors shuffle keyed by hash. Stage 2's
+# full-window explode is restricted to candidate texts — a set sized
+# by the corpus's actual near-duplication (plus 35-49-char
+# near-threshold matches), NOT by corpus size. The candidate semi-join
+# broadcasts when small and shuffles when not — AQE's call, no collect
+# anywhere.
 # ---------------------------------------------------------------------------
 SUBSTR_W = 50  # the ExactSubstr match length (Lee et al. 2022)
 SUBSTR_CAND = 35  # stage-1 window; guarantee = CAND + SEL - 1 = 50
@@ -1952,58 +1966,91 @@ SUBSTR_SEL = 16  # winnowing selection window
         SELECT unnest(generate_series(0, (
             SELECT coalesce(max(length(text)), 1) FROM documents) - 1)) AS i
     ),
+    texts AS MATERIALIZED (
+        SELECT md5(text) AS tkey,
+               arg_min(text, doc_id) AS text,
+               CAST(count(*) AS BIGINT) AS mult,
+               min(doc_id) AS min_doc
+        FROM documents
+        WHERE length(text) >= {SUBSTR_CAND}
+        GROUP BY md5(text)
+    ),
     wins AS (
-        SELECT doc_id, i,
+        SELECT tkey, i,
                length(text) - {SUBSTR_CAND} + 1 AS nwin,
                md5(substr(text, CAST(i + 1 AS INTEGER), {SUBSTR_CAND})) AS h
-        FROM documents, pos
-        WHERE length(text) >= {SUBSTR_CAND}
-          AND i < length(text) - {SUBSTR_CAND} + 1
+        FROM texts, pos
+        WHERE i < length(text) - {SUBSTR_CAND} + 1
     ),
     sel AS (
-        SELECT doc_id, i, nwin,
-               min(h) OVER (PARTITION BY doc_id ORDER BY i
+        SELECT tkey, i, nwin,
+               min(h) OVER (PARTITION BY tkey ORDER BY i
                             ROWS BETWEEN CURRENT ROW
                             AND {SUBSTR_SEL - 1} FOLLOWING) AS wh
         FROM wins
     ),
     anch AS MATERIALIZED (
-        SELECT DISTINCT doc_id, wh
+        SELECT DISTINCT tkey, wh
         FROM sel
         WHERE i <= greatest(nwin - {SUBSTR_SEL}, 0)
     ),
-    fam AS (SELECT wh FROM anch GROUP BY wh HAVING count(*) > 1),
+    fam AS (
+        SELECT wh FROM anch a JOIN texts t ON t.tkey = a.tkey
+        GROUP BY wh HAVING sum(t.mult) > 1
+    ),
     cand AS (
-        SELECT DISTINCT a.doc_id FROM anch a JOIN fam f ON a.wh = f.wh
+        SELECT DISTINCT a.tkey FROM anch a JOIN fam f ON a.wh = f.wh
     ),
     fullw AS (
-        SELECT d.doc_id,
-               md5(substr(d.text, CAST(i + 1 AS INTEGER), {SUBSTR_W})) AS h
-        FROM documents d JOIN cand c ON c.doc_id = d.doc_id, pos
-        WHERE length(d.text) >= {SUBSTR_W}
-          AND i < length(d.text) - {SUBSTR_W} + 1
+        -- raw window content, NOT md5(window): grouping needs only
+        -- EQUALITY (byte-identical in both engines); the hash is
+        -- computed once per surviving family below instead of once per
+        -- window — at a 95%-duplicated corpus that is ~20x fewer md5s
+        SELECT t.tkey,
+               substr(t.text, CAST(i + 1 AS INTEGER), {SUBSTR_W}) AS win
+        FROM texts t JOIN cand c ON c.tkey = t.tkey, pos
+        WHERE length(t.text) >= {SUBSTR_W}
+          AND i < length(t.text) - {SUBSTR_W} + 1
     ),
-    fdist AS (SELECT DISTINCT doc_id, h FROM fullw)
-    SELECT h AS window_hash,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(min(doc_id) AS BIGINT) AS first_doc
-    FROM fdist
-    GROUP BY h
-    HAVING count(*) > 1
+    fdist AS (SELECT DISTINCT tkey, win FROM fullw)
+    SELECT md5(f.win) AS window_hash,
+           CAST(sum(t.mult) AS BIGINT) AS n_docs,
+           CAST(min(t.min_doc) AS BIGINT) AS first_doc
+    FROM fdist f JOIN texts t ON t.tkey = f.tkey
+    GROUP BY f.win
+    HAVING sum(t.mult) > 1
     """,
 )
 def exact_substring_dedup(spark, sf_dir):
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    # Stage 1: winnowed 35-char anchors → candidate doc set.
+    # Text-grain fold: one aggregation to (distinct text, multiplicity,
+    # min doc) — every downstream window is hashed once per unique byte
+    # content, never once per document copy.
+    texts = (
+        docs.filter(F.length("text") >= SUBSTR_CAND)
+        .groupBy(F.md5("text").alias("tkey"))
+        .agg(
+            F.min_by("text", "doc_id").alias("text"),
+            F.count("*").cast("long").alias("mult"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+    # Four consumers (anchors, fam, stage-2 explode, final rollup):
+    # materialize the distinct-text fold once instead of re-running the
+    # corpus aggregation per consumer. ensure_parallelism first — AQE
+    # coalesces the small distinct-text shuffle to one partition, which
+    # would serialize the CPU-heavy winnow scan downstream.
+    texts = ensure_parallelism(texts).localCheckpoint()
+    # Stage 1: winnowed anchors → candidate text set.
     hs = F.expr(
         f"transform(sequence(0, length(text) - {SUBSTR_CAND}),"
         f" i -> md5(substring(text, cast(i + 1 as int), {SUBSTR_CAND})))"
     )
     anchors = (
-        docs.filter(F.length("text") >= SUBSTR_CAND)
-        .select("doc_id", hs.alias("hs"))
+        texts.select("tkey", "mult", hs.alias("hs"))
         .select(
-            "doc_id",
+            "tkey",
+            "mult",
             F.explode(
                 F.expr(
                     f"array_distinct(transform("
@@ -2012,34 +2059,52 @@ def exact_substring_dedup(spark, sf_dir):
                 )
             ).alias("wh"),
         )
+        # consumed twice (family counts + candidate semi-join): the
+        # winnow scan is the most expensive map stage in the query —
+        # materialize it once instead of running it per consumer
+        .localCheckpoint()
     )
-    fam = anchors.groupBy("wh").count().filter(F.col("count") > 1)
+    fam = (
+        anchors.groupBy("wh")
+        .agg(F.sum("mult").alias("n"))
+        .filter(F.col("n") > 1)
+    )
     cand = (
-        anchors.join(fam, "wh", "left_semi").select("doc_id").distinct()
+        anchors.join(fam, "wh", "left_semi").select("tkey").distinct()
     )
-    # Stage 2: full 50-char windows over candidate docs only — exact.
+    # Stage 2: full 50-char windows over candidate texts only — exact.
+    # Raw window content, not md5(window): grouping needs only EQUALITY
+    # (byte-identical both engines); md5 is computed once per surviving
+    # family, ~20x fewer hashes on a heavily-duplicated corpus.
     fullw = (
-        docs.join(cand, "doc_id", "left_semi")
+        texts.join(cand, "tkey", "left_semi")
         .filter(F.length("text") >= SUBSTR_W)
         .select(
-            "doc_id",
+            "tkey",
+            "mult",
+            "min_doc",
             F.explode(
                 F.expr(
                     f"array_distinct(transform("
                     f" sequence(0, length(text) - {SUBSTR_W}),"
-                    f" i -> md5(substring(text, cast(i + 1 as int),"
-                    f" {SUBSTR_W}))))"
+                    f" i -> substring(text, cast(i + 1 as int),"
+                    f" {SUBSTR_W})))"
                 )
-            ).alias("h"),
+            ).alias("win"),
         )
     )
     return (
-        fullw.groupBy(F.col("h").alias("window_hash"))
+        fullw.groupBy("win")
         .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.min("doc_id").cast("long").alias("first_doc"),
+            F.sum("mult").cast("long").alias("n_docs"),
+            F.min("min_doc").cast("long").alias("first_doc"),
         )
         .filter(F.col("n_docs") > 1)
+        .select(
+            F.md5("win").alias("window_hash"),
+            "n_docs",
+            "first_doc",
+        )
     )
 
 

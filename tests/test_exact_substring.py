@@ -132,3 +132,27 @@ def test_short_doc_degenerate_window(spark, tmp_path):
     fams = SPARK_QUERIES["exact_substring_dedup"](spark, sf).collect()
     assert len(fams) == 55 - 50 + 1 and all(r.n_docs == 2 for r in fams)
     _assert_parity(spark, sf, fams)
+
+
+def test_byte_identical_docs_fold_to_text_grain(spark, tmp_path):
+    """Round-8 text-grain fold: byte-identical documents are folded to
+    one representative before the window stages, but the output still
+    counts every COPY (n_docs sums multiplicities) and first_doc is the
+    global minimum doc_id across copies."""
+    span = ("winter evening settles down with smell of steaks " * 2)[
+        :SUBSTR_W
+    ]
+    assert len(span) == SUBSTR_W
+    base = _fillers(3, "z") + span + _fillers(30, "q")
+    rows = [
+        (5, "src0", base),
+        (9, "src0", base),  # exact copy of doc 5
+        (2, "src1", base),  # exact copy, smallest doc_id
+        (7, "src2", _fillers(11, "r") + span + _fillers(22, "s")),
+    ]
+    sf = _mk_corpus(spark, tmp_path, rows)
+    fams = SPARK_QUERIES["exact_substring_dedup"](spark, sf).collect()
+    best = max(fams, key=lambda r: r.n_docs)
+    assert best.n_docs == 4  # three byte-identical copies + one near
+    assert best.first_doc == 2
+    _assert_parity(spark, sf, fams)
