@@ -133,3 +133,49 @@ def test_avi_rejects_compressed_and_non_avi():
         decode_avi(bytes(enc))
     with pytest.raises(ValueError, match="not an AVI"):
         decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_resample_nearest_identity_and_mapping():
+    from eventsourcing_spark.pipeline.media_codecs import resample_nearest
+
+    # identity: same dims returns the same bytes
+    px = bytes(range(4 * 3))
+    assert resample_nearest(px, 4, 3, 4, 3) == px
+    # 2x2 -> 4x4 upscale: each source pixel becomes a 2x2 block
+    src = bytes([10, 20, 30, 40])
+    up = resample_nearest(src, 2, 2, 4, 4)
+    assert up == bytes(
+        [10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40]
+    )
+    # 4x4 -> 2x2 downscale: floor mapping picks rows/cols 0 and 2
+    src = bytes(range(16))
+    down = resample_nearest(src, 4, 4, 2, 2)
+    assert down == bytes([0, 2, 8, 10])
+    # multi-channel keeps channels together
+    rgb = bytes([1, 2, 3, 4, 5, 6])  # 2x1 rgb
+    out = resample_nearest(rgb, 2, 1, 4, 1, channels=3)
+    assert out == bytes([1, 2, 3, 1, 2, 3, 4, 5, 6, 4, 5, 6])
+
+
+def test_resample_through_png_round_trip():
+    from eventsourcing_spark.pipeline.media_codecs import (
+        decode_png,
+        encode_png,
+        resample_nearest,
+    )
+
+    w, h, ch = 9, 7, 3
+    px = bytes((31 * 5 + 7 * i) % 256 for i in range(w * h * ch))
+    img = decode_png(encode_png(px, w, h, ch))
+    rp = resample_nearest(img["pixels"], w, h, 5, 4, ch)
+    out = decode_png(encode_png(rp, 5, 4, ch))
+    # every output byte equals the formula pixel at its source index
+    j = 0
+    for y in range(4):
+        sy = (y * h) // 4
+        for x in range(5):
+            sx = (x * w) // 5
+            for c in range(ch):
+                src = (sy * w + sx) * ch + c
+                assert out["pixels"][j] == (31 * 5 + 7 * src) % 256
+                j += 1
