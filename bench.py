@@ -119,6 +119,12 @@ HEADLINE = [
     "nb_quality_score",
     "langid_ngram_classify",
     "url_canonical_dedup",
+    # round 8: exact ridge training, KLL quantile sketch, real pixel
+    # resize through the PNG codec
+    "ridge_quality_train",
+    "ridge_quality_score",
+    "kll_quantile_sketch",
+    "media_resize_pixels",
 ]
 
 

@@ -767,3 +767,106 @@ def cdc_chunk_dedup(spark, sf_dir):
             " div sum(cnt * clen) as bigint)"
         ).alias("dedup_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing audit — concat-and-chunk, the packing rule real
+# pretraining loaders use (concatenate documents in a fixed order,
+# slice into fixed token-budget sequences, documents split across
+# boundaries). A token at global position p (0-based, order = doc_id)
+# belongs to sequence p div B, so a document occupying positions
+# [cum − tok, cum) spans sequences (cum−tok) div B .. (cum−1) div B
+# and its overlap with each is pure interval arithmetic.
+#
+# Shape: the only corpus-wide operation is ONE distributed prefix sum
+# (operators/ranking.global_rank_cumsum — range exchange + broadcast
+# partition offsets, no single-partition window); the span explode is
+# map-side (a document touches ≤ tok div B + 2 sequences) and the
+# audit is one keyed aggregation at sequence grain.
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 1024  # tokens per packed training sequence
+
+
+@query(
+    "sequence_packing_audit",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS tok
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    ),
+    c AS (
+        SELECT doc_id, tok,
+               CAST(sum(tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        FROM d
+    ),
+    g AS (
+        SELECT unnest(generate_series(0, (
+            SELECT coalesce(max(cum), 0) FROM c) // {PACK_BUDGET})) AS s
+    ),
+    spans AS (
+        SELECT c.doc_id, c.tok, c.cum,
+               g.s AS seq_id,
+               least((g.s + 1) * {PACK_BUDGET}, c.cum)
+                 - greatest(g.s * {PACK_BUDGET}, c.cum - c.tok) AS n_tok,
+               CASE WHEN (c.cum - c.tok) // {PACK_BUDGET} = g.s
+                    THEN 1 ELSE 0 END AS started
+        FROM c, g
+        WHERE g.s BETWEEN (c.cum - c.tok) // {PACK_BUDGET}
+                      AND (c.cum - 1) // {PACK_BUDGET}
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(started) AS BIGINT) AS n_docs_started,
+           CAST(count(*) - sum(started) AS BIGINT) AS n_carryover_docs
+    FROM spans GROUP BY seq_id
+    """,
+)
+def sequence_packing_audit(spark, sf_dir):
+    """Per packed-sequence statistics of concat-and-chunk packing:
+    token fill (PACK_BUDGET except the final partial sequence), how
+    many documents each sequence touches, and how many were carried
+    over a boundary from the previous sequence (attention-masking
+    overhead a loader wants to know)."""
+    from eventsourcing_spark.operators.ranking import global_rank_cumsum
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "size(filter(split(text, ' '), x -> x != ''))"
+        ).cast("long").alias("tok"),
+    ).filter(F.col("tok") > 0)
+    c = global_rank_cumsum(d, "tok", "doc_id", cum_col="cum")
+    B = PACK_BUDGET
+    spans = c.select(
+        "doc_id",
+        "tok",
+        "cum",
+        F.explode(
+            F.expr(f"sequence((cum - tok) div {B}, (cum - 1) div {B})")
+        ).alias("seq_id"),
+    ).select(
+        "seq_id",
+        (
+            F.least(
+                (F.col("seq_id") + 1) * B, F.col("cum")
+            )
+            - F.greatest(F.col("seq_id") * B, F.col("cum") - F.col("tok"))
+        ).alias("n_tok"),
+        (
+            ((F.col("cum") - F.col("tok")) / B).cast("long")
+            == F.col("seq_id")
+        ).cast("int").alias("started"),
+    )
+    return spans.groupBy(F.col("seq_id").cast("long").alias("seq_id")).agg(
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("started").cast("long").alias("n_docs_started"),
+        (F.count("*") - F.sum("started")).cast("long").alias(
+            "n_carryover_docs"
+        ),
+    )

@@ -883,3 +883,101 @@ def rake_keyword_phrases(spark, sf_dir):
         .orderBy(F.desc("score_milli"), "phrase")
         .limit(RAKE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate leakage across the train/valid/test boundary — the
+# eval-contamination audit a split pipeline runs before training:
+# a test document that is a NEAR-copy of a training document inflates
+# eval scores even though exact-hash dedup sees nothing. Near is the
+# MinHash band relation (pipeline.queries._bands — the same family all
+# dedup operators use, so "near" means the same thing everywhere).
+#
+# Shape: splits are a map-side hash of doc_id (split_assign's rule);
+# per band bucket a bit_or of the splits present (one keyed agg); per
+# document a bit_or of its buckets' masks minus its own split — i.e.
+# WHICH other splits this document leaks into. No self-join: a
+# mega-family bucket costs two aggregation rows, not O(k²) pairs
+# (the round-7 "existence beats enumeration" rule).
+# ---------------------------------------------------------------------------
+def _split_leak_sql() -> str:
+    from eventsourcing_spark.pipeline.queries import _BANDS_SQL
+
+    return _BANDS_SQL + f"""
+    , s AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{TEST_HEX}' THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{VALID_HEX}' THEN 'valid'
+                    ELSE 'train' END AS split,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{TEST_HEX}' THEN 4
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{VALID_HEX}' THEN 2
+                    ELSE 1 END AS m
+        FROM documents
+    ),
+    sb AS (
+        SELECT b.doc_id, b.band_id, b.band_key, s.split, s.m
+        FROM bands b JOIN s ON s.doc_id = b.doc_id
+    ),
+    bm AS (
+        SELECT band_id, band_key, bit_or(m) AS bmask
+        FROM sb GROUP BY band_id, band_key
+    ),
+    dl AS (
+        SELECT sb.doc_id, any_value(sb.split) AS split,
+               bit_or(bm.bmask) & ~any_value(sb.m) AS leaks_into
+        FROM sb JOIN bm ON bm.band_id = sb.band_id
+             AND bm.band_key = sb.band_key
+        GROUP BY sb.doc_id
+    )
+    SELECT split, CAST(leaks_into AS BIGINT) AS leaks_into_mask,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM dl GROUP BY split, leaks_into
+    ORDER BY split, leaks_into_mask
+    """
+
+
+@query("split_neardup_leakage", _split_leak_sql())
+def split_neardup_leakage(spark, sf_dir):
+    """Per (split, leaked-into mask) document counts: mask bits
+    train=1, valid=2, test=4; leaks_into_mask = the OTHER splits this
+    document shares a MinHash band with (0 = clean). The audit a
+    training pipeline gates on: any test-row with train bit set is
+    eval contamination exact dedup cannot see."""
+    from eventsourcing_spark.io import ensure_parallelism
+    from eventsourcing_spark.pipeline.queries import _bands
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    prefix = F.substring(_doc_hash(F.col("doc_id")), 1, 2)
+    s = docs.select(
+        "doc_id",
+        F.when(prefix < TEST_HEX, F.lit("test"))
+        .when(prefix < VALID_HEX, F.lit("valid"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        F.when(prefix < TEST_HEX, F.lit(4))
+        .when(prefix < VALID_HEX, F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("m"),
+    )
+    sb = _bands(docs).join(s, "doc_id")
+    bm = sb.groupBy("band_id", "band_key").agg(
+        F.expr("bit_or(m)").alias("bmask")
+    )
+    dl = (
+        sb.join(bm, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("split").alias("split"),
+            F.expr("bit_or(bmask) & ~any_value(m)").alias("leaks_into"),
+        )
+    )
+    return (
+        dl.groupBy("split", F.col("leaks_into").cast("long").alias(
+            "leaks_into_mask"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("split", "leaks_into_mask")
+    )

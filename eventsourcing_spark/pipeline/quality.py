@@ -913,3 +913,169 @@ def langid_calibration_ece(spark, sf_dir):
         .cast("long")
         .alias("ece_ppm"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift audit: each source's quality-score
+# distribution against the rest of the corpus — the distribution-shift
+# check a curation pipeline runs per ingest source (a crawler gone bad
+# shifts the whole CDF even when the mean barely moves).
+#
+# Integer-exact KS: with cumulative counts cS(v) (source) and cR(v)
+# (rest) at every pooled score v, the statistic is
+#     D = max_v |cS(v)·nR − cR(v)·nS| / (nS·nR)
+# computed as the integer numerator max (no per-point division — the
+# single division happens once at the end, so both engines truncate
+# identically). Magnitudes: c·n ≤ n² ≤ 1e12 per term at 1M docs.
+#
+# Shape: one doc-grain score projection (map-only), a (source, score)
+# aggregate, a score-grain pooled aggregate, and per-source windows over
+# the SCORE GRID — grid rows = distinct score values, a bounded value
+# domain (the score is a bounded integer combination), never doc grain.
+# ---------------------------------------------------------------------------
+
+_KS_SCORE_DUCK = f"""
+    m AS (
+        SELECT doc_id, source,
+               len(string_split(lower(text), ' ')) AS n_tok,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+               list_aggregate(list_transform(string_split(lower(text), ' '),
+                                             x -> len(x)), 'sum') AS sum_len,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> list_contains({STOPWORDS!r}, x)))
+                 AS n_stop
+        FROM documents
+    ),
+    sc AS (
+        SELECT source,
+               {W_TOK} * n_tok
+                 + {W_MWL} * (sum_len * 10 // n_tok)
+                 + {W_STOP} * (n_stop * 1000 // n_tok)
+                 + {W_UNIQ} * (n_uniq * 1000 // n_tok) AS score
+        FROM m
+    )
+"""
+
+
+@query(
+    "ks_quality_by_source",
+    f"""
+    WITH {_KS_SCORE_DUCK},
+    bysrc AS (
+        SELECT source, score, CAST(count(*) AS BIGINT) AS c
+        FROM sc GROUP BY source, score
+    ),
+    pts AS (SELECT DISTINCT score FROM sc),
+    srcn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM sc
+             GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM sc),
+    grid AS (
+        SELECT g.source, g.score, coalesce(b.c, 0) AS c
+        FROM (SELECT s.source, p.score FROM srcn s CROSS JOIN pts p) g
+        LEFT JOIN bysrc b ON b.source = g.source AND b.score = g.score
+    ),
+    cums AS (
+        SELECT source, score,
+               CAST(sum(c) OVER (PARTITION BY source ORDER BY score)
+                    AS BIGINT) AS cum_s
+        FROM grid
+    ),
+    cumall AS (
+        SELECT score,
+               CAST(sum(c) OVER (ORDER BY score) AS BIGINT) AS cum_all
+        FROM (SELECT score, CAST(count(*) AS BIGINT) AS c FROM sc
+              GROUP BY score)
+    ),
+    d AS (
+        SELECT g.source, g.score, s.n_s, t.n_tot,
+               abs(g.cum_s * (t.n_tot - s.n_s)
+                   - (a.cum_all - g.cum_s) * s.n_s) AS dnum
+        FROM cums g
+        JOIN cumall a ON a.score = g.score
+        JOIN srcn s ON s.source = g.source
+        CROSS JOIN tot t
+    ),
+    mx AS (
+        SELECT source, max(dnum) AS maxd FROM d GROUP BY source
+    )
+    SELECT d.source,
+           CAST(any_value(d.n_s) AS BIGINT) AS n_docs,
+           CAST(any_value(m.maxd) AS BIGINT) AS ks_num,
+           CAST(1000000 * any_value(m.maxd)
+                // (any_value(d.n_s)
+                    * (any_value(d.n_tot) - any_value(d.n_s)))
+                AS BIGINT) AS ks_ppm,
+           CAST(min(d.score) AS BIGINT) AS ks_at_score
+    FROM d JOIN mx m ON m.source = d.source AND d.dnum = m.maxd
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def ks_quality_by_source(spark, sf_dir):
+    """Per-source two-sample KS statistic (source vs rest) over the
+    integer quality score, division-last (one truncating division per
+    output row). ks_at_score = the smallest score achieving the max."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = "split(lower(text), ' ')"
+    score = F.expr(
+        f"{W_TOK} * size({ws})"
+        f" + {W_MWL} * (aggregate(transform({ws},"
+        f" x -> CAST(length(x) AS BIGINT)), CAST(0 AS BIGINT),"
+        f" (a, x) -> a + x) * 10 div size({ws}))"
+        f" + {W_STOP} * (size(filter({ws},"
+        f" x -> array_contains(array("
+        + ", ".join(f"'{w}'" for w in STOPWORDS)
+        + f"), x))) * 1000 div size({ws}))"
+        f" + {W_UNIQ} * (size(array_distinct({ws})) * 1000 div size({ws}))"
+    )
+    sc = docs.select("source", score.alias("score"))
+    bysrc = sc.groupBy("source", "score").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    pts = sc.select("score").distinct()
+    srcn = sc.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    tot = sc.agg(F.count("*").cast("long").alias("n_tot"))
+    grid = (
+        srcn.crossJoin(pts)
+        .join(bysrc, ["source", "score"], "left")
+        .select(
+            "source", "score", "n_s",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    wsrc = Window.partitionBy("source").orderBy("score")
+    cums = grid.withColumn(
+        "cum_s", F.sum("c").over(wsrc).cast("long")
+    )
+    pooled = sc.groupBy("score").agg(F.count("*").cast("long").alias("c"))
+    wall = Window.orderBy("score")
+    cumall = pooled.withColumn(
+        "cum_all", F.sum("c").over(wall).cast("long")
+    ).select("score", "cum_all")
+    d = (
+        cums.join(cumall, "score")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "score", "n_s", "n_tot",
+            F.abs(
+                F.col("cum_s") * (F.col("n_tot") - F.col("n_s"))
+                - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+            ).alias("dnum"),
+        )
+    )
+    mx = d.groupBy("source").agg(F.max("dnum").alias("maxd"))
+    return (
+        d.join(mx, "source")
+        .filter(F.col("dnum") == F.col("maxd"))
+        .groupBy("source")
+        .agg(
+            F.any_value("n_s").cast("long").alias("n_docs"),
+            F.any_value("maxd").cast("long").alias("ks_num"),
+            F.expr(
+                "CAST(1000000 * any_value(maxd) div (any_value(n_s)"
+                " * (any_value(n_tot) - any_value(n_s))) AS BIGINT)"
+            ).alias("ks_ppm"),
+            F.min("score").cast("long").alias("ks_at_score"),
+        )
+        .orderBy("source")
+    )

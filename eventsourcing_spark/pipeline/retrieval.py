@@ -1328,3 +1328,162 @@ def maxscore_pruning_audit(spark, sf_dir):
         )
         .orderBy("ub_score", "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) — the
+# standard hybrid-retrieval combiner: rank the same candidate set under
+# two independent strategies (here: exact quantized dot product, and
+# 1-bit sign-agreement similarity — the binary-quantization retrieval
+# path) and fuse with RRF(d) = Σ_s 1e6 div (K + rank_s(d)), K = 60.
+# Integer-exact in both engines: ranks are deterministic row_numbers
+# (score desc, id asc) and the fused score is integer division.
+#
+# Scale shape: the tiny query set broadcasts into one Arrow-batched
+# numpy matmul per strategy (no shuffle of the embedding table); each
+# ranking is a window keyed by query_id (per-query partitions, never
+# SinglePartition); final top-k per query is a windowed filter over
+# the fused frame.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_QUERIES = 3
+RRF_TOPK = 10
+
+
+@query(
+    "rrf_fusion_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv,
+               list_transform(embedding,
+                   x -> CASE WHEN round(CAST(x AS DOUBLE) * 1000) >= 0
+                        THEN 1 ELSE -1 END) AS qs
+        FROM embeddings WHERE vec_id < {RRF_QUERIES}
+    ),
+    pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CAST(list_dot_product(qv,
+                   list_transform(e.embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                 AS BIGINT) AS dot_score,
+               CAST((list_dot_product(qs,
+                   list_transform(e.embedding,
+                       x -> CASE WHEN round(CAST(x AS DOUBLE) * 1000) >= 0
+                            THEN 1 ELSE -1 END))
+                   + len(qs)) // 2 AS BIGINT) AS sign_agree
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, dot_score, sign_agree,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_score DESC, neighbor_id)
+                 AS rank_dot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sign_agree DESC, neighbor_id)
+                 AS rank_sign
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rank_dot AS BIGINT) AS rank_dot,
+           CAST(rank_sign AS BIGINT) AS rank_sign,
+           CAST(1000000 // ({RRF_K} + rank_dot)
+                + 1000000 // ({RRF_K} + rank_sign) AS BIGINT) AS rrf_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY 1000000 // ({RRF_K} + rank_dot)
+                        + 1000000 // ({RRF_K} + rank_sign) DESC, neighbor_id)
+             AS BIGINT) AS fused_rank
+    FROM ranked
+    QUALIFY fused_rank <= {RRF_TOPK}
+    ORDER BY query_id, fused_rank
+    """,
+)
+def rrf_fusion_topk(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion: exact-dot ranking ⊕
+    1-bit sign-agreement ranking. Both strategy scores come from one
+    numpy int64 matmul each (sign dot s satisfies agreements =
+    (s + dim) / 2 exactly, since agree − disagree = s and
+    agree + disagree = dim)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < RRF_QUERIES)
+        .select("vec_id", quant.alias("qv"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    qmat = np.array([r.qv for r in qrows], dtype=np.int64)
+    qsign = np.where(qmat >= 0, 1, -1).astype(np.int64)
+    dim = qmat.shape[1]
+    qids = F.array(*[F.lit(int(r.vec_id)).cast("long") for r in qrows])
+
+    def _scores(ev: pd.Series) -> pd.Series:
+        m = np.stack(ev.to_numpy()).astype(np.int64)
+        dots = m @ qmat.T
+        signs = np.where(m >= 0, 1, -1).astype(np.int64)
+        agree = (signs @ qsign.T + dim) // 2
+        # interleave: [dot_0, agree_0, dot_1, agree_1, ...]
+        out = np.empty((m.shape[0], 2 * dots.shape[1]), dtype=np.int64)
+        out[:, 0::2] = dots
+        out[:, 1::2] = agree
+        return pd.Series(list(out))
+
+    _scores.__annotations__ = {"ev": pd.Series, "return": pd.Series}
+    scores = F.pandas_udf(_scores, "array<long>")
+
+    e = emb.select(F.col("vec_id").alias("neighbor_id"), quant.alias("ev"))
+    pairs = (
+        e.select(
+            "neighbor_id", F.posexplode(scores(F.col("ev"))).alias("j", "v")
+        )
+        .withColumn("qi", F.expr("j div 2"))
+        .withColumn("is_sign", F.expr("j % 2 = 1"))
+        .groupBy("neighbor_id", "qi")
+        .agg(
+            F.max(F.when(~F.col("is_sign"), F.col("v"))).alias("dot_score"),
+            F.max(F.when(F.col("is_sign"), F.col("v"))).alias("sign_agree"),
+        )
+        .select(
+            F.element_at(qids, F.col("qi").cast("int") + 1).alias("query_id"),
+            "neighbor_id",
+            "dot_score",
+            "sign_agree",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_score"), F.asc("neighbor_id")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("sign_agree"), F.asc("neighbor_id")
+    )
+    ranked = pairs.withColumn(
+        "rank_dot", F.row_number().over(wd).cast("long")
+    ).withColumn("rank_sign", F.row_number().over(ws).cast("long"))
+    rrf = F.expr(
+        f"1000000 div ({RRF_K} + rank_dot)"
+        f" + 1000000 div ({RRF_K} + rank_sign)"
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        ranked.withColumn("rrf_score", rrf.cast("long"))
+        .withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+        .select(
+            "query_id", "neighbor_id", "rank_dot", "rank_sign",
+            "rrf_score", "fused_rank",
+        )
+        .orderBy("query_id", "fused_rank")
+    )

@@ -408,3 +408,58 @@ def ridge_nb_agreement(spark, sf_dir):
         )
         .orderBy("ridge_pred", "nb_pred")
     )
+
+
+@query(
+    "ridge_quality_sse",
+    f"""
+    WITH {_duck_weights_ctes()},
+    ev AS (
+        SELECT f.y,
+               (w.w0_fx + w.w1_fx * f.f1 + w.w2_fx * f.f2
+                + w.w3_fx * f.f3) AS score_fx
+        FROM feats f CROSS JOIN weights w
+        WHERE f.doc_id % 2 = 1
+    ),
+    err AS (
+        SELECT y, score_fx,
+               (y * {1 << FRAC_BITS} - score_fx)::HUGEINT AS e
+        FROM ev
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(abs(e)) AS BIGINT) AS sum_abs_err,
+           CAST(sum(e * e) // {1 << FRAC_BITS} AS BIGINT) AS sse_shifted,
+           CAST(sum(CASE WHEN (score_fx >= {PRED_T}) = (y = 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM err
+    """,
+)
+def ridge_quality_sse(spark, sf_dir):
+    """Held-out regression diagnostics for the exact-trained scorer,
+    themselves exact: per-doc residual e = label·2^20 − score_fx in
+    fixed point, reported as Σ|e| (fits BIGINT directly) and
+    Σe² div 2^20 (squares summed in DECIMAL(38,0)/HUGEINT, shifted
+    ONCE after the sum — division-last, so partial-aggregation order
+    cannot move the result). One aggregation over the eval half; the
+    weights ride in as the usual 1-row broadcast."""
+    scored = ridge_quality_score(spark, sf_dir).filter(
+        F.col("is_train") == 0
+    )
+    e = (F.col("label_good") * (1 << FRAC_BITS) - F.col("score_fx")).cast(
+        "decimal(38,0)"
+    )
+    return scored.select(
+        "label_good", "score_fx", e.alias("e")
+    ).agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("e"))).cast("long").alias("sum_abs_err"),
+        F.expr(f"CAST(sum(e * e) div {1 << FRAC_BITS} AS BIGINT)").alias(
+            "sse_shifted"
+        ),
+        F.sum(
+            (
+                (F.col("score_fx") >= PRED_T).cast("int")
+                == (F.col("label_good") == 1).cast("int")
+            ).cast("long")
+        ).cast("long").alias("n_correct"),
+    )

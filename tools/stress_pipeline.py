@@ -120,6 +120,13 @@ STRESS_QUERIES = (
     "nb_quality_score",
     "langid_ngram_classify",
     "url_canonical_dedup",
+    # round 8: exact ridge (sufficient-statistic training must stay one
+    # aggregation pass), KLL sketch (global rank + map-only classifier),
+    # pixel resize (per-image bounded work, map-only)
+    "ridge_quality_train",
+    "ridge_quality_score",
+    "kll_quantile_sketch",
+    "media_resize_pixels",
 )
 
 
