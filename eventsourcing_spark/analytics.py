@@ -4173,3 +4173,72 @@ def shapley_attribution(spark, sf_dir):
         )
         .orderBy(F.desc("shapley_x24"), "channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Gini / Lorenz) over per-user purchase value —
+# "what share of revenue do the top users carry" is the first
+# concentration question product analytics asks, and the Gini
+# coefficient is its scalar. Exact integer form over cents totals
+# x_(1) ≤ ... ≤ x_(n):
+#     G = Σ_i (2i − n − 1)·x_(i)  /  (n · Σ_i x_i)
+# emitted as ppm with the single division LAST. The sort rank is the
+# distributed global rank (operators/ranking.py — range exchange +
+# broadcast offsets, no single-partition window); the numerator terms
+# are map-side arithmetic on (rank, cents) and one partial-aggregated
+# sum. Cents come through DECIMAL(18,2) (the synthetic values are
+# 2-decimal by construction), so both engines see identical integers.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_gini_concentration",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(sum(CAST(value AS {DEC})) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, user_id) AS i,
+               count(*) OVER () AS n
+        FROM u
+    ),
+    t AS (SELECT cents, n, (2 * i - n - 1) * cents AS term FROM r)
+    SELECT CAST(any_value(n) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(term) AS BIGINT) AS gini_num,
+           CAST(1000000 * sum(term)
+                // (any_value(n) * sum(cents)) AS BIGINT) AS gini_ppm
+    FROM t
+    """,
+)
+def revenue_gini_concentration(spark, sf_dir):
+    from eventsourcing_spark.operators.ranking import global_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.col("value").cast(DEC)) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    r = global_rank(u, "cents", "user_id", rank_col="i")
+    n = u.agg(F.count("*").cast("long").alias("n"))
+    terms = r.crossJoin(F.broadcast(n)).select(
+        "cents",
+        "n",
+        ((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).alias("term"),
+    )
+    return terms.agg(
+        F.any_value("n").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum("term").cast("long").alias("gini_num"),
+        F.expr(
+            "CAST(1000000 * sum(term) div (any_value(n) * sum(cents))"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

@@ -981,3 +981,80 @@ def split_neardup_leakage(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("split", "leaks_into_mask")
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit between the document corpus and its
+# embedding table — the "does every doc have a vector, and whose
+# vectors are orphans" check a feature-store sync runs after every
+# backfill. Per source: docs with/without a vector (LEFT SEMI/ANTI
+# against vec_id — existence probes, no row multiplication even if the
+# embedding table carried duplicate ids); one extra ALL-row carries the
+# reverse direction (vectors with no document), which has no per-source
+# attribution. Shape: two broadcast-or-shuffle semi-joins on the id key
+# and one keyed aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_embedding_coverage",
+    """
+    WITH cov AS (
+        SELECT d.source,
+               CASE WHEN EXISTS (SELECT 1 FROM embeddings e
+                                 WHERE e.vec_id = d.doc_id)
+                    THEN 1 ELSE 0 END AS has_vec
+        FROM documents d
+    ),
+    per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(has_vec) AS BIGINT) AS n_with_vec,
+               CAST(count(*) - sum(has_vec) AS BIGINT) AS n_without_vec
+        FROM cov GROUP BY source
+    ),
+    orphans AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM embeddings e
+        WHERE NOT EXISTS (SELECT 1 FROM documents d
+                          WHERE d.doc_id = e.vec_id)
+    )
+    SELECT source, n_docs, n_with_vec, n_without_vec FROM per
+    UNION ALL
+    SELECT '__orphan_vectors__', o.n, CAST(0 AS BIGINT), o.n FROM orphans o
+    ORDER BY source
+    """,
+)
+def doc_embedding_coverage(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    with_vec = (
+        docs.join(emb, docs.doc_id == emb.vec_id, "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_with_vec"))
+    )
+    per = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(with_vec, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_with_vec"), F.lit(0))
+            .cast("long")
+            .alias("n_with_vec"),
+            (F.col("n_docs") - F.coalesce(F.col("n_with_vec"), F.lit(0)))
+            .cast("long")
+            .alias("n_without_vec"),
+        )
+    )
+    orphans = (
+        emb.join(docs.select("doc_id"), emb.vec_id == F.col("doc_id"),
+                 "left_anti")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.lit("__orphan_vectors__").alias("source"),
+            F.col("n").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_with_vec"),
+            F.col("n").alias("n_without_vec"),
+        )
+    )
+    return per.unionByName(orphans).orderBy("source")

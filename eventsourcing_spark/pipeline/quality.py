@@ -1079,3 +1079,117 @@ def ks_quality_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Zipf slope — fit log(freq) ≈ a + s·log(rank) over the token
+# frequency table by ORDINARY LEAST SQUARES computed exactly: both logs
+# are the 20-fraction-bit integer ilog2 kernel (nb_classifier — bit-
+# identical across engines by construction), the OLS slope is the
+# rational (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over those integers, and
+# the fixed-point emission reuses the ridge trunc-toward-zero two-stage
+# long division. A healthy natural-language corpus fits s ≈ −1 (Zipf's
+# law); a corpus whose slope drifts is the canonical symptom of
+# boilerplate floods or aggressive dedup. slope_mfx is in units of
+# 2^-20 per log2 — i.e. ≈ −(1<<20) for ideal Zipf.
+#
+# Shape: one token-grain aggregation (map-side combine on the Zipf head
+# is exactly the langid/NB scoring discipline), one distributed global
+# rank over the vocabulary, map-side ilog2 arithmetic, one 1-row sum.
+# ---------------------------------------------------------------------------
+
+
+from eventsourcing_spark.pipeline.nb_classifier import (
+    ilog2_duck as _ilog2_duck,
+)
+
+
+def _slope_div(num: str, den: str, div: str) -> str:
+    """trunc-toward-zero ((num << 20) / den) via two 10-bit stages —
+    the ridge long-division discipline (remainders stay < den)."""
+    q = f"(({num}) {div} ({den}))"
+    r1 = f"(({num}) - {q} * ({den}))"
+    h1 = f"(({r1} * 1024) {div} ({den}))"
+    r2 = f"(({r1} * 1024) - {h1} * ({den}))"
+    h2 = f"(({r2} * 1024) {div} ({den}))"
+    return f"({q} * 1048576 + {h1} * 1024 + {h2})"
+
+
+@query(
+    "zipf_slope_tokens",
+    f"""
+    WITH tf AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS token
+            FROM documents
+        ) GROUP BY token
+    ),
+    rk AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, token) AS i
+        FROM tf
+    ),
+    xy AS (
+        SELECT {{ix}} AS x, {{iy}} AS y FROM rk
+    ),
+    s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x::HUGEINT * y::HUGEINT) AS HUGEINT) AS sxy,
+               CAST(sum(x::HUGEINT * x::HUGEINT) AS HUGEINT) AS sxx
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_n,
+           CAST(sx AS BIGINT) AS sum_logx_fx,
+           CAST(sy AS BIGINT) AS sum_logy_fx,
+           CAST({_slope_div("(n * sxy - sx * sy)",
+                            "(n * sxx - sx * sx)", "//")}
+                AS BIGINT) AS slope_mfx
+    FROM s
+    """.replace("{ix}", _ilog2_duck("i")).replace(
+        "{iy}", _ilog2_duck("freq")),
+)
+def zipf_slope_tokens(spark, sf_dir):
+    from eventsourcing_spark.operators.ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x != '')")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    rk = global_rank(tf, F.desc("freq"), "token", rank_col="i")
+    from eventsourcing_spark.pipeline.nb_classifier import ilog2_spark
+
+    xy = rk.select(
+        F.expr(ilog2_spark("i")).alias("x"),
+        F.expr(ilog2_spark("freq")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("vocab_n"),
+        F.col("sx").cast("long").alias("sum_logx_fx"),
+        F.col("sy").cast("long").alias("sum_logy_fx"),
+        F.expr(
+            "CAST("
+            + _slope_div("(n * sxy - sx * sy)", "(n * sxx - sx * sx)", "div")
+            + " AS BIGINT)"
+        ).alias("slope_mfx"),
+    )
