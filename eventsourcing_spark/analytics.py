@@ -4242,3 +4242,4 @@ def revenue_gini_concentration(spark, sf_dir):
             " AS BIGINT)"
         ).alias("gini_ppm"),
     )
+

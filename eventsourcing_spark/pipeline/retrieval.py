@@ -1487,3 +1487,141 @@ def rrf_fusion_topk(spark, sf_dir):
         )
         .orderBy("query_id", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-example mining for contrastive embedding training: for each
+# anchor vector, the HARD NEGATIVE (highest-dot vector with a DIFFERENT
+# label — the impostor the model most confuses) and the HARD POSITIVE
+# (lowest-dot vector with the SAME label — the in-class outlier), plus
+# the (negative) margin between them. This is the mining step of
+# triplet/InfoNCE pipelines (Schroff et al., FaceNet 2015).
+#
+# Shape: the anchor set is a query PARAMETER (tiny, collected once)
+# broadcast into one Arrow-batched int64 matmul over the embedding
+# table — the big side never shuffles rows; per-anchor argmax/argmin
+# are two keyed aggregations at anchor grain. Exact quantized-integer
+# dots, deterministic tie-breaks on vec_id.
+# ---------------------------------------------------------------------------
+
+HN_ANCHORS = 16
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id < {HN_ANCHORS}
+    ),
+    pairs AS (
+        SELECT q.anchor_id, q.anchor_label, e.vec_id, e.label,
+               CAST(list_dot_product(qv,
+                   list_transform(e.embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                 AS BIGINT) AS dot
+        FROM q JOIN embeddings e ON e.vec_id != q.anchor_id
+    ),
+    hn AS (
+        -- deterministic argmax: pack (dot, vec_id) into one ordered
+        -- BIGINT key (dot < 2^30, vec_id < 2^24)
+        SELECT anchor_id,
+               arg_min(vec_id, -dot * 16777216 + vec_id) AS hn_id,
+               max(dot) AS hn_dot
+        FROM pairs WHERE label != anchor_label GROUP BY anchor_id
+    ),
+    hp AS (
+        SELECT anchor_id,
+               arg_min(vec_id, dot * 16777216 + vec_id) AS hp_id,
+               min(dot) AS hp_dot
+        FROM pairs WHERE label = anchor_label GROUP BY anchor_id
+    )
+    SELECT q.anchor_id, CAST(q.anchor_label AS BIGINT) AS anchor_label,
+           CAST(n.hn_id AS BIGINT) AS hard_negative_id,
+           CAST(n.hn_dot AS BIGINT) AS hard_negative_dot,
+           CAST(p.hp_id AS BIGINT) AS hard_positive_id,
+           CAST(p.hp_dot AS BIGINT) AS hard_positive_dot,
+           CAST(p.hp_dot - n.hn_dot AS BIGINT) AS margin
+    FROM q JOIN hn n ON n.anchor_id = q.anchor_id
+           JOIN hp p ON p.anchor_id = q.anchor_id
+    ORDER BY q.anchor_id
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < HN_ANCHORS)
+        .select("vec_id", "label", quant.alias("qv"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    qmat = np.array([r.qv for r in qrows], dtype=np.int64)
+    qids = F.array(*[F.lit(int(r.vec_id)).cast("long") for r in qrows])
+    qlabels = F.array(*[F.lit(int(r.label)).cast("long") for r in qrows])
+
+    def _dots(ev: pd.Series) -> pd.Series:
+        m = np.stack(ev.to_numpy()).astype(np.int64)
+        return pd.Series(list(m @ qmat.T))
+
+    _dots.__annotations__ = {"ev": pd.Series, "return": pd.Series}
+    dots = F.pandas_udf(_dots, "array<long>")
+
+    pairs = (
+        emb.select("vec_id", "label", quant.alias("ev"))
+        .select(
+            "vec_id", "label",
+            F.posexplode(dots(F.col("ev"))).alias("qi", "dot"),
+        )
+        .select(
+            F.element_at(qids, F.col("qi") + 1).alias("anchor_id"),
+            F.element_at(qlabels, F.col("qi") + 1).alias("anchor_label"),
+            "vec_id", "label", "dot",
+        )
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+    )
+    hn = (
+        pairs.filter(F.col("label") != F.col("anchor_label"))
+        .groupBy("anchor_id")
+        .agg(
+            F.expr("min_by(vec_id, -dot * 16777216 + vec_id)")
+            .cast("long")
+            .alias("hard_negative_id"),
+            F.max("dot").cast("long").alias("hard_negative_dot"),
+        )
+    )
+    hp = (
+        pairs.filter(F.col("label") == F.col("anchor_label"))
+        .groupBy("anchor_id")
+        .agg(
+            F.expr("min_by(vec_id, dot * 16777216 + vec_id)")
+            .cast("long")
+            .alias("hard_positive_id"),
+            F.min("dot").cast("long").alias("hard_positive_dot"),
+        )
+    )
+    anchors = pairs.select("anchor_id", "anchor_label").distinct()
+    return (
+        anchors.join(hn, "anchor_id")
+        .join(hp, "anchor_id")
+        .select(
+            "anchor_id",
+            F.col("anchor_label").cast("long").alias("anchor_label"),
+            "hard_negative_id",
+            "hard_negative_dot",
+            "hard_positive_id",
+            "hard_positive_dot",
+            (F.col("hard_positive_dot") - F.col("hard_negative_dot"))
+            .cast("long")
+            .alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
