@@ -120,11 +120,16 @@ HEADLINE = [
     "langid_ngram_classify",
     "url_canonical_dedup",
     # round 8: exact ridge training, KLL quantile sketch, real pixel
-    # resize through the PNG codec
+    # resize through the PNG codec, split leakage, packing, KS drift,
+    # exact Zipf slope
     "ridge_quality_train",
     "ridge_quality_score",
     "kll_quantile_sketch",
     "media_resize_pixels",
+    "split_neardup_leakage",
+    "sequence_packing_audit",
+    "ks_quality_by_source",
+    "zipf_slope_tokens",
 ]
 
 

@@ -4204,12 +4204,14 @@ def shapley_attribution(spark, sf_dir):
                count(*) OVER () AS n
         FROM u
     ),
-    t AS (SELECT cents, n, (2 * i - n - 1) * cents AS term FROM r)
+    t AS (SELECT cents, n,
+                 (2 * i - n - 1)::HUGEINT * cents::HUGEINT AS term FROM r)
     SELECT CAST(any_value(n) AS BIGINT) AS n_users,
            CAST(sum(cents) AS BIGINT) AS total_cents,
-           CAST(sum(term) AS BIGINT) AS gini_num,
-           CAST(1000000 * sum(term)
-                // (any_value(n) * sum(cents)) AS BIGINT) AS gini_ppm
+           CAST(sum(term) // 1048576 AS BIGINT) AS gini_num_shifted,
+           CAST(1000000::HUGEINT * sum(term)
+                // (any_value(n)::HUGEINT * sum(cents)::HUGEINT)
+                AS BIGINT) AS gini_ppm
     FROM t
     """,
 )
@@ -4228,18 +4230,26 @@ def revenue_gini_concentration(spark, sf_dir):
     )
     r = global_rank(u, "cents", "user_id", rank_col="i")
     n = u.agg(F.count("*").cast("long").alias("n"))
+    # terms and their sum run in DECIMAL(38,0): n²·c̄ passes BIGINT
+    # around ~1M users (hit loudly at the 20× stress)
     terms = r.crossJoin(F.broadcast(n)).select(
         "cents",
         "n",
-        ((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).alias("term"),
+        (
+            (2 * F.col("i") - F.col("n") - 1).cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("term"),
     )
     return terms.agg(
         F.any_value("n").cast("long").alias("n_users"),
         F.sum("cents").cast("long").alias("total_cents"),
-        F.sum("term").cast("long").alias("gini_num"),
+        F.expr("CAST(sum(term) div 1048576 AS BIGINT)").alias(
+            "gini_num_shifted"
+        ),
         F.expr(
-            "CAST(1000000 * sum(term) div (any_value(n) * sum(cents))"
-            " AS BIGINT)"
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * sum(term)"
+            " div (CAST(any_value(n) AS DECIMAL(38,0))"
+            " * CAST(sum(cents) AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("gini_ppm"),
     )
 

@@ -125,8 +125,18 @@ STRESS_QUERIES = (
     # pixel resize (per-image bounded work, map-only)
     "ridge_quality_train",
     "ridge_quality_score",
+    "ridge_quality_sse",
     "kll_quantile_sketch",
     "media_resize_pixels",
+    "media_audio_downsample",
+    "split_neardup_leakage",
+    "ks_quality_by_source",
+    "sequence_packing_audit",
+    "zipf_slope_tokens",
+    "revenue_gini_concentration",
+    "rrf_fusion_topk",
+    "hard_negative_mining",
+    "doc_embedding_coverage",
 )
 
 
