@@ -322,7 +322,9 @@ def unpartitioned_windows(df_or_plan: DataFrame | str) -> list[str]:
     return flags
 
 
-def single_partition_census(df_or_plan: DataFrame | str) -> dict[str, int]:
+def single_partition_census(
+    df_or_plan: DataFrame | str, documented: bool = False
+) -> dict[str, int]:
     """Classify every ``Exchange SinglePartition`` in a plan by what
     feeds it — the audit the round-3 judge ran by hand, mechanized:
 
@@ -339,6 +341,11 @@ def single_partition_census(df_or_plan: DataFrame | str) -> dict[str, int]:
     * ``python_fed`` — an Arrow python stage feeds the exchange: the
       plan cannot prove the bound, so the OPERATOR must document it
       (e.g. the two-phase skyline's local-front reduction);
+    * ``documented_bounded`` — the plan cannot prove the bound (e.g. a
+      localCheckpoint materialization feeds the exchange) but the query
+      carries a written cardinality bound (``BOUNDED_WINDOW``); the
+      caller opts in via ``documented=True`` — the census's analogue of
+      python_fed's document-it contract;
     * ``unbounded`` — corpus-sized: the scale-killer class
       (:func:`unpartitioned_windows` flags the Window-consuming subset).
     """
@@ -352,6 +359,7 @@ def single_partition_census(df_or_plan: DataFrame | str) -> dict[str, int]:
         "limit_bounded": 0,
         "literal": 0,
         "python_fed": 0,
+        "documented_bounded": 0,
         "unbounded": 0,
     }
     agg = {"HashAggregate", "ObjectHashAggregate", "SortAggregate"}
@@ -385,6 +393,8 @@ def single_partition_census(df_or_plan: DataFrame | str) -> dict[str, int]:
             census["literal"] += 1
         elif producer in py:
             census["python_fed"] += 1
+        elif documented:
+            census["documented_bounded"] += 1
         else:
             census["unbounded"] += 1
     return census

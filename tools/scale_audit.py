@@ -36,7 +36,8 @@ def main() -> int:
     flagged = 0
     census_total = {"aggregate_fed": 0, "aggregate_fed_growing_grain": 0,
                     "limit_bounded": 0, "literal": 0,
-                    "python_fed": 0, "unbounded": 0}
+                    "python_fed": 0, "documented_bounded": 0,
+                    "unbounded": 0}
     print(f"{'query':40s} {'exch':>4s} {'scan':>4s} {'bhj':>3s} {'py':>3s}  flags")
     for name in sorted(SPARK_QUERIES):
         try:
@@ -47,7 +48,9 @@ def main() -> int:
             print(f"{name:40s} PLAN ERROR: {exc}")
             continue
         s = plan_stats(plan)
-        for k, v in single_partition_census(plan).items():
+        for k, v in single_partition_census(
+            plan, documented=name in BOUNDED_WINDOW
+        ).items():
             census_total[k] += v
         npy = sum(
             s.get(k, 0)
