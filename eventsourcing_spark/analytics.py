@@ -4253,3 +4253,80 @@ def revenue_gini_concentration(spark, sf_dir):
         ).alias("gini_ppm"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Daily bounce rate — single-event sessions over total sessions per
+# calendar day (the engagement red flag every product dashboard leads
+# with). Sessions are the 30-minute-gap rule sessionize_events pins;
+# a session's day is its FIRST event's day. Per-user windows (lag +
+# running session id) then one (day)-grain aggregation — the same
+# gaps-and-islands shape, rolled up on the time axis instead of users.
+# ---------------------------------------------------------------------------
+@query(
+    "session_bounce_rate",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                         OR lag(epoch_ms(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS sid
+        FROM marked
+    ),
+    per AS (
+        SELECT user_id, sid,
+               CAST(count(*) AS BIGINT) AS n_events,
+               epoch_ms(min(ts)) // 86400000 AS day
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS bounce_ppm
+    FROM per GROUP BY day ORDER BY day
+    """,
+)
+def session_bounce_rate(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    new_session = F.when(
+        (ms - F.lag(ms).over(w) > 1800000) | F.lag(ms).over(w).isNull(),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_session).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr("unix_millis(min(ts)) div 86400000").alias("day"),
+    )
+    return (
+        per.groupBy(F.col("day").cast("long").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long"))
+            .cast("long")
+            .alias("n_bounces"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+                " div count(*) AS BIGINT)"
+            ).alias("bounce_ppm"),
+        )
+        .orderBy("day")
+    )

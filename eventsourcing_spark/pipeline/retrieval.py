@@ -1625,3 +1625,89 @@ def hard_negative_mining(spark, sf_dir):
         )
         .orderBy("anchor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source salient terms — tf·rarity top-k, the integer-exact idf
+# analogue term_match_retrieval established (weight = N − df, corpus
+# size minus document frequency): the "what is this source about /
+# what boilerplate does it inject" census run per ingest source.
+# Shape: one (source, token) aggregate (map-side combine), one tiny
+# token-grain df aggregate joined in (broadcast at gate scale, keyed
+# shuffle at 100 TB), top-k per source via a rank window PARTITIONED BY
+# SOURCE over term-grain rows — never a single partition.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 5
+
+
+@query(
+    "tfidf_topk_terms_per_source",
+    f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    df AS (
+        SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY token
+    ),
+    tf AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY source, token
+    ),
+    scored AS (
+        SELECT t.source, t.token, t.tf, d.df,
+               t.tf * (n.n_docs - d.df) AS weight
+        FROM tf t JOIN df d ON d.token = t.token CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT source, token, tf, df, weight,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY weight DESC, token) AS rnk
+        FROM scored
+    )
+    SELECT source, token, tf, df,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOPK}
+    ORDER BY source, rnk
+    """,
+)
+def tfidf_topk_terms_per_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("token"),
+    )
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    tf = toks.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source", "token", "tf", "df",
+            (F.col("tf") * (F.col("n_docs") - F.col("df"))).alias("weight"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("weight"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("source", "token", "tf", "df",
+                F.col("weight").cast("long").alias("weight"), "rnk")
+        .orderBy("source", "rnk")
+    )

@@ -294,3 +294,124 @@ def fastss_editdist1_pairs(spark, sf_dir):
         .orderBy("name_a", "name_b")
         .limit(FASTSS_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source-vocabulary Jaccard — "how much do two ingest sources
+# share a vocabulary" for all source pairs at once, WITHOUT any
+# token-level pairwise join: each token aggregates to one BITMASK of
+# the sources containing it (bit_or of 1<<source_index, ≤ 64 sources
+# per mask word), the token table rolls up to MASK grain (a few
+# thousand rows at most — 2^|sources| is the ceiling, the distinct
+# patterns that occur is the reality), and every pair's intersection/
+# union is a conditional sum over that tiny frame. The usual all-pairs
+# token join is O(vocab · pairs); this is one token aggregation +
+# mask-grain arithmetic — the bitmap-index trick applied to set
+# similarity.
+# ---------------------------------------------------------------------------
+@query(
+    "source_vocab_jaccard",
+    """
+    WITH srcs AS (
+        SELECT source,
+               row_number() OVER (ORDER BY source) - 1 AS sid
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    tok AS (
+        SELECT d.source,
+               unnest(list_distinct(list_filter(
+                   string_split(lower(d.text), ' '), x -> x <> ''))) AS token
+        FROM documents d
+    ),
+    masks AS (
+        SELECT t.token, bit_or(1::BIGINT << s.sid) AS m
+        FROM (SELECT DISTINCT source, token FROM tok) t
+        JOIN srcs s ON s.source = t.source
+        GROUP BY t.token
+    ),
+    mg AS (SELECT m, CAST(count(*) AS BIGINT) AS cnt FROM masks GROUP BY m),
+    pairs AS (
+        SELECT a.source AS source_a, a.sid AS ai,
+               b.source AS source_b, b.sid AS bi
+        FROM srcs a JOIN srcs b ON a.sid < b.sid
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(sum(CASE WHEN (mg.m >> p.ai) % 2 = 1
+                          AND (mg.m >> p.bi) % 2 = 1
+                         THEN mg.cnt ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(sum(CASE WHEN (mg.m >> p.ai) % 2 = 1
+                           OR (mg.m >> p.bi) % 2 = 1
+                         THEN mg.cnt ELSE 0 END) AS BIGINT) AS n_union,
+           CAST(1000000 * sum(CASE WHEN (mg.m >> p.ai) % 2 = 1
+                                    AND (mg.m >> p.bi) % 2 = 1
+                                   THEN mg.cnt ELSE 0 END)
+                // sum(CASE WHEN (mg.m >> p.ai) % 2 = 1
+                             OR (mg.m >> p.bi) % 2 = 1
+                            THEN mg.cnt ELSE 0 END) AS BIGINT)
+             AS jaccard_ppm
+    FROM pairs p CROSS JOIN mg
+    GROUP BY p.source_a, p.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def source_vocab_jaccard(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "sid",
+            (F.row_number().over(Window.orderBy("source")) - 1).cast("long"),
+        )
+    )
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "array_distinct(filter(split(lower(text), ' '),"
+                " x -> x != ''))"
+            )
+        ).alias("token"),
+    ).distinct()
+    masks = (
+        tok.join(F.broadcast(srcs), "source")
+        .groupBy("token")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), sid))").alias("m"))
+    )
+    mg = masks.groupBy("m").agg(F.count("*").cast("long").alias("cnt"))
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.sid") < F.col("b.sid"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("a.sid").alias("ai"),
+            F.col("b.source").alias("source_b"),
+            F.col("b.sid").alias("bi"),
+        )
+    )
+    both = (
+        (F.expr("(m >> ai) % 2") == 1) & (F.expr("(m >> bi) % 2") == 1)
+    ).cast("long") * F.col("cnt")
+    either = (
+        (F.expr("(m >> ai) % 2") == 1) | (F.expr("(m >> bi) % 2") == 1)
+    ).cast("long") * F.col("cnt")
+    return (
+        pairs.crossJoin(mg)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(both).cast("long").alias("n_shared"),
+            F.sum(either).cast("long").alias("n_union"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_union",
+            F.expr("CAST(1000000 * n_shared div n_union AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -137,6 +137,9 @@ STRESS_QUERIES = (
     "rrf_fusion_topk",
     "hard_negative_mining",
     "doc_embedding_coverage",
+    "session_bounce_rate",
+    "tfidf_topk_terms_per_source",
+    "source_vocab_jaccard",
 )
 
 
