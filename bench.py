@@ -130,6 +130,11 @@ HEADLINE = [
     "sequence_packing_audit",
     "ks_quality_by_source",
     "zipf_slope_tokens",
+    # round 8 wave 3: record linkage, boundary dedup, melt, conformance
+    "fs_linkage_weights",
+    "stitch_truncation_pairs",
+    "unpivot_event_matrix",
+    "process_conformance_audit",
 ]
 
 

@@ -4330,3 +4330,150 @@ def session_bounce_rate(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+_UNPIVOT_MEASURES = ["n_view", "n_click", "n_purchase", "n_signup", "n_error"]
+
+@query(
+    "unpivot_event_matrix",
+    """
+    WITH p AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        FROM events GROUP BY user_id
+    ),
+    u AS (
+        UNPIVOT p ON n_view, n_click, n_purchase, n_signup, n_error
+        INTO NAME measure VALUE n
+    )
+    SELECT measure,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_active,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM u GROUP BY measure ORDER BY measure
+    """,
+)
+def unpivot_event_matrix(spark, sf_dir):
+    """UNPIVOT (melt): wide feature matrix back to long tidy form.
+
+    The inverse of ``pivot_event_matrix``, through Spark's native
+    ``DataFrame.unpivot`` (Catalyst ``Expand`` — one generated row per
+    measure column, map-side, no Python and no shuffle of its own).
+    Pivot-then-unpivot is the standard round-trip when a feature matrix
+    needs re-normalizing for a long-format consumer; the composed plan
+    is one user_id partial-agg shuffle, then Expand, then the final
+    measure-grain rollup — the events table is scanned once.
+
+    NOTE: DuckDB's UNPIVOT drops NULL cells by default, which is why the
+    pivot side coalesces counts to 0 on BOTH engines first — zero cells
+    must survive the melt for n_users to mean "all users" per measure.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    p = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    wide = p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}")
+            for k in kinds
+        ],
+    )
+    u = wide.unpivot(
+        ids=["user_id"],
+        values=_UNPIVOT_MEASURES,
+        variableColumnName="measure",
+        valueColumnName="n",
+    )
+    return (
+        u.groupBy("measure")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum((F.col("n") > 0).cast("long"))
+            .cast("long")
+            .alias("n_users_active"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .orderBy("measure")
+    )
+
+
+# The business FSM: transitions the product's funnel deems legal. Any
+# observed (prev -> curr) pair outside this set is a conformance
+# violation (bot traffic, instrumentation bugs, replayed batches).
+ALLOWED_TRANSITIONS = [
+    "signup>view",
+    "view>view",
+    "view>click",
+    "view>error",
+    "click>view",
+    "click>click",
+    "click>purchase",
+    "purchase>view",
+    "error>view",
+]
+
+_CONFORMANCE_SQL = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+),
+tr AS (
+    SELECT user_id, prev_type, event_type,
+           prev_type || '>' || event_type IN
+               ({", ".join("'" + t + "'" for t in ALLOWED_TRANSITIONS)})
+               AS allowed
+    FROM seq WHERE prev_type IS NOT NULL
+)
+SELECT prev_type, event_type, allowed,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tr
+GROUP BY prev_type, event_type, allowed
+ORDER BY prev_type, event_type
+"""
+
+
+@query("process_conformance_audit", _CONFORMANCE_SQL)
+def process_conformance_audit(spark, sf_dir):
+    """Process-mining conformance: observed transitions vs the legal FSM.
+
+    ``event_transition_matrix`` DESCRIBES the directly-follows graph;
+    this query JUDGES it — every per-user (prev -> curr) step is checked
+    against the declared transition whitelist (conformance checking, van
+    der Aalst's process-mining sense), rolling up violation counts and
+    blast radius (distinct users) per illegal edge.
+
+    Scale shape: one window exchange on user_id (the same partitioning
+    every sessionization query reuses), then a map-side set-membership
+    test against a ~10-element literal array (JVM ``array_contains``, no
+    join — the whitelist is ontology-sized), then a type-pair rollup
+    whose output grain is at most |types|² rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    allowed = F.array_contains(
+        F.array(*[F.lit(t) for t in ALLOWED_TRANSITIONS]),
+        F.concat_ws(">", "prev_type", "event_type"),
+    )
+    return (
+        seq.withColumn("allowed", allowed)
+        .groupBy("prev_type", "event_type", "allowed")
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("prev_type", "event_type")
+    )

@@ -19,6 +19,7 @@ import eventsourcing_spark.pipeline.expectations  # noqa: F401
 import eventsourcing_spark.pipeline.graph  # noqa: F401
 import eventsourcing_spark.pipeline.html_extract  # noqa: F401
 import eventsourcing_spark.pipeline.kll  # noqa: F401
+import eventsourcing_spark.pipeline.linkage  # noqa: F401
 import eventsourcing_spark.pipeline.mixing  # noqa: F401
 import eventsourcing_spark.pipeline.multimodal  # noqa: F401
 import eventsourcing_spark.pipeline.nb_classifier  # noqa: F401

@@ -140,6 +140,11 @@ STRESS_QUERIES = (
     "session_bounce_rate",
     "tfidf_topk_terms_per_source",
     "source_vocab_jaccard",
+    # round 8 wave 3: record linkage + boundary dedup + FSM conformance
+    "fs_linkage_weights",
+    "stitch_truncation_pairs",
+    "unpivot_event_matrix",
+    "process_conformance_audit",
 )
 
 
@@ -183,9 +188,24 @@ def build_stress_dir(spark, sf_dir: str, replicas: int) -> str:
         "value",
         "props",
     )
+    # customer: shifted keys with regenerated names (the TPC-H name IS a
+    # function of the key), same nation/segment/balance marginals — the
+    # linkage blocks grow linearly in rows per nation
+    cust = load_table(spark, sf_dir, "customer")
+    n_cust = cust.count()
+    big_cust = cust.crossJoin(copies).select(
+        (F.col("c_custkey") + F.col("copy") * n_cust).alias("c_custkey"),
+        F.format_string(
+            "Customer#%09d", F.col("c_custkey") + F.col("copy") * n_cust
+        ).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
     big_docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     big_emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
     big_ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    big_cust.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
     return out
 
 
