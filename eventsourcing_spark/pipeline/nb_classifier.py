@@ -48,6 +48,7 @@ Train/eval hygiene: train on ``doc_id % 2 = 0``, report on all docs
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import ensure_parallelism, load_table
@@ -1268,4 +1269,180 @@ def nb_quality_hashed_score(spark, sf_dir):
             score.cast("long").alias("score_fx"),
             F.when(score >= 0, 1).otherwise(0).cast("long").alias("pred_good"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (pool-adjacent-violators) of the NB quality
+# score — the standard post-hoc calibrator (Zadrozny & Elkan, KDD'02).
+# Instead of the sequential PAV pooling loop, the fit uses the minimax
+# identity: the isotonic regression of bucket rates r_1..r_B is
+#
+#     fit[k] = max_{i<=k} min_{j>=k} mean(y over buckets i..j)
+#
+# which is pure relational algebra over the bucket grain: prefix sums →
+# an (i<=j) pair frame of interval averages → a suffix-min window per i
+# → a per-k max. Every mean is carried as an INTEGER fraction key
+# floor(num·1e12/den); floor is monotone, so it commutes with min and
+# max, making fitkey = floor(1e12·fit[k]) EXACT — the oracle replays the
+# whole fit bit-for-bit with no float anywhere. (Bound: num·1e12 must
+# fit int64, i.e. <= ~9.2e6 calibration rows — calibration sets are
+# samples at any scale, and the key widens to DECIMAL(38) if not.)
+#
+# Scale shape: scoring reuses score_docs (broadcast model join, O(docs)
+# shuffle); everything after the per-bin aggregation runs on <= B = 24
+# rows (B² pair frame = 576 rows) — the fit costs nothing at any corpus
+# size.
+# ---------------------------------------------------------------------------
+ISO_BINS = 24
+ISO_SCALE = 10**12
+
+
+@query(
+    "isotonic_calibration_pav",
+    f"""
+    WITH {_MODEL_DUCK},
+    {_SCORES_DUCK},
+    ev AS (SELECT label_good, score_fx FROM scored WHERE is_train = 0),
+    st AS (SELECT min(score_fx) AS mn, max(score_fx) AS mx FROM ev),
+    binned AS (
+        SELECT ((e.score_fx - st.mn) * {ISO_BINS}) // (st.mx - st.mn + 1)
+                   AS bin,
+               e.label_good
+        FROM ev e CROSS JOIN st
+    ),
+    bins AS (
+        SELECT bin, count(*) AS n, sum(label_good) AS pos
+        FROM binned GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin, n, pos,
+               sum(pos) OVER (ORDER BY bin) AS p_cum,
+               sum(n) OVER (ORDER BY bin) AS c_cum
+        FROM bins
+    ),
+    cum2 AS (
+        SELECT bin, n, pos, p_cum, c_cum,
+               p_cum - pos AS p_prev, c_cum - n AS c_prev
+        FROM cum
+    ),
+    pairs AS (
+        SELECT a.bin AS i, b.bin AS j,
+               ((b.p_cum - a.p_prev) * {ISO_SCALE})
+                   // (b.c_cum - a.c_prev) AS avgkey
+        FROM cum2 a JOIN cum2 b ON b.bin >= a.bin
+    ),
+    m AS (
+        SELECT i, j,
+               min(avgkey) OVER (
+                   PARTITION BY i ORDER BY j DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS mkey
+        FROM pairs
+    ),
+    fit AS (SELECT j AS bin, max(mkey) AS fitkey FROM m GROUP BY j)
+    SELECT CAST(b.bin AS BIGINT) AS bin,
+           CAST(b.n AS BIGINT) AS n,
+           CAST(b.pos AS BIGINT) AS n_pos,
+           CAST((1000000 * b.pos) // b.n AS BIGINT) AS raw_ppm,
+           CAST(f.fitkey // 1000000 AS BIGINT) AS iso_ppm
+    FROM bins b JOIN fit f USING (bin)
+    ORDER BY bin
+    """,
+)
+def isotonic_calibration_pav(spark, sf_dir):
+    """Exact isotonic (PAV) calibration of the held-out NB scores.
+
+    ``raw_ppm`` is each score-bin's empirical good-rate; ``iso_ppm`` is
+    the isotonic regression of those rates (monotone nondecreasing in
+    the score by construction) — the mapping a production gate applies
+    to turn raw log-likelihood scores into calibrated probabilities.
+    Companions: ``nb_quality_calibration_ece`` measures the
+    miscalibration this fit removes.
+    """
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    model = _model_df(spark, sf_dir)
+    prior = prior_df(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    )
+    ev = (
+        score_docs(docs, model, prior)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(
+            F.expr(_label_spark("text")).cast("long").alias("label_good"),
+            (F.coalesce(F.col("tok_sum"), F.lit(0)) + F.col("prior_fx"))
+            .cast("long")
+            .alias("score_fx"),
+        )
+    )
+    stats = ev.agg(
+        F.min("score_fx").alias("mn"), F.max("score_fx").alias("mx")
+    )
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        F.expr(f"((score_fx - mn) * {ISO_BINS}) div (mx - mn + 1)").alias(
+            "bin"
+        ),
+        "label_good",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("label_good").cast("long").alias("pos"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # materialize the <=B-row cumulative frame once: four downstream
+    # branches (both pair sides, the fit, the output join) would
+    # otherwise each re-derive the full corpus scoring pass. The
+    # checkpoint sits AFTER the window so the plan audit still sees the
+    # exchange's aggregate producer (bin grain, <= ISO_BINS rows).
+    cum = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("pos").over(wcum).alias("p_cum"),
+        F.sum("n").over(wcum).alias("c_cum"),
+    ).select(
+        "bin",
+        "n",
+        "pos",
+        "p_cum",
+        "c_cum",
+        (F.col("p_cum") - F.col("pos")).alias("p_prev"),
+        (F.col("c_cum") - F.col("n")).alias("c_prev"),
+    ).localCheckpoint()
+    li = cum.select(
+        F.col("bin").alias("i"), F.col("p_prev").alias("pp"),
+        F.col("c_prev").alias("cp"),
+    )
+    rj = cum.select(
+        F.col("bin").alias("j"), F.col("p_cum").alias("pj"),
+        F.col("c_cum").alias("cj"),
+    )
+    # broadcast the <=B-row right side: the theta-join plans as a
+    # BroadcastNestedLoopJoin over two bin-grain frames (B² = 576 rows
+    # max), never a shuffled cartesian
+    pairs = li.join(F.broadcast(rj), F.col("j") >= F.col("i")).select(
+        "i",
+        "j",
+        F.expr(f"((pj - pp) * {ISO_SCALE}) div (cj - cp)").alias("avgkey"),
+    )
+    wsuf = Window.partitionBy("i").orderBy(F.desc("j")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = pairs.select("i", "j", F.min("avgkey").over(wsuf).alias("mkey"))
+    fit = m.groupBy(F.col("j").alias("bin")).agg(
+        F.max("mkey").alias("fitkey")
+    )
+    return (
+        cum.select("bin", "n", "pos")
+        .join(fit, "bin")
+        .select(
+            "bin",
+            "n",
+            F.col("pos").alias("n_pos"),
+            F.expr("(1000000 * pos) div n").cast("long").alias("raw_ppm"),
+            F.expr("fitkey div 1000000").cast("long").alias("iso_ppm"),
+        )
+        .orderBy("bin")
     )

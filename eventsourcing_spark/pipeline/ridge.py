@@ -463,3 +463,108 @@ def ridge_quality_sse(spark, sf_dir):
             ).cast("long")
         ).cast("long").alias("n_correct"),
     )
+
+
+def _spearman_sql() -> str:
+    from eventsourcing_spark.pipeline.nb_classifier import (
+        _MODEL_DUCK,
+        _SCORES_DUCK,
+    )
+
+    return f"""
+    WITH {_MODEL_DUCK},
+    {_SCORES_DUCK},
+    {_duck_weights_ctes()},
+    ridge AS (
+        SELECT f.doc_id,
+               w.w0_fx + w.w1_fx * f.f1 + w.w2_fx * f.f2
+                   + w.w3_fx * f.f3 AS s_rd
+        FROM feats f CROSS JOIN weights w
+        WHERE f.doc_id % 2 = 1
+    ),
+    j AS (
+        SELECT r.doc_id, s.score_fx AS s_nb, r.s_rd
+        FROM ridge r JOIN scored s ON s.doc_id = r.doc_id
+    ),
+    rk AS (
+        SELECT doc_id,
+               2 * rank() OVER (ORDER BY s_nb)
+                   + count(*) OVER (PARTITION BY s_nb) - 1 AS m2_nb,
+               2 * rank() OVER (ORDER BY s_rd)
+                   + count(*) OVER (PARTITION BY s_rd) - 1 AS m2_rd
+        FROM j
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum((m2_nb - m2_rd) * (m2_nb - m2_rd)) AS BIGINT)
+               AS sum_d2_q,
+           CAST(1000000
+                - (1500000 * sum((m2_nb - m2_rd) * (m2_nb - m2_rd)))
+                  // (count(*) * (count(*) * count(*) - 1))
+                AS BIGINT) AS spearman_ppm
+    FROM rk
+    """
+
+
+@query("model_rank_spearman", _spearman_sql())
+def model_rank_spearman(spark, sf_dir):
+    """Spearman rank correlation between the two learned quality
+    scorers' CONTINUOUS score rankings on the held-out half — the
+    fine-grained companion to ``ridge_nb_agreement``'s binary confusion
+    counts (two models can agree on every 0/1 verdict yet rank the
+    middle of the corpus very differently, which is what decides
+    curation cutoffs).
+
+    Exactness: ranks are MIDRANKS carried doubled so ties stay integer
+    (2·mid = 2·min_rank + tie_size − 1); ρ is the classic d² formula on
+    midranks, Σ(2d)² summed in DECIMAL(38,0)/HUGEINT with the single
+    division LAST — bit-identical in both engines. (With ties this is
+    the midrank-d² statistic, not the full Pearson-on-ranks tie
+    correction — a DEFINED statistic, same convention both engines.)
+
+    Scale shape: each ranking uses operators/ranking.global_rank (range
+    partition + per-partition row_number + P-row offset broadcast — no
+    SinglePartition window), ranks collapse to score-grain (min+max per
+    distinct score) and join back keyed; the final reduce is one row.
+    """
+    from eventsourcing_spark.pipeline.nb_classifier import (
+        nb_quality_score,
+    )
+    from eventsourcing_spark.operators.ranking import global_rank
+
+    nb = (
+        nb_quality_score(spark, sf_dir)
+        .filter(F.col("is_train") == 0)
+        .select("doc_id", F.col("score_fx").alias("s_nb"))
+    )
+    rd = (
+        ridge_quality_score(spark, sf_dir)
+        .filter(F.col("is_train") == 0)
+        .select("doc_id", F.col("score_fx").alias("s_rd"))
+    )
+    j = nb.join(rd, "doc_id").localCheckpoint()
+
+    def with_midrank2(df, score_col, out_col):
+        r = global_rank(df.select("doc_id", score_col), score_col,
+                        "doc_id", rank_col="rk")
+        g = r.groupBy(score_col).agg(
+            (F.min("rk") + F.max("rk")).cast("long").alias(out_col)
+        )
+        return df.join(g, score_col)
+
+    ranked = with_midrank2(
+        with_midrank2(j, "s_nb", "m2_nb"), "s_rd", "m2_rd"
+    )
+    d2q = (
+        (F.col("m2_nb") - F.col("m2_rd"))
+        * (F.col("m2_nb") - F.col("m2_rd"))
+    ).cast("decimal(38,0)")
+    return ranked.select(d2q.alias("d2q")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("d2q").cast("long").alias("sum_d2_q"),
+        F.expr(
+            "CAST(1000000 - (CAST(1500000 AS DECIMAL(38,0)) * sum(d2q))"
+            " div (CAST(count(*) AS DECIMAL(38,0))"
+            " * (CAST(count(*) AS DECIMAL(38,0)) * count(*) - 1))"
+            " AS BIGINT)"
+        ).alias("spearman_ppm"),
+    )

@@ -2043,3 +2043,157 @@ def dedup_calibration_pr(spark, sf_dir):
             " div greatest(sum(CASE WHEN truth THEN 1 ELSE 0 END), 1)"
         ).alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based mutual-nearest-neighbor mining (Artetxe & Schwenk, ACL
+# 2019 — the LASER bitext-mining criterion): a pair qualifies when each
+# vector is the other's top-1 neighbor, scored by the margin between
+# their dot and the mean of their top-K neighborhoods:
+#
+#     margin = 2·dot(a,b) / (mean_topK(a) + mean_topK(b))
+#
+# This is the standard recipe for mining aligned pairs (translation
+# sentences, caption/image twins) out of two embedded corpora, and the
+# "global punishes hubs" property is exactly why it beats a raw cosine
+# threshold: a hub vector has a high top-K mean, so its margins deflate.
+#
+# Scale shape: the SAME LSH-bucket prologue as the ANN family (the
+# production form runs mutual-kNN inside ANN candidates, never exact
+# global kNN); one shuffle on the bucket, one int64 Gram per bucket,
+# then the per-VECTOR stats frame (bounded by corpus, one row each)
+# self-joins on the two top-1 pointers — an equi-join, no pair explode.
+# All arithmetic is quantized-integer; the margin is emitted as
+# floor(ppm) with the division LAST, so the oracle replays it exactly.
+# ---------------------------------------------------------------------------
+TOPK_NN = 4
+
+
+@query(
+    "mutual_nn_margin_pairs",
+    f"""
+    WITH szp AS ({sizing_sql("embeddings", ANN_TARGET, ANN_BITS_MIN, ANN_BITS_MAX)}),
+    q AS (
+        SELECT vec_id, {_quant_sql("embedding")} AS qv FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, qv, {_bucket_sql("qv", ANN_BITS_MAX)} % p2 AS bucket
+        FROM q CROSS JOIN szp
+    ),
+    d0 AS (
+        SELECT a.vec_id AS src, c.vec_id AS dst,
+               {_DOT.format(a="a.qv", b="c.qv")} AS dot
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ),
+    d AS (
+        SELECT src, dst, dot,
+               row_number() OVER (
+                   PARTITION BY src ORDER BY dot DESC, dst
+               ) AS rnk
+        FROM d0
+    ),
+    stats AS (
+        SELECT src AS vec_id,
+               max(CASE WHEN rnk = 1 THEN dst END) AS top1_id,
+               max(CASE WHEN rnk = 1 THEN dot END) AS top1_dot,
+               sum(CASE WHEN rnk <= {TOPK_NN} THEN dot ELSE 0 END)
+                   AS topk_sum,
+               sum(CASE WHEN rnk <= {TOPK_NN} THEN 1 ELSE 0 END) AS k_eff
+        FROM d GROUP BY src
+    )
+    SELECT a.vec_id AS vec_a, m.vec_id AS vec_b,
+           CAST(a.top1_dot AS BIGINT) AS dot,
+           CAST((2000000 * a.top1_dot * a.k_eff * m.k_eff)
+                // (a.topk_sum * m.k_eff + m.topk_sum * a.k_eff)
+                AS BIGINT) AS margin_ppm
+    FROM stats a JOIN stats m
+      ON a.top1_id = m.vec_id AND m.top1_id = a.vec_id
+     AND a.vec_id < m.vec_id
+    WHERE a.top1_dot > 0 AND a.topk_sum > 0 AND m.topk_sum > 0
+    """,
+)
+def mutual_nn_margin_pairs(spark, sf_dir):
+    """Mutual top-1 pairs with LASER margin scores over LSH buckets.
+
+    Per bucket, one int64 Gram matrix yields every member's top-1
+    neighbor and top-K dot sum (ties by ascending vec_id, exactly the
+    oracle's rank order); mutuality is then a vector-grain equi-join on
+    the two top-1 pointers. Emitted margin is
+    floor(2e6·dot·k_a·k_b / (sum_a·k_b + sum_b·k_a)) — integer-exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    b = _ann_bucketed(emb)
+
+    def bucket_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "top1_id": pd.Series(dtype="int64"),
+                "top1_dot": pd.Series(dtype="int64"),
+                "k_eff": pd.Series(dtype="int64"),
+                "topk_sum": pd.Series(dtype="int64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        gram = m @ m.T
+        # composite sort key: dot DESC then local index ASC (ids are
+        # sorted, so index order IS vec_id order); n-scaling keeps the
+        # key exact in int64 (|dot|·n ≪ 2^63 at the bucket cap)
+        key = gram * np.int64(n) - np.arange(n, dtype=np.int64)[None, :]
+        # self-exclusion sentinel must survive the negation below —
+        # np.iinfo.min negates to ITSELF (int64 wraparound) and would
+        # rank the diagonal first
+        np.fill_diagonal(key, np.int64(-(1 << 62)))
+        order = np.argsort(-key, axis=1)
+        rows = np.arange(n)
+        k_eff = min(TOPK_NN, n - 1)
+        top1 = order[:, 0]
+        topk_sum = gram[rows[:, None], order[:, :k_eff]].sum(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "top1_id": ids[top1],
+                "top1_dot": gram[rows, top1],
+                "k_eff": np.full(n, k_eff, dtype=np.int64),
+                "topk_sum": topk_sum,
+            }
+        )
+
+    stats = b.groupBy("bucket").applyInPandas(
+        bucket_stats,
+        "vec_id long, top1_id long, top1_dot long, k_eff long, topk_sum long",
+    )
+    a = stats.alias("a")
+    m2 = stats.alias("m")
+    return (
+        a.join(
+            m2,
+            (F.col("a.top1_id") == F.col("m.vec_id"))
+            & (F.col("m.top1_id") == F.col("a.vec_id"))
+            & (F.col("a.vec_id") < F.col("m.vec_id")),
+        )
+        .filter(
+            (F.col("a.top1_dot") > 0)
+            & (F.col("a.topk_sum") > 0)
+            & (F.col("m.topk_sum") > 0)
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("m.vec_id").alias("vec_b"),
+            F.col("a.top1_dot").cast("long").alias("dot"),
+            F.expr(
+                "(2000000 * a.top1_dot * a.k_eff * m.k_eff)"
+                " div (a.topk_sum * m.k_eff + m.topk_sum * a.k_eff)"
+            )
+            .cast("long")
+            .alias("margin_ppm"),
+        )
+    )

@@ -145,6 +145,10 @@ STRESS_QUERIES = (
     "stitch_truncation_pairs",
     "unpivot_event_matrix",
     "process_conformance_audit",
+    # round 8 wave 4: exact calibration, mutual-NN mining, rank agreement
+    "isotonic_calibration_pav",
+    "mutual_nn_margin_pairs",
+    "model_rank_spearman",
 )
 
 
