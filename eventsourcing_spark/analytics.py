@@ -4477,3 +4477,660 @@ def process_conformance_audit(spark, sf_dir):
         )
         .orderBy("prev_type", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Absorbing-Markov funnel analytics — "starting from state i, what is
+# the probability the user PURCHASES before ERRORING, and how many
+# steps until either?" (first-passage / absorption probabilities, the
+# quantitative upgrade of funnel_conversion's fixed orderings).
+#
+# Model: the directly-follows chain over event types with
+# {purchase, error} absorbing and {click, signup, view} transient.
+# Absorption probabilities solve (I − Q)x = R[:,purchase]; expected
+# steps solve (I − Q)t = 1. Multiplying row i through by its transition
+# row-sum r_i clears every fraction: A = diag(r) − C (the INTEGER
+# transient count matrix), right-hand sides b = counts→purchase and r
+# itself. The 3×3 systems are solved by Cramer's rule with the
+# determinants expanded into their 6 signed products — the ridge
+# module's fraction-free discipline at n=3 — so both engines emit
+# floor(1e6·x) / floor(1000·t) from identical integer arithmetic.
+#
+# Magnitudes: dets are cubic in counts — at 20× the sf0.1 corpus
+# det ≈ 2.4e16 (int64-safe); the final 1e6·det_k product runs in
+# DECIMAL(38,0)/HUGEINT, division last. Beyond ~1e9 transitions the
+# 4-type chain would be estimated on a deterministic sample — model
+# grain, not corpus grain, the nb/ridge training discipline.
+#
+# Scale shape: ONE window pass (the sessionization partitioning) feeds
+# one 25-cell aggregation; everything after runs on a single model row.
+# ---------------------------------------------------------------------------
+_MK_T = ["click", "signup", "view"]  # transient, fixed order
+_MK_WIN = "purchase"  # absorbing "win" state; the competing sink is error
+
+
+def _det3(a) -> str:
+    """Expanded 3×3 determinant over a dict of element expressions."""
+    return (
+        f"({a[0][0]})*(({a[1][1]})*({a[2][2]}) - ({a[1][2]})*({a[2][1]}))"
+        f" - ({a[0][1]})*(({a[1][0]})*({a[2][2]}) - ({a[1][2]})*({a[2][0]}))"
+        f" + ({a[0][2]})*(({a[1][0]})*({a[2][1]}) - ({a[1][1]})*({a[2][0]}))"
+    )
+
+
+def _mk_matrix():
+    """A = diag(r) − C over the transient states, as SQL fragments
+    reading the 1-row model frame's columns r_<s>, q_<s>_<t>."""
+    a = []
+    for i, si in enumerate(_MK_T):
+        row = []
+        for j, sj in enumerate(_MK_T):
+            diag = f"r_{si} - q_{si}_{sj}" if i == j else f"0 - q_{si}_{sj}"
+            row.append(diag)
+        a.append(row)
+    return a
+
+
+def _mk_col(a, k: int, rhs: list[str]):
+    ak = [row[:] for row in a]
+    for i in range(3):
+        ak[i][k] = rhs[i]
+    return ak
+
+
+def _mk_exprs(cast, div: str) -> list[str]:
+    """Per transient state k: 'state', ppm win-absorption, milli steps.
+
+    ``cast`` wraps the scale factor so Spark runs the product/division
+    in DECIMAL(38,0) while DuckDB stays in native HUGEINT (its ``//``
+    on DECIMAL routes through float division — the ridge module's
+    twin-fragment finding, reproduced here as a 1-ulp ppm skew)."""
+    a = _mk_matrix()
+    b_win = [f"b_{s}" for s in _MK_T]
+    b_one = [f"r_{s}" for s in _MK_T]
+    det = _det3(a)
+    out = []
+    for k, s in enumerate(_MK_T):
+        ppm = (
+            f"CAST(({cast('1000000')}"
+            f" * ({_det3(_mk_col(a, k, b_win))})) {div}"
+            f" ({det}) AS BIGINT)"
+        )
+        steps = (
+            f"CAST(({cast('1000')}"
+            f" * ({_det3(_mk_col(a, k, b_one))})) {div}"
+            f" ({det}) AS BIGINT)"
+        )
+        out.append((s, ppm, steps))
+    return out
+
+
+def _mk_counts_sql() -> str:
+    cells = []
+    for s in _MK_T:
+        cells.append(
+            f"sum(CASE WHEN prev = '{s}' THEN 1 ELSE 0 END) AS r_{s}"
+        )
+        cells.append(
+            f"sum(CASE WHEN prev = '{s}' AND event_type = '{_MK_WIN}'"
+            f" THEN 1 ELSE 0 END) AS b_{s}"
+        )
+        for t in _MK_T:
+            cells.append(
+                f"sum(CASE WHEN prev = '{s}' AND event_type = '{t}'"
+                f" THEN 1 ELSE 0 END) AS q_{s}_{t}"
+            )
+    return (
+        "SELECT " + ", ".join(cells) + """
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ) WHERE prev IS NOT NULL"""
+    )
+
+
+def _mk_oracle() -> str:
+    rows = ",\n           ".join(
+        f"('{s}', {ppm}, {steps})"
+        for s, ppm, steps in _mk_exprs(lambda x: x, "//")
+    )
+    return f"""
+    WITH m AS ({_mk_counts_sql()})
+    SELECT u.state, u.win_ppm, u.steps_milli
+    FROM m, (VALUES {rows}) AS u(state, win_ppm, steps_milli)
+    ORDER BY state
+    """
+
+
+@query("markov_absorption_funnel", _mk_oracle())
+def markov_absorption_funnel(spark, sf_dir):
+    """Exact absorption probabilities + expected steps per starting
+    state, Cramer-solved on the integer transition counts."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    aggs = []
+    for s in _MK_T:
+        aggs.append(
+            F.sum(F.when(F.col("prev") == s, 1).otherwise(0))
+            .cast("long")
+            .alias(f"r_{s}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("prev") == s) & (F.col("event_type") == _MK_WIN),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"b_{s}")
+        )
+        for t in _MK_T:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col("prev") == s) & (F.col("event_type") == t), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"q_{s}_{t}")
+            )
+    m = seq.agg(*aggs)
+    structs = ", ".join(
+        f"struct('{s}' AS state, {ppm} AS win_ppm, {steps} AS steps_milli)"
+        for s, ppm, steps in _mk_exprs(
+            lambda x: f"CAST({x} AS DECIMAL(38,0))", "div"
+        )
+    )
+    return (
+        m.select(F.expr(f"explode(array({structs}))").alias("u"))
+        .select("u.state", "u.win_ppm", "u.steps_milli")
+        .orderBy("state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval — THE distributed bootstrap.
+# Classical bootstrap resamples n rows WITH replacement, which needs a
+# global shuffle per replicate; the Poisson bootstrap (Hanley & MacGibbon
+# 2006; the production form in Chamandy et al., Google 2012, "Estimating
+# uncertainty for massive data streams") gives each row an independent
+# Poisson(1) weight per replicate — a MAP-ONLY transform whose per-
+# replicate aggregates partial-combine to B rows per partition before
+# the only exchange. Randomness is md5-derived (the engine's sampling
+# convention), so every replicate is reproducible at any parallelism
+# and the oracle replays the exact weights: the Poisson(1) inverse CDF
+# is applied to a 32-bit hash uniform via FIXED integer thresholds
+# floor(CDF(k)·2^32), weight capped at 8 (P ≈ 1e-5 tail, identical both
+# engines by construction).
+# ---------------------------------------------------------------------------
+BOOT_REPS = 32
+# floor(2^32 · CDF_Poisson(1)(k)) for k = 0..7; weights above 8 clamp
+_POIS_CDF = [
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+]
+
+
+def _pois_w(u: str) -> str:
+    expr = "8"
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        expr = f"CASE WHEN {u} < {_POIS_CDF[k]} THEN {k} ELSE {expr} END"
+    return expr
+
+
+def bootstrap_replicate_stats(purchases):
+    """THE resampling pass, shared by the batch gate query and the
+    streaming ingest twin (pipeline/streaming_bootstrap.py) so the two
+    faces cannot drift: per-replicate ADDITIVE sufficient statistics
+    (Σw·cents, Σw) plus a b = −1 totals row (Σcents, n) — everything a
+    later merge needs is a plain sum, the mergeable-sketch property.
+
+    Cost model, measured at the 20x stress: the explode is a B-fold
+    row amplification BY DESIGN — that is the Poisson bootstrap's
+    entire trade (B·n map-side rows, zero resample shuffles; the
+    per-replicate partial aggregation collapses each partition to B
+    rows before the only exchange). Two rewrites were profiled and
+    REJECTED: 4-uniforms-per-md5 via a second explode (13.5 s vs
+    9.9 s — the extra generator + dynamic-offset substring cost more
+    than the saved hashes) and a no-explode 64-aggregate form (20 s —
+    64 CASE-chain aggregates per row defeat codegen)."""
+    reps = purchases.select(
+        "cents",
+        F.explode(F.expr(f"sequence(0, {BOOT_REPS - 1})")).alias("b"),
+        F.conv(
+            F.substring(
+                F.md5(F.expr("event_id || ':' || b")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
+    ).select("cents", "b", F.expr(_pois_w("u")).alias("w"))
+    per_rep = reps.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("wc"),
+        F.sum("w").cast("long").alias("ws"),
+    )
+    totals = purchases.agg(
+        F.lit(-1).cast("long").alias("b"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("wc"),
+        F.count("*").cast("long").alias("ws"),
+    )
+    return per_rep.unionByName(totals)
+
+
+def bootstrap_ci_from_stats(stats):
+    """CI finisher over (possibly merged) replicate statistics."""
+    merged = stats.groupBy("b").agg(
+        F.sum("wc").cast("long").alias("wc"),
+        F.sum("ws").cast("long").alias("ws"),
+    )
+    m = merged.filter(F.col("b") >= 0).select(
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * wc)"
+            " div greatest(ws, 1) AS BIGINT)"
+        ).alias("mean_micro")
+    )
+    arr = m.agg(F.sort_array(F.collect_list("mean_micro")).alias("l"))
+    pt = merged.filter(F.col("b") == -1).select(
+        F.col("ws").alias("n_rows"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * wc)"
+            " div greatest(ws, 1) AS BIGINT)"
+        ).alias("point_micro"),
+    )
+    return pt.crossJoin(F.broadcast(arr)).select(
+        "n_rows",
+        "point_micro",
+        F.element_at("l", 2).alias("lo_micro"),
+        F.element_at("l", BOOT_REPS - 1).alias("hi_micro"),
+        F.lit(BOOT_REPS).cast("long").alias("b_reps"),
+    )
+
+
+def purchases_frame(ev):
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        (F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+
+
+@query(
+    "poisson_bootstrap_ci",
+    f"""
+    WITH p AS (
+        SELECT event_id,
+               CAST(CAST(value AS {DEC}) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    reps AS (SELECT unnest(generate_series(0, {BOOT_REPS - 1})) AS b),
+    w AS (
+        SELECT r.b, p.cents,
+               {_pois_w("CAST('0x' || substr(md5(p.event_id || ':' || r.b), 1, 8) AS BIGINT)")}
+                   AS w
+        FROM p CROSS JOIN reps r
+    ),
+    m AS (
+        SELECT b,
+               (1000000 * sum(w * cents)) // greatest(sum(w), 1)
+                   AS mean_micro
+        FROM w GROUP BY b
+    ),
+    arr AS (SELECT list(mean_micro ORDER BY mean_micro) AS l FROM m),
+    pt AS (
+        SELECT count(*) AS n, (1000000 * sum(cents)) // count(*) AS pm
+        FROM p
+    )
+    SELECT CAST(pt.n AS BIGINT) AS n_rows,
+           CAST(pt.pm AS BIGINT) AS point_micro,
+           CAST(arr.l[2] AS BIGINT) AS lo_micro,
+           CAST(arr.l[{BOOT_REPS - 1}] AS BIGINT) AS hi_micro,
+           CAST({BOOT_REPS} AS BIGINT) AS b_reps
+    FROM pt CROSS JOIN arr
+    """,
+)
+def poisson_bootstrap_ci(spark, sf_dir):
+    """~90% bootstrap CI for the mean purchase value (micro-dollars):
+    2nd and 31st of 32 order-statistics of the replicate means."""
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_ci_from_stats(
+        bootstrap_replicate_stats(purchases_frame(ev))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test between two event-type value
+# distributions — the missing parametric member of the testing family
+# (ks_statistic_values two-sample nonparametric, chi2 categorical,
+# ab_test_conversion proportions). Everything derives from the three
+# map-combinable integer sufficient statistics per group (n, Σc, Σc²):
+# per-group variance-over-n carries as fixed point v_fx =
+# floor(2^20·(nQ−S²)/(n²(n−1))), the squared mean difference likewise,
+# and t² and the Welch–Satterthwaite df are emitted as floor-milli —
+# a DEFINED integer statistic (each floor applied identically in both
+# engines), division last at every step, DECIMAL(38,0)/HUGEINT for the
+# intermediate products. t² is reported instead of t to stay
+# square-root-free; df decides the reference distribution as usual.
+# ---------------------------------------------------------------------------
+_WELCH_A = "purchase"
+_WELCH_B = "error"
+_W_FX = 1 << 20
+
+
+def _welch_exprs(cast, div: str) -> dict[str, str]:
+    v = {}
+    for g in ("1", "2"):
+        v[f"v{g}_fx"] = (
+            f"({cast(str(_W_FX))} * (n{g} * q{g} - {cast(f's{g}')} * s{g}))"
+            f" {div} ({cast(f'n{g}')} * n{g} * (n{g} - 1))"
+        )
+    diff2 = (
+        f"({cast(str(_W_FX))} * ({cast('s1')} * n2 - {cast('s2')} * n1)"
+        f" * ({cast('s1')} * n2 - {cast('s2')} * n1))"
+        f" {div} ({cast('n1')} * n2 * n1 * n2)"
+    )
+    t2 = f"(1000 * ({diff2})) {div} greatest(v1_fx + v2_fx, 1)"
+    # Satterthwaite df with ONE division: multiply through by
+    # (n1−1)(n2−1) so every intermediate is a DECIMAL(38,0)/HUGEINT
+    # product (a nested integral `div` would round-trip through LONG in
+    # Spark and overflow around v_fx ≈ 3e9 — hit under ANSI at round 8)
+    df = (
+        f"(1000 * ({cast('(v1_fx + v2_fx)')} * (v1_fx + v2_fx))"
+        f" * (n1 - 1) * (n2 - 1))"
+        f" {div} greatest({cast('v1_fx')} * v1_fx * (n2 - 1)"
+        f" + {cast('v2_fx')} * v2_fx * (n1 - 1), 1)"
+    )
+    return {"diff2": diff2, "t2": t2, "df": df, **v}
+
+
+@query(
+    "welch_t_value",
+    f"""
+    WITH g AS (
+        SELECT
+            sum(CASE WHEN event_type = '{_WELCH_A}' THEN 1 ELSE 0 END) AS n1,
+            sum(CASE WHEN event_type = '{_WELCH_A}'
+                     THEN CAST(CAST(value AS {DEC}) * 100 AS BIGINT)
+                     ELSE 0 END) AS s1,
+            sum(CASE WHEN event_type = '{_WELCH_A}'
+                     THEN CAST(CAST(value AS {DEC}) * 100 AS BIGINT)
+                          * CAST(CAST(value AS {DEC}) * 100 AS BIGINT)
+                     ELSE 0 END) AS q1,
+            sum(CASE WHEN event_type = '{_WELCH_B}' THEN 1 ELSE 0 END) AS n2,
+            sum(CASE WHEN event_type = '{_WELCH_B}'
+                     THEN CAST(CAST(value AS {DEC}) * 100 AS BIGINT)
+                     ELSE 0 END) AS s2,
+            sum(CASE WHEN event_type = '{_WELCH_B}'
+                     THEN CAST(CAST(value AS {DEC}) * 100 AS BIGINT)
+                          * CAST(CAST(value AS {DEC}) * 100 AS BIGINT)
+                     ELSE 0 END) AS q2
+        FROM events
+        WHERE event_type IN ('{_WELCH_A}', '{_WELCH_B}')
+    ),
+    v AS (
+        SELECT n1, s1, n2, s2,
+               {_welch_exprs(lambda e: e, "//")["v1_fx"]} AS v1_fx,
+               {_welch_exprs(lambda e: e, "//")["v2_fx"]} AS v2_fx,
+               {_welch_exprs(lambda e: e, "//")["diff2"]} AS diff2_fx
+        FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST((1000000 * s1) // n1 AS BIGINT) AS mean1_micro,
+           CAST((1000000 * s2) // n2 AS BIGINT) AS mean2_micro,
+           CAST((1000 * diff2_fx) // greatest(v1_fx + v2_fx, 1) AS BIGINT)
+               AS t2_milli,
+           CAST({_welch_exprs(lambda e: e, "//")["df"]} AS BIGINT)
+               AS df_milli
+    FROM v
+    """,
+)
+def welch_t_value(spark, sf_dir):
+    """Welch t² + Satterthwaite df between purchase and error values."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_WELCH_A, _WELCH_B)
+    )
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    is1 = F.col("event_type") == _WELCH_A
+    is2 = F.col("event_type") == _WELCH_B
+    g = ev.select(cents.alias("c"), is1.alias("i1"), is2.alias("i2")).agg(
+        F.sum(F.col("i1").cast("long")).alias("n1"),
+        F.sum(F.when(F.col("i1"), F.col("c")).otherwise(0)).alias("s1"),
+        F.sum(
+            F.when(F.col("i1"), F.col("c") * F.col("c")).otherwise(0)
+        ).alias("q1"),
+        F.sum(F.col("i2").cast("long")).alias("n2"),
+        F.sum(F.when(F.col("i2"), F.col("c")).otherwise(0)).alias("s2"),
+        F.sum(
+            F.when(F.col("i2"), F.col("c") * F.col("c")).otherwise(0)
+        ).alias("q2"),
+    )
+    cast = lambda e: f"CAST({e} AS DECIMAL(38,0))"  # noqa: E731
+    ex = _welch_exprs(cast, "div")
+    v = g.select(
+        "n1", "s1", "n2", "s2",
+        F.expr(ex["v1_fx"]).cast("long").alias("v1_fx"),
+        F.expr(ex["v2_fx"]).cast("long").alias("v2_fx"),
+        F.expr(ex["diff2"]).cast("long").alias("diff2_fx"),
+    )
+    return v.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * s1) div n1 AS BIGINT)"
+        ).alias("mean1_micro"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * s2) div n2 AS BIGINT)"
+        ).alias("mean2_micro"),
+        F.expr(
+            "CAST((1000 * CAST(diff2_fx AS DECIMAL(38,0)))"
+            " div greatest(v1_fx + v2_fx, 1) AS BIGINT)"
+        ).alias("t2_milli"),
+        F.expr(f"CAST({_welch_exprs(cast, 'div')['df']} AS BIGINT)").alias(
+            "df_milli"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F across all five event types' value distributions —
+# the k-group generalization of welch_t_value, same discipline: the
+# only corpus pass collects per-group integer sufficient statistics
+# (n, Σc, Σc²); the between/within sum-of-squares algebra runs on the
+# 5-row model frame at cents² grain (floor(S_g²/n_g) per group — the
+# DEFINED statistic, ≤1 cents² error per group against values ~1e13,
+# applied identically in both engines; a 2^20 pre-scale was tried and
+# backed out: Spark's integral `div` returns LONG and the scaled
+# quotient overflows at the 20× stress), and F is one decimal division
+# at the end. SSB = Σ S_g²/n_g − S²/N, SSW = Σ Q_g − Σ S_g²/n_g,
+# F = (SSB/(k−1)) / (SSW/(N−k)).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anova_f_value",
+    f"""
+    WITH g AS (
+        SELECT event_type AS grp,
+               count(*) AS n,
+               sum(CAST(CAST(value AS {DEC}) * 100 AS BIGINT)) AS s,
+               sum(CAST(CAST(value AS {DEC}) * 100 AS BIGINT)
+                   * CAST(CAST(value AS {DEC}) * 100 AS BIGINT)) AS q
+        FROM events GROUP BY event_type
+    ),
+    terms AS (
+        SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ss,
+               sum((s * s) // n) AS sg_c2,
+               sum(q) AS q_c2
+        FROM g
+    ),
+    v AS (
+        SELECT k, nn,
+               sg_c2 - (ss * ss) // nn AS ssb_c2,
+               q_c2 - sg_c2 AS ssw_c2
+        FROM terms
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n_rows,
+           CAST(ssb_c2 AS BIGINT) AS ssb_cents2,
+           CAST(ssw_c2 AS BIGINT) AS ssw_cents2,
+           CAST((1000 * ssb_c2 * (nn - k)) // (ssw_c2 * (k - 1)) AS BIGINT)
+               AS f_milli
+    FROM v
+    """,
+)
+def anova_f_value(spark, sf_dir):
+    """Exact one-way ANOVA F over event-type value groups."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    g = ev.select(F.col("event_type").alias("grp"), cents.alias("c")).groupBy(
+        "grp"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    d = lambda e: f"CAST({e} AS DECIMAL(38,0))"  # noqa: E731
+    terms = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.expr(f"sum(({d('s')} * s) div n)").cast("long").alias("sg_c2"),
+        F.sum("q").cast("long").alias("q_c2"),
+    )
+    v = terms.select(
+        "k",
+        "nn",
+        F.expr(f"sg_c2 - ({d('ss')} * ss) div nn")
+        .cast("long")
+        .alias("ssb_c2"),
+        F.expr("q_c2 - sg_c2").cast("long").alias("ssw_c2"),
+    )
+    return v.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_rows"),
+        F.col("ssb_c2").alias("ssb_cents2"),
+        F.col("ssw_c2").alias("ssw_cents2"),
+        F.expr(
+            f"CAST((1000 * {d('ssb_c2')} * (nn - k))"
+            f" div ({d('ssw_c2')} * (k - 1)) AS BIGINT)"
+        ).alias("f_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U — the standard nonparametric two-sample test, exact:
+# midranks over the pooled sample come from the distributed global_rank
+# (doubled so ties stay integer: 2·mid = min_rank + max_rank, the
+# model_rank_spearman construction), U from the rank-sum identity, the
+# common-language effect size as floor-ppm, and the tie-corrected
+# normal-approximation z² as a fixed-point rational with the division
+# last. No SinglePartition window anywhere; the rank frame collapses to
+# value grain before the arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "mann_whitney_u",
+    f"""
+    WITH p AS (
+        SELECT CAST(CAST(value AS {DEC}) * 100 AS BIGINT) AS c,
+               CASE WHEN event_type = '{_WELCH_A}' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('{_WELCH_A}', '{_WELCH_B}')
+    ),
+    rk AS (
+        SELECT c, g1,
+               2 * rank() OVER (ORDER BY c)
+                   + count(*) OVER (PARTITION BY c) - 1 AS m2
+        FROM p
+    ),
+    ties AS (
+        SELECT sum(t * t * t - t) AS tsum FROM (
+            SELECT count(*) AS t FROM p GROUP BY c
+        )
+    ),
+    agg AS (
+        SELECT sum(g1) AS n1, sum(1 - g1) AS n2,
+               sum(CASE WHEN g1 = 1 THEN m2 ELSE 0 END) AS r1_2x
+        FROM rk
+    ),
+    u AS (
+        SELECT n1, n2, tsum,
+               r1_2x - n1 * (n1 + 1) AS u1_2x
+        FROM agg CROSS JOIN ties
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(u1_2x AS BIGINT) AS u1_2x,
+           CAST((1000000 * u1_2x) // (2 * n1 * n2) AS BIGINT) AS cles_ppm,
+           CAST((1000 * (u1_2x - n1 * n2) * (u1_2x - n1 * n2) * 3
+                 * (n1 + n2) * (n1 + n2 - 1))
+                // (4 * n1 * n2
+                    * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tsum))
+                AS BIGINT) AS z2_milli
+    FROM u
+    """,
+)
+def mann_whitney_u(spark, sf_dir):
+    """U, common-language effect size, tie-corrected z² — exact.
+
+    z² = (U − n1n2/2)² / Var(U) with
+    Var(U) = n1n2/12·((N+1) − Σ(t³−t)/(N(N−1))); carried doubled
+    (u1_2x = 2U) so the continuity-free statistic stays integer:
+    z² = 3·(u1_2x − n1n2)²·N·(N−1) / (4·n1n2·((N+1)N(N−1) − Σ(t³−t))).
+    """
+    from eventsourcing_spark.operators.ranking import global_rank
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_WELCH_A, _WELCH_B)
+    )
+    p = ev.select(
+        (F.col("value").cast(DEC) * 100).cast("long").alias("c"),
+        (F.col("event_type") == _WELCH_A).cast("long").alias("g1"),
+        F.monotonically_increasing_id().alias("rid"),
+    )
+    r = global_rank(p, "c", "rid", rank_col="rk")
+    m2g = r.groupBy("c").agg(
+        (F.min("rk") + F.max("rk")).cast("long").alias("m2"),
+        F.count("*").cast("long").alias("t"),
+    )
+    joined = p.join(m2g, "c")
+    agg = joined.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g1") == 1, F.col("m2")).otherwise(0))
+        .cast("long")
+        .alias("r1_2x"),
+    )
+    ties = m2g.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tsum")
+    )
+    d = lambda e: f"CAST({e} AS DECIMAL(38,0))"  # noqa: E731
+    u = agg.crossJoin(F.broadcast(ties)).select(
+        "n1",
+        "n2",
+        "tsum",
+        F.expr("r1_2x - n1 * (n1 + 1)").cast("long").alias("u1_2x"),
+    )
+    return u.select(
+        "n1",
+        "n2",
+        "u1_2x",
+        F.expr(
+            f"CAST(({d('1000000')} * u1_2x) div (2 * n1 * n2) AS BIGINT)"
+        ).alias("cles_ppm"),
+        F.expr(
+            f"CAST((1000 * {d('(u1_2x - n1 * n2)')} * (u1_2x - n1 * n2)"
+            f" * 3 * (n1 + n2) * (n1 + n2 - 1))"
+            f" div (4 * {d('n1')} * n2"
+            f" * ((n1 + n2 + 1) * {d('(n1 + n2)')} * (n1 + n2 - 1) - tsum))"
+            " AS BIGINT)"
+        ).alias("z2_milli"),
+    )

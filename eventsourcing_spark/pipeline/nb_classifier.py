@@ -1446,3 +1446,183 @@ def isotonic_calibration_pav(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram cross-entropy — the standard smoothed n-gram LM
+# (Kneser & Ney 1995; Chen & Goodman 1999's benchmark winner), exact.
+# With the discount fixed at d = 3/4, every probability is a RATIONAL
+# with integer numerator/denominator:
+#
+#   known context w1 (c1 >= 1):
+#     P(w2|w1) = max(c12 - 3/4, 0)/c1 + (3·N1+(w1·)/(4·c1)) · Pc(w2)
+#     num = (4·c12 − 3)⁺·(Ntot+U) + 3·N1p(w1)·(Ncont(w2)+1)
+#     den = 4·c1·(Ntot+U)
+#   unseen context:  P = Pc(w2),  num = Ncont(w2)+1,  den = Ntot+U
+#
+# where Ncont(w2) = |{w1 : c(w1,w2) > 0}| (the continuation count that
+# makes KN superior to Katz backoff), Ntot = distinct bigram types, and
+# Pc is add-one smoothed over U = train unigram types + 1 so every
+# held-out token has P > 0. Per-token surprisal is then
+# ilog2(den) − ilog2(num) in the shared fixed-point kernel — bits, not
+# floats, so the whole perplexity computation hash-matches the oracle.
+# (Smoothing caveat, same as every backoff LM: the per-word masses can
+# sum slightly over 1, so a pathological token could score negative
+# bits; the metric is the DEFINED statistic, identical both engines.)
+#
+# Magnitude bound: num ≤ 7·c1·(Ntot+U); with T train tokens both
+# factors are ≤ 4T, so int64 holds to T ≈ 1e9 — train the LM on a
+# deterministic sample past that (the nb/ridge discipline).
+#
+# Scale shape: training is two bigram-grain aggregations (map-side
+# combine) + two word-grain rollups + a 1-row totals frame; evaluation
+# explodes held-out bigrams and runs three KEYED left joins (bigram,
+# context word, continuation word) — shuffles carry token instances,
+# nothing is collected, nothing is all-pairs. Output is source grain.
+# ---------------------------------------------------------------------------
+@query(
+    "kneser_ney_bits",
+    f"""
+    WITH tr AS (
+        SELECT list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS t
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    trb AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM tr, unnest(generate_series(1, len(t) - 1)) u(i)
+        WHERE len(t) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM trb GROUP BY w1, w2),
+    ctx AS (
+        SELECT w1, sum(c12) AS c1, count(*) AS n1p FROM c12 GROUP BY w1
+    ),
+    cont AS (SELECT w2, count(*) AS ncont FROM c12 GROUP BY w2),
+    tot AS (
+        SELECT (SELECT count(*) FROM c12) AS ntot,
+               (SELECT count(DISTINCT w)
+                FROM (SELECT unnest(t) AS w FROM tr)) + 1 AS uu
+    ),
+    ev AS (
+        SELECT d.source,
+               list_filter(string_split(lower(d.text), ' '), x -> x <> '')
+                   AS t
+        FROM documents d WHERE d.doc_id % 2 = 1
+    ),
+    evb AS (
+        SELECT source, t[i] AS w1, t[i + 1] AS w2
+        FROM ev, unnest(generate_series(1, len(t) - 1)) u(i)
+        WHERE len(t) >= 2
+    ),
+    scored AS (
+        SELECT e.source,
+               CASE WHEN x.c1 IS NOT NULL
+                    THEN 4 * x.c1 * (tot.ntot + tot.uu)
+                    ELSE tot.ntot + tot.uu END AS den,
+               CASE WHEN x.c1 IS NOT NULL
+                    THEN (CASE WHEN b.c12 IS NOT NULL
+                               THEN 4 * b.c12 - 3 ELSE 0 END)
+                             * (tot.ntot + tot.uu)
+                         + 3 * x.n1p * (coalesce(n.ncont, 0) + 1)
+                    ELSE coalesce(n.ncont, 0) + 1 END AS num
+        FROM evb e
+        LEFT JOIN c12 b ON b.w1 = e.w1 AND b.w2 = e.w2
+        LEFT JOIN ctx x ON x.w1 = e.w1
+        LEFT JOIN cont n ON n.w2 = e.w2
+        CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum({ilog2_duck("den")} - {ilog2_duck("num")}) AS BIGINT)
+               AS sum_bits_fx,
+           CAST((1000 * sum({ilog2_duck("den")} - {ilog2_duck("num")}))
+                // (count(*) * {_P2F}) AS BIGINT) AS millibits_per_token
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def kneser_ney_bits(spark, sf_dir):
+    """Held-out per-source KN-bigram cross-entropy, exact in fixed-point
+    bits. Trains on the even half, scores the odd half — the quality
+    signal CCNet-class pipelines threshold on ("perplexity vs a clean
+    LM"), with KN's continuation counts instead of the interpolated-MLE
+    stand-in (``trigram_lm_interpolated``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+    )
+    base = docs.select("doc_id", "source", toks.alias("t"))
+
+    def bigrams(df, *extra):
+        return df.filter(F.size("t") >= 2).select(
+            *extra,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("g"),
+        ).select(*extra, "g.w1", "g.w2")
+
+    train = base.filter(F.col("doc_id") % 2 == 0)
+    trb = bigrams(train)
+    c12 = trb.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"), F.count("*").alias("n1p")
+    )
+    cont = c12.groupBy("w2").agg(F.count("*").alias("ncont"))
+    ntot = c12.agg(F.count("*").cast("long").alias("ntot"))
+    uu = (
+        train.select(F.explode("t").alias("w"))
+        .agg((F.countDistinct("w") + 1).cast("long").alias("uu"))
+    )
+    tot = ntot.crossJoin(uu)
+
+    evb = bigrams(base.filter(F.col("doc_id") % 2 == 1), "source")
+    scored = (
+        evb.join(c12, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(
+                "CASE WHEN c1 IS NOT NULL"
+                " THEN 4 * c1 * (ntot + uu)"
+                " ELSE ntot + uu END"
+            ).alias("den"),
+            F.expr(
+                "CASE WHEN c1 IS NOT NULL"
+                " THEN (CASE WHEN c12 IS NOT NULL"
+                "       THEN 4 * c12 - 3 ELSE 0 END) * (ntot + uu)"
+                "      + 3 * n1p * (coalesce(ncont, 0) + 1)"
+                " ELSE coalesce(ncont, 0) + 1 END"
+            ).alias("num"),
+        )
+    )
+    # evaluate the 20-round ilog2 fold once per DISTINCT (num, den)
+    # pair, not once per token instance: repeated corpora repeat the
+    # same rationals (measured 43 s -> ~8 s at the 20x stress), and the
+    # pre-aggregation is the same map-side combine the kernel's other
+    # consumers lean on
+    bits = F.expr(f"{ilog2_spark('den')} - {ilog2_spark('num')}")
+    grouped = (
+        scored.groupBy("source", "den", "num")
+        .agg(F.count("*").alias("cnt"))
+        .select("source", "cnt", bits.alias("bits_fx"))
+    )
+    return (
+        grouped.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("bits_fx"))
+            .cast("long")
+            .alias("sum_bits_fx"),
+            F.expr(
+                f"CAST((1000 * sum(cnt * bits_fx))"
+                f" div (sum(cnt) * {_P2F}) AS BIGINT)"
+            ).alias("millibits_per_token"),
+        )
+        .orderBy("source")
+    )

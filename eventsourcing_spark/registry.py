@@ -31,6 +31,7 @@ import eventsourcing_spark.pipeline.retrieval  # noqa: F401
 import eventsourcing_spark.pipeline.ridge  # noqa: F401
 import eventsourcing_spark.pipeline.setjoin  # noqa: F401
 import eventsourcing_spark.pipeline.similarity  # noqa: F401
+import eventsourcing_spark.pipeline.stylometry  # noqa: F401
 import eventsourcing_spark.sketches  # noqa: F401
 import eventsourcing_spark.timeseries  # noqa: F401
 import eventsourcing_spark.tpch  # noqa: F401

@@ -149,6 +149,18 @@ STRESS_QUERIES = (
     "isotonic_calibration_pav",
     "mutual_nn_margin_pairs",
     "model_rank_spearman",
+    # round 8 wave 6: KN bigram LM, density clustering
+    "kneser_ney_bits",
+    "dbscan_embeddings",
+    # round 8 wave 7: absorbing-chain funnel, stylometry
+    "markov_absorption_funnel",
+    "burrows_delta_sources",
+    # round 8 wave 8: distributed bootstrap, Welch test
+    "poisson_bootstrap_ci",
+    "welch_t_value",
+    # round 8 wave 9: ANOVA, Mann-Whitney
+    "anova_f_value",
+    "mann_whitney_u",
 )
 
 
