@@ -1711,3 +1711,138 @@ def tfidf_topk_terms_per_source(spark, sf_dir):
                 F.col("weight").cast("long").alias("weight"), "rnk")
         .orderBy("source", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query likelihood (Zhai & Lafferty, SIGIR'01) — the
+# language-modeling retrieval scorer, completing the classic trio
+# alongside BM25 (probabilistic) and tf-idf (vector-space):
+#
+#     score(q, d) = Σ_w log P(w|d),
+#     P(w|d) = (tf_wd + μ·cf_w/|C|) / (|d| + μ)
+#
+# With integer μ every per-term probability is the integer rational
+# (tf_wd·|C| + μ·cf_w) / (|C|·(|d| + μ)), so the log runs through the
+# shared fixed-point ilog2 kernel and the ranking is exact — the same
+# division-free discipline as kneser_ney_bits, applied to retrieval.
+#
+# Scale shape: collection stats are one token aggregation; scoring
+# joins the 5-term posting rows (keyed, term-filtered at the scan) to
+# per-doc lengths, aggregates to doc grain, and the absent-term mass is
+# closed-form (terms not in d contribute ilog2(μ·cf) − ilog2(|C|·(|d|+μ))
+# — added arithmetically, never by exploding the full vocabulary).
+# Top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+DIR_MU = 2000
+
+
+def _dirichlet_oracle() -> str:
+    from eventsourcing_spark.pipeline.nb_classifier import ilog2_duck
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+    coll AS (SELECT count(*) AS csz FROM toks),
+    cf AS (
+        SELECT w, count(*) AS cf FROM toks
+        WHERE list_contains({_TERMS_SQL}, w) GROUP BY w
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM toks
+        WHERE list_contains({_TERMS_SQL}, w) GROUP BY doc_id, w
+    ),
+    -- per (doc, query-term) present-term bits MINUS the absent-term
+    -- bits the closed form already charged for that term
+    adj AS (
+        SELECT t.doc_id,
+               sum({ilog2_duck("t.tf * coll.csz + " + str(DIR_MU) + " * c.cf")}
+                   - {ilog2_duck(str(DIR_MU) + " * c.cf")}) AS adj_fx
+        FROM tf t JOIN cf c ON c.w = t.w CROSS JOIN coll
+        GROUP BY t.doc_id
+    ),
+    base AS (
+        SELECT d.doc_id, d.len,
+               (SELECT sum({ilog2_duck(str(DIR_MU) + " * cf")}) FROM cf)
+                   - {len(QUERY_TERMS)}
+                     * {ilog2_duck("coll.csz * (d.len + " + str(DIR_MU) + ")")}
+                   AS base_fx
+        FROM dl d CROSS JOIN coll
+    )
+    SELECT doc_id,
+           CAST(base_fx + coalesce(adj_fx, 0) AS BIGINT) AS score_fx,
+           CAST(row_number() OVER (
+               ORDER BY base_fx + coalesce(adj_fx, 0) DESC, doc_id
+           ) AS BIGINT) AS rank
+    FROM base LEFT JOIN adj USING (doc_id)
+    QUALIFY rank <= {TOP_DOCS}
+    """
+
+
+@query("dirichlet_ql_topk", _dirichlet_oracle())
+def dirichlet_ql_topk(spark, sf_dir):
+    """Top-k docs by exact Dirichlet-smoothed query likelihood."""
+    from eventsourcing_spark.pipeline.nb_classifier import ilog2_spark
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    coll = toks.agg(F.count("*").cast("long").alias("csz"))
+    qt = toks.filter(F.col("w").isin(QUERY_TERMS))
+    cf = qt.groupBy("w").agg(F.count("*").alias("cf"))
+    tf = qt.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    adj = (
+        tf.join(F.broadcast(cf), "w")
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "doc_id",
+            F.expr(
+                f"{ilog2_spark(f'tf * csz + {DIR_MU} * cf')}"
+                f" - {ilog2_spark(f'{DIR_MU} * cf')}"
+            ).alias("term_fx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_fx").cast("long").alias("adj_fx"))
+    )
+    absent = cf.agg(
+        F.expr(f"sum({ilog2_spark(f'{DIR_MU} * cf')})")
+        .cast("long")
+        .alias("absent_fx")
+    )
+    base = (
+        dl.crossJoin(F.broadcast(coll))
+        .crossJoin(F.broadcast(absent))
+        .select(
+            "doc_id",
+            (
+                F.col("absent_fx")
+                - len(QUERY_TERMS)
+                * F.expr(ilog2_spark(f"csz * (len + {DIR_MU})"))
+            ).alias("base_fx"),
+        )
+    )
+    scored = base.join(adj, "doc_id", "left").select(
+        "doc_id",
+        (F.col("base_fx") + F.coalesce("adj_fx", F.lit(0)))
+        .cast("long")
+        .alias("score_fx"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_fx"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score_fx"), F.asc("doc_id"))
+        .limit(TOP_DOCS)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

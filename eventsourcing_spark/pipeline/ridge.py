@@ -568,3 +568,116 @@ def model_rank_spearman(spark, sf_dir):
             " AS BIGINT)"
         ).alias("spearman_ppm"),
     )
+
+
+def _fleiss_sql() -> str:
+    from eventsourcing_spark.pipeline.nb_classifier import (
+        _MODEL_DUCK,
+        _SCORES_DUCK,
+    )
+
+    return f"""
+    WITH {_MODEL_DUCK},
+    {_SCORES_DUCK},
+    {_duck_weights_ctes()},
+    ridge AS (
+        SELECT f.doc_id,
+               CASE WHEN w.w0_fx + w.w1_fx * f.f1 + w.w2_fx * f.f2
+                         + w.w3_fx * f.f3 >= {PRED_T}
+                    THEN 1 ELSE 0 END AS r_pred
+        FROM feats f CROSS JOIN weights w
+        WHERE f.doc_id % 2 = 1
+    ),
+    votes AS (
+        SELECT s.label_good
+                   + CASE WHEN s.score_fx >= 0 THEN 1 ELSE 0 END
+                   + r.r_pred AS x
+        FROM scored s JOIN ridge r ON r.doc_id = s.doc_id
+        WHERE s.is_train = 0
+    ),
+    agg AS (
+        SELECT count(*) AS n,
+               sum(x) AS s,
+               sum(x * (x - 1) + (3 - x) * (2 - x)) AS a
+        FROM votes
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(3 AS BIGINT) AS n_raters,
+           CAST((1000000 * s) // (3 * n) AS BIGINT) AS p_good_ppm,
+           CAST((1000000 * a) // (6 * n) AS BIGINT) AS pbar_ppm,
+           CAST((1000000 * (s * s + (3 * n - s) * (3 * n - s)))
+                // (9 * n * n) AS BIGINT) AS pe_ppm,
+           CAST((1000000 * (a * 9 * n * n - 6 * n
+                            * (s * s + (3 * n - s) * (3 * n - s))))
+                // greatest(6 * n * (9 * n * n - s * s
+                            - (3 * n - s) * (3 * n - s)), 1) AS BIGINT)
+               AS kappa_ppm
+    FROM agg
+    """
+
+
+@query("fleiss_kappa_raters", _fleiss_sql())
+def fleiss_kappa_raters(spark, sf_dir):
+    """Fleiss' κ over the engine's three weak raters — the heuristic
+    label, the NB classifier, and the ridge scorer — on the held-out
+    half: the standard inter-rater reliability statistic for a weak-
+    supervision ensemble (are the signals redundant or complementary?).
+
+    Exact: with n = 3 raters and 2 categories, per-doc agreement is
+    P_i = (x(x−1) + (3−x)(2−x))/6 for x = good-votes, so
+    P̄ = A/(6N) and P_e = (S² + (T−S)²)/T² (T = 3N) are integer
+    rationals; κ = (A·T² − 6N·(S²+(T−S)²)) / (6N·(T² − S² − (T−S)²))
+    is emitted as floor-ppm — one division, at the very end.
+
+    Scale shape: both model scoring passes are the shared broadcast
+    pipelines (score_docs / the 1-row weights frame); the κ algebra
+    runs on ONE aggregate row. Companions: ridge_nb_agreement (pairwise
+    confusion), model_rank_spearman (rank-level agreement).
+    """
+    from eventsourcing_spark.pipeline.nb_classifier import (
+        nb_quality_score,
+    )
+
+    nb = (
+        nb_quality_score(spark, sf_dir)
+        .filter(F.col("is_train") == 0)
+        .select("doc_id", "label_good", F.col("pred_good").alias("nb_pred"))
+    )
+    rd = ridge_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("pred_good").alias("r_pred")
+    )
+    votes = nb.join(rd, "doc_id").select(
+        (F.col("label_good") + F.col("nb_pred") + F.col("r_pred")).alias("x")
+    )
+    agg = votes.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(
+            F.col("x") * (F.col("x") - 1)
+            + (3 - F.col("x")) * (2 - F.col("x"))
+        )
+        .cast("long")
+        .alias("a"),
+    )
+    d = lambda e: f"CAST({e} AS DECIMAL(38,0))"  # noqa: E731
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.lit(3).cast("long").alias("n_raters"),
+        F.expr(f"CAST(({d('1000000')} * s) div (3 * n) AS BIGINT)").alias(
+            "p_good_ppm"
+        ),
+        F.expr(f"CAST(({d('1000000')} * a) div (6 * n) AS BIGINT)").alias(
+            "pbar_ppm"
+        ),
+        F.expr(
+            f"CAST(({d('1000000')} * ({d('s')} * s"
+            f" + {d('(3 * n - s)')} * (3 * n - s)))"
+            f" div (9 * {d('n')} * n) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            f"CAST(({d('1000000')} * ({d('a')} * 9 * n * n - 6 * {d('n')}"
+            f" * ({d('s')} * s + {d('(3 * n - s)')} * (3 * n - s))))"
+            f" div greatest(6 * {d('n')} * (9 * {d('n')} * n - {d('s')} * s"
+            f" - {d('(3 * n - s)')} * (3 * n - s)), 1) AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )

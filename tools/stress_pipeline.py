@@ -161,6 +161,9 @@ STRESS_QUERIES = (
     # round 8 wave 9: ANOVA, Mann-Whitney
     "anova_f_value",
     "mann_whitney_u",
+    # round 8 wave 10: Dirichlet QL retrieval, Fleiss kappa
+    "dirichlet_ql_topk",
+    "fleiss_kappa_raters",
 )
 
 
