@@ -4829,8 +4829,12 @@ _W_FX = 1 << 20
 def _welch_exprs(cast, div: str) -> dict[str, str]:
     v = {}
     for g in ("1", "2"):
+        # n·q must promote BEFORE the product: at the 20× sf0.1 stress
+        # n·q ≈ 7.8e18 ≈ 85% of int64, so LONG·LONG overflows on a
+        # slightly larger corpus (ANSI ARITHMETIC_OVERFLOW on Spark 4).
         v[f"v{g}_fx"] = (
-            f"({cast(str(_W_FX))} * (n{g} * q{g} - {cast(f's{g}')} * s{g}))"
+            f"({cast(str(_W_FX))} * ({cast(f'n{g}')} * q{g}"
+            f" - {cast(f's{g}')} * s{g}))"
             f" {div} ({cast(f'n{g}')} * n{g} * (n{g} - 1))"
         )
     diff2 = (
@@ -5070,7 +5074,7 @@ def anova_f_value(spark, sf_dir):
            CAST((1000000 * u1_2x) // (2 * n1 * n2) AS BIGINT) AS cles_ppm,
            CAST((1000 * (u1_2x - n1 * n2) * (u1_2x - n1 * n2) * 3
                  * (n1 + n2) * (n1 + n2 - 1))
-                // (4 * n1 * n2
+                // (n1 * n2
                     * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tsum))
                 AS BIGINT) AS z2_milli
     FROM u
@@ -5081,8 +5085,9 @@ def mann_whitney_u(spark, sf_dir):
 
     z² = (U − n1n2/2)² / Var(U) with
     Var(U) = n1n2/12·((N+1) − Σ(t³−t)/(N(N−1))); carried doubled
-    (u1_2x = 2U) so the continuity-free statistic stays integer:
-    z² = 3·(u1_2x − n1n2)²·N·(N−1) / (4·n1n2·((N+1)N(N−1) − Σ(t³−t))).
+    (u1_2x = 2U), so (U − n1n2/2)² = (u1_2x − n1n2)²/4 and the 1/4
+    cancels into the 12 of Var(U):
+    z² = 3·(u1_2x − n1n2)²·N·(N−1) / (n1n2·((N+1)N(N−1) − Σ(t³−t))).
     """
     from eventsourcing_spark.operators.ranking import global_rank
 
@@ -5129,7 +5134,7 @@ def mann_whitney_u(spark, sf_dir):
         F.expr(
             f"CAST((1000 * {d('(u1_2x - n1 * n2)')} * (u1_2x - n1 * n2)"
             f" * 3 * (n1 + n2) * (n1 + n2 - 1))"
-            f" div (4 * {d('n1')} * n2"
+            f" div ({d('n1')} * n2"
             f" * ((n1 + n2 + 1) * {d('(n1 + n2)')} * (n1 + n2 - 1) - tsum))"
             " AS BIGINT)"
         ).alias("z2_milli"),

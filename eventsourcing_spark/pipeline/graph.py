@@ -1229,7 +1229,12 @@ def dbscan_embeddings(spark, sf_dir):
     ).localCheckpoint()
     prev = labels.agg(F.sum("cluster")).first()[0]
     if prev is not None:
-        for _ in range(20):
+        # Fixpoint, no round cap: hash-min labels are monotone
+        # non-increasing integers so the sum stalls exactly when no
+        # label moved — a capped loop would silently mislabel any
+        # core-core component with diameter above the cap, where the
+        # DuckDB recursive-CTE oracle stays exact.
+        while True:
             nbr = (
                 ce.join(labels, ce.dst == labels.node)
                 .groupBy(F.col("src").alias("nbr_node"))

@@ -271,7 +271,11 @@ def dedup_components(spark, sf_dir):
         F.col("doc_id").alias("node"), F.col("doc_id").alias("component")
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("component")).first()[0]
-    for _ in range(20):
+    # Fixpoint, no round cap (mirrors dbscan_embeddings): labels only
+    # decrease, so the sum stalls exactly at convergence; a cap would
+    # diverge from the exact recursive-CTE oracle on any component
+    # whose diameter exceeds it.
+    while True:
         nbr_min = (
             und.join(labels, und.dst == labels.node)
             .groupBy(F.col("src").alias("nbr_node"))

@@ -158,14 +158,22 @@ def linkage_at_ingest(
     """Wire a customer-record stream through incremental linkage.
     Returns the started streaming query (availableNow trigger)."""
 
-    def process(batch_df: DataFrame, _epoch_id: int) -> None:
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
         from eventsourcing_spark.pipeline.registry_manifest import append_df
 
         matches = linkage_batch(batch_df, registry_dir).persist()
         try:
             if not matches.isEmpty():
                 matches.write.mode("append").parquet(matches_dir)
-            append_df(prep_records(batch_df), registry_dir)
+            # epoch-keyed like streaming_bootstrap/streaming_nb: a
+            # foreachBatch RETRY replaces the epoch's unit instead of
+            # appending the batch's rows to the registry a second time
+            # (unbounded duplicate state otherwise).
+            append_df(
+                prep_records(batch_df),
+                registry_dir,
+                epoch_key=f"link-{epoch_id}",
+            )
         finally:
             matches.unpersist()
 

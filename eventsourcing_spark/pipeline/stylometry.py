@@ -53,11 +53,18 @@ def _isqrt_steps(x: str, cast, div: str) -> list[tuple[str, str]]:
     Float sqrt seeds within ±2 at the 2.3e19 bound; two integer Newton
     steps then two down-corrections and one up-correction pin the
     floor. ``cast`` lifts squarings above int64 (Spark DECIMAL(38,0);
-    DuckDB HUGEINT natively)."""
+    DuckDB HUGEINT natively). The y2 divisor is floored at 1: when
+    x = 0 (zero-variance word) y1 = 0, and Spark 4's ANSI default would
+    raise DIVIDE_BY_ZERO where DuckDB flows NULL into the downstream
+    CASE — the guard lands both engines on sd_fx = 0 → term 0, and for
+    x ≥ 1 it is inert (y0 ≥ 2 so y1 = (y0 + x div y0) div 2 ≥ 1)."""
     return [
         ("y0", f"CAST(sqrt(CAST({x} AS DOUBLE)) AS BIGINT) + 1"),
         ("y1", f"CAST((y0 + {x} {div} y0) {div} 2 AS BIGINT)"),
-        ("y2", f"CAST((y1 + {x} {div} y1) {div} 2 AS BIGINT)"),
+        (
+            "y2",
+            f"CAST((y1 + {x} {div} greatest(y1, 1)) {div} 2 AS BIGINT)",
+        ),
         ("y3", f"CASE WHEN {cast('y2')} * y2 > {x} THEN y2 - 1 ELSE y2 END"),
         ("y4", f"CASE WHEN {cast('y3')} * y3 > {x} THEN y3 - 1 ELSE y3 END"),
         (
