@@ -30,6 +30,20 @@ REGRESSION_FACTOR = 1.5
 # query PAST 1 s still hard-flags.
 HARD_FLOOR_SEC = 1.0
 
+# Absolute-floor drift ledger (VERDICT r8 #2): every committed baseline
+# carries a ``floor`` — its minimum committed value since the last
+# correctness-motivated reset (see the r9a ratchet_log entry for the
+# mining rule). Quiet-host adjudications re-baseline UPWARD one round at
+# a time; individually each follows the written rule, but cumulatively
+# they could absorb a real code slowdown. The ledger makes the
+# cumulative factor explicit and un-absorbable: baseline/floor > 2.0 is
+# a HARD failure of this gate (and therefore of close_battery) no
+# matter how reasonable the latest single step looked; 1.5-2.0 prints
+# as a drift warning. Floors may only be reset alongside a named
+# correctness mechanism logged in ratchet_log — never for host drift.
+DRIFT_WARN_FACTOR = 1.5
+DRIFT_BREACH_FACTOR = 2.0
+
 
 def load_bench(path: str) -> dict:
     """Accepts a driver BENCH_r{N}.json envelope, a single JSON object,
@@ -95,14 +109,44 @@ def main() -> int:
     if missing:
         print(f"MISSING from battery: {', '.join(missing)}")
 
+    # ----- absolute-floor drift ledger (gates the BASELINE file itself)
+    floors = base.get("floors", {})
+    breaches, drift_warns, unfloored, lowerable = [], [], [], []
+    for name, ref in sorted(base["queries"].items()):
+        ent = floors.get(name)
+        if ent is None:
+            unfloored.append(name)
+            continue
+        fl = ent["floor"]
+        factor = ref / fl if fl > 0 else float("inf")
+        row = f"{name}: baseline {ref:.2f}s vs floor {fl:.2f}s ({factor:.2f}x)"
+        if factor > DRIFT_BREACH_FACTOR:
+            breaches.append(row)
+        elif factor > DRIFT_WARN_FACTOR:
+            drift_warns.append(row)
+        if ref < fl:
+            lowerable.append(f"{name}: {fl:.2f} -> {ref:.2f}")
+    for row in breaches:
+        print(f"FLOOR-BREACH  {row}")
+    for row in drift_warns:
+        print(f"drift-warn    {row}")
+    if unfloored:
+        print(f"NO FLOOR (add to BENCH_BASELINE.json floors): "
+              f"{', '.join(unfloored)}")
+    if lowerable:
+        print("floor can ratchet DOWN (baseline improved past it): "
+              + "; ".join(lowerable))
+
     n = len(base["queries"])
     print(
         f"\n{len(regressions)} regressions, {len(warnings)} noise-band, "
         f"{len(improved)} improved over {n} baselined queries "
         f"(battery {len(cur['queries'])}, total {cur.get('value')}s "
-        f"vs baseline {base['total']}s)"
+        f"vs baseline {base['total']}s); drift ledger: "
+        f"{len(breaches)} breaches, {len(drift_warns)} warns, "
+        f"{len(unfloored)} unfloored"
     )
-    return 1 if regressions or missing else 0
+    return 1 if regressions or missing or breaches or unfloored else 0
 
 
 if __name__ == "__main__":
