@@ -31,10 +31,9 @@ from pyspark.sql import types as T
 
 from eventsourcing_spark.pipeline.media_codecs import (
     PNG_MAGIC,
+    STDLIB_CODEC,
     WAV_MAGIC,
-    decode_avi,
-    decode_png,
-    decode_wav,
+    get_media_codec,
 )
 
 # _decode_bytes is captured by the decode/featurize/frame-sample/resize
@@ -113,12 +112,15 @@ def synth_media(spark: SparkSession, n: int = 64, partitions: int = 8) -> DataFr
     )
 
 
-def _decode_bytes(content: bytes, allow_fake: bool) -> dict:
-    """Magic-byte dispatch. PNG, WAV and AVI are REAL decodes
-    (media_codecs, pure stdlib); SYNM is the legacy synthetic fixture;
-    anything else raises unless ``allow_fake=True``."""
+def _decode_bytes(content: bytes, allow_fake: bool, codec=None) -> dict:
+    """Magic-byte dispatch. PNG, WAV and AVI are REAL decodes through
+    ``codec`` (default: the pure-stdlib MediaCodec — callers on the
+    driver resolve ``get_media_codec()`` once at plan-build time and
+    pass it in, which is the pluggable-codec seam); SYNM is the legacy
+    synthetic fixture; anything else raises unless ``allow_fake=True``."""
+    codec = codec or STDLIB_CODEC
     if content[:8] == PNG_MAGIC:
-        img = decode_png(content)
+        img = codec.decode_png(content)
         return {
             "kind": "image",
             "width": img["width"],
@@ -128,7 +130,7 @@ def _decode_bytes(content: bytes, allow_fake: bool) -> dict:
             "payload": img["pixels"],
         }
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
-        avi = decode_avi(content)
+        avi = codec.decode_avi(content)
         fps = avi["fps"] or 1
         return {
             "kind": "video",
@@ -141,7 +143,7 @@ def _decode_bytes(content: bytes, allow_fake: bool) -> dict:
             "fps": fps,
         }
     if content[:4] == WAV_MAGIC and content[8:12] == b"WAVE":
-        wav = decode_wav(content)
+        wav = codec.decode_wav(content)
         return {
             "kind": "audio",
             "width": 0,
@@ -185,6 +187,7 @@ DECODED_SCHEMA = T.StructType(
 def decode_and_featurize(media: DataFrame, allow_fake: bool = False) -> DataFrame:
     """Decode + 16-dim feature extraction (byte-histogram embedding — the
     deterministic stand-in for a real vision/audio encoder)."""
+    codec = get_media_codec()
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -193,7 +196,7 @@ def decode_and_featurize(media: DataFrame, allow_fake: bool = False) -> DataFram
         for pdf in batches:
             out = []
             for row in pdf.itertuples():
-                meta = _decode_bytes(bytes(row.content), allow_fake)
+                meta = _decode_bytes(bytes(row.content), allow_fake, codec)
                 payload = np.frombuffer(meta["payload"], dtype=np.uint8)
                 hist, _ = np.histogram(payload, bins=16, range=(0, 256))
                 feats = (hist / max(len(payload), 1)).astype("float32")
@@ -218,6 +221,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
             T.StructField("frame", T.BinaryType()),
         ]
     )
+    codec = get_media_codec()
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -225,7 +229,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                meta = _decode_bytes(bytes(r.content), allow_fake)
+                meta = _decode_bytes(bytes(r.content), allow_fake, codec)
                 if meta["kind"] != "video":
                     continue
                 if "frames" in meta:
@@ -256,6 +260,7 @@ def resize_images(media: DataFrame, width: int, height: int,
     media_codecs.resample_nearest, gate-verified byte-for-byte by
     ``media_resize_pixels`` through the PNG decode→resample→encode→
     decode round trip."""
+    codec = get_media_codec()
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -263,7 +268,7 @@ def resize_images(media: DataFrame, width: int, height: int,
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                meta = _decode_bytes(bytes(r.content), allow_fake)
+                meta = _decode_bytes(bytes(r.content), allow_fake, codec)
                 if meta["kind"] == "image":
                     header = _MAGIC + struct.pack(
                         "<BHHII", 0, width, height, 0, 0
@@ -462,7 +467,7 @@ _PNG_MAX_VALS = 16 * 14 * 3  # w≤16, h≤14, ch≤3 below
 def _png_media_from_documents(docs: DataFrame) -> DataFrame:
     """doc_id → really-PNG-encoded image: dims/channels from doc_id
     arithmetic, pixel i = (31·doc_id + 7·i) mod 256."""
-    from eventsourcing_spark.pipeline.media_codecs import encode_png
+    encode_png = get_media_codec().encode_png
 
     schema = T.StructType(
         [
@@ -520,7 +525,7 @@ def media_png_decode_stats(spark, sf_dir):
     The encoder cycles all five scanline filters, so the decoder's
     Sub/Up/Average/Paeth unfilter paths must all be exact for the
     arithmetic oracle to match."""
-    from eventsourcing_spark.pipeline.media_codecs import decode_png
+    decode_png = get_media_codec().decode_png
 
     schema = T.StructType(
         [
@@ -598,10 +603,9 @@ def media_resize_pixels(spark, sf_dir):
     so encoder, decoder, and resampler must all be pixel-exact for the
     arithmetic oracle to match. pos_weighted_sum (Σ i·vᵢ) pins every
     byte's POSITION, not just the multiset of values."""
-    from eventsourcing_spark.pipeline.media_codecs import (
-        decode_png,
-        encode_png,
-        resample_nearest,
+    _c = get_media_codec()
+    decode_png, encode_png, resample_nearest = (
+        _c.decode_png, _c.encode_png, _c.resample_nearest,
     )
 
     schema = T.StructType(
@@ -672,7 +676,8 @@ _WAV_MAX_SAMPLES = 96  # n = 64 + doc_id % 32 below
 def media_wav_decode_stats(spark, sf_dir):
     """Encode→decode through the REAL WAV codec (RIFF/PCM16), per-clip
     sample stats pinned by the arithmetic oracle."""
-    from eventsourcing_spark.pipeline.media_codecs import decode_wav, encode_wav
+    _c = get_media_codec()
+    decode_wav, encode_wav = _c.decode_wav, _c.encode_wav
 
     schema = T.StructType(
         [
@@ -749,10 +754,8 @@ def media_audio_downsample(spark, sf_dir):
     """Integer audio decimation (keep every k-th sample) through the
     full WAV encode→decode→decimate→encode→decode round trip; stats
     from the SECOND decode, position-pinned by pos_weighted_sum."""
-    from eventsourcing_spark.pipeline.media_codecs import (
-        decode_wav,
-        encode_wav,
-    )
+    _c = get_media_codec()
+    decode_wav, encode_wav = _c.decode_wav, _c.encode_wav
 
     schema = T.StructType(
         [
@@ -884,7 +887,8 @@ def dhash_16x16_gray(px: bytes) -> int:
 def _phash_hashed(docs):
     """(doc_id, ph): dHash of the deterministic image family, computed
     through the REAL PNG encode→decode path in one Arrow stage."""
-    from eventsourcing_spark.pipeline.media_codecs import decode_png, encode_png
+    _c = get_media_codec()
+    decode_png, encode_png = _c.decode_png, _c.encode_png
 
     schema = T.StructType(
         [
@@ -1040,7 +1044,8 @@ def media_audio_fingerprint_neardup(spark, sf_dir):
     One Arrow stage encodes+decodes the PCM and fingerprints it; banding,
     the bucketed candidate join, and the exact Hamming verify are
     JVM-side (same shape as media_phash_neardup_pairs)."""
-    from eventsourcing_spark.pipeline.media_codecs import decode_wav, encode_wav
+    _c = get_media_codec()
+    decode_wav, encode_wav = _c.decode_wav, _c.encode_wav
 
     schema = T.StructType(
         [
@@ -1223,7 +1228,8 @@ def media_video_framehash_neardup(spark, sf_dir):
     frames (1 clip → n_frames rows, the UDTF shape); the (frame_idx,
     frame_hash) self-join, pair aggregation, and Jaccard scoring are
     JVM-side."""
-    from eventsourcing_spark.pipeline.media_codecs import decode_avi, encode_avi
+    _c = get_media_codec()
+    decode_avi, encode_avi = _c.decode_avi, _c.encode_avi
 
     schema = T.StructType(
         [
@@ -1331,7 +1337,8 @@ def media_avi_demux_stats(spark, sf_dir):
     uncompressed BI_RGB frames): per-clip frame geometry and pixel stats
     pinned by the arithmetic oracle. Completes real-format coverage for
     all three modalities (PNG image, WAV audio, AVI video)."""
-    from eventsourcing_spark.pipeline.media_codecs import decode_avi, encode_avi
+    _c = get_media_codec()
+    decode_avi, encode_avi = _c.decode_avi, _c.encode_avi
 
     schema = T.StructType(
         [
@@ -1514,7 +1521,8 @@ def media_corrupt_detection(spark, sf_dir):
     17th payload, decode with per-item quarantine, and roll up per
     source. The decode is the REAL codec — its CRC walk is what rejects
     the damage."""
-    from eventsourcing_spark.pipeline.media_codecs import decode_png, encode_png
+    _c = get_media_codec()
+    decode_png, encode_png = _c.decode_png, _c.encode_png
 
     schema = T.StructType(
         [

@@ -44,6 +44,15 @@ class CheckpointStore:
             ):
                 self._cache[r.key] = (r.event_id, r.sequence)
 
+    def reload(self) -> None:
+        """Re-read persisted state, dropping the in-memory view. A
+        driver that waited on the catch-up lease MUST reload before
+        filtering: its constructor-time cache predates the lease
+        holder's token writes, and filtering against that stale view
+        re-applies everything the winner already handled."""
+        self._cache.clear()
+        self._load()
+
     def get(self, key: str) -> tuple[str | None, int | None]:
         return self._cache.get(key, (None, None))
 

@@ -18,7 +18,15 @@ The reference protocol (C1-C5):
 
 The reference's distributed locks / worker balancing (C7) are NOT
 ported: Spark's scheduler and the single streaming query per projection
-already guarantee single-writer semantics (SURVEY.md §2.9).
+already guarantee single-writer semantics (SURVEY.md §2.9) — within ONE
+driver. Across drivers, the reference additionally serializes catch-up
+behind a distributed lock (projection/projection.go:130-149 WaitForLock
+via dist/redlock or consullock); pass ``lease_dir`` to get the same
+guard here, built on the manifest protocol's put-if-absent primitive
+(projection/lease.py): the second driver waits ``lease_wait`` seconds
+for the holder, then raises ``LeaseHeld`` — and even a TTL-broken
+double-run stays a no-op because the C2 checkpoint filter already
+rejects re-delivered ids (tests/test_lease.py exercises both).
 """
 
 from __future__ import annotations
@@ -60,6 +68,9 @@ class Projector:
         filter: Filter = Filter(),  # noqa: A002
         until_offset: timedelta = DEFAULT_UNTIL_OFFSET,
         catchup_window: timedelta = DEFAULT_CATCHUP_WINDOW,
+        lease_dir: str | None = None,
+        lease_wait: float = 0.0,
+        lease_ttl: float = 300.0,
     ):
         self.store = store
         self.name = name
@@ -69,6 +80,9 @@ class Projector:
         self.filter = filter
         self.until_offset = until_offset
         self.catchup_window = catchup_window
+        self.lease_dir = lease_dir
+        self.lease_wait = lease_wait
+        self.lease_ttl = lease_ttl
 
     # ------------------------------------------------------------- catch-up
     def _with_split(self, df: DataFrame) -> DataFrame:
@@ -82,7 +96,29 @@ class Projector:
         The reference loops passes while a pass took longer than
         CatchUpWindow (projection.go:214); callers needing that loop call
         this repeatedly — each pass resumes from the saved tokens.
+
+        With ``lease_dir`` set, the pass runs under the cross-driver
+        singleton lease (the reference's WaitForLock,
+        projection/projection.go:130-149): a concurrent driver waits up
+        to ``lease_wait`` seconds, then raises ``LeaseHeld``.
         """
+        if self.lease_dir is not None:
+            from eventsourcing_spark.projection.lease import Lease
+
+            with Lease(
+                self.lease_dir,
+                f"catchup-{self.name}",
+                ttl=self.lease_ttl,
+            ).acquire(wait=self.lease_wait):
+                # fence: resume tokens must be read AFTER the lease is
+                # held — a waiter's constructor-time checkpoint cache
+                # predates the winner's writes (reference analog:
+                # projection.go re-reads resume state inside the lock)
+                self.checkpoints.store.reload()
+                return self._catch_up_pass(now)
+        return self._catch_up_pass(now)
+
+    def _catch_up_pass(self, now: datetime | None = None) -> str:
         now = now or datetime.now(timezone.utc)
         until = ulid_time_only_py(now - self.until_offset)
 
