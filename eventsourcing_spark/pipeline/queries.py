@@ -1956,6 +1956,61 @@ SUBSTR_CAND = 35  # stage-1 window; guarantee = CAND + SEL - 1 = 50
 SUBSTR_SEL = 16  # winnowing selection window
 
 
+def _let(var: str, value: str, body: str) -> str:
+    """SQL let-binding: evaluate ``value`` ONCE and bind it as lambda
+    variable ``var`` inside ``body``. Catalyst's CollapseProject would
+    otherwise inline a chained withColumn expression into every use
+    site — for the doubling min chain below that is exponential
+    re-evaluation of the window-hash transform. Lambda variables are
+    opaque to the optimizer, so the single-element transform is a
+    genuine let."""
+    return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+
+def _winnow_expr() -> str:
+    """Winnowed anchor array for one text, O(L·log SEL) (round 9).
+
+    The window hashes are 60-bit longs (md5 prefix via conv — identical
+    rule in the oracle). The SEL=16 sliding min is computed by the
+    sparse-table doubling decomposition instead of per-position
+    slice+array_min: m2[k]=min(h[k],h[k+1]), m4[k]=min(m2[k],m2[k+2]),
+    m8[k]=min(m4[k],m4[k+4]), m16[k]=min(m8[k],m8[k+8]) — four ``least``
+    ops per position instead of a 16-element slice allocation + scan,
+    value-identical because min is associative and idempotent
+    (overlapping halves are harmless). Texts shorter than
+    CAND+SEL-1 = 50 chars have < 16 windows and emit the single
+    whole-array min, exactly as the slice form's greatest(·,0) clamp
+    did."""
+    hs = (
+        f"transform(sequence(0, length(text) - {SUBSTR_CAND}),"
+        f" i -> cast(conv(substring(md5(substring(text,"
+        f" cast(i + 1 as int), {SUBSTR_CAND})), 1, 15), 16, 10)"
+        f" as bigint))"
+    )
+    lvl = (
+        "transform(sequence(1, size({src}) - {off}),"
+        " k -> least(element_at({src}, k), element_at({src}, k + {off})))"
+    )
+    chain = _let(
+        "m2", lvl.format(src="h0", off=1),
+        _let(
+            "m4", lvl.format(src="m2", off=2),
+            _let(
+                "m8", lvl.format(src="m4", off=4),
+                "array_distinct("
+                + lvl.format(src="m8", off=8)
+                + ")",
+            ),
+        ),
+    )
+    return _let(
+        "h0",
+        hs,
+        f"CASE WHEN size(h0) >= {SUBSTR_SEL} THEN {chain}"
+        f" ELSE array(array_min(h0)) END",
+    )
+
+
 @query(
     "exact_substring_dedup",
     f"""
@@ -1980,9 +2035,19 @@ SUBSTR_SEL = 16  # winnowing selection window
         GROUP BY md5(text)
     ),
     wins AS (
+        -- 60-bit md5-prefix hashes (round 9): anchor SELECTION only
+        -- needs a content-determined total order, and comparing longs
+        -- in the sliding min beats comparing 32-char hash strings;
+        -- the truncation is applied identically in the Spark plan
+        -- (conv(substring(md5,1,15),16,10)) so selection can never
+        -- diverge, and a 60-bit collision costs at most one spurious
+        -- candidate text — stage 2 verifies raw window content, so
+        -- the OUTPUT is exact regardless
         SELECT tkey, i,
                length(text) - {SUBSTR_CAND} + 1 AS nwin,
-               md5(substr(text, CAST(i + 1 AS INTEGER), {SUBSTR_CAND})) AS h
+               CAST(('0x' || substr(md5(substr(text, CAST(i + 1 AS INTEGER),
+                                              {SUBSTR_CAND})), 1, 15))
+                    AS BIGINT) AS h
         FROM texts, pos
         WHERE i < length(text) - {SUBSTR_CAND} + 1
     ),
@@ -2045,27 +2110,17 @@ def exact_substring_dedup(spark, sf_dir):
     # coalesces the small distinct-text shuffle to one partition, which
     # would serialize the CPU-heavy winnow scan downstream.
     texts = ensure_parallelism(texts).localCheckpoint()
-    # Stage 1: winnowed anchors → candidate text set.
-    hs = F.expr(
-        f"transform(sequence(0, length(text) - {SUBSTR_CAND}),"
-        f" i -> md5(substring(text, cast(i + 1 as int), {SUBSTR_CAND})))"
-    )
+    # Stage 1: winnowed anchors → candidate text set (doubling min
+    # chain over 60-bit long hashes — see _winnow_expr).
     anchors = (
-        texts.select("tkey", "mult", hs.alias("hs"))
-        .select(
+        texts.select(
             "tkey",
             "mult",
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform("
-                    f" sequence(0, greatest(size(hs) - {SUBSTR_SEL}, 0)),"
-                    f" k -> array_min(slice(hs, k + 1, {SUBSTR_SEL}))))"
-                )
-            ).alias("wh"),
+            F.explode(F.expr(_winnow_expr())).alias("wh"),
         )
-        # consumed twice (family counts + candidate semi-join): the
-        # winnow scan is the most expensive map stage in the query —
-        # materialize it once instead of running it per consumer
+        # consumed three times (family counts, candidate semi-join,
+        # stage-2 co-location key): the winnow scan is the most
+        # expensive map stage in the query — materialize it once
         .localCheckpoint()
     )
     fam = (
@@ -2076,12 +2131,23 @@ def exact_substring_dedup(spark, sf_dir):
     cand = (
         anchors.join(fam, "wh", "left_semi").select("tkey").distinct()
     )
+    # Stage-2 co-location (round 9): partition candidate texts by their
+    # minimum anchor, so a near-duplicate family's texts land in one
+    # partition and the partial aggregation collapses their ~identical
+    # window sets BEFORE the shuffle — on the 20× adversarial corpus
+    # (every doc 19 near-copies) this shrinks the stage-2 exchange by
+    # ~the family size. Physical-plan-only: the groupBy result is
+    # partitioning-independent (tools/determinism_check.py gates this).
+    rep = anchors.groupBy("tkey").agg(F.min("wh").alias("rep"))
+    par = spark.sparkContext.defaultParallelism
     # Stage 2: full 50-char windows over candidate texts only — exact.
     # Raw window content, not md5(window): grouping needs only EQUALITY
     # (byte-identical both engines); md5 is computed once per surviving
     # family, ~20x fewer hashes on a heavily-duplicated corpus.
     fullw = (
         texts.join(cand, "tkey", "left_semi")
+        .join(rep, "tkey")
+        .repartition(par, "rep")
         .filter(F.length("text") >= SUBSTR_W)
         .select(
             "tkey",
