@@ -154,6 +154,9 @@ HEADLINE = [
     # round 8 wave 10: Dirichlet QL retrieval, Fleiss kappa
     "dirichlet_ql_topk",
     "fleiss_kappa_raters",
+    # round 9: k-group nonparametric + paired-binary decision tests
+    "kruskal_wallis_values",
+    "mcnemar_raters",
 ]
 
 

@@ -5139,3 +5139,114 @@ def mann_whitney_u(spark, sf_dir):
             " AS BIGINT)"
         ).alias("z2_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H — the k-group generalization of mann_whitney_u
+# (rank analog of anova_f_value), completing the testing family's
+# nonparametric axis: pooled midranks over ALL event types' value
+# distributions, per-group rank sums, tie-corrected H. Exact:
+# midranks carry doubled (2·mid = min_rank + max_rank, the shared
+# global_rank construction), per-group mean rank floors at 1/1024
+# grain (r2m = (1024·R2) div n — a DEFINED statistic, same floor in
+# both engines), and the tie-corrected
+#   H' = 12·Σ n_g(r̄_g − r̄)² / (N(N+1)) · (N³−N)/(N³−N−Σ(t³−t))
+#      = 12·Σ n_g·dev² · (N−1) / (2048²·(N³−N−T))
+# collapses to ONE division at the end (dev = r2m − 1024(N+1) since
+# 2r̄ = N+1). DECIMAL(38,0)/HUGEINT intermediates: at the 50× stress
+# (N = 5M) the numerator peaks ~6e35 and N³ ~1.25e20, both inside 38
+# digits, and no integral div ever sees a quotient beyond int64 (the
+# div-returns-LONG class). Rank frame collapses to value grain before
+# any arithmetic; no SinglePartition window anywhere.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kruskal_wallis_values",
+    f"""
+    WITH p AS (
+        SELECT CAST(CAST(value AS {DEC}) * 100 AS BIGINT) AS c,
+               event_type AS grp
+        FROM events
+    ),
+    rk AS (
+        SELECT c, grp,
+               2 * rank() OVER (ORDER BY c)
+                   + count(*) OVER (PARTITION BY c) - 1 AS m2
+        FROM p
+    ),
+    ties AS (
+        SELECT sum(t * t * t - t) AS tsum FROM (
+            SELECT count(*) AS t FROM p GROUP BY c
+        )
+    ),
+    g AS (
+        SELECT grp, count(*) AS n, sum(m2) AS r2 FROM rk GROUP BY grp
+    ),
+    tot AS (SELECT count(*) AS k, sum(n) AS nn FROM g),
+    dev AS (
+        SELECT g.n,
+               (1024 * g.r2) // g.n - 1024 * (t.nn + 1) AS d
+        FROM g CROSS JOIN tot t
+    ),
+    s AS (SELECT sum(n * d * d) AS snd FROM dev)
+    SELECT CAST(t.k AS BIGINT) AS k_groups,
+           CAST(t.nn AS BIGINT) AS n_rows,
+           CAST(ties.tsum AS BIGINT) AS tie_sum,
+           CAST((12000 * s.snd * (t.nn - 1))
+                // (4194304 * (t.nn * t.nn * t.nn - t.nn - ties.tsum))
+                AS BIGINT) AS h_milli
+    FROM tot t CROSS JOIN ties CROSS JOIN s
+    """,
+)
+def kruskal_wallis_values(spark, sf_dir):
+    """Tie-corrected Kruskal-Wallis H (floor-milli) across all event
+    types — exact, division-last; see the block comment."""
+    from eventsourcing_spark.operators.ranking import global_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        (F.col("value").cast(DEC) * 100).cast("long").alias("c"),
+        F.col("event_type").alias("grp"),
+        F.monotonically_increasing_id().alias("rid"),
+    )
+    r = global_rank(p.select("c", "rid"), "c", "rid", rank_col="rk")
+    m2g = r.groupBy("c").agg(
+        (F.min("rk") + F.max("rk")).cast("long").alias("m2"),
+        F.count("*").cast("long").alias("t"),
+    )
+    g = (
+        p.join(m2g, "c")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("m2").cast("long").alias("r2"),
+        )
+    )
+    ties = m2g.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tsum")
+    )
+    tot = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+    )
+    d = lambda e: f"CAST({e} AS DECIMAL(38,0))"  # noqa: E731
+    dev = g.crossJoin(F.broadcast(tot)).select(
+        "n", "k", "nn",
+        F.expr("(1024 * r2) div n - 1024 * (nn + 1)").alias("d"),
+    )
+    s = dev.groupBy("k", "nn").agg(
+        F.expr(f"sum({d('n')} * d * d)").alias("snd")
+    )
+    return s.crossJoin(F.broadcast(ties)).select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_rows"),
+        F.col("tsum").alias("tie_sum"),
+        F.expr(
+            f"CAST((12000 * {d('snd')} * (nn - 1))"
+            f" div (4194304 * ({d('nn')} * nn * nn - nn - tsum))"
+            " AS BIGINT)"
+        ).alias("h_milli"),
+    )

@@ -681,3 +681,92 @@ def fleiss_kappa_raters(spark, sf_dir):
             f" - {d('(3 * n - s)')} * (3 * n - s)), 1) AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test between the two TRAINED raters (NB vs ridge) on the
+# held-out half — the paired-binary significance test the agreement
+# family lacked: fleiss_kappa_raters asks "do the raters agree",
+# ridge_nb_agreement counts the confusion cells, McNemar asks the
+# decision question "do they disagree ASYMMETRICALLY" (is one rater
+# systematically more positive), which is what gates swapping one
+# scorer for another. Exact: b and c are the discordant-cell counts,
+# the continuity-free statistic (b−c)²/(b+c) is emitted floor-milli
+# with ONE division (χ²₁-referenced as usual). Both scoring passes are
+# the existing broadcast pipelines; the test algebra runs on one row.
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_sql() -> str:
+    from eventsourcing_spark.pipeline.nb_classifier import (
+        _MODEL_DUCK,
+        _SCORES_DUCK,
+    )
+
+    return f"""
+    WITH {_MODEL_DUCK},
+    {_SCORES_DUCK},
+    {_duck_weights_ctes()},
+    ridge AS (
+        SELECT f.doc_id,
+               CASE WHEN w.w0_fx + w.w1_fx * f.f1 + w.w2_fx * f.f2
+                         + w.w3_fx * f.f3 >= {PRED_T}
+                    THEN 1 ELSE 0 END AS r_pred
+        FROM feats f CROSS JOIN weights w
+        WHERE f.doc_id % 2 = 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN s.score_fx >= 0 THEN 1 ELSE 0 END AS nb_pred,
+               r.r_pred
+        FROM scored s JOIN ridge r ON r.doc_id = s.doc_id
+        WHERE s.is_train = 0
+    ),
+    agg AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN nb_pred = 1 AND r_pred = 0 THEN 1 ELSE 0 END)
+                   AS b,
+               sum(CASE WHEN nb_pred = 0 AND r_pred = 1 THEN 1 ELSE 0 END)
+                   AS c
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(b AS BIGINT) AS nb_only,
+           CAST(c AS BIGINT) AS ridge_only,
+           CAST((1000 * (b - c) * (b - c)) // greatest(b + c, 1)
+                AS BIGINT) AS mcnemar_milli
+    FROM agg
+    """
+
+
+@query("mcnemar_raters", _mcnemar_sql())
+def mcnemar_raters(spark, sf_dir):
+    """McNemar χ² (floor-milli) between NB and ridge predictions on the
+    held-out half; b/c are the discordant cells."""
+    from eventsourcing_spark.pipeline.nb_classifier import nb_quality_score
+
+    nb = (
+        nb_quality_score(spark, sf_dir)
+        .filter(F.col("is_train") == 0)
+        .select("doc_id", F.col("pred_good").alias("nb_pred"))
+    )
+    rd = ridge_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("pred_good").alias("r_pred")
+    )
+    agg = nb.join(rd, "doc_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            ((F.col("nb_pred") == 1) & (F.col("r_pred") == 0)).cast("long")
+        ).alias("b"),
+        F.sum(
+            ((F.col("nb_pred") == 0) & (F.col("r_pred") == 1)).cast("long")
+        ).alias("c"),
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        F.col("b").alias("nb_only"),
+        F.col("c").alias("ridge_only"),
+        F.expr(
+            "CAST((1000 * (b - c) * (b - c)) div greatest(b + c, 1)"
+            " AS BIGINT)"
+        ).alias("mcnemar_milli"),
+    )

@@ -164,6 +164,9 @@ STRESS_QUERIES = (
     # round 8 wave 10: Dirichlet QL retrieval, Fleiss kappa
     "dirichlet_ql_topk",
     "fleiss_kappa_raters",
+    # round 9: rank-based k-group + paired-binary tests
+    "kruskal_wallis_values",
+    "mcnemar_raters",
 )
 
 
