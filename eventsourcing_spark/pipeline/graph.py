@@ -245,6 +245,15 @@ def _build_edges_df(spark, sf_dir, directed: bool):
         .filter(cmp)
         .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
         .distinct()
+        # NOTE: AQE coalesces this small distinct() exchange to 1-2
+        # partitions and the checkpoint freezes that layout. Profiled
+        # both ways in round 9: spreading it to defaultParallelism here
+        # SLOWS the iterative consumers (dbscan/LPA/pagerank run many
+        # small per-round stages where 64-way task scheduling dominates
+        # at gate scale) while only the wedge fan-out in
+        # link_prediction_ra needs width — which re-spreads locally
+        # (repartition(P, z), a trivial 2|E|-row exchange). At 100 TB
+        # edge counts AQE stops coalescing and this is moot.
         .localCheckpoint()
     )
 
