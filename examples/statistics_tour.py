@@ -7,8 +7,9 @@ number here is also pinned bit-exact by the oracle gate:
                     (poisson_bootstrap_ci): map-only resampling, the
                     form that scales to streams (Chamandy et al.)
   2. testing      — Welch t², one-way ANOVA F, Mann-Whitney U with the
-                    common-language effect size: parametric two-group,
-                    parametric k-group, nonparametric two-sample
+                    common-language effect size, Kruskal-Wallis H:
+                    parametric two-group, parametric k-group,
+                    nonparametric two-sample, nonparametric k-group
   3. calibration  — the NB quality score's reliability diagram, raw vs
                     the exact PAV isotonic fit (isotonic_calibration_pav)
   4. agreement    — how the three weak quality raters relate: Fleiss' κ
@@ -64,7 +65,13 @@ def main() -> None:
     m = q("mann_whitney_u").collect()[0]
     print(
         f"2c. Mann-Whitney U: CLES = {m.cles_ppm / 1e6:.3f}"
-        f"  (P(purchase value > error value)),  z² = {m.z2_milli / 1000:.3f}\n"
+        f"  (P(purchase value > error value)),  z² = {m.z2_milli / 1000:.3f}"
+    )
+    kw = q("kruskal_wallis_values").collect()[0]
+    print(
+        f"2d. Kruskal-Wallis across {kw.k_groups} event types:"
+        f"  H = {kw.h_milli / 1000:.3f} over n = {kw.n_rows}"
+        f"  (χ²₄ ref: 9.49 at α=.05)\n"
     )
 
     print("3. Isotonic (PAV) calibration of the NB quality score")
@@ -86,7 +93,13 @@ def main() -> None:
     )
     print(
         f"   Spearman ρ (NB vs ridge score ranks, held-out)"
-        f" = {s.spearman_ppm / 1e6:.3f} over {s.n_docs} docs\n"
+        f" = {s.spearman_ppm / 1e6:.3f} over {s.n_docs} docs"
+    )
+    mc = q("mcnemar_raters").collect()[0]
+    print(
+        f"   McNemar (NB vs ridge decisions): NB-only {mc.nb_only},"
+        f" ridge-only {mc.ridge_only},"
+        f" χ² = {mc.mcnemar_milli / 1000:.3f}  (χ²₁ ref: 3.84)\n"
     )
 
     print("5. Absorbing-Markov funnel (purchase vs error as sinks)")
