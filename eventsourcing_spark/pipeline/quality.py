@@ -1084,7 +1084,7 @@ def ks_quality_by_source(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Exact Zipf slope — fit log(freq) ≈ a + s·log(rank) over the token
 # frequency table by ORDINARY LEAST SQUARES computed exactly: both logs
-# are the 20-fraction-bit integer ilog2 kernel (nb_classifier — bit-
+# are the 20-fraction-bit integer ilog2 kernel (pipeline/ilog2 — bit-
 # identical across engines by construction), the OLS slope is the
 # rational (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over those integers, and
 # the fixed-point emission reuses the ridge trunc-toward-zero two-stage
@@ -1099,7 +1099,7 @@ def ks_quality_by_source(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-from eventsourcing_spark.pipeline.nb_classifier import (
+from eventsourcing_spark.pipeline.ilog2 import (
     ilog2_duck as _ilog2_duck,
 )
 
@@ -1166,7 +1166,7 @@ def zipf_slope_tokens(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("freq"))
     )
     rk = global_rank(tf, F.desc("freq"), "token", rank_col="i")
-    from eventsourcing_spark.pipeline.nb_classifier import ilog2_spark
+    from eventsourcing_spark.pipeline.ilog2 import ilog2_spark
 
     xy = rk.select(
         F.expr(ilog2_spark("i")).alias("x"),

@@ -78,6 +78,8 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eventsourcing_spark.cas import CasBackend, FileCasBackend
+
 _MANIFESTS = "_manifests"
 _COMMIT_RETRIES = 64
 
@@ -86,30 +88,45 @@ def _manifest_dir(reg_dir: str) -> str:
     return os.path.join(reg_dir, _MANIFESTS)
 
 
-def _manifest_path(reg_dir: str, version: int) -> str:
-    return os.path.join(_manifest_dir(reg_dir), f"v{version:012d}.json")
+def _manifest_backend(
+    reg_dir: str, backend: CasBackend | None
+) -> CasBackend:
+    """The conditional-PUT seam for the manifest LOG (VERDICT r9 #5):
+    default is the POSIX file backend rooted at ``_manifests/`` (the
+    original os.link protocol); an object-store/CAS backend slots in
+    via the ``backend`` argument on every public function. Data units
+    stay plain parquet either way — only the commit log needs the
+    conditional primitive."""
+    return backend if backend is not None else FileCasBackend(
+        _manifest_dir(reg_dir)
+    )
 
 
-def latest_manifest(reg_dir: str) -> dict:
+def _manifest_key(version: int) -> str:
+    return f"v{version:012d}.json"
+
+
+def latest_manifest(
+    reg_dir: str, backend: CasBackend | None = None
+) -> dict:
     """The newest committed manifest, or the empty v0 when none exists.
 
     Shape: {"version": int, "files": [unit, ...], "epochs": {key: [unit,
     ...]}} — ``files`` is the complete live unit list (epoch-owned units
     included); ``epochs`` only adds ownership for replace-on-retry."""
-    mdir = _manifest_dir(reg_dir)
-    try:
-        names = [
-            n for n in os.listdir(mdir)
-            if n.startswith("v") and n.endswith(".json")
+    be = _manifest_backend(reg_dir, backend)
+    for _ in range(8):  # a superseded name can be vacuumed between
+        names = [  # list and read; the newest itself never is
+            n for n in be.list_keys("v") if n.endswith(".json")
         ]
-    except FileNotFoundError:
-        return {"version": 0, "files": [], "epochs": {}}
-    if not names:
-        return {"version": 0, "files": [], "epochs": {}}
-    with open(os.path.join(mdir, max(names)), encoding="utf-8") as f:
-        m = json.load(f)
-    m.setdefault("epochs", {})
-    return m
+        if not names:
+            return {"version": 0, "files": [], "epochs": {}}
+        entry = be.get(max(names))
+        if entry is not None:
+            m = json.loads(entry.data.decode("utf-8"))
+            m.setdefault("epochs", {})
+            return m
+    raise RuntimeError(f"manifest log unreadable under churn: {reg_dir}")
 
 
 def _adopt_legacy_units(reg_dir: str) -> list[str]:
@@ -130,23 +147,24 @@ def commit(
     remove_units: tuple[str, ...] | list[str] = (),
     epoch_key: str | None = None,
     expect_version: int | None = None,
+    backend: CasBackend | None = None,
 ) -> dict:
     """Atomically publish a new manifest; returns it.
 
     Optimistic-concurrency loop: build the next manifest from the
     CURRENT latest (adopting legacy top-level files on the very first
-    commit), write it to a temp file, and ``os.link`` it onto the next
-    version number. A concurrent committer winning the link makes this
-    one re-read and retry — every retry re-derives the file list, so no
-    committed unit is ever dropped. With ``epoch_key``, units previously
-    owned by that epoch are replaced (idempotent foreachBatch retry).
-    ``expect_version`` (compaction) bounds which units ``remove_units``
-    may target; it does NOT abort on newer versions — later appends are
-    merged in, which is the whole point."""
-    os.makedirs(_manifest_dir(reg_dir), exist_ok=True)
-    last_err: Exception | None = None
+    commit) and ``put_if_absent`` it onto the next version number (the
+    file backend's os.link of a fully-written temp file; an object
+    store's conditional PUT). A concurrent committer winning the create
+    makes this one re-read and retry — every retry re-derives the file
+    list, so no committed unit is ever dropped. With ``epoch_key``,
+    units previously owned by that epoch are replaced (idempotent
+    foreachBatch retry). ``expect_version`` (compaction) bounds which
+    units ``remove_units`` may target; it does NOT abort on newer
+    versions — later appends are merged in, which is the whole point."""
+    be = _manifest_backend(reg_dir, backend)
     for _ in range(_COMMIT_RETRIES):
-        cur = latest_manifest(reg_dir)
+        cur = latest_manifest(reg_dir, backend)
         if cur["version"] == 0:
             cur["files"] = _adopt_legacy_units(reg_dir)
         files = [u for u in cur["files"] if u not in set(remove_units)]
@@ -164,36 +182,29 @@ def commit(
             "files": files,
             "epochs": epochs,
         }
-        tmp = os.path.join(
-            _manifest_dir(reg_dir), f".tmp-{uuid.uuid4().hex}"
-        )
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(nxt, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, _manifest_path(reg_dir, nxt["version"]))
+        if be.put_if_absent(
+            _manifest_key(nxt["version"]),
+            json.dumps(nxt).encode("utf-8"),
+        ) is not None:
             return nxt
-        except FileExistsError as e:  # lost the race — merge and retry
-            last_err = e
-            continue
-        finally:
-            os.unlink(tmp)
+        # lost the race — merge and retry from the new latest
     raise RuntimeError(
         f"manifest commit lost {_COMMIT_RETRIES} consecutive races on "
         f"{reg_dir}"
-    ) from last_err
+    )
 
 
-def read_registry(spark, reg_dir: str, schema: str) -> DataFrame:
+def read_registry(
+    spark, reg_dir: str, schema: str, backend: CasBackend | None = None
+) -> DataFrame:
     """Registry frame per the newest manifest; the empty frame when the
     registry holds nothing yet. Pre-manifest directories (data at the
     top level, no ``_manifests/``) read via the raw-directory fallback.
 
     Never lists raw data paths when a manifest exists, so concurrent
     appends and compactions are invisible mid-flight."""
-    if os.path.isdir(_manifest_dir(reg_dir)):
-        m = latest_manifest(reg_dir)
+    if backend is not None or os.path.isdir(_manifest_dir(reg_dir)):
+        m = latest_manifest(reg_dir, backend)
         paths = [os.path.join(reg_dir, u) for u in m["files"]]
         if not paths:
             return spark.createDataFrame([], schema)
@@ -212,7 +223,10 @@ def read_registry(spark, reg_dir: str, schema: str) -> DataFrame:
 
 
 def append_df(
-    df: DataFrame, reg_dir: str, epoch_key: str | None = None
+    df: DataFrame,
+    reg_dir: str,
+    epoch_key: str | None = None,
+    backend: CasBackend | None = None,
 ) -> dict:
     """Write ``df`` as a new immutable unit, then commit it. Returns the
     committed manifest. With ``epoch_key``, the commit replaces any unit
@@ -220,7 +234,7 @@ def append_df(
     under foreachBatch retry)."""
     unit = f"data-{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(os.path.join(reg_dir, unit))
-    return commit(reg_dir, [unit], epoch_key=epoch_key)
+    return commit(reg_dir, [unit], epoch_key=epoch_key, backend=backend)
 
 
 def _key_fingerprint(df: DataFrame, key_cols: list[str]) -> tuple[int, int]:
@@ -248,6 +262,7 @@ def compact_set_registry(
     key_cols: list[str],
     schema: str | None = None,
     n_files: int = 4,
+    backend: CasBackend | None = None,
 ) -> dict:
     """Fold a SET registry's units into one deduplicated unit and commit.
 
@@ -256,10 +271,10 @@ def compact_set_registry(
     (they stay probe-able and fold next time). The rewritten key set is
     fingerprint-verified against its input before the commit. Returns
     {files_before, files_after, keys, rows_before}."""
-    m = latest_manifest(reg_dir)
+    m = latest_manifest(reg_dir, backend)
     if m["version"] == 0 and _adopt_legacy_units(reg_dir):
         # upgrade a legacy directory in place, then compact normally
-        m = commit(reg_dir, [])
+        m = commit(reg_dir, [], backend=backend)
     if not m["files"]:
         return {"files_before": 0, "files_after": 0, "keys": 0,
                 "rows_before": 0}
@@ -285,7 +300,8 @@ def compact_set_registry(
             f"registry untouched"
         )
     committed = commit(
-        reg_dir, [unit], remove_units=m["files"], expect_version=m["version"]
+        reg_dir, [unit], remove_units=m["files"],
+        expect_version=m["version"], backend=backend,
     )
     return {
         "files_before": len(m["files"]),
@@ -302,6 +318,7 @@ def compact_counts_registry(
     sum_cols: list[str],
     schema: str | None = None,
     n_files: int = 1,
+    backend: CasBackend | None = None,
 ) -> dict:
     """Fold an ADDITIVE registry (epoch-keyed count deltas) into one
     groupBy-sum unit. The newest epoch's units are left unfolded — it is
@@ -310,7 +327,7 @@ def compact_counts_registry(
     them (folding it would double-count on retry). Folded epochs stay in
     the manifest as empty tombstones so the keys remain known. Totals
     are verified: sum of every ``sum_col`` unchanged through the fold."""
-    m = latest_manifest(reg_dir)
+    m = latest_manifest(reg_dir, backend)
     if not m["files"]:
         return {"files_before": 0, "files_after": 0, "rows_before": 0}
     epochs = m["epochs"]
@@ -348,7 +365,8 @@ def compact_counts_registry(
             f"{tuple(sums)}->{tuple(new_sums)}; registry untouched"
         )
     committed = commit(
-        reg_dir, [unit], remove_units=fold_units, expect_version=m["version"]
+        reg_dir, [unit], remove_units=fold_units,
+        expect_version=m["version"], backend=backend,
     )
     return {
         "files_before": len(m["files"]),
@@ -357,13 +375,17 @@ def compact_counts_registry(
     }
 
 
-def vacuum_registry(reg_dir: str, grace_seconds: float = 300.0) -> dict:
+def vacuum_registry(
+    reg_dir: str,
+    grace_seconds: float = 300.0,
+    backend: CasBackend | None = None,
+) -> dict:
     """Delete data units no manifest-live reader can need: units NOT in
     the newest manifest whose mtime is older than ``grace_seconds`` (the
     window protects readers that pinned an older manifest mid-scan), and
     superseded manifest files older than the same grace. Returns
     {units_removed, manifests_removed}."""
-    m = latest_manifest(reg_dir)
+    m = latest_manifest(reg_dir, backend)
     if m["version"] == 0:
         return {"units_removed": 0, "manifests_removed": 0}
     live = set(m["files"])
@@ -381,14 +403,17 @@ def vacuum_registry(reg_dir: str, grace_seconds: float = 300.0) -> dict:
                 os.unlink(full)
             units_removed += 1
     manifests_removed = 0
-    latest_name = f"v{m['version']:012d}.json"
-    for name in os.listdir(_manifest_dir(reg_dir)):
+    be = _manifest_backend(reg_dir, backend)
+    latest_name = _manifest_key(m["version"])
+    for name in be.list_keys("v"):
         if name == latest_name or not name.endswith(".json"):
             continue
-        full = os.path.join(_manifest_dir(reg_dir), name)
-        if os.path.getmtime(full) < cutoff:
-            os.unlink(full)
-            manifests_removed += 1
+        entry = be.get(name)
+        # version-checked delete: a name re-read or re-aged between the
+        # list and the delete simply survives until the next vacuum
+        if entry is not None and entry.age > grace_seconds:
+            if be.delete_if(name, entry.version):
+                manifests_removed += 1
     return {
         "units_removed": units_removed,
         "manifests_removed": manifests_removed,

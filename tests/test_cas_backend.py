@@ -1,0 +1,294 @@
+"""CAS backend seam: contract, race injection, manifest-over-CAS
+(VERDICT r9 #5 + the two round-9 ADVICE lease races).
+
+The file backend carries the original POSIX link/rename protocol; the
+memory backend is the object-store reference implementation (true
+compare-and-swap, as S3 conditional writes / GCS ifGenerationMatch
+provide). Every contract and protocol test runs over BOTH, and the
+race-injection tests pin the two ADVICE scenarios: a breaker must not
+be able to remove a lease that was renewed after it sampled staleness,
+and a break-then-reacquire must not lose the FRESH lease to either a
+second breaker or the dead holder's release — regardless of inode
+recycling in the file backend (the version token carries mtime_ns).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import pytest
+
+from eventsourcing_spark.cas import FileCasBackend, MemoryCasBackend
+from eventsourcing_spark.projection.lease import Lease, LeaseLost
+
+
+@pytest.fixture(params=["file", "memory"])
+def backend(request, tmp_path):
+    if request.param == "file":
+        return FileCasBackend(str(tmp_path / "cas"))
+    return MemoryCasBackend()
+
+
+def _rewind(backend, key: str, seconds: float) -> None:
+    """Age an entry as if its holder stopped heartbeating."""
+    if isinstance(backend, MemoryCasBackend):
+        backend.rewind(key, seconds)
+    else:
+        import os
+
+        path = backend._path(key)
+        st = os.stat(path)
+        os.utime(path, (st.st_atime, st.st_mtime - seconds))
+
+
+# ------------------------------------------------------------- contract
+def test_put_if_absent_and_get(backend):
+    v = backend.put_if_absent("k", b"one")
+    assert v is not None
+    assert backend.put_if_absent("k", b"two") is None
+    e = backend.get("k")
+    assert e.data == b"one" and e.version == v and e.age < 60
+    assert backend.get("missing") is None
+    assert backend.list_keys() == ["k"]
+    assert backend.list_keys("nope") == []
+
+
+def test_touch_is_version_checked(backend):
+    backend.put_if_absent("k", b"x")
+    assert backend.touch("k", "wrong-version") is None
+    _rewind(backend, "k", 100)
+    assert backend.get("k").age > 90
+    # the file backend's token embeds mtime_ns, so the aging simulation
+    # itself rotates the version — re-read it, as a real holder whose
+    # entry genuinely aged would still hold the current token
+    v = backend.get("k").version
+    v2 = backend.touch("k", v)
+    assert v2 is not None and v2 != v
+    assert backend.get("k").age < 60  # heartbeat reset the age
+    assert backend.touch("k", v) is None  # the old version is dead
+    assert backend.touch("missing", v2) is None
+
+
+def test_delete_if_is_version_checked(backend):
+    v = backend.put_if_absent("k", b"x")
+    assert not backend.delete_if("k", "wrong-version")
+    assert backend.get("k") is not None  # survived the bad delete
+    assert backend.delete_if("k", v)
+    assert backend.get("k") is None
+    assert not backend.delete_if("k", v)  # idempotent-ish: already gone
+
+
+def test_exactly_one_of_n_conditional_deletes_wins(backend):
+    v = backend.put_if_absent("k", b"x")
+    wins = [backend.delete_if("k", v) for _ in range(5)]
+    assert wins.count(True) == 1
+
+
+# ----------------------------------------------- ADVICE race scenarios
+def test_breaker_cannot_remove_renewed_lease(backend, tmp_path):
+    """A breaker samples a stale version; the holder renews before the
+    break lands; the conditional delete MUST fail and the holder keeps
+    the lease."""
+    a = Lease(str(tmp_path), "p", owner="a", ttl=1.0, backend=backend)
+    assert a.try_acquire()
+    _rewind(backend, a._key, 10)  # holder looks dead...
+    a._version = backend.get(a._key).version  # (file aging rotates it)
+    stale = backend.get(a._key)
+    assert stale.age > 1.0
+    a.renew()  # ...but heartbeats just in time
+    assert not backend.delete_if(a._key, stale.version)
+    assert json.loads(backend.get(a._key).data)["owner"] == "a"
+    b = Lease(str(tmp_path), "p", owner="b", ttl=1.0, backend=backend)
+    assert not b.try_acquire()
+    a.release()
+
+
+def test_break_reacquire_survives_second_breaker(backend, tmp_path):
+    """Two breakers observe the same stale lease; the first breaks and
+    re-acquires (on the file backend the fresh lease may even recycle
+    the stale inode — the round-9 ADVICE scenario); the second's
+    conditional delete must leave the FRESH lease untouched."""
+    dead = Lease(str(tmp_path), "p", owner="dead", ttl=1.0, backend=backend)
+    assert dead.try_acquire()
+    _rewind(backend, dead._key, 10)
+    stale = backend.get(dead._key)
+
+    b1 = Lease(str(tmp_path), "p", owner="b1", ttl=1.0, backend=backend)
+    assert b1.try_acquire()  # breaks the stale lease, creates its own
+    # the laggard breaker fires with the OLD observed version
+    assert not backend.delete_if(dead._key, stale.version)
+    assert json.loads(backend.get(b1._key).data)["owner"] == "b1"
+    b1.renew()  # fresh holder is fully functional
+    # and the dead holder's release cannot take b1's lease either
+    with pytest.raises(LeaseLost):
+        dead.release()
+    assert json.loads(backend.get(b1._key).data)["owner"] == "b1"
+    b1.release()
+
+
+def test_injected_renew_between_get_and_delete(tmp_path):
+    """Memory-backend interleaving injection: the holder's renew lands
+    at the worst instant — after the breaker read the stale entry,
+    immediately before its conditional delete executes."""
+    state: dict = {}
+
+    def interleave(op, key):
+        if op == "delete_if" and state.get("arm"):
+            state["arm"] = False
+            state["holder"].renew()
+
+    backend = MemoryCasBackend(on_op=interleave)
+    a = Lease(str(tmp_path), "p", owner="a", ttl=1.0, backend=backend)
+    assert a.try_acquire()
+    state["holder"] = a
+    backend.rewind(a._key, 10)
+
+    b = Lease(str(tmp_path), "p", owner="b", ttl=1.0, backend=backend)
+    state["arm"] = True
+    # b sees a stale lease, tries to break it; the injected renew makes
+    # the conditional delete miss, so b must NOT acquire
+    assert not b.try_acquire()
+    assert json.loads(backend.get(a._key).data)["owner"] == "a"
+    a.renew()
+    a.release()
+
+
+def test_injected_create_race_put_if_absent(tmp_path):
+    """Two creators race the same key: the injected competitor wins the
+    instant before the observed loser's put executes."""
+    backend = MemoryCasBackend()
+    racing: dict = {"done": False}
+
+    def interleave(op, key):
+        if op == "put_if_absent" and not racing["done"]:
+            racing["done"] = True
+            backend.on_op = None  # the injected call must not recurse
+            assert backend.put_if_absent(key, b"competitor") is not None
+            backend.on_op = interleave
+
+    backend.on_op = interleave
+    assert backend.put_if_absent("k", b"loser") is None
+    assert backend.get("k").data == b"competitor"
+
+
+def test_concurrent_acquire_hammer(backend, tmp_path):
+    """16 threads × try_acquire on one name: at most one holds at any
+    moment; every winner releases; total acquisitions == releases."""
+    holders: list[str] = []
+    lock = threading.Lock()
+    errs: list[Exception] = []
+
+    def worker(i):
+        try:
+            lease = Lease(
+                str(tmp_path), "p", owner=f"w{i}", ttl=30.0, backend=backend
+            )
+            for _ in range(10):
+                if lease.try_acquire():
+                    with lock:
+                        holders.append(f"w{i}")
+                    time.sleep(0.001)
+                    lease.release()
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs
+    assert holders  # somebody got it
+    # after the dust settles the name is free again
+    final = Lease(str(tmp_path), "p", owner="final", backend=backend)
+    assert final.try_acquire()
+    final.release()
+
+
+# --------------------------------------------- manifest log over the seam
+@pytest.fixture(params=["file", "memory"])
+def manifest_backend(request):
+    """None = the default FileCasBackend path inside registry_manifest;
+    a MemoryCasBackend instance = the object-store-shaped log."""
+    if request.param == "file":
+        return None
+    return MemoryCasBackend()
+
+
+def test_manifest_protocol_over_backend(spark, tmp_path, manifest_backend):
+    from eventsourcing_spark.pipeline.registry_manifest import (
+        append_df,
+        compact_set_registry,
+        latest_manifest,
+        read_registry,
+        vacuum_registry,
+    )
+
+    reg = str(tmp_path / "reg")
+    schema = "k long, v long"
+    df = spark.range(4).selectExpr("id AS k", "id AS v")
+    m1 = append_df(df, reg, backend=manifest_backend)
+    m2 = append_df(df, reg, backend=manifest_backend)
+    assert (m1["version"], m2["version"]) == (1, 2)
+    assert read_registry(
+        spark, reg, schema, backend=manifest_backend
+    ).count() == 8
+
+    # epoch replace: committing the same epoch twice keeps one copy
+    e1 = append_df(df, reg, epoch_key="ep-7", backend=manifest_backend)
+    e2 = append_df(df, reg, epoch_key="ep-7", backend=manifest_backend)
+    assert e2["version"] == e1["version"] + 1
+    assert read_registry(
+        spark, reg, schema, backend=manifest_backend
+    ).count() == 12
+
+    out = compact_set_registry(
+        spark, reg, ["k"], schema=schema, backend=manifest_backend
+    )
+    assert out["files_before"] == 3 and out["files_after"] == 1
+    assert read_registry(
+        spark, reg, schema, backend=manifest_backend
+    ).count() == 4
+
+    # vacuum with zero grace removes the superseded manifests
+    res = vacuum_registry(reg, grace_seconds=0.0, backend=manifest_backend)
+    assert res["manifests_removed"] >= 3
+    m = latest_manifest(reg, backend=manifest_backend)
+    assert len(m["files"]) == 1
+    assert read_registry(
+        spark, reg, schema, backend=manifest_backend
+    ).count() == 4
+
+
+def test_manifest_commit_race_merges_both_units(tmp_path):
+    """A competing commit is injected the instant before ours lands:
+    the optimistic loop must retry and the final manifest must carry
+    BOTH units (no lost update). No Spark needed — commit() is pure
+    log manipulation."""
+    from eventsourcing_spark.pipeline.registry_manifest import (
+        commit,
+        latest_manifest,
+    )
+
+    reg = str(tmp_path / "reg")
+    backend = MemoryCasBackend()
+    armed: dict = {"left": 1}
+
+    def interleave(op, key):
+        if op == "put_if_absent" and armed["left"]:
+            armed["left"] -= 1
+            backend.on_op = None
+            commit(reg, ["unit-competitor"], backend=backend)
+            backend.on_op = interleave
+
+    backend.on_op = interleave
+    m = commit(reg, ["unit-ours"], backend=backend)
+    assert m["version"] == 2  # lost round 1, won round 2
+    latest = latest_manifest(reg, backend=backend)
+    assert set(latest["files"]) == {"unit-competitor", "unit-ours"}
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))

@@ -29,11 +29,47 @@ T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 
 # ------------------------------------------------------------ primitive
-def test_acquire_release_cycle(tmp_path):
+# The whole primitive matrix runs over BOTH CAS backends (VERDICT r9
+# #5): the default POSIX file protocol and the in-memory reference of
+# an object store's conditional writes. ``make`` builds a Lease bound
+# to the round's backend; ``rewind`` ages a lease as if its holder
+# stopped heartbeating (file: mtime rewind; memory: clock rewind).
+@pytest.fixture(params=["file", "memory"])
+def lease_env(request, tmp_path):
     d = str(tmp_path)
-    a = Lease(d, "p1", owner="a")
+    if request.param == "file":
+        def make(name, owner, ttl=300.0):
+            return Lease(d, name, owner=owner, ttl=ttl)
+
+        def rewind(lease, seconds):
+            st = os.stat(lease._path)
+            os.utime(
+                lease._path, (st.st_atime, st.st_mtime - seconds)
+            )
+    else:
+        from eventsourcing_spark.cas import MemoryCasBackend
+
+        backend = MemoryCasBackend()
+
+        def make(name, owner, ttl=300.0):
+            return Lease(d, name, owner=owner, ttl=ttl, backend=backend)
+
+        def rewind(lease, seconds):
+            backend.rewind(lease._key, seconds)
+
+    class Env:
+        pass
+
+    env = Env()
+    env.make = make
+    env.rewind = rewind
+    return env
+
+
+def test_acquire_release_cycle(lease_env):
+    a = lease_env.make("p1", "a")
     assert a.try_acquire()
-    b = Lease(d, "p1", owner="b")
+    b = lease_env.make("p1", "b")
     assert not b.try_acquire()
     with pytest.raises(LeaseHeld, match="held by a"):
         b.acquire(wait=0.0)
@@ -42,14 +78,13 @@ def test_acquire_release_cycle(tmp_path):
     b.release()
 
 
-def test_waiter_gets_lease_after_release(tmp_path):
-    d = str(tmp_path)
-    a = Lease(d, "p1", owner="a")
+def test_waiter_gets_lease_after_release(lease_env):
+    a = lease_env.make("p1", "a")
     a.acquire()
     got = []
 
     def waiter():
-        b = Lease(d, "p1", owner="b")
+        b = lease_env.make("p1", "b")
         b.acquire(wait=10.0, poll=0.05)
         got.append(time.monotonic())
         b.release()
@@ -63,14 +98,12 @@ def test_waiter_gets_lease_after_release(tmp_path):
     assert got and got[0] >= released_at
 
 
-def test_stale_lease_is_broken(tmp_path):
-    d = str(tmp_path)
-    a = Lease(d, "p1", owner="dead-driver", ttl=1.0)
+def test_stale_lease_is_broken(lease_env):
+    a = lease_env.make("p1", "dead-driver", ttl=1.0)
     a.acquire()
     # age the lease past its TTL (a crashed driver stops renewing)
-    old = time.time() - 5
-    os.utime(a._path, (old, old))
-    b = Lease(d, "p1", owner="b", ttl=1.0)
+    lease_env.rewind(a, 5)
+    b = lease_env.make("p1", "b", ttl=1.0)
     assert b.try_acquire()
     # the dead driver's release now detects the steal
     with pytest.raises(LeaseLost):
@@ -78,24 +111,22 @@ def test_stale_lease_is_broken(tmp_path):
     b.release()
 
 
-def test_renew_prevents_break(tmp_path):
-    d = str(tmp_path)
-    a = Lease(d, "p1", owner="a", ttl=0.5)
+def test_renew_prevents_break(lease_env):
+    a = lease_env.make("p1", "a", ttl=0.5)
     a.acquire()
     for _ in range(3):
         time.sleep(0.2)
         a.renew()
-    b = Lease(d, "p1", owner="b", ttl=0.5)
+    b = lease_env.make("p1", "b", ttl=0.5)
     assert not b.try_acquire()
     a.release()
 
 
-def test_context_manager_releases_on_error(tmp_path):
-    d = str(tmp_path)
+def test_context_manager_releases_on_error(lease_env):
     with pytest.raises(ValueError, match="boom"):
-        with Lease(d, "p1", owner="a").acquire():
+        with lease_env.make("p1", "a").acquire():
             raise ValueError("boom")
-    assert Lease(d, "p1", owner="b").try_acquire()
+    assert lease_env.make("p1", "b").try_acquire()
 
 
 # ------------------------------------------------- projector integration
