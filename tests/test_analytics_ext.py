@@ -398,3 +398,32 @@ def test_seasonal_index_averages_to_unity(spark):
     mean_idx = sum(r["seasonal_ppm"] for r in rows) // len(rows)
     assert abs(mean_idx - 1_000_000) <= len(rows)
     assert {r["month_of_year"] for r in rows} <= set(range(1, 13))
+
+
+def test_kruskal_wallis_degenerate_all_equal_reports_zero(spark, tmp_path):
+    """Round-9 ADVICE: when every pooled value is identical the tie
+    correction hits N³−N−Σ(t³−t) = 0; the greatest(den,1) guard must
+    report the well-defined H = 0 in BOTH engines instead of raising
+    DIVIDE_BY_ZERO under Spark-4 ANSI."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from eventsourcing_spark.registry import SPARK_QUERIES
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=2")
+    con.execute(
+        "COPY (SELECT * REPLACE (CAST(7.77 AS DOUBLE) AS value)"
+        " FROM '/root/testdata/sf0.001/events.parquet')"
+        f" TO '{sf}/events.parquet' (FORMAT PARQUET)"
+    )
+    row = SPARK_QUERIES["kruskal_wallis_values"](spark, sf).collect()[0]
+    assert row.h_milli == 0
+    assert row.tie_sum == row.n_rows**3 - row.n_rows
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    o = con.execute(entry.oracle_sql()["kruskal_wallis_values"]).fetchone()
+    assert o == (row.k_groups, row.n_rows, row.tie_sum, row.h_milli)
+    con.close()
