@@ -21,12 +21,29 @@ numpy array ops:
   stay scalar, bounding decode speedup at ~2.5× while keeping every
   byte identical.
 * **resample_nearest** — the floor source-index mapping as one fancy-
-  indexing gather (this was media_resize's entire inner loop).
-* **WAV** — ``np.frombuffer``/``tobytes`` replace struct packing of
-  every sample; the samples list contract (callers slice, index and
-  sum it) is preserved via ``tolist()``.
+  indexing gather (this was media_resize's entire inner loop; 36× at
+  256×256, and it wins even at thumbnail size).
+* **WAV decode** — ``np.frombuffer`` replaces per-sample struct
+  unpacking; the samples list contract (callers slice, index and sum
+  it) is preserved via ``tolist()``. WAV ENCODE stays stdlib — see the
+  note at its definition.
 * **AVI** — container demux is header parsing + frame slicing (no
   per-byte loop); the stdlib functions are reused as-is.
+
+**Size-adaptive routing (measured, round 10):** numpy's fixed per-call
+cost loses to the stdlib byte loops below ~1-2k pixels — and the gate's
+fixtures are 16-22 px thumbnails (encode 119 µs stdlib vs 206 µs pure-
+numpy at 18×19, flipping to 3.2 ms vs 14.9 ms at 256×256). The PNG
+kernels therefore delegate to the stdlib reference below a measured
+pixel threshold, making the numpy codec ≥ stdlib at every size while
+the big-image wins (4.7× encode, 36× resample, 1.4× decode) remain.
+The consequence stated honestly: at the GATE's thumbnail scale the
+per-image codec constant is not numpy-beatable one image at a time —
+the ≥3× path there is batch-stacked vectorization (pad the Arrow
+batch's images to common dims and run each filter row across all
+images at once; the y % 5 filter schedule is shared by construction),
+which changes the seam to an optional batch kernel and is specced for
+the next round.
 
 Selected automatically by :func:`media_codecs.get_media_codec` when
 numpy imports cleanly (it is a baked dependency of this engine's Arrow
@@ -50,7 +67,24 @@ from eventsourcing_spark.pipeline.media_codecs import (
     _chunk,
     decode_avi,
     encode_avi,
+    encode_wav,
 )
+from eventsourcing_spark.pipeline.media_codecs import (
+    decode_png as _decode_png_scalar,
+)
+from eventsourcing_spark.pipeline.media_codecs import (
+    encode_png as _encode_png_scalar,
+)
+
+# Size-adaptive routing (micro-benchmarked on this container, round 10):
+# numpy's per-call overhead beats the loop savings below these pixel
+# counts (the gate's fixtures are 16-22 px thumbnails where stdlib wins
+# 119 vs 206 us on encode), while at 256x256 numpy wins 4.7x on encode
+# and 1.4x on decode (decode is bounded by the 2-of-5 scalar-recurrence
+# filter rows). Below the threshold the numpy kernels DELEGATE to the
+# stdlib reference — identical bytes by construction either way.
+PNG_ENCODE_NP_MIN_PIXELS = 2048   # ~45x45 grey; numpy wins above
+PNG_DECODE_NP_MIN_PIXELS = 1024   # ~32x32 grey
 
 # Worker-closure rule (see media_codecs): executors under a pristine
 # session cannot import this package, so the kernel functions ship by
@@ -90,6 +124,8 @@ def encode_png_np(
         raise ValueError(
             f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
         )
+    if width * height * channels < PNG_ENCODE_NP_MIN_PIXELS:
+        return _encode_png_scalar(pixels, width, height, channels)
     color_type = 0 if channels == 1 else 2
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     stride = width * channels
@@ -132,6 +168,11 @@ def decode_png_np(data: bytes) -> dict:
     output recurrence and keep the scalar loop."""
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
+    if len(data) >= 26 and data[12:16] == b"IHDR":
+        w0, h0 = struct.unpack(">II", data[16:24])
+        ch0 = 3 if data[25] == 2 else 1
+        if w0 * h0 * ch0 < PNG_DECODE_NP_MIN_PIXELS:
+            return _decode_png_scalar(data)
     pos = 8
     ihdr = None
     idat = bytearray()
@@ -236,26 +277,12 @@ def resample_nearest_np(
     return img[sy[:, None], sx[None, :], :].tobytes()
 
 
-def encode_wav_np(
-    samples: list[int], sample_rate: int, channels: int = 1
-) -> bytes:
-    """Byte-identical twin of ``media_codecs.encode_wav`` with the
-    sample packing done by numpy (range-checked to preserve the stdlib
-    struct.error contract on out-of-int16 input)."""
-    arr = np.asarray(samples, dtype=np.int64)
-    if arr.size and (arr.min() < -32768 or arr.max() > 32767):
-        raise struct.error("short format requires -32768 <= number <= 32767")
-    body = arr.astype("<i2").tobytes()
-    fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate,
-        sample_rate * channels * 2, channels * 2, 16,
-    )
-    riff = (
-        b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(body)) + body
-    )
-    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+# WAV ENCODE stays the stdlib struct.pack: the input contract is a
+# plain Python list, and np.asarray(list) pays a per-element C-API
+# conversion that measures SLOWER than struct.pack at every size tried
+# (4.5 vs 15.2 us at 256 samples, 70 vs 138 us at 4096). An ndarray-
+# input variant would win, but no pipeline call site holds one.
+encode_wav_np = encode_wav
 
 
 def decode_wav_np(data: bytes) -> dict:

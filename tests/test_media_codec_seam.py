@@ -191,6 +191,14 @@ def test_numpy_codec_byte_parity_fuzz():
     from eventsourcing_spark.pipeline import media_codecs_np as mn
 
     rng = random.Random(20260816)
+    # small images exercise the adaptive stdlib delegation; the >=48px
+    # sizes exercise the true numpy vector paths (above both routing
+    # thresholds), so every filter branch of BOTH implementations runs
+    for w, h, ch in [(48, 50, 1), (52, 49, 3), (64, 33, 1)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        enc = mc.encode_png(px, w, h, ch)
+        assert mn.encode_png_np(px, w, h, ch) == enc
+        assert mn.decode_png_np(enc) == mc.decode_png(enc)
     for _ in range(25):
         ch = rng.choice([1, 3])
         w, h = rng.randint(1, 33), rng.randint(1, 19)
