@@ -5220,9 +5220,13 @@ def mann_whitney_u(spark, sf_dir):
 def kruskal_wallis_values(spark, sf_dir):
     """Tie-corrected Kruskal-Wallis H (floor-milli) across all event
     types — exact, division-last; see the block comment."""
+    from eventsourcing_spark.io import ensure_parallelism
     from eventsourcing_spark.operators.ranking import global_rank_cumsum
 
-    ev = load_table(spark, sf_dir, "events")
+    # the one row-grain stage left (the combinable (grp, value) count)
+    # must not inherit a few-file scan's 4-partition layout at stress
+    # scale — size the scan by input bytes (no-op on real clusters)
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     p = ev.select(
         (F.col("value").cast(DEC) * 100).cast("long").alias("c"),
         F.col("event_type").alias("grp"),
