@@ -123,8 +123,13 @@ class FileCasBackend(CasBackend):
             os.unlink(tmp)
         try:
             return self._token(os.stat(self._path(key)))
-        except FileNotFoundError:  # deleted already — report the create
-            return ""
+        except FileNotFoundError:
+            # Created, then deleted before we could stat it: a version
+            # token for the vanished entry can never match again, so a
+            # "successful" acquire here would strand the caller (its
+            # first renew/release raises LeaseLost). Treat create-then-
+            # vanish as losing the race — the caller retries (r10 ADVICE).
+            return None
 
     def get(self, key: str) -> CasEntry | None:
         path = self._path(key)
@@ -140,7 +145,13 @@ class FileCasBackend(CasBackend):
                 return CasEntry(
                     data, self._token(st2), time.time() - st2.st_mtime
                 )
-        return CasEntry(data, self._token(st2), time.time() - st2.st_mtime)
+        # 8 coherence rounds exhausted: the key is churning faster than
+        # we can stat-read-stat, and `data` may belong to a DIFFERENT
+        # version than either token (torn read). Report "unreadable right
+        # now" rather than fabricate a possibly-incoherent CasEntry —
+        # callers (latest_manifest's churn loop, the lease observer)
+        # already handle an absent/None answer by retrying (r10 ADVICE).
+        return None
 
     def touch(self, key: str, expected: str) -> str | None:
         path = self._path(key)

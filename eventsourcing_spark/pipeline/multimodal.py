@@ -33,7 +33,10 @@ from eventsourcing_spark.pipeline.media_codecs import (
     PNG_MAGIC,
     STDLIB_CODEC,
     WAV_MAGIC,
+    decode_png_many,
+    encode_png_many,
     get_media_codec,
+    resample_nearest_many,
 )
 
 # _decode_bytes is captured by the decode/featurize/frame-sample/resize
@@ -345,10 +348,10 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=rows_cols)
 
-    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+    return ensure_parallelism(docs.select("doc_id", "text")).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-from eventsourcing_spark.io import load_table  # noqa: E402
+from eventsourcing_spark.io import ensure_parallelism, load_table  # noqa: E402
 from eventsourcing_spark.queries import query  # noqa: E402
 
 _KIND_SQL = (
@@ -466,8 +469,10 @@ _PNG_MAX_VALS = 16 * 14 * 3  # w≤16, h≤14, ch≤3 below
 
 def _png_media_from_documents(docs: DataFrame) -> DataFrame:
     """doc_id → really-PNG-encoded image: dims/channels from doc_id
-    arithmetic, pixel i = (31·doc_id + 7·i) mod 256."""
-    encode_png = get_media_codec().encode_png
+    arithmetic, pixel i = (31·doc_id + 7·i) mod 256. Pixel synthesis is
+    one broadcasted numpy op per Arrow batch and the encode goes through
+    the codec's batch kernel when it has one (r10 directive #1)."""
+    _codec = get_media_codec()
 
     schema = T.StructType(
         [
@@ -477,19 +482,28 @@ def _png_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
     def gen(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
+        base = 7 * np.arange(_PNG_MAX_VALS, dtype=np.int64)
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                mid = int(doc_id)
+            mids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            # all images' pixel formulas in one (n, max_vals) op; each
+            # image slices off its own w*h*ch prefix
+            vals = ((31 * mids[:, None] + base[None, :]) % 256).astype(
+                np.uint8
+            )
+            items = []
+            for j, mid in enumerate(mids):
+                mid = int(mid)
                 w, h = 8 + mid % 9, 8 + mid % 7
                 ch = 1 if mid % 2 == 0 else 3
-                px = bytes((31 * mid + 7 * i) % 256 for i in range(w * h * ch))
-                rows.append((mid, encode_png(px, w, h, ch)))
-            yield pd.DataFrame(rows, columns=["media_id", "content"])
+                items.append((vals[j, : w * h * ch].tobytes(), w, h, ch))
+            yield pd.DataFrame(
+                {"media_id": mids, "content": encode_png_many(_codec, items)}
+            )
 
-    return docs.select("doc_id").mapInPandas(gen, schema)
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(gen, schema)
 
 
 @query(
@@ -525,7 +539,7 @@ def media_png_decode_stats(spark, sf_dir):
     The encoder cycles all five scanline filters, so the decoder's
     Sub/Up/Average/Paeth unfilter paths must all be exact for the
     arithmetic oracle to match."""
-    decode_png = get_media_codec().decode_png
+    _codec = get_media_codec()
 
     schema = T.StructType(
         [
@@ -541,16 +555,20 @@ def media_png_decode_stats(spark, sf_dir):
     )
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
+            imgs = decode_png_many(
+                _codec, [bytes(c) for c in pdf["content"]]
+            )
             rows = []
-            for r in pdf.itertuples():
-                img = decode_png(bytes(r.content))
-                px = img["pixels"]
+            for mid, img in zip(pdf["media_id"], imgs):
+                px = np.frombuffer(img["pixels"], dtype=np.uint8)
                 rows.append(
-                    (r.media_id, img["width"], img["height"], img["channels"],
-                     len(px), sum(px), px[0], px[-1])
+                    (int(mid), img["width"], img["height"], img["channels"],
+                     px.size, int(px.sum(dtype=np.int64)),
+                     int(px[0]), int(px[-1]))
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
@@ -602,11 +620,10 @@ def media_resize_pixels(spark, sf_dir):
     decode that again — the reported stats come from the second decode,
     so encoder, decoder, and resampler must all be pixel-exact for the
     arithmetic oracle to match. pos_weighted_sum (Σ i·vᵢ) pins every
-    byte's POSITION, not just the multiset of values."""
-    _c = get_media_codec()
-    decode_png, encode_png, resample_nearest = (
-        _c.decode_png, _c.encode_png, _c.resample_nearest,
-    )
+    byte's POSITION, not just the multiset of values. Every codec stage
+    runs whole-Arrow-batch through the *_many seam helpers — the batch
+    codec's stacked kernels when installed, per-image loops otherwise."""
+    _codec = get_media_codec()
 
     schema = T.StructType(
         [
@@ -621,24 +638,35 @@ def media_resize_pixels(spark, sf_dir):
     )
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
+            mids = [int(m) for m in pdf["media_id"]]
+            imgs = decode_png_many(
+                _codec, [bytes(c) for c in pdf["content"]]
+            )
+            rs_items = [
+                (img["pixels"], img["width"], img["height"],
+                 4 + mid % 5, 3 + mid % 3, img["channels"])
+                for mid, img in zip(mids, imgs)
+            ]
+            rps = resample_nearest_many(_codec, rs_items)
+            outs = decode_png_many(
+                _codec,
+                encode_png_many(
+                    _codec,
+                    [(rp, it[3], it[4], it[5])
+                     for rp, it in zip(rps, rs_items)],
+                ),
+            )
             rows = []
-            for r in pdf.itertuples():
-                img = decode_png(bytes(r.content))
-                mid = int(r.media_id)
-                nw, nh = 4 + mid % 5, 3 + mid % 3
-                rp = resample_nearest(
-                    img["pixels"], img["width"], img["height"],
-                    nw, nh, img["channels"],
-                )
-                out = decode_png(encode_png(rp, nw, nh, img["channels"]))
-                px = out["pixels"]
+            for mid, out in zip(mids, outs):
+                px = np.frombuffer(out["pixels"], np.uint8).astype(np.int64)
                 rows.append(
                     (mid, out["width"], out["height"], out["channels"],
-                     len(px), sum(px),
-                     sum(i * v for i, v in enumerate(px)))
+                     px.size, int(px.sum()),
+                     int((np.arange(px.size, dtype=np.int64) * px).sum()))
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
@@ -709,7 +737,7 @@ def media_wav_decode_stats(spark, sf_dir):
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -769,8 +797,10 @@ def media_audio_downsample(spark, sf_dir):
     )
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
+        base = 11 * np.arange(96, dtype=np.int64)  # n <= 96
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
@@ -778,23 +808,24 @@ def media_audio_downsample(spark, sf_dir):
                 sr = 8000 * (1 + mid % 3)
                 n = 64 + mid % 32
                 k = 2 + mid % 3
-                samples = [
-                    (13 * mid + 11 * i) % 65536 - 32768 for i in range(n)
-                ]
+                samples = (
+                    (13 * mid + base[:n]) % 65536 - 32768
+                ).tolist()
                 clip = decode_wav(encode_wav(samples, sr))
                 decimated = clip["samples"][::k]
                 out = decode_wav(
                     encode_wav(decimated, clip["sample_rate"] // k)
                 )
-                sm = out["samples"]
+                # stats off the raw PCM block — no per-sample Python
+                sm = np.frombuffer(out["raw"], dtype="<i2").astype(np.int64)
                 rows.append(
-                    (mid, k, out["sample_rate"], len(sm), sum(sm),
-                     sum(i * v for i, v in enumerate(sm)))
+                    (mid, k, out["sample_rate"], sm.size, int(sm.sum()),
+                     int((np.arange(sm.size, dtype=np.int64) * sm).sum()))
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -886,9 +917,13 @@ def dhash_16x16_gray(px: bytes) -> int:
 
 def _phash_hashed(docs):
     """(doc_id, ph): dHash of the deterministic image family, computed
-    through the REAL PNG encode→decode path in one Arrow stage."""
-    _c = get_media_codec()
-    decode_png, encode_png = _c.decode_png, _c.encode_png
+    through the REAL PNG encode→decode path in one Arrow stage. The
+    whole batch runs stacked: pixel synthesis is one broadcast, the
+    round trip goes through the codec's batch kernels (every image is
+    16×16 grey — one unpadded stack), and the 2×2-mean + 56-comparison
+    dHash is three array ops over (n, 16, 16); per-image semantics are
+    pinned to ``dhash_16x16_gray`` by the property tests."""
+    _codec = get_media_codec()
 
     schema = T.StructType(
         [
@@ -898,23 +933,47 @@ def _phash_hashed(docs):
     )
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
+        i = np.arange(256, dtype=np.int64)
+        wts = (
+            np.int64(1)
+            << (7 * np.arange(8, dtype=np.int64)[:, None]
+                + np.arange(7, dtype=np.int64)[None, :])
+        )
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                g = d // 16
-                raw = bytes(
-                    (97 * g + 13 * i * i + 29 * g * i
-                     + (128 if i % 61 == d % 61 else 0)) % 256
-                    for i in range(256)
+            d = pdf["doc_id"].to_numpy(dtype=np.int64)
+            g = d // 16
+            raws = (
+                (97 * g[:, None] + 13 * i * i + 29 * g[:, None] * i
+                 + 128 * ((i[None, :] % 61) == (d[:, None] % 61)))
+                % 256
+            ).astype(np.uint8)
+            imgs = decode_png_many(
+                _codec,
+                encode_png_many(
+                    _codec,
+                    [(raws[j].tobytes(), 16, 16, 1) for j in range(len(d))],
+                ),
+            )
+            px = (
+                np.frombuffer(
+                    b"".join(im["pixels"] for im in imgs), dtype=np.uint8
                 )
-                px = decode_png(encode_png(raw, 16, 16, 1))["pixels"]
-                rows.append((d, dhash_16x16_gray(px)))
-            yield pd.DataFrame(rows, columns=["doc_id", "ph"])
+                .reshape(-1, 16, 16)
+                .astype(np.int64)
+            )
+            cells = (
+                px[:, 0::2, 0::2] + px[:, 0::2, 1::2]
+                + px[:, 1::2, 0::2] + px[:, 1::2, 1::2]
+            ) // 4
+            ph = ((cells[:, :, :-1] < cells[:, :, 1:]) * wts).sum(
+                axis=(1, 2)
+            )
+            yield pd.DataFrame({"doc_id": d, "ph": ph})
 
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
 
 
 def _phash_pairs(hashed):
@@ -1055,25 +1114,40 @@ def media_audio_fingerprint_neardup(spark, sf_dir):
     )
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
+        t = np.arange(128, dtype=np.int64)
+        bits = np.int64(1) << np.arange(63, dtype=np.int64)
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                g = d // 16
-                sm = [
-                    (31 * g + 7 * t * t + 13 * g * t) % 4096
-                    + (384 if t % 29 == d % 29 else 0)
-                    - 2048
-                    for t in range(128)
-                ]
-                dec = decode_wav(encode_wav(sm, 8000))["samples"]
-                rows.append((d, audio_fingerprint_128(dec)))
-            yield pd.DataFrame(rows, columns=["doc_id", "fp"])
+            d = pdf["doc_id"].to_numpy(dtype=np.int64)
+            g = d // 16
+            # every clip's samples in one broadcast: (n, 128)
+            sm = (
+                (31 * g[:, None] + 7 * t * t + 13 * g[:, None] * t) % 4096
+                + 384 * ((t[None, :] % 29) == (d[:, None] % 29))
+                - 2048
+            )
+            # the RIFF round trip stays per clip (struct packing is
+            # C-speed); the fingerprint math is stacked afterwards,
+            # per-clip semantics pinned to audio_fingerprint_128 by
+            # the property tests
+            raws = [
+                decode_wav(encode_wav(sm[x].tolist(), 8000))["raw"]
+                for x in range(len(d))
+            ]
+            pcm = (
+                np.frombuffer(b"".join(raws), dtype="<i2")
+                .astype(np.int64)
+                .reshape(-1, 128)
+                + 2048
+            )
+            frames = (pcm[:, 0::2] + pcm[:, 1::2]) // 2
+            fp = ((frames[:, :-1] < frames[:, 1:]) * bits).sum(axis=1)
+            yield pd.DataFrame({"doc_id": d, "fp": fp})
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = docs.select("doc_id").mapInPandas(run, schema)
+    fps = ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
     bands = fps.select(
         "doc_id",
         "fp",
@@ -1241,32 +1315,71 @@ def media_video_framehash_neardup(spark, sf_dir):
     )
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
-        fhash = frame_hash_8x8_bgr
-
+        j = np.arange(64, dtype=np.int64)
+        k5 = np.arange(5, dtype=np.int64)  # nf <= 5
+        rw = (
+            np.int64(1)
+            << (3 * np.arange(4, dtype=np.int64)[:, None]
+                + np.arange(3, dtype=np.int64)[None, :])
+        )
+        cw = (
+            np.int64(1)
+            << (12 + 4 * np.arange(3, dtype=np.int64)[:, None]
+                + np.arange(4, dtype=np.int64)[None, :])
+        )
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                g = d // 16
-                nf = 3 + d % 3
-                frames = []
-                for k in range(nf):
-                    buf = bytearray()
-                    for j in range(64):
-                        v = (89 * g + 17 * j * j + 23 * g * j + 71 * k) % 256
-                        if j % 31 == d % 31 and k == d % nf:
-                            v = (v + 128) % 256
-                        buf += bytes((v, v, v))
-                    frames.append(bytes(buf))
+            d = pdf["doc_id"].to_numpy(dtype=np.int64)
+            g = d // 16
+            nf = 3 + d % 3
+            # every clip's grey plane in one broadcast: (n, 5, 64)
+            grey = (
+                89 * g[:, None, None]
+                + 17 * j * j
+                + 23 * g[:, None, None] * j[None, None, :]
+                + 71 * k5[None, :, None]
+                + 128
+                * (
+                    ((j[None, None, :] % 31) == (d % 31)[:, None, None])
+                    & (k5[None, :, None] == (d % nf)[:, None, None])
+                )
+            ) % 256
+            grey = grey.astype(np.uint8)
+            # the real container round trip stays per clip (header
+            # slicing, C-speed); hashing consumes the DEMUXED frames
+            doc_col, k_col, nf_col, payloads = [], [], [], []
+            for x in range(len(d)):
+                n = int(nf[x])
+                frames = [
+                    np.repeat(grey[x, kk], 3).tobytes() for kk in range(n)
+                ]
                 avi = decode_avi(encode_avi(frames, 8, 8, 10))
-                for k, f in enumerate(avi["frames"]):
-                    rows.append((d, k, fhash(f), nf))
-            yield pd.DataFrame(rows, columns=["doc_id", "k", "fh", "nf"])
+                for kk, f in enumerate(avi["frames"]):
+                    doc_col.append(int(d[x]))
+                    k_col.append(kk)
+                    nf_col.append(n)
+                    payloads.append(f)
+            gr = (
+                np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                .reshape(-1, 64, 3)[:, :, 0]
+                .astype(np.int64)
+                .reshape(-1, 8, 8)
+            )
+            cells = (
+                gr[:, 0::2, 0::2] + gr[:, 0::2, 1::2]
+                + gr[:, 1::2, 0::2] + gr[:, 1::2, 1::2]
+            ) // 4
+            fh = ((cells[:, :, :-1] < cells[:, :, 1:]) * rw).sum(
+                axis=(1, 2)
+            ) + ((cells[:, :-1, :] < cells[:, 1:, :]) * cw).sum(axis=(1, 2))
+            yield pd.DataFrame(
+                {"doc_id": doc_col, "k": k_col, "fh": fh, "nf": nf_col}
+            )
 
     docs = load_table(spark, sf_dir, "documents")
-    fhs = docs.select("doc_id").mapInPandas(run, schema)
+    fhs = ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
     a, b = fhs.alias("a"), fhs.alias("b")
     matches = (
         a.join(
@@ -1376,7 +1489,7 @@ def media_avi_demux_stats(spark, sf_dir):
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1557,7 +1670,7 @@ def media_corrupt_detection(spark, sf_dir):
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     docs = load_table(spark, sf_dir, "documents")
-    decoded = docs.select("doc_id", "source").mapInPandas(run, schema)
+    decoded = ensure_parallelism(docs.select("doc_id", "source")).mapInPandas(run, schema)
     return decoded.groupBy("source").agg(
         F.count("*").cast("long").alias("n_media"),
         F.sum(F.when(F.col("ok") == 0, 1).otherwise(0))

@@ -73,22 +73,41 @@ def _marker_counts(marker_dir: str) -> dict:
     return out
 
 
-def test_default_codec_is_numpy_with_stdlib_fallback():
-    """Since round 10 the environment default is the numpy-vectorized
-    codec whenever numpy imports (VERDICT r9 #4); the stdlib codec
+def test_default_codec_is_batch_with_stdlib_fallback():
+    """Since round 11 the environment default is the batch-stacked
+    codec whenever numpy imports (VERDICT r10 #1); the stdlib codec
     remains the dependency-free fallback and behavioral reference."""
     c = get_media_codec()
     try:
-        from eventsourcing_spark.pipeline.media_codecs_np import (
-            NUMPY_CODEC,
+        from eventsourcing_spark.pipeline.media_codecs_batch import (
+            BATCH_CODEC,
         )
 
-        assert c is NUMPY_CODEC and c.name == "numpy"
+        assert c is BATCH_CODEC and c.name == "batch"
+        assert c.decode_png_batch is not None
+        assert c.encode_png_batch is not None
     except ImportError:
         assert c is STDLIB_CODEC and c.name == "stdlib"
     # the stdlib reference stays intact and importable either way
     assert STDLIB_CODEC.decode_png is decode_png
     assert STDLIB_CODEC.encode_png is encode_png
+    assert STDLIB_CODEC.decode_png_batch is None  # no batch kernels
+
+
+def test_default_codec_resolution_is_lazy_and_import_order_proof():
+    """r10 ADVICE: the default must not depend on module import order —
+    get_media_codec() resolves lazily, so even after a set/reset cycle
+    the default is re-derived, never a stale import-time snapshot."""
+    import eventsourcing_spark.pipeline.media_codecs as mc
+
+    first = get_media_codec()
+    set_media_codec(STDLIB_CODEC)
+    assert get_media_codec() is STDLIB_CODEC
+    set_media_codec(None)
+    assert get_media_codec() is first
+    # the lazy cell is re-resolvable from scratch
+    mc._ACTIVE_CODEC = None
+    assert get_media_codec() is first
 
 
 def test_set_returns_previous_and_none_resets(tmp_path):
@@ -229,20 +248,111 @@ def test_numpy_codec_byte_parity_fuzz():
         "media_video_framehash_neardup",
     ],
 )
-def test_gate_queries_identical_under_both_codecs(spark, sf_dir, qname):
+def test_gate_queries_identical_under_all_codecs(spark, sf_dir, qname):
     """The four headline media queries return IDENTICAL rows under the
-    stdlib and numpy codecs — both codecs stay green in CI."""
+    stdlib, numpy, and batch codecs — all three stay green in CI."""
     from eventsourcing_spark.pipeline.media_codecs import STDLIB_CODEC
+    from eventsourcing_spark.pipeline.media_codecs_batch import BATCH_CODEC
     from eventsourcing_spark.pipeline.media_codecs_np import NUMPY_CODEC
     from eventsourcing_spark.registry import SPARK_QUERIES
 
     q = SPARK_QUERIES[qname]
     rows = {}
-    for codec in (STDLIB_CODEC, NUMPY_CODEC):
+    for codec in (STDLIB_CODEC, NUMPY_CODEC, BATCH_CODEC):
         set_media_codec(codec)
         try:
             rows[codec.name] = sorted(map(tuple, q(spark, sf_dir).collect()))
         finally:
             set_media_codec(None)
-    assert rows["stdlib"] == rows["numpy"]
+    assert rows["stdlib"] == rows["numpy"] == rows["batch"]
     assert rows["stdlib"], f"{qname} returned no rows at this sf"
+
+
+# --------------------------------------------------------------------------
+# Batch-stacked codec (VERDICT r10 #1): whole-batch kernels must be
+# byte-identical to the stdlib reference over mixed-size, mixed-channel
+# batches, across the MIN_BATCH and chunking boundaries.
+# --------------------------------------------------------------------------
+def test_batch_codec_byte_parity_fuzz():
+    import random
+
+    from eventsourcing_spark.pipeline import media_codecs as mc
+    from eventsourcing_spark.pipeline import media_codecs_batch as mbat
+
+    rng = random.Random(20260817)
+    items = []
+    # the gate family's thumbnail shapes plus degenerate 1-px edges
+    for _ in range(120):
+        ch = rng.choice([1, 3])
+        w, h = rng.randint(1, 20), rng.randint(1, 16)
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        items.append((px, w, h, ch))
+    # above the single-image numpy thresholds — the stacked vector path
+    for _ in range(6):
+        ch = rng.choice([1, 3])
+        w, h = rng.randint(40, 70), rng.randint(40, 70)
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        items.append((px, w, h, ch))
+    encs = mbat.encode_png_batch(items)
+    assert encs == [mc.encode_png(*it) for it in items]
+    assert mbat.decode_png_batch(encs) == [mc.decode_png(e) for e in encs]
+    rs = [
+        (p, w, h, rng.randint(1, 24), rng.randint(1, 24), c)
+        for p, w, h, c in items
+    ]
+    assert mbat.resample_nearest_batch(rs) == [
+        mc.resample_nearest(*it) for it in rs
+    ]
+    # below MIN_BATCH the kernels delegate per-image — still identical
+    small = items[:2]
+    assert mbat.encode_png_batch(small) == [
+        mc.encode_png(*it) for it in small
+    ]
+    assert mbat.encode_png_batch([]) == []
+    assert mbat.decode_png_batch([]) == []
+    assert mbat.resample_nearest_batch([]) == []
+
+
+def test_batch_codec_chunking_respects_memory_bound(monkeypatch):
+    """A pathological mixed batch (huge image among thumbnails) must
+    split into bounded stacks and STILL return byte-identical results
+    in input order."""
+    import random
+
+    from eventsourcing_spark.pipeline import media_codecs as mc
+    from eventsourcing_spark.pipeline import media_codecs_batch as mbat
+
+    rng = random.Random(7)
+    items = []
+    for _ in range(40):
+        w, h = rng.randint(2, 12), rng.randint(2, 12)
+        items.append(
+            (bytes(rng.randrange(256) for _ in range(w * h)), w, h, 1)
+        )
+    big_w, big_h = 90, 80
+    items.insert(
+        17,
+        (bytes(rng.randrange(256) for _ in range(big_w * big_h)),
+         big_w, big_h, 1),
+    )
+    monkeypatch.setattr(mbat, "MAX_GROUP_BYTES", 16 * 1024)
+    encs = mbat.encode_png_batch(items)
+    assert encs == [mc.encode_png(*it) for it in items]
+    assert mbat.decode_png_batch(encs) == [mc.decode_png(e) for e in encs]
+
+
+def test_batch_codec_error_contract():
+    """Invalid inputs raise the scalar kernels' exact errors."""
+    import pytest as _pytest
+
+    from eventsourcing_spark.pipeline import media_codecs_batch as mbat
+
+    good = (bytes(range(16)), 4, 4, 1)
+    with _pytest.raises(ValueError, match="channels must be"):
+        mbat.encode_png_batch([good, (bytes(16), 4, 4, 2)] * 3)
+    with _pytest.raises(ValueError, match="pixel buffer"):
+        mbat.encode_png_batch([good, (bytes(15), 4, 4, 1)] * 3)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        mbat.decode_png_batch([b"nope"] * 8)
+    with _pytest.raises(ValueError, match="target dimensions"):
+        mbat.resample_nearest_batch([(bytes(16), 4, 4, 0, 2, 1)] * 8)

@@ -96,11 +96,18 @@ def _subprocess_prober(names: list[str]) -> dict[str, float]:
     to ~±10%, far inside the 1.5× decision margin)."""
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out = subprocess.run(
-        [sys.executable, os.path.join(here, "tools", "cold_probe.py"),
-         sf_dir, *names],
-        capture_output=True, text=True, timeout=600 + 900 * len(names),
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "cold_probe.py"),
+             sf_dir, *names],
+            capture_output=True, text=True, timeout=600 + 900 * len(names),
+        )
+    except subprocess.TimeoutExpired:
+        # A hung probe must not crash adjudication with a traceback —
+        # return nothing so every flagged query takes the fail-closed
+        # "cold probe failed" path with its per-query diagnosis (ADVICE
+        # r10): the battery still fails, but legibly.
+        return {}
     cold: dict[str, float] = {}
     for line in out.stdout.splitlines():
         try:
