@@ -1,0 +1,325 @@
+"""S3-compatible object-store CAS backend (VERDICT r10 directive #3).
+
+Round 10 put the coordination protocols (the catch-up lease of
+``projection/lease.py``, the registry manifest log of
+``pipeline/registry_manifest.py``) on the conditional-mutation seam of
+:mod:`eventsourcing_spark.cas`, with ``MemoryCasBackend`` documenting
+the object-store mapping in prose. This module makes the mapping CODE:
+a :class:`CasBackend` speaking the S3 REST API's conditional-write
+subset over plain stdlib HTTP — no SDK dependency — against any
+S3-compatible endpoint (AWS S3, MinIO, Ceph RGW, GCS's XML interop
+layer with generation-match headers behaves equivalently).
+
+Primitive mapping (all public S3 semantics):
+
+* ``put_if_absent``  → ``PUT`` with ``If-None-Match: *`` (S3
+  conditional writes; 412/409 = the key exists, the loser of the race).
+* ``touch``          → read-verify + ``PUT`` with ``If-Match: <etag>``
+  carrying a bumped sequence number (see the envelope note below);
+  412 = the version moved, the heartbeat loses.
+* ``delete_if``      → ``DELETE`` with ``If-Match: <etag>`` (S3
+  conditional deletes; GCS ``x-goog-if-generation-match``); 412/404 =
+  the conditional delete loses.
+* ``get``            → ``GET``; the returned ETag IS the version token
+  and is coherent with the returned body by protocol (no stat-read-stat
+  dance needed — the object store's GET is atomic).
+* ``list_keys``      → ``GET ?list-type=2&prefix=`` with continuation
+  paging.
+
+**Version-token envelope.** A simple-PUT ETag is the MD5 of the body,
+so two generations carrying identical bytes would share a token —
+exactly the ABA hazard the seam exists to prevent. Every stored object
+is therefore framed as one header line ``<seq>:<salt>`` + newline +
+payload: ``put_if_absent`` draws a fresh random salt (distinct token
+even for byte-identical payloads) and ``touch`` bumps ``seq`` (the
+heartbeat rotates the token without changing the payload, mirroring
+the file backend's mtime_ns rotation). ``get`` strips the frame.
+
+**Age.** The envelope carries the WRITER's heartbeat timestamp
+(nanoseconds) and ``get`` computes age from it — ``Last-Modified``
+alone is 1-second granularity (RFC 7231), too coarse for sub-second
+lease TTLs (a freshly renewed lease would read as up to 1 s old and a
+breaker could steal it). Writer-clock age assumes bounded clock skew
+between competing drivers — the same assumption the reference's
+redlock makes and documents; ``Last-Modified`` remains the fallback
+for objects not written through this backend.
+
+**Auth.** When credentials are given, requests are signed with AWS
+Signature V4 (the published canonical-request recipe, implemented here
+with stdlib hmac/hashlib over the UNSIGNED-PAYLOAD convention);
+without credentials requests go anonymous (MinIO test rigs, the
+in-repo s3lite double). The full backend-contract + lease + manifest
+matrices run against the in-process double in CI
+(tests/test_cas_backend.py); point ``SPARK_GRAFT_S3_ENDPOINT`` /
+``_BUCKET`` / ``_ACCESS_KEY`` / ``_SECRET_KEY`` at a real endpoint to
+run the same suite against it (the kafka-style env gate).
+
+Reference parity: the reference's distributed lock is Redis/Consul
+(dist/redlock/redlock.go:67-101; consullock) — a lakehouse engine's
+equivalent durable substrate is its object store, hence this adapter.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import hmac
+import os
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+import uuid
+import xml.etree.ElementTree as ET
+from email.utils import parsedate_to_datetime
+
+from eventsourcing_spark.cas import CasBackend, CasEntry
+
+
+def _sigv4_headers(
+    method: str,
+    url: str,
+    headers: dict,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    session_token: str | None = None,
+) -> dict:
+    """AWS Signature Version 4 for one request, UNSIGNED-PAYLOAD,
+    transcribed from the published signing recipe (canonical request →
+    string-to-sign → derived key chain)."""
+    parsed = urllib.parse.urlsplit(url)
+    now = _dt.datetime.now(_dt.timezone.utc)
+    amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+    datestamp = now.strftime("%Y%m%d")
+    payload_hash = "UNSIGNED-PAYLOAD"
+    out = dict(headers)
+    out["x-amz-date"] = amz_date
+    out["x-amz-content-sha256"] = payload_hash
+    if session_token:
+        out["x-amz-security-token"] = session_token
+    out["host"] = parsed.netloc
+    signed = sorted(k.lower() for k in out)
+    canonical_headers = "".join(
+        f"{k}:{str(out[next(h for h in out if h.lower() == k)]).strip()}\n"
+        for k in signed
+    )
+    # canonical query: sorted, RFC 3986 strict
+    q = urllib.parse.parse_qsl(parsed.query, keep_blank_values=True)
+    cq = "&".join(
+        f"{urllib.parse.quote(k, safe='-_.~')}="
+        f"{urllib.parse.quote(v, safe='-_.~')}"
+        for k, v in sorted(q)
+    )
+    canonical = "\n".join(
+        [
+            method,
+            urllib.parse.quote(parsed.path or "/", safe="/-_.~"),
+            cq,
+            canonical_headers,
+            ";".join(signed),
+            payload_hash,
+        ]
+    )
+    scope = f"{datestamp}/{region}/s3/aws4_request"
+    sts = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            amz_date,
+            scope,
+            hashlib.sha256(canonical.encode()).hexdigest(),
+        ]
+    )
+
+    def _hm(key: bytes, msg: str) -> bytes:
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k = _hm(b"AWS4" + secret_key.encode(), datestamp)
+    k = _hm(k, region)
+    k = _hm(k, "s3")
+    k = _hm(k, "aws4_request")
+    sig = hmac.new(k, sts.encode(), hashlib.sha256).hexdigest()
+    out["Authorization"] = (
+        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+        f"SignedHeaders={';'.join(signed)}, Signature={sig}"
+    )
+    del out["host"]  # urllib sets Host itself; it was signed above
+    return out
+
+
+class ObjectStoreCasBackend(CasBackend):
+    """CAS over an S3-compatible endpoint; one key = one object."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        bucket: str,
+        prefix: str = "",
+        access_key: str | None = None,
+        secret_key: str | None = None,
+        region: str = "us-east-1",
+        session_token: str | None = None,
+        timeout: float = 10.0,
+    ):
+        self.endpoint = endpoint.rstrip("/")
+        self.bucket = bucket
+        self.prefix = prefix
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.region = region
+        self.session_token = session_token
+        self.timeout = timeout
+
+    # ------------------------------------------------------------ plumbing
+    def _url(self, key: str = "", query: str = "") -> str:
+        path = f"/{self.bucket}"
+        if key:
+            path += "/" + urllib.parse.quote(self.prefix + key, safe="/")
+        return self.endpoint + path + (f"?{query}" if query else "")
+
+    def _request(
+        self,
+        method: str,
+        url: str,
+        data: bytes | None = None,
+        headers: dict | None = None,
+    ):
+        headers = dict(headers or {})
+        if self.access_key and self.secret_key:
+            headers = _sigv4_headers(
+                method, url, headers, self.access_key, self.secret_key,
+                self.region, self.session_token,
+            )
+        req = urllib.request.Request(
+            url, data=data, headers=headers, method=method
+        )
+        return urllib.request.urlopen(req, timeout=self.timeout)
+
+    @staticmethod
+    def _etag(resp) -> str:
+        return (resp.headers.get("ETag") or "").strip('"')
+
+    @staticmethod
+    def _frame(seq: int, salt: str, data: bytes) -> bytes:
+        return f"{seq}:{salt}:{time.time_ns()}\n".encode() + data
+
+    @staticmethod
+    def _unframe(body: bytes) -> tuple[int, str, int | None, bytes]:
+        head, _, data = body.partition(b"\n")
+        parts = head.decode().split(":")
+        ts = int(parts[2]) if len(parts) > 2 else None
+        return int(parts[0]), parts[1], ts, data
+
+    # ---------------------------------------------------------- interface
+    def put_if_absent(self, key: str, data: bytes) -> str | None:
+        body = self._frame(0, uuid.uuid4().hex, data)
+        try:
+            resp = self._request(
+                "PUT", self._url(key), data=body,
+                headers={"If-None-Match": "*"},
+            )
+            return self._etag(resp)
+        except urllib.error.HTTPError as e:
+            if e.code in (409, 412):  # exists — lost the create race
+                return None
+            raise
+
+    def get(self, key: str) -> CasEntry | None:
+        try:
+            resp = self._request("GET", self._url(key))
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+        body = resp.read()
+        etag = self._etag(resp)
+        _, _, ts_ns, data = self._unframe(body)
+        if ts_ns is not None:
+            mtime = ts_ns / 1e9
+        else:  # legacy/foreign object: fall back to Last-Modified
+            lm = resp.headers.get("Last-Modified")
+            mtime = (
+                parsedate_to_datetime(lm).timestamp() if lm else time.time()
+            )
+        return CasEntry(data, etag, max(0.0, time.time() - mtime))
+
+    def touch(self, key: str, expected: str) -> str | None:
+        cur = self.get(key)
+        if cur is None or cur.version != expected:
+            return None
+        # re-read the frame to carry seq+salt forward (get() strips it)
+        try:
+            resp = self._request("GET", self._url(key))
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+        if self._etag(resp) != expected:
+            return None
+        seq, salt, _, data = self._unframe(resp.read())
+        try:
+            resp = self._request(
+                "PUT", self._url(key),
+                data=self._frame(seq + 1, salt, data),
+                headers={"If-Match": expected},
+            )
+            return self._etag(resp)
+        except urllib.error.HTTPError as e:
+            if e.code in (404, 409, 412):  # moved under us — lost
+                return None
+            raise
+
+    def delete_if(self, key: str, expected: str) -> bool:
+        try:
+            self._request(
+                "DELETE", self._url(key), headers={"If-Match": expected}
+            )
+            return True
+        except urllib.error.HTTPError as e:
+            if e.code in (404, 409, 412):
+                return False
+            raise
+
+    def list_keys(self, prefix: str = "") -> list[str]:
+        out: list[str] = []
+        token: str | None = None
+        while True:
+            q = "list-type=2&prefix=" + urllib.parse.quote(
+                self.prefix + prefix, safe=""
+            )
+            if token:
+                q += "&continuation-token=" + urllib.parse.quote(
+                    token, safe=""
+                )
+            resp = self._request("GET", self._url(query=q))
+            root = ET.fromstring(resp.read())
+            ns = ""
+            if root.tag.startswith("{"):
+                ns = root.tag[: root.tag.index("}") + 1]
+            for c in root.iter(f"{ns}Key"):
+                out.append(c.text[len(self.prefix):])
+            trunc = root.find(f"{ns}IsTruncated")
+            if trunc is None or trunc.text != "true":
+                break
+            nxt = root.find(f"{ns}NextContinuationToken")
+            token = nxt.text if nxt is not None else None
+            if not token:
+                break
+        return sorted(out)
+
+
+def backend_from_env() -> ObjectStoreCasBackend | None:
+    """The kafka-style env gate: an ObjectStoreCasBackend when
+    SPARK_GRAFT_S3_ENDPOINT and _BUCKET are set, else None."""
+    ep = os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
+    bucket = os.environ.get("SPARK_GRAFT_S3_BUCKET")
+    if not ep or not bucket:
+        return None
+    return ObjectStoreCasBackend(
+        ep,
+        bucket,
+        prefix=os.environ.get("SPARK_GRAFT_S3_PREFIX", ""),
+        access_key=os.environ.get("SPARK_GRAFT_S3_ACCESS_KEY"),
+        secret_key=os.environ.get("SPARK_GRAFT_S3_SECRET_KEY"),
+        region=os.environ.get("SPARK_GRAFT_S3_REGION", "us-east-1"),
+    )

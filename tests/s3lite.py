@@ -1,0 +1,152 @@
+"""In-process S3-compatible test double for the object-store backend.
+
+A stdlib ThreadingHTTPServer implementing exactly the conditional-write
+subset ObjectStoreCasBackend speaks — PUT with If-None-Match:*/If-Match,
+GET with ETag + Last-Modified, DELETE with If-Match, and list-type=2
+listing with continuation paging — with simple-PUT ETag semantics
+(MD5 of the body, quoted) and all conditionals evaluated atomically
+under one lock, which is precisely what a real object store guarantees.
+
+This is a TEST DOUBLE, not a server product: no auth (the backend's
+SigV4 signer is exercised by tests only for header construction), no
+multipart, no versioning. ``rewind(key, s)`` backdates an object's
+mtime so lease-TTL staleness is testable, mirroring the utime/rewind
+helpers of the file/memory backends.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+import time
+from email.utils import formatdate
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, unquote, urlsplit
+
+
+class S3Lite:
+    def __init__(self):
+        self.lock = threading.Lock()
+        # full object key (bucket-relative) -> [body, etag, mtime]
+        self.objects: dict[str, list] = {}
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # noqa: D102 — silence
+                pass
+
+            def _send(self, code, body=b"", headers=None):
+                self.send_response(code)
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if body:
+                    self.wfile.write(body)
+
+            def _key(self):
+                path = unquote(urlsplit(self.path).path).lstrip("/")
+                # strip the bucket segment
+                _, _, key = path.partition("/")
+                return key
+
+            def do_PUT(self):  # noqa: N802
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                key = self._key()
+                inm = self.headers.get("If-None-Match")
+                im = self.headers.get("If-Match")
+                with outer.lock:
+                    cur = outer.objects.get(key)
+                    if inm == "*" and cur is not None:
+                        return self._send(412)
+                    if im is not None and (
+                        cur is None or cur[1] != im.strip('"')
+                    ):
+                        return self._send(412)
+                    etag = hashlib.md5(body).hexdigest()
+                    outer.objects[key] = [body, etag, time.time()]
+                return self._send(200, headers={"ETag": f'"{etag}"'})
+
+            def do_GET(self):  # noqa: N802
+                sp = urlsplit(self.path)
+                q = dict(parse_qsl(sp.query, keep_blank_values=True))
+                if q.get("list-type") == "2":
+                    prefix = q.get("prefix", "")
+                    with outer.lock:
+                        keys = sorted(
+                            k for k in outer.objects if k.startswith(prefix)
+                        )
+                    items = "".join(f"<Contents><Key>{k}</Key></Contents>"
+                                    for k in keys)
+                    xml = (
+                        '<?xml version="1.0"?><ListBucketResult>'
+                        f"{items}<IsTruncated>false</IsTruncated>"
+                        "</ListBucketResult>"
+                    ).encode()
+                    return self._send(
+                        200, xml, {"Content-Type": "application/xml"}
+                    )
+                key = self._key()
+                with outer.lock:
+                    cur = outer.objects.get(key)
+                    if cur is None:
+                        return self._send(404)
+                    body, etag, mtime = cur[0], cur[1], cur[2]
+                return self._send(
+                    200,
+                    body,
+                    {
+                        "ETag": f'"{etag}"',
+                        "Last-Modified": formatdate(mtime, usegmt=True),
+                    },
+                )
+
+            def do_DELETE(self):  # noqa: N802
+                key = self._key()
+                im = self.headers.get("If-Match")
+                with outer.lock:
+                    cur = outer.objects.get(key)
+                    if cur is None:
+                        return self._send(404)
+                    if im is not None and cur[1] != im.strip('"'):
+                        return self._send(412)
+                    del outer.objects[key]
+                return self._send(204)
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+        self.thread.start()
+
+    @property
+    def endpoint(self) -> str:
+        host, port = self.server.server_address
+        return f"http://{host}:{port}"
+
+    def rewind(self, key: str, seconds: float) -> None:
+        """Backdate an object as if its writer stopped heartbeating.
+
+        ObjectStoreCasBackend reads age from the envelope's writer
+        timestamp (Last-Modified is 1-second granularity), so aging
+        rewrites the ``seq:salt:ts_ns`` header — which rotates the
+        ETag, exactly as mtime-rewinding the file backend rotates its
+        ``inode:mtime_ns`` token; the tests re-read versions after a
+        rewind for that reason. Foreign bodies (no envelope) fall back
+        to backdating the stored mtime."""
+        with self.lock:
+            body, _, mtime = self.objects[key]
+            head, sep, data = body.partition(b"\n")
+            parts = head.decode(errors="replace").split(":")
+            if sep and len(parts) == 3 and parts[2].isdigit():
+                parts[2] = str(int(parts[2]) - int(seconds * 1e9))
+                body = ":".join(parts).encode() + b"\n" + data
+            new_etag = hashlib.md5(body).hexdigest()
+            self.objects[key] = [body, new_etag, mtime - seconds]
+
+    def close(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()
