@@ -170,7 +170,9 @@ STRESS_QUERIES = (
 )
 
 
-def build_stress_dir(spark, sf_dir: str, replicas: int) -> str:
+def build_stress_dir(
+    spark, sf_dir: str, replicas: int, skew_fraction: float = 0.0
+) -> str:
     out = tempfile.mkdtemp(prefix="stress_sf_")
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -194,6 +196,27 @@ def build_stress_dir(spark, sf_dir: str, replicas: int) -> str:
             (F.col("n_chars") + 3).alias("n_chars"),
         )
     )
+    if skew_fraction > 0:
+        # Zipf-adversarial mode (VERDICT r10 #5): collapse a fixed
+        # fraction of the corpus onto ONE byte-identical text (a real
+        # document's body), so every key derived from content — LSH
+        # band buckets, winnowing anchors, n-grams, component labels —
+        # has one value owning ~skew_fraction of all rows. Real 100 TB
+        # corpora are Zipfian; the uniform replication above never
+        # makes a single key dominate.
+        mod = max(2, round(1 / skew_fraction))
+        hot_text = docs.orderBy("doc_id").first()["text"]
+        big_docs = big_docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % mod == 0, F.lit(hot_text))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+            "source",
+            F.when(F.col("doc_id") % mod == 0, F.lit(len(hot_text)))
+            .otherwise(F.col("n_chars"))
+            .alias("n_chars"),
+        )
     big_emb = emb.crossJoin(copies).select(
         (F.col("vec_id") + F.col("copy") * n_vecs).alias("vec_id"),
         "embedding",
