@@ -28,6 +28,10 @@ Families pinned here (the five the round-10 judge named still open):
   value must equal floor(1000·exact lower median) EXACTLY.
 * **Kaplan-Meier product-limit** — the ppm fold replayed exactly and
   bounded against the true Π(1−dᵢ/nᵢ) survival curve.
+* **ACF (daily-revenue autocorrelation)** — centered integer
+  deviations, the signed-floor clamp identity (d + kC) div k − C =
+  floor(d/k) pinned over a signed sweep, one floor division per lag
+  pinned against the exact Fraction autocorrelation.
 """
 
 from __future__ import annotations
@@ -355,6 +359,75 @@ def test_theil_sen_formula_exact(spark, sf_dir, daily_cents):
         "mutation check vacuous — unit day gaps everywhere"
     )
     assert any(db - da != 1 for (da, _), (db, _) in zip(win, win[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Daily-revenue autocorrelation: centered integer devs, clamp identity,
+# single floor division per lag
+# ---------------------------------------------------------------------------
+def test_acf_clamp_shift_identity():
+    """Both engines compute floor(d/k) for SIGNED d via the non-negative
+    shift (d + k·C) div k − C (Spark's `div` truncates toward zero, so
+    the shift is what makes it a true floor). Pin the identity itself
+    over a signed sweep — the pure algebra the ACF clamp relies on."""
+    c = 10**13
+    for d in [-3 * 10**15, -c - 1, -c, -7, -1, 0, 1, 5, c - 1, 10**15]:
+        for k in [1, 2, 3, 97, 10**6]:
+            assert (d + k * c) // k - c == d // k  # Python // IS floor
+
+
+def test_acf_formula_exact(spark, sf_dir, daily_cents):
+    from eventsourcing_spark.timeseries import ACF_DEV_CLAMP, ACF_MAX_LAG
+
+    days = sorted(daily_cents)
+    n = len(days)
+    s = sum(daily_cents.values())
+    dev = {d: n * daily_cents[d] - s for d in days}
+    k = 1 + max(abs(v) for v in dev.values()) // ACF_DEV_CLAMP
+    dd = {
+        d: (v + k * ACF_DEV_CLAMP) // k - ACF_DEV_CLAMP
+        for d, v in dev.items()
+    }
+    den = sum(v * v for v in dd.values())
+    assert den > 0
+
+    rows = _q(spark, sf_dir, "acf_daily_revenue")
+    assert [r.lag_days for r in rows] == list(range(1, ACF_MAX_LAG + 1))
+    dayset = set(days)
+    import math as _m
+
+    for r in rows:
+        lag = r.lag_days
+        # CALENDAR-day adjacency, exactly the engine's day + lag join
+        pairs = [(a, a + lag) for a in days if a + lag in dayset]
+        num = sum(dd[a] * dd[b] for a, b in pairs)
+        assert r.n_pairs == len(pairs)
+        assert r.acf_ppm == _m.floor(Fraction(10**6 * num, den))
+        # at this sf the clamp is inert (k = 1, pinned below), so the
+        # defined value IS the exact autocorrelation ppm
+        true = Fraction(
+            sum(dev[a] * dev[b] for a, b in pairs),
+            sum(v * v for v in dev.values()),
+        )
+        assert abs(Fraction(r.acf_ppm, 10**6) - true) <= Fraction(
+            2, 10**6
+        )
+    assert k == 1, "clamp engaged at test sf — identity test above covers it"
+
+    # mutation guard: UNCENTERED devs (drop the −Σ term, the
+    # centering-drop class) must move some lag's acf_ppm
+    mut_den = sum((n * c) ** 2 for c in daily_cents.values())
+    moved = False
+    for r in rows:
+        lag = r.lag_days
+        mut_num = sum(
+            (n * daily_cents[a]) * (n * daily_cents[a + lag])
+            for a in days
+            if a + lag in dayset
+        )
+        if _m.floor(Fraction(10**6 * mut_num, mut_den)) != r.acf_ppm:
+            moved = True
+    assert moved, "mutation check vacuous — centering inert on this corpus"
 
 
 # ---------------------------------------------------------------------------
