@@ -10,17 +10,14 @@ planted-mutation guard per family with a vacuity assert.
   totals, the sorted-rank Σ(2i−n−1)xᵢ numerator, and the single-
   division ppm, all pinned exactly (the ppm IS floor(10⁶·G) because
   the division is last).
-* **Spearman midrank-d²** — both scorers' per-doc scores are taken
-  from the ENGINE (the scorers carry their own exactness suites);
-  what is re-derived here independently is the AGGREGATION ALGEBRA —
-  doubled midranks from a Python sort, Σd², and the ρ ppm — the layer
-  where a shared-formula slip (the MWU incident class) would live.
-* **Fleiss κ** — same split: votes from the engine raters, the κ
-  algebra recomputed from the TEXTBOOK form (per-item agreement P_i,
-  category proportions, P̄, P_e, κ = (P̄−P_e)/(1−P_e)) in exact
-  rationals and compared to the engine's collapsed 2-category closed
-  form — proving the collapse is algebraically faithful, not just
-  engine-consistent.
+* **Spearman midrank-d² / Fleiss κ mutation guards** — the exact
+  PINS for these two already live in test_stats_exactness.py (r9);
+  what was missing there is the r9 recipe's second half, the planted-
+  mutation guard with a vacuity assert. These tests re-derive the
+  algebra independently (doubled midranks from a Python sort; the
+  textbook P_i/P̄/P_e form) and then plant the characteristic slip —
+  min-rank ties for Spearman, dropping the bad-category agreement
+  term for κ — proving the pins can catch that class on this corpus.
 * **Poisson(1) bootstrap CDF constants** — the md5-derandomized
   bootstrap weights hinge on 8 hard-coded thresholds
   floor(2³²·CDF(k)). e⁻¹ is irrational, so the pin uses the
@@ -167,7 +164,7 @@ def _midrank2(scores: dict) -> dict:
     return out
 
 
-def test_spearman_midrank_d2_algebra(spark, sf_dir, rater_rows):
+def test_spearman_midrank_mutation_guard(spark, sf_dir, rater_rows):
     nb, rd = rater_rows
     s_nb = {d: v[2] for d, v in nb.items()}
     s_rd = {d: v[1] for d, v in rd.items()}
@@ -209,7 +206,7 @@ def test_spearman_midrank_d2_algebra(spark, sf_dir, rater_rows):
     assert 10**6 - (1500000 * d2m) // (n * (n * n - 1)) != row.spearman_ppm
 
 
-def test_fleiss_kappa_algebra(spark, sf_dir, rater_rows):
+def test_fleiss_kappa_mutation_guard(spark, sf_dir, rater_rows):
     nb, rd = rater_rows
     votes = {d: nb[d][0] + nb[d][1] + rd[d][0] for d in nb}
     n_docs = len(votes)
