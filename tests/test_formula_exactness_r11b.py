@@ -243,5 +243,63 @@ def test_fleiss_kappa_mutation_guard(spark, sf_dir, rater_rows):
     )
 
 
+# ---------------------------------------------------------------------------
+# Zipf slope: exact OLS over fixed-point logs + the two-stage
+# trunc-division identity
+# ---------------------------------------------------------------------------
+def test_zipf_slope_formula_exact(spark, sf_dir):
+    from collections import Counter
+
+    from tests.test_formula_exactness import _FBITS, _fx_log2_checked
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    tf = Counter()
+    for text in t.column("text").to_pylist():
+        tf.update(w for w in text.lower().split(" ") if w != "")
+    # rank by (freq desc, token) — tie order cannot move the OLS sums:
+    # the i's are a permutation of 1..n and tied tokens share y
+    freqs = sorted(tf.values(), reverse=True)
+    n = len(freqs)
+    xs = [_fx_log2_checked(i) for i in range(1, n + 1)]
+    ys = [_fx_log2_checked(f) for f in freqs]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    assert den > 0
+
+    (row,) = _q(spark, sf_dir, "zipf_slope_tokens")
+    assert (row.vocab_n, row.sum_logx_fx, row.sum_logy_fx) == (n, sx, sy)
+    # the engines' two-stage 10-bit long division IS trunc-toward-zero
+    # of (num << 20)/den — replay both forms and pin their identity
+    q0 = _tdiv(num, den)
+    r1 = num - q0 * den
+    h1 = _tdiv(r1 * 1024, den)
+    r2 = r1 * 1024 - h1 * den
+    h2 = _tdiv(r2 * 1024, den)
+    staged = q0 * (1 << _FBITS) + h1 * 1024 + h2
+    assert staged == _tdiv(num << _FBITS, den)
+    assert row.slope_mfx == staged
+
+    # the fixed-point slope tracks the true float OLS over exact logs
+    # (2-ulp ilog2 error per point, relative tolerance is generous)
+    fx = [math.log2(i) for i in range(1, n + 1)]
+    fy = [math.log2(f) for f in freqs]
+    fnum = n * sum(a * b for a, b in zip(fx, fy)) - sum(fx) * sum(fy)
+    fden = n * sum(a * a for a in fx) - sum(fx) ** 2
+    true_mfx = (1 << _FBITS) * fnum / fden
+    assert abs(row.slope_mfx - true_mfx) <= max(2000, 0.002 * abs(true_mfx))
+    # a text corpus must slope downward, Zipf-ish
+    assert -3 * (1 << _FBITS) < row.slope_mfx < 0
+
+    # mutation guard: the inverted regression (rank on freq) must move
+    # the emitted slope
+    syy = sum(y * y for y in ys)
+    den_inv = n * syy - sy * sy
+    assert den_inv > 0
+    assert _tdiv(num << _FBITS, den_inv) != row.slope_mfx
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
