@@ -25,8 +25,13 @@ from urllib.parse import parse_qsl, unquote, urlsplit
 
 
 class S3Lite:
-    def __init__(self):
+    def __init__(self, page_size: int = 0):
+        """``page_size`` > 0 truncates list responses to that many keys
+        per page with a NextContinuationToken, exercising the client's
+        paging loop; 0 = everything in one page (S3's real default is
+        1000)."""
         self.lock = threading.Lock()
+        self.page_size = page_size
         # full object key (bucket-relative) -> [body, etag, mtime]
         self.objects: dict[str, list] = {}
         outer = self
@@ -75,16 +80,28 @@ class S3Lite:
                 q = dict(parse_qsl(sp.query, keep_blank_values=True))
                 if q.get("list-type") == "2":
                     prefix = q.get("prefix", "")
+                    after = q.get("continuation-token", "")
                     with outer.lock:
                         keys = sorted(
-                            k for k in outer.objects if k.startswith(prefix)
+                            k for k in outer.objects
+                            if k.startswith(prefix) and k > after
                         )
+                    trunc = bool(
+                        outer.page_size and len(keys) > outer.page_size
+                    )
+                    if trunc:
+                        keys = keys[: outer.page_size]
                     items = "".join(f"<Contents><Key>{k}</Key></Contents>"
                                     for k in keys)
+                    nxt = (
+                        f"<NextContinuationToken>{keys[-1]}"
+                        "</NextContinuationToken>" if trunc else ""
+                    )
                     xml = (
                         '<?xml version="1.0"?><ListBucketResult>'
-                        f"{items}<IsTruncated>false</IsTruncated>"
-                        "</ListBucketResult>"
+                        f"{items}<IsTruncated>"
+                        f"{'true' if trunc else 'false'}</IsTruncated>"
+                        f"{nxt}</ListBucketResult>"
                     ).encode()
                     return self._send(
                         200, xml, {"Content-Type": "application/xml"}

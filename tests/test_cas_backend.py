@@ -375,6 +375,22 @@ def test_sigv4_header_shape(s3lite):
     assert be.delete_if("k", v)
 
 
+def test_s3_list_keys_pages_through_truncation():
+    """Real S3 truncates listings at 1000 keys; the backend's paging
+    loop must stitch every page (exercised with a 7-key page size)."""
+    srv = S3Lite(page_size=7)
+    try:
+        be = ObjectStoreCasBackend(srv.endpoint, "b", prefix="pg/")
+        names = [f"k{i:03d}" for i in range(23)]
+        for nm in names:
+            assert be.put_if_absent(nm, b"x") is not None
+        assert be.list_keys() == names
+        assert be.list_keys("k01") == [n for n in names if n.startswith("k01")]
+        assert be.list_keys("zz") == []
+    finally:
+        srv.close()
+
+
 def test_real_object_store_smoke():
     """Env-gated (the kafka pattern): runs the conditional-write
     round trip against a REAL S3-compatible endpoint when
