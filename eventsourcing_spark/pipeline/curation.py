@@ -146,10 +146,15 @@ def stratified_sample(spark, sf_dir):
 def contamination_overlap(spark, sf_dir):
     """Eval-set decontamination scan: shingle both sides, equi-join on
     the {CONTAM_N}-gram string, roll up hits per eval document. The
-    shuffle key is the gram, so at 100 TB each gram's (tiny) candidate
-    set is co-located and the join never widens beyond true matches;
-    the eval side is small and AQE broadcasts it. Distinct-per-doc
-    grams keep the explode bounded by document length."""
+    eval side is BOUNDED BY CONSTRUCTION (the eval set, not the
+    corpus), so it is declared broadcast explicitly — found at the
+    round-11 100× stress: leaving the choice to size ESTIMATION let
+    the planner pick the 500k-doc train side of the exploded gram
+    frame as the build table (Generate nodes propagate poor size
+    stats) and the driver died building a ~100M-row broadcast.
+    Declaring the structurally-small side is the scale-correct plan at
+    every corpus size. Distinct-per-doc grams keep the explode bounded
+    by document length."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
     grams = (
@@ -173,7 +178,7 @@ def contamination_overlap(spark, sf_dir):
         F.col("doc_id").alias("train_id"), "gram"
     )
     return (
-        ev.join(tr, "gram")
+        tr.join(F.broadcast(ev), "gram")
         .groupBy("eval_id")
         .agg(
             F.count_distinct("gram").alias("n_contaminated_grams"),
@@ -568,7 +573,14 @@ def contamination_ngram_sweep(spark, sf_dir):
             F.col("doc_id").alias("eval_id"), "gram"
         )
         tr = grams.filter(F.col("doc_id") >= 10).select("gram")
-        hits = ev.join(tr, "gram").select("eval_id", "gram").distinct()
+        # same found-at-100x rule as contamination_overlap: the eval
+        # slice is bounded by construction — declare the broadcast
+        # rather than trust Generate-node size estimates
+        hits = (
+            tr.join(F.broadcast(ev), "gram")
+            .select("eval_id", "gram")
+            .distinct()
+        )
         row = hits.agg(
             F.count_distinct("eval_id").alias("f"),
             F.count_distinct("gram").alias("g"),

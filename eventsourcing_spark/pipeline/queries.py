@@ -418,7 +418,11 @@ def dedup_jaccard_verify(spark, sf_dir):
     union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - common
     jac = common.cast("double") / union
     return (
-        a.filter(F.col("doc_id") < 20)
+        # the probe slice is bounded by construction (20 docs): declare
+        # the broadcast — the 100x stress showed Generate-fed size
+        # estimates can hand the build side to the corpus (curation.py
+        # contamination note)
+        F.broadcast(a.filter(F.col("doc_id") < 20))
         .join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1879,7 +1883,8 @@ def dedup_containment_verify(spark, sf_dir):
     nmin = F.least(F.size(F.col("a.ts")), F.size(F.col("b.ts")))
     cont = common.cast("double") / nmin
     return (
-        a.filter(F.col("doc_id") < 20)
+        # bounded probe slice: same explicit-broadcast rule as above
+        F.broadcast(a.filter(F.col("doc_id") < 20))
         .join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
