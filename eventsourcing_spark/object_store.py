@@ -64,7 +64,9 @@ from __future__ import annotations
 import datetime as _dt
 import hashlib
 import hmac
+import http.client
 import os
+import random
 import time
 import urllib.error
 import urllib.parse
@@ -72,6 +74,7 @@ import urllib.request
 import uuid
 import xml.etree.ElementTree as ET
 from email.utils import parsedate_to_datetime
+from typing import NamedTuple
 
 from eventsourcing_spark.cas import CasBackend, CasEntry
 
@@ -114,7 +117,13 @@ def _sigv4_headers(
     canonical = "\n".join(
         [
             method,
-            urllib.parse.quote(parsed.path or "/", safe="/-_.~"),
+            # The path arrives ALREADY percent-encoded once (by _url);
+            # S3 — unlike every other AWS service — requires the
+            # canonical URI encoded exactly once, so it is used
+            # verbatim. Re-quoting here turned '%20' into '%2520' and
+            # produced SignatureDoesNotMatch for any key outside
+            # [A-Za-z0-9/_.~-] (round-12 ADVICE).
+            parsed.path or "/",
             cq,
             canonical_headers,
             ";".join(signed),
@@ -147,8 +156,41 @@ def _sigv4_headers(
     return out
 
 
+class _Frame(NamedTuple):
+    """One enveloped object as read back from the store."""
+
+    etag: str
+    seq: int | None  # None = foreign object (no envelope)
+    salt: str | None
+    ts_ns: int | None
+    data: bytes
+    last_modified: str | None
+
+
 class ObjectStoreCasBackend(CasBackend):
-    """CAS over an S3-compatible endpoint; one key = one object."""
+    """CAS over an S3-compatible endpoint; one key = one object.
+
+    **Transient-fault policy** (round-12 directive). Real object stores
+    reset idle/overloaded connections and return intermittent 5xx as a
+    matter of course, so:
+
+    * ``get`` / ``list_keys`` (idempotent by definition) retry with
+      bounded jittered backoff on connection resets, ``URLError``,
+      timeouts, and 5xx — up to ``retries`` attempts.
+    * Conditional mutations (``put_if_absent`` / ``touch`` /
+      ``delete_if``) are **never blindly re-sent** after a transport
+      failure: the response may have been lost AFTER the server applied
+      the write, and re-sending an ``If-None-Match``/``If-Match``
+      request would then observe its OWN write and mis-report the race.
+      Instead the key is re-read and the outcome decided from the
+      version envelope — the seam's own primitive makes this safe:
+      ``put_if_absent`` draws a per-call random salt, so a re-read
+      showing (seq=0, our salt) proves our PUT landed; ``touch`` bumps
+      seq under If-Match, so (seq+1, same salt) proves our heartbeat
+      landed, while an unchanged ETag proves it did NOT land (safe to
+      re-send the still-conditional PUT). ``delete_if`` decides from
+      absence (won) / moved ETag (lost) / unchanged ETag (re-send).
+    """
 
     def __init__(
         self,
@@ -160,6 +202,8 @@ class ObjectStoreCasBackend(CasBackend):
         region: str = "us-east-1",
         session_token: str | None = None,
         timeout: float = 10.0,
+        retries: int = 5,
+        backoff: float = 0.05,
     ):
         self.endpoint = endpoint.rstrip("/")
         self.bucket = bucket
@@ -169,6 +213,8 @@ class ObjectStoreCasBackend(CasBackend):
         self.region = region
         self.session_token = session_token
         self.timeout = timeout
+        self.retries = max(1, retries)
+        self.backoff = backoff
 
     # ------------------------------------------------------------ plumbing
     def _url(self, key: str = "", query: str = "") -> str:
@@ -199,6 +245,80 @@ class ObjectStoreCasBackend(CasBackend):
     def _etag(resp) -> str:
         return (resp.headers.get("ETag") or "").strip('"')
 
+    # Version tokens are composite ``<etag>:<salt>``: the ETag is what
+    # If-Match sends on the wire; the generation salt rides along so
+    # the delete-recovery path can tell "same lineage, version moved by
+    # a touch → lost" apart from "the lineage carrying this token is
+    # gone → our conditional delete landed, its response was lost".
+    # Without the salt, a lost DELETE response followed by a competing
+    # re-create is indistinguishable from a renewed lease, and a
+    # successful release would spuriously report LeaseLost.
+    @staticmethod
+    def _token(etag: str, salt: str | None) -> str:
+        return f"{etag}:{salt}" if salt else etag
+
+    @staticmethod
+    def _parse_token(tok: str) -> tuple[str, str | None]:
+        etag, _, salt = tok.partition(":")
+        return etag, (salt or None)
+
+    @staticmethod
+    def _transient(e: BaseException) -> bool:
+        """Is this failure worth retrying / recovering from?"""
+        if isinstance(e, urllib.error.HTTPError):
+            return e.code >= 500
+        return isinstance(
+            e,
+            (
+                urllib.error.URLError,  # wraps OSError incl. resets
+                ConnectionError,
+                TimeoutError,
+                http.client.HTTPException,  # RemoteDisconnected etc.
+            ),
+        )
+
+    def _sleep(self, attempt: int) -> None:
+        time.sleep(self.backoff * (2 ** attempt) * (0.5 + random.random()))
+
+    def _read_frame(self, key: str) -> _Frame | None:
+        """GET one key with idempotent retry; None on 404.
+
+        The returned ETag is coherent with the returned body by
+        protocol (the object store's GET is atomic), so this single
+        round-trip yields both the version token and the envelope.
+        """
+        last: BaseException | None = None
+        for attempt in range(self.retries):
+            try:
+                resp = self._request("GET", self._url(key))
+                body = resp.read()
+            except urllib.error.HTTPError as e:
+                if e.code == 404:
+                    return None
+                if not self._transient(e):
+                    raise
+                last = e
+            except (
+                ConnectionError,
+                TimeoutError,
+                urllib.error.URLError,
+                http.client.HTTPException,
+            ) as e:
+                last = e
+            else:
+                etag = self._etag(resp)
+                lm = resp.headers.get("Last-Modified")
+                try:
+                    seq, salt, ts_ns, data = self._unframe(body)
+                except (ValueError, IndexError, UnicodeDecodeError):
+                    # foreign object (not written through this backend)
+                    return _Frame(etag, None, None, None, body, lm)
+                return _Frame(etag, seq, salt, ts_ns, data, lm)
+            if attempt + 1 < self.retries:
+                self._sleep(attempt)
+        assert last is not None
+        raise last
+
     @staticmethod
     def _frame(seq: int, salt: str, data: bytes) -> bytes:
         return f"{seq}:{salt}:{time.time_ns()}\n".encode() + data
@@ -212,73 +332,156 @@ class ObjectStoreCasBackend(CasBackend):
 
     # ---------------------------------------------------------- interface
     def put_if_absent(self, key: str, data: bytes) -> str | None:
-        body = self._frame(0, uuid.uuid4().hex, data)
-        try:
-            resp = self._request(
-                "PUT", self._url(key), data=body,
-                headers={"If-None-Match": "*"},
-            )
-            return self._etag(resp)
-        except urllib.error.HTTPError as e:
-            if e.code in (409, 412):  # exists — lost the create race
-                return None
-            raise
+        salt = uuid.uuid4().hex  # per-call identity: proves OUR write won
+        body = self._frame(0, salt, data)
+        last: BaseException | None = None
+        for attempt in range(self.retries):
+            try:
+                resp = self._request(
+                    "PUT", self._url(key), data=body,
+                    headers={"If-None-Match": "*"},
+                )
+                return self._token(self._etag(resp), salt)
+            except urllib.error.HTTPError as e:
+                if e.code in (409, 412):  # exists — lost the create race
+                    return None
+                if not self._transient(e):
+                    raise
+                last = e
+            except (
+                ConnectionError,
+                TimeoutError,
+                urllib.error.URLError,
+                http.client.HTTPException,
+            ) as e:
+                last = e
+            # Outcome unknown (response lost): token-recheck, never
+            # blind-resend — re-read and decide from the envelope salt.
+            cur = self._read_frame(key)
+            if cur is not None:
+                if cur.seq == 0 and cur.salt == salt:
+                    # our PUT landed; its response was lost
+                    return self._token(cur.etag, cur.salt)
+                return None  # someone else holds the key — lost
+            # key still absent: our write never landed; safe to re-send
+            if attempt + 1 < self.retries:
+                self._sleep(attempt)
+        assert last is not None
+        raise last
 
     def get(self, key: str) -> CasEntry | None:
-        try:
-            resp = self._request("GET", self._url(key))
-        except urllib.error.HTTPError as e:
-            if e.code == 404:
-                return None
-            raise
-        body = resp.read()
-        etag = self._etag(resp)
-        _, _, ts_ns, data = self._unframe(body)
-        if ts_ns is not None:
-            mtime = ts_ns / 1e9
+        fr = self._read_frame(key)
+        if fr is None:
+            return None
+        if fr.ts_ns is not None:
+            mtime = fr.ts_ns / 1e9
         else:  # legacy/foreign object: fall back to Last-Modified
-            lm = resp.headers.get("Last-Modified")
             mtime = (
-                parsedate_to_datetime(lm).timestamp() if lm else time.time()
+                parsedate_to_datetime(fr.last_modified).timestamp()
+                if fr.last_modified
+                else time.time()
             )
-        return CasEntry(data, etag, max(0.0, time.time() - mtime))
+        return CasEntry(
+            fr.data, self._token(fr.etag, fr.salt),
+            max(0.0, time.time() - mtime),
+        )
 
     def touch(self, key: str, expected: str) -> str | None:
-        cur = self.get(key)
-        if cur is None or cur.version != expected:
+        etag_e, salt_e = self._parse_token(expected)
+        # One GET yields token + envelope together (its ETag is
+        # coherent with its body); the If-Match PUT below guards the
+        # read-modify-write race, so no second verify read is needed
+        # (round-12 ADVICE: the old leading get() doubled heartbeat
+        # latency for no added safety).
+        cur = self._read_frame(key)
+        if (
+            cur is None
+            or cur.etag != etag_e
+            or cur.seq is None
+            or (salt_e is not None and cur.salt != salt_e)
+        ):
             return None
-        # re-read the frame to carry seq+salt forward (get() strips it)
-        try:
-            resp = self._request("GET", self._url(key))
-        except urllib.error.HTTPError as e:
-            if e.code == 404:
-                return None
-            raise
-        if self._etag(resp) != expected:
-            return None
-        seq, salt, _, data = self._unframe(resp.read())
-        try:
-            resp = self._request(
-                "PUT", self._url(key),
-                data=self._frame(seq + 1, salt, data),
-                headers={"If-Match": expected},
-            )
-            return self._etag(resp)
-        except urllib.error.HTTPError as e:
-            if e.code in (404, 409, 412):  # moved under us — lost
-                return None
-            raise
+        new_body = self._frame(cur.seq + 1, cur.salt, cur.data)
+        last: BaseException | None = None
+        for attempt in range(self.retries):
+            try:
+                resp = self._request(
+                    "PUT", self._url(key), data=new_body,
+                    headers={"If-Match": etag_e},
+                )
+                return self._token(self._etag(resp), cur.salt)
+            except urllib.error.HTTPError as e:
+                if e.code in (404, 409, 412):  # moved under us — lost
+                    return None
+                if not self._transient(e):
+                    raise
+                last = e
+            except (
+                ConnectionError,
+                TimeoutError,
+                urllib.error.URLError,
+                http.client.HTTPException,
+            ) as e:
+                last = e
+            # Token-recheck: only a writer holding `expected` could
+            # have advanced the frame to (seq+1, same salt) — that was
+            # our PUT, its response lost.
+            now = self._read_frame(key)
+            if now is None:
+                return None  # deleted under us — lost
+            if now.seq == cur.seq + 1 and now.salt == cur.salt:
+                return self._token(now.etag, now.salt)
+            if now.etag != etag_e:
+                return None  # version moved to something else — lost
+            # unchanged: our PUT never landed; the re-send is still
+            # conditional on `expected`, so it remains race-safe.
+            if attempt + 1 < self.retries:
+                self._sleep(attempt)
+        assert last is not None
+        raise last
 
     def delete_if(self, key: str, expected: str) -> bool:
-        try:
-            self._request(
-                "DELETE", self._url(key), headers={"If-Match": expected}
-            )
-            return True
-        except urllib.error.HTTPError as e:
-            if e.code in (404, 409, 412):
-                return False
-            raise
+        etag_e, salt_e = self._parse_token(expected)
+        last: BaseException | None = None
+        for attempt in range(self.retries):
+            try:
+                self._request(
+                    "DELETE", self._url(key), headers={"If-Match": etag_e}
+                )
+                return True
+            except urllib.error.HTTPError as e:
+                if e.code in (404, 409, 412):
+                    return False
+                if not self._transient(e):
+                    raise
+                last = e
+            except (
+                ConnectionError,
+                TimeoutError,
+                urllib.error.URLError,
+                http.client.HTTPException,
+            ) as e:
+                last = e
+            # Token-recheck: absent = our conditional delete landed
+            # (response lost); unchanged ETag = never landed, the
+            # re-send is still guarded by If-Match; SAME lineage with a
+            # moved ETag = a touch renewed the generation — the
+            # conditional would have 412'd, lost; a DIFFERENT lineage
+            # salt = the generation carrying `expected` is gone (only
+            # a delete holding its token could remove it — ours) and a
+            # competitor re-created the key afterwards: our delete won.
+            cur = self._read_frame(key)
+            if cur is None:
+                return True
+            if cur.etag == etag_e:
+                if attempt + 1 < self.retries:
+                    self._sleep(attempt)
+                continue
+            if salt_e is not None and cur.salt is not None:
+                return cur.salt != salt_e
+            return False
+        assert last is not None
+        raise last
 
     def list_keys(self, prefix: str = "") -> list[str]:
         out: list[str] = []
@@ -291,8 +494,30 @@ class ObjectStoreCasBackend(CasBackend):
                 q += "&continuation-token=" + urllib.parse.quote(
                     token, safe=""
                 )
-            resp = self._request("GET", self._url(query=q))
-            root = ET.fromstring(resp.read())
+            last: BaseException | None = None
+            payload: bytes | None = None
+            for attempt in range(self.retries):
+                try:
+                    resp = self._request("GET", self._url(query=q))
+                    payload = resp.read()
+                    break
+                except urllib.error.HTTPError as e:
+                    if not self._transient(e):
+                        raise
+                    last = e
+                except (
+                    ConnectionError,
+                    TimeoutError,
+                    urllib.error.URLError,
+                    http.client.HTTPException,
+                ) as e:
+                    last = e
+                if attempt + 1 < self.retries:
+                    self._sleep(attempt)
+            if payload is None:
+                assert last is not None
+                raise last
+            root = ET.fromstring(payload)
             ns = ""
             if root.tag.startswith("{"):
                 ns = root.tag[: root.tag.index("}") + 1]

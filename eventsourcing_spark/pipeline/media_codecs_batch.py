@@ -42,10 +42,13 @@ queries run green under stdlib, numpy, and batch codecs alike.
 
 Memory discipline: batches are grouped by channel count, sorted by
 (height, stride) and chunked so no stacked intermediate exceeds
-``MAX_GROUP_BYTES`` — padding waste is bounded and a pathological
-mixed batch (one 4k image among thumbnails) degrades to smaller
-stacks, never to quadratic memory. All outputs are returned in input
-order regardless of internal regrouping.
+``MAX_GROUP_BYTES`` — the bound tracks the stack's row and row-byte
+maxima separately (a padded stack costs rows_max x row_bytes_max per
+image, which for a tall-narrow/short-wide mix is far more than any
+single image), so padding waste is bounded and a pathological mixed
+batch (one 4k image among thumbnails, or a 1x10000 beside a 10000x1)
+degrades to smaller stacks, never to quadratic memory. All outputs
+are returned in input order regardless of internal regrouping.
 
 Reference parity target: quintans/eventsourcing has no media pipeline;
 this family models the multimodal curation stages a 100 TB training-
@@ -98,20 +101,38 @@ MIN_BATCH = 4
 MAX_GROUP_BYTES = 32 * 1024 * 1024
 
 
-def _bounded_groups(idx: list, padded_size, max_bytes: int):
-    """Split ``idx`` (pre-sorted by size) into runs where
-    ``len(run) * max(padded_size)`` stays under ``max_bytes``."""
+def _bounded_groups(idx: list, dims, max_bytes: int):
+    """Split ``idx`` (pre-sorted by shape) into runs whose STACKED
+    allocation stays under ``max_bytes``.
+
+    ``dims(i)`` returns one ``(rows, row_bytes)`` pair per stacked
+    intermediate the run will allocate (encode/decode use one stack,
+    resample a source and a dest stack). The run is capped so
+    ``len(run) * sum(rows_max * row_bytes_max)`` never exceeds
+    ``max_bytes``, with each axis maximum tracked SEPARATELY: the
+    stack is padded to (rows_max, row_bytes_max), so a tall-narrow and
+    a short-wide image in one run (1x10000 with 10000x1) cost
+    rows_max*row_bytes_max each — orders of magnitude more than either
+    image's own padded size, which a max-of-products bound missed
+    (round-12 ADVICE)."""
     run: list = []
-    run_max = 0
+    maxes: list | None = None
     for i in idx:
-        s = padded_size(i)
-        m = s if s > run_max else run_max
-        if run and (len(run) + 1) * m > max_bytes:
+        d = dims(i)
+        if maxes is None:
+            nm = list(d)
+        else:
+            nm = [
+                (h if h > mh else mh, s if s > ms else ms)
+                for (h, s), (mh, ms) in zip(d, maxes)
+            ]
+        per = sum(h * s for h, s in nm)
+        if run and (len(run) + 1) * per > max_bytes:
             yield run
-            run, run_max = [i], s
+            run, maxes = [i], list(d)
         else:
             run.append(i)
-            run_max = m
+            maxes = nm
     if run:
         yield run
 
@@ -166,7 +187,7 @@ def encode_png_batch(items: list) -> list:
         idx.sort(key=lambda i: (items[i][2], items[i][1]))
         for run in _bounded_groups(
             idx,
-            lambda i: items[i][2] * items[i][1] * ch,
+            lambda i: ((items[i][2], items[i][1] * ch),),
             MAX_GROUP_BYTES,
         ):
             if len(run) < MIN_BATCH:
@@ -292,7 +313,7 @@ def decode_png_batch(datas: list) -> list:
         idx.sort(key=lambda i: (parsed[i][1], parsed[i][0]))
         for run in _bounded_groups(
             idx,
-            lambda i: parsed[i][1] * (parsed[i][0] * ch + 1),
+            lambda i: ((parsed[i][1], parsed[i][0] * ch + 1),),
             MAX_GROUP_BYTES,
         ):
             if len(run) < MIN_BATCH:
@@ -403,10 +424,10 @@ def resample_nearest_batch(items: list) -> list:
         idx.sort(key=lambda i: (items[i][2], items[i][1]))
         for run in _bounded_groups(
             idx,
-            lambda i: max(
-                items[i][2] * items[i][1], items[i][4] * items[i][3]
-            )
-            * ch,
+            lambda i: (
+                (items[i][2], items[i][1] * ch),  # source stack
+                (items[i][4], items[i][3] * ch),  # dest stack
+            ),
             MAX_GROUP_BYTES,
         ):
             if len(run) < MIN_BATCH:

@@ -17,6 +17,7 @@ helpers of the file/memory backends.
 from __future__ import annotations
 
 import hashlib
+import socket
 import threading
 import time
 from email.utils import formatdate
@@ -25,13 +26,34 @@ from urllib.parse import parse_qsl, unquote, urlsplit
 
 
 class S3Lite:
-    def __init__(self, page_size: int = 0):
+    def __init__(self, page_size: int = 0, flaky: dict | None = None):
         """``page_size`` > 0 truncates list responses to that many keys
         per page with a NextContinuationToken, exercising the client's
         paging loop; 0 = everything in one page (S3's real default is
-        1000)."""
+        1000).
+
+        **Fault injection** (round-12 directive: pin the client's
+        transient-fault retry/recovery paths). Two mechanisms:
+
+        * ``inject(kind, verb=None, times=1)`` queues one-shot faults
+          consumed by the next ``times`` requests matching ``verb``.
+        * ``flaky={kind: n, ...}`` fires ``kind`` deterministically on
+          every ``n``-th request (counter-based — no randomness), so
+          whole test matrices can run under steady background faults.
+
+        Kinds: ``"500"`` = respond 500 WITHOUT applying the mutation
+        (client may blind-retry GET/LIST; mutations must recover);
+        ``"reset-before"`` = drop the connection before processing
+        (request lost in flight); ``"reset-after"`` = apply the
+        mutation, then drop the connection instead of responding — the
+        lost-response case where blind re-send of a conditional write
+        would observe its own write and mis-report the race.
+        """
         self.lock = threading.Lock()
         self.page_size = page_size
+        self.flaky = dict(flaky or {})
+        self.faults: list = []  # queued dicts: {verb, kind}
+        self.request_count = 0
         # full object key (bucket-relative) -> [body, etag, mtime]
         self.objects: dict[str, list] = {}
         outer = self
@@ -51,6 +73,15 @@ class S3Lite:
                 if body:
                     self.wfile.write(body)
 
+            def _abort(self):
+                """Drop the connection without a response — the client
+                sees a reset / RemoteDisconnected."""
+                try:
+                    self.connection.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
+                self.close_connection = True
+
             def _key(self):
                 path = unquote(urlsplit(self.path).path).lstrip("/")
                 # strip the bucket segment
@@ -60,22 +91,39 @@ class S3Lite:
             def do_PUT(self):  # noqa: N802
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
+                fault = outer._take_fault("PUT")
+                if fault == "reset-before":
+                    return self._abort()
+                if fault == "500":
+                    return self._send(500)
                 key = self._key()
                 inm = self.headers.get("If-None-Match")
                 im = self.headers.get("If-Match")
                 with outer.lock:
                     cur = outer.objects.get(key)
                     if inm == "*" and cur is not None:
+                        if fault == "reset-after":
+                            return self._abort()
                         return self._send(412)
                     if im is not None and (
                         cur is None or cur[1] != im.strip('"')
                     ):
+                        if fault == "reset-after":
+                            return self._abort()
                         return self._send(412)
                     etag = hashlib.md5(body).hexdigest()
                     outer.objects[key] = [body, etag, time.time()]
+                if fault == "reset-after":
+                    return self._abort()
                 return self._send(200, headers={"ETag": f'"{etag}"'})
 
             def do_GET(self):  # noqa: N802
+                fault = outer._take_fault("GET")
+                if fault in ("reset-before", "reset-after"):
+                    # GET mutates nothing; both reset kinds collapse
+                    return self._abort()
+                if fault == "500":
+                    return self._send(500)
                 sp = urlsplit(self.path)
                 q = dict(parse_qsl(sp.query, keep_blank_values=True))
                 if q.get("list-type") == "2":
@@ -122,15 +170,26 @@ class S3Lite:
                 )
 
             def do_DELETE(self):  # noqa: N802
+                fault = outer._take_fault("DELETE")
+                if fault == "reset-before":
+                    return self._abort()
+                if fault == "500":
+                    return self._send(500)
                 key = self._key()
                 im = self.headers.get("If-Match")
                 with outer.lock:
                     cur = outer.objects.get(key)
                     if cur is None:
+                        if fault == "reset-after":
+                            return self._abort()
                         return self._send(404)
                     if im is not None and cur[1] != im.strip('"'):
+                        if fault == "reset-after":
+                            return self._abort()
                         return self._send(412)
                     del outer.objects[key]
+                if fault == "reset-after":
+                    return self._abort()
                 return self._send(204)
 
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
@@ -143,6 +202,27 @@ class S3Lite:
     def endpoint(self) -> str:
         host, port = self.server.server_address
         return f"http://{host}:{port}"
+
+    def inject(self, kind: str, verb: str | None = None, times: int = 1):
+        """Queue ``times`` one-shot faults for requests matching
+        ``verb`` (None = any verb). Kinds: '500', 'reset-before',
+        'reset-after'."""
+        with self.lock:
+            self.faults.extend(
+                {"verb": verb, "kind": kind} for _ in range(times)
+            )
+
+    def _take_fault(self, verb: str) -> str | None:
+        with self.lock:
+            self.request_count += 1
+            for i, f in enumerate(self.faults):
+                if f["verb"] in (None, verb):
+                    self.faults.pop(i)
+                    return f["kind"]
+            for kind, n in self.flaky.items():
+                if n and self.request_count % n == 0:
+                    return kind
+        return None
 
     def rewind(self, key: str, seconds: float) -> None:
         """Backdate an object as if its writer stopped heartbeating.

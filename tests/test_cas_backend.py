@@ -33,24 +33,47 @@ def s3lite():
     srv.close()
 
 
-def _s3_backend(s3lite) -> ObjectStoreCasBackend:
+# Steady deterministic background faults at EVERY verb (round-12
+# directive): every 9th request 500s, every 13th is dropped before
+# processing, every 23rd is dropped AFTER the mutation applied (the
+# lost-response case). The whole contract + lease + manifest matrix
+# runs over this server too, driving the client's retry + token-recheck
+# recovery under load. Density ~0.23 faults/request: with 8 retries the
+# odds of one operation drawing 8 consecutive faults off the shared
+# counter are ~1e-5 — exhaustion stays a genuine-outage signal, not a
+# test flake, even under the 16-thread hammer.
+_FLAKY = {"500": 9, "reset-before": 13, "reset-after": 23}
+
+
+@pytest.fixture(scope="module")
+def s3flaky():
+    srv = S3Lite(flaky=_FLAKY)
+    yield srv
+    srv.close()
+
+
+def _s3_backend(s3lite, flaky: bool = False) -> ObjectStoreCasBackend:
     # fresh key namespace per test so the module-scoped double carries
     # no state across tests; the prefix path is exercised for free
     import uuid as _uuid
 
     be = ObjectStoreCasBackend(
-        s3lite.endpoint, "test-bucket", prefix=f"{_uuid.uuid4().hex}/"
+        s3lite.endpoint, "test-bucket", prefix=f"{_uuid.uuid4().hex}/",
+        retries=8 if flaky else 5, backoff=0.005,
     )
     be._s3lite = s3lite  # rewind backdoor for the TTL tests
+    be._flaky = flaky  # lets ambiguity-sensitive asserts relax
     return be
 
 
-@pytest.fixture(params=["file", "memory", "s3"])
-def backend(request, tmp_path, s3lite):
+@pytest.fixture(params=["file", "memory", "s3", "s3flaky"])
+def backend(request, tmp_path, s3lite, s3flaky):
     if request.param == "file":
         return FileCasBackend(str(tmp_path / "cas"))
     if request.param == "s3":
         return _s3_backend(s3lite)
+    if request.param == "s3flaky":
+        return _s3_backend(s3flaky, flaky=True)
     return MemoryCasBackend()
 
 
@@ -102,13 +125,26 @@ def test_delete_if_is_version_checked(backend):
     assert backend.get("k") is not None  # survived the bad delete
     assert backend.delete_if("k", v)
     assert backend.get("k") is None
-    assert not backend.delete_if("k", v)  # idempotent-ish: already gone
+    # Inherent lost-response ambiguity: when the response to a delete
+    # of an ALREADY-ABSENT key is dropped, the recovery path can only
+    # observe absence and must report success (at-most-once deletes
+    # cannot distinguish "I removed it" from "it was already gone").
+    # Every use of the seam (lease release/break) follows the delete
+    # with a conditional create, so the stronger claim is not needed.
+    if not getattr(backend, "_flaky", False):
+        assert not backend.delete_if("k", v)  # already gone
 
 
 def test_exactly_one_of_n_conditional_deletes_wins(backend):
     v = backend.put_if_absent("k", b"x")
     wins = [backend.delete_if("k", v) for _ in range(5)]
-    assert wins.count(True) == 1
+    if getattr(backend, "_flaky", False):
+        # under lost responses delete-on-absent reads as a win (see
+        # test_delete_if_is_version_checked); at least one must win
+        # and the key must end gone either way
+        assert wins.count(True) >= 1 and backend.get("k") is None
+    else:
+        assert wins.count(True) == 1
 
 
 # ----------------------------------------------- ADVICE race scenarios
@@ -233,8 +269,8 @@ def test_concurrent_acquire_hammer(backend, tmp_path):
 
 
 # --------------------------------------------- manifest log over the seam
-@pytest.fixture(params=["file", "memory", "s3"])
-def manifest_backend(request, s3lite):
+@pytest.fixture(params=["file", "memory", "s3", "s3flaky"])
+def manifest_backend(request, s3lite, s3flaky):
     """None = the default FileCasBackend path inside registry_manifest;
     a MemoryCasBackend / ObjectStoreCasBackend instance = the
     object-store-shaped log."""
@@ -242,6 +278,8 @@ def manifest_backend(request, s3lite):
         return None
     if request.param == "s3":
         return _s3_backend(s3lite)
+    if request.param == "s3flaky":
+        return _s3_backend(s3flaky, flaky=True)
     return MemoryCasBackend()
 
 
@@ -373,6 +411,200 @@ def test_sigv4_header_shape(s3lite):
     v = be.put_if_absent("k", b"x")
     assert v is not None and be.get("k").data == b"x"
     assert be.delete_if("k", v)
+
+
+# ------------------------------------- transient-fault retry/recovery
+import contextlib
+
+
+@contextlib.contextmanager
+def _fresh_srv(**kw):
+    """A private S3Lite per fault test — injected faults must never
+    leak into the shared module-scoped double."""
+    srv = S3Lite(**kw)
+    try:
+        yield srv, ObjectStoreCasBackend(
+            srv.endpoint, "b", prefix="f/", retries=5, backoff=0.002
+        )
+    finally:
+        srv.close()
+
+
+def test_get_retries_through_resets_and_500s():
+    with _fresh_srv() as (srv, be):
+        v = be.put_if_absent("k", b"x")
+        srv.inject("reset-before", verb="GET", times=2)
+        srv.inject("500", verb="GET", times=1)
+        e = be.get("k")  # three consecutive faults, then success
+        assert e.data == b"x" and e.version == v
+
+
+def test_get_raises_after_exhausted_retries():
+    with _fresh_srv() as (srv, be):
+        be.put_if_absent("k", b"x")
+        srv.inject("reset-before", verb="GET", times=99)
+        with pytest.raises(Exception):
+            be.get("k")
+
+
+def test_list_keys_retries_through_faults():
+    with _fresh_srv(page_size=3) as (srv, be):
+        names = [f"k{i}" for i in range(8)]
+        for nm in names:
+            be.put_if_absent(nm, b"x")
+        # fault several of the paged LIST requests
+        srv.inject("reset-before", verb="GET", times=1)
+        srv.inject("500", verb="GET", times=1)
+        assert be.list_keys() == sorted(names)
+
+
+def test_put_if_absent_lost_response_recovers_own_write():
+    """The critical case: the PUT LANDED but its response was dropped.
+    A blind re-send would see If-None-Match fail on our own object and
+    mis-report the create race as lost; the salt recheck must instead
+    return the winning token."""
+    with _fresh_srv() as (srv, be):
+        srv.inject("reset-after", verb="PUT")
+        v = be.put_if_absent("k", b"mine")
+        assert v is not None
+        e = be.get("k")
+        assert e.data == b"mine" and e.version == v
+        # and the token is live: a touch against it succeeds
+        assert be.touch("k", v) is not None
+
+
+def test_put_if_absent_dropped_request_is_resent():
+    with _fresh_srv() as (srv, be):
+        srv.inject("reset-before", verb="PUT", times=2)
+        srv.inject("500", verb="PUT", times=1)
+        v = be.put_if_absent("k", b"mine")
+        assert v is not None and be.get("k").data == b"mine"
+
+
+def test_put_if_absent_lost_response_on_existing_key_reports_loss():
+    with _fresh_srv() as (srv, be):
+        be.put_if_absent("k", b"theirs")
+        srv.inject("reset-after", verb="PUT")  # drops the 412 response
+        assert be.put_if_absent("k", b"mine") is None
+        assert be.get("k").data == b"theirs"
+
+
+def test_touch_lost_response_recovers_bumped_seq():
+    with _fresh_srv() as (srv, be):
+        v1 = be.put_if_absent("k", b"p")
+        srv.inject("reset-after", verb="PUT")  # heartbeat landed, resp lost
+        v2 = be.touch("k", v1)
+        assert v2 is not None and v2 != v1
+        assert be.get("k").version == v2  # recovered token is current
+        assert be.get("k").data == b"p"
+        assert be.touch("k", v2) is not None  # seq bumped exactly once
+
+
+def test_touch_dropped_request_is_resent_conditionally():
+    with _fresh_srv() as (srv, be):
+        v1 = be.put_if_absent("k", b"p")
+        srv.inject("reset-before", verb="PUT", times=2)
+        v2 = be.touch("k", v1)
+        assert v2 is not None and be.get("k").version == v2
+
+
+def test_delete_if_lost_response_reports_win():
+    with _fresh_srv() as (srv, be):
+        v = be.put_if_absent("k", b"x")
+        srv.inject("reset-after", verb="DELETE")  # delete landed, resp lost
+        assert be.delete_if("k", v) is True
+        assert be.get("k") is None
+
+
+def test_delete_if_dropped_request_is_resent():
+    with _fresh_srv() as (srv, be):
+        v = be.put_if_absent("k", b"x")
+        srv.inject("reset-before", verb="DELETE", times=2)
+        assert be.delete_if("k", v) is True and be.get("k") is None
+
+
+def test_delete_if_lost_response_on_moved_version_reports_loss():
+    with _fresh_srv() as (srv, be):
+        v1 = be.put_if_absent("k", b"x")
+        v2 = be.touch("k", v1)
+        assert v2 is not None
+        srv.inject("reset-after", verb="DELETE")  # drops the 412 response
+        assert be.delete_if("k", v1) is False  # stale token — lost
+        assert be.get("k") is not None  # fresh generation survived
+
+
+def test_sigv4_single_encodes_special_keys(monkeypatch, s3lite):
+    """S3 — unlike other AWS services — wants the canonical URI
+    percent-encoded exactly ONCE (round-12 ADVICE: re-quoting the
+    already-encoded path turned %20 into %2520 → 403 on any key with a
+    space/colon). Pinned against a literally-written single-encoded
+    canonical path with the full published recipe replayed in-test,
+    plus an end-to-end round trip with such a key."""
+    import datetime as real_dt
+    import hashlib as hl
+    import hmac as hm
+
+    import eventsourcing_spark.object_store as os_mod
+
+    fixed = real_dt.datetime(2013, 5, 24, 0, 0, 0,
+                             tzinfo=real_dt.timezone.utc)
+
+    class _FrozenDT:
+        timezone = real_dt.timezone
+
+        class datetime:  # noqa: D106
+            @staticmethod
+            def now(tz=None):
+                return fixed
+
+    monkeypatch.setattr(os_mod, "_dt", _FrozenDT)
+
+    be = ObjectStoreCasBackend(
+        "http://127.0.0.1:9000", "test-bucket", prefix="signed/",
+        access_key="AKID", secret_key="sk",
+    )
+    url = be._url("my key:a+b.txt")
+    got = os_mod._sigv4_headers("GET", url, {}, "AKID", "sk", "us-east-1")
+
+    # replay the recipe with the canonical URI written out by hand,
+    # single-encoded — the only degree of freedom under test
+    canonical_path = "/test-bucket/signed/my%20key%3Aa%2Bb.txt"
+    assert url == "http://127.0.0.1:9000" + canonical_path
+    headers = "\n".join([
+        "host:127.0.0.1:9000",
+        "x-amz-content-sha256:UNSIGNED-PAYLOAD",
+        "x-amz-date:20130524T000000Z",
+    ]) + "\n"
+    canonical = "\n".join([
+        "GET", canonical_path, "", headers,
+        "host;x-amz-content-sha256;x-amz-date", "UNSIGNED-PAYLOAD",
+    ])
+    sts = "\n".join([
+        "AWS4-HMAC-SHA256", "20130524T000000Z",
+        "20130524/us-east-1/s3/aws4_request",
+        hl.sha256(canonical.encode()).hexdigest(),
+    ])
+
+    def _k(key, msg):
+        return hm.new(key, msg.encode(), hl.sha256).digest()
+
+    k = _k(_k(_k(_k(b"AWS4sk", "20130524"), "us-east-1"), "s3"),
+           "aws4_request")
+    want = hm.new(k, sts.encode(), hl.sha256).hexdigest()
+    assert got["Authorization"].rsplit("Signature=", 1)[1] == want
+
+    # end-to-end: the signed request with a %-needing key round-trips
+    # against the double and the stored key is the DECODED original
+    monkeypatch.undo()
+    be2 = ObjectStoreCasBackend(
+        s3lite.endpoint, "test-bucket", prefix="signed2/",
+        access_key="AKID", secret_key="sk",
+    )
+    v = be2.put_if_absent("my key:a+b.txt", b"enc")
+    assert v is not None
+    assert be2.get("my key:a+b.txt").data == b"enc"
+    assert be2.list_keys() == ["my key:a+b.txt"]
+    assert be2.delete_if("my key:a+b.txt", v)
 
 
 def test_s3_list_keys_pages_through_truncation():

@@ -341,6 +341,63 @@ def test_batch_codec_chunking_respects_memory_bound(monkeypatch):
     assert mbat.decode_png_batch(encs) == [mc.decode_png(e) for e in encs]
 
 
+def test_bounded_groups_tracks_axis_maxima_separately(monkeypatch):
+    """round-12 ADVICE: sorting by (h, w) still lets a tall-narrow and
+    a short-wide image share a run, whose padded stack costs
+    h_max * stride_max PER IMAGE — for 1x10000 beside 10000x1 that is
+    ~10,000x either image's own size. The grouper must bound the REAL
+    stacked allocation, not max(per-image padded size)."""
+    import random
+
+    from eventsourcing_spark.pipeline import media_codecs as mc
+    from eventsourcing_spark.pipeline import media_codecs_batch as mbat
+
+    # direct pin on the grouper: per-image padded size is 40 KB, but a
+    # joint stack would be 40000*40000 = 1.6 GB
+    dims = [(1, 40000), (40000, 1)] * 4 + [(1, 40000)]
+    runs = list(
+        mbat._bounded_groups(
+            list(range(len(dims))),
+            lambda i: (dims[i],),
+            mbat.MAX_GROUP_BYTES,
+        )
+    )
+    for run in runs:
+        hm = max(dims[i][0] for i in run)
+        sm = max(dims[i][1] for i in run)
+        assert len(run) * hm * sm <= mbat.MAX_GROUP_BYTES
+    assert sorted(i for r in runs for i in r) == list(range(len(dims)))
+
+    # resample allocates TWO stacks (source + dest); a short-wide
+    # source resampled to tall-narrow must bound their SUM
+    rdims = [((1, 4000), (4000, 1)), ((4000, 1), (1, 4000))] * 3
+    for run in mbat._bounded_groups(
+        list(range(len(rdims))), lambda i: rdims[i], 64 * 1024
+    ):
+        tot = sum(
+            max(rdims[i][k][0] for i in run)
+            * max(rdims[i][k][1] for i in run)
+            for k in (0, 1)
+        )
+        assert len(run) * tot <= 64 * 1024
+
+    # end-to-end: mixed-aspect batch stays byte-identical through the
+    # degraded (smaller-run) path under a tightened bound
+    rng = random.Random(11)
+    items = []
+    for _ in range(10):
+        items.append((bytes(rng.randrange(256) for _ in range(64)), 64, 1, 1))
+        items.append((bytes(rng.randrange(256) for _ in range(64)), 1, 64, 1))
+    monkeypatch.setattr(mbat, "MAX_GROUP_BYTES", 2048)
+    encs = mbat.encode_png_batch(items)
+    assert encs == [mc.encode_png(*it) for it in items]
+    assert mbat.decode_png_batch(encs) == [mc.decode_png(e) for e in encs]
+    rs = [(p, w, h, h, w, c) for p, w, h, c in items]  # transpose shapes
+    assert mbat.resample_nearest_batch(rs) == [
+        mc.resample_nearest(*it) for it in rs
+    ]
+
+
 def test_batch_codec_error_contract():
     """Invalid inputs raise the scalar kernels' exact errors."""
     import pytest as _pytest
