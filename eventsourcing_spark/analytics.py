@@ -3338,7 +3338,13 @@ def kaplan_meier_daily(spark, sf_dir):
         ),
     )
     return (
-        out.join(at_risk, "day")
+        # `out` is bounded BY CONSTRUCTION (one row per calendar day,
+        # exploded from a 1-row collected curve) — declare the
+        # broadcast rather than leaving it to the explode-blind size
+        # estimator (round-12 audit rule: structurally-small sides are
+        # declared, never estimated)
+        F.broadcast(out)
+        .join(at_risk, "day")
         .select(
             "day",
             F.col("n").cast("long").alias("n_at_risk"),

@@ -74,7 +74,14 @@ def bucketed_range_join(
             F.col("__r.__rts") < F.col("__l.__hi"),
         ],
     )
-    joined = l_exp.join(r, cond, how)
+    # This operator's whole point is the ordinary-hash-shuffle plan on
+    # (key, bucket) — pin it. The exploded left's size estimate does
+    # not grow with the bucket fan-out (Generate propagates its
+    # child's stats), so left to the estimator the join can broadcast
+    # a corpus-sized exploded side at exactly the scale where it dies
+    # (the round-11 contamination_overlap OOM class); SMJ keeps both
+    # sides co-partitioned and spills gracefully on hot buckets.
+    joined = l_exp.join(r.hint("merge"), cond, how)
     for k in key_cols:
         joined = joined.drop(F.col(f"__r.{k}"))
     return joined.drop(

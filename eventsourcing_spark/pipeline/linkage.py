@@ -128,8 +128,12 @@ def fs_linkage_weights(spark, sf_dir):
     left = base.withColumn(
         "k", F.explode(F.expr(f"sequence(1, {SN_WINDOW})"))
     ).withColumn("rn_b", F.col("rn") + F.col("k"))
+    # pin shuffle-merge: the exploded-offset side's size estimate does
+    # not grow with the window fan-out, so the estimator can broadcast
+    # a corpus-sized neighbor frame at scale (round-12 audit); SMJ
+    # co-partitions both sides on the nation key instead
     pairs = left.alias("a").join(
-        base.alias("b"),
+        base.hint("merge").alias("b"),
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
         & (F.col("a.rn_b") == F.col("b.rn")),
     )

@@ -989,7 +989,14 @@ def _phash_pairs(hashed):
             )
         ).alias("band", "bval"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # corpus-scale self band-join: pin the shuffle-merge plan. The
+    # banded side descends from an explode, whose size estimate does
+    # NOT grow with the fan-out (the round-11 contamination_overlap
+    # OOM class), so left to the estimator this join can broadcast a
+    # corpus-sized build at exactly the scale where it dies; SMJ
+    # co-partitions both sides on the band key and spills gracefully
+    # under adversarial bucket occupancy (round-12 broadcast audit).
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
     cand = (
         a.join(
             b,
@@ -1158,7 +1165,14 @@ def media_audio_fingerprint_neardup(spark, sf_dir):
             )
         ).alias("band", "bval"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # corpus-scale self band-join: pin the shuffle-merge plan. The
+    # banded side descends from an explode, whose size estimate does
+    # NOT grow with the fan-out (the round-11 contamination_overlap
+    # OOM class), so left to the estimator this join can broadcast a
+    # corpus-sized build at exactly the scale where it dies; SMJ
+    # co-partitions both sides on the band key and spills gracefully
+    # under adversarial bucket occupancy (round-12 broadcast audit).
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
     cand = (
         a.join(
             b,
@@ -1380,7 +1394,8 @@ def media_video_framehash_neardup(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     fhs = ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
-    a, b = fhs.alias("a"), fhs.alias("b")
+    # same shuffle-merge pin as the phash/audio band joins above
+    a, b = fhs.alias("a"), fhs.hint("merge").alias("b")
     matches = (
         a.join(
             b,

@@ -755,9 +755,12 @@ def dup_quality_auc(spark, sf_dir):
         "bucket_n",
         F.count("*").over(Window.partitionBy("band_id", "band_key")),
     )
+    # corpus-scale self band-join: pin shuffle-merge (the explode-fed
+    # side's size estimate does not grow with the fan-out, so the
+    # estimator can broadcast a corpus-sized build — round-12 audit)
     dupdocs = (
         sized.alias("a")
-        .join(sized.alias("b"), ["band_id", "band_key"])
+        .join(sized.hint("merge").alias("b"), ["band_id", "band_key"])
         .filter(
             (F.col("a.doc_id") != F.col("b.doc_id"))
             & (F.col("a.bucket_n") <= _Q_MAX_BUCKET)

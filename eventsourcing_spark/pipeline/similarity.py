@@ -1992,9 +1992,13 @@ def dedup_calibration_pr(spark, sf_dir):
         "bucket_n",
         F.count("*").over(Window.partitionBy("band_id", "band_key")),
     )
+    # corpus-scale self band-join: pin shuffle-merge — the banded side
+    # descends from an explode whose size estimate does not grow with
+    # the fan-out, so the estimator can hand a corpus-sized build to a
+    # broadcast at exactly the scale where it dies (round-12 audit)
     cand = (
         sized.alias("a")
-        .join(sized.alias("b"), ["band_id", "band_key"])
+        .join(sized.hint("merge").alias("b"), ["band_id", "band_key"])
         .filter(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.bucket_n") <= _Q_MAX_BUCKET)

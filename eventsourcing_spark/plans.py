@@ -127,11 +127,14 @@ def _parse_tree(plan: str) -> dict[int, dict]:
             continue
         indent = len(m.group("prefix"))
         nid = int(m.group("id"))
-        name = m.group("name").split()[0]  # "Scan parquet ..." -> "Scan"
+        full = m.group("name")  # e.g. "BroadcastHashJoin Inner BuildRight"
+        name = full.split()[0]  # "Scan parquet ..." -> "Scan"
         while stack and stack[-1][0] >= indent:
             stack.pop()
         parent = stack[-1][1] if stack else None
-        nodes[nid] = {"name": name, "parent": parent, "children": []}
+        nodes[nid] = {
+            "name": name, "line": full, "parent": parent, "children": []
+        }
         if parent is not None:
             nodes[parent]["children"].append(nid)
         stack.append((indent, nid))
@@ -400,18 +403,204 @@ def single_partition_census(
     return census
 
 
+# --- Generate-fed broadcast audit ------------------------------------------
+# The round-11 100x OOM class: a Generate (explode) node propagates poor
+# size estimates, so when the ESTIMATOR hands the broadcast build side to
+# an exploded frame, the plan that passed at 20x can OOM the driver at
+# 100x (contamination_overlap did exactly this — the exploded 500k-doc
+# train grams became the build side). The standing rule: any join side
+# that is bounded BY CONSTRUCTION must carry an explicit F.broadcast()
+# hint — declared small, never estimated small. These helpers flag every
+# physical broadcast join whose build side descends from a Generate node
+# without a matching declared hint on a Generate-bearing logical side.
+
+
+def _parse_logical_tree(text: str) -> dict[int, dict]:
+    """Parse a logical plan ``toString`` (``:-``/``+-`` indent tree)
+    into ``{idx: {name, line, parent, children}}`` keyed by line order."""
+    nodes: dict[int, dict] = {}
+    stack: list[tuple[int, int]] = []  # (indent, idx)
+    for idx, line in enumerate(text.splitlines()):
+        m = re.match(r"^(?P<pre>[:+\- ]*)(?P<rest>[A-Za-z].*)$", line)
+        if not m:
+            continue
+        indent = len(m.group("pre"))
+        name = m.group("rest").split()[0].rstrip(",")
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        parent = stack[-1][1] if stack else None
+        nodes[idx] = {
+            "name": name,
+            "line": m.group("rest"),
+            "parent": parent,
+            "children": [],
+        }
+        if parent is not None:
+            nodes[parent]["children"].append(idx)
+        stack.append((indent, idx))
+    return nodes
+
+
+
+
+_LOGICAL_BOUNDING = {"GlobalLimit", "LocalLimit", "Limit", "Sample"}
+
+
+def _logical_generate_unbounded(nodes: dict[int, dict], nid: int) -> bool:
+    """Is a ``Generate`` reachable from this logical node WITHOUT
+    passing a bounding operator? An Aggregate with a non-growing grain
+    (or no grain at all), a limit, or a sample caps the row count the
+    broadcast will materialize, so a Generate below it is not the
+    poor-stats hazard — the hazard is explode output flowing INTO the
+    broadcast un-collapsed."""
+    todo = [nid]
+    while todo:
+        cur = todo.pop()
+        name = nodes[cur]["name"]
+        if name == "Generate":
+            return True
+        if name in _LOGICAL_BOUNDING:
+            continue
+        if name == "Aggregate":
+            # grouping keys = the first bracket group; keyless prints a
+            # single (aggregate-expression) group — scalar, bounded
+            m = re.match(r"Aggregate \[(.*?)\](, \[)?", nodes[cur]["line"])
+            keys = m.group(1) if m and m.group(2) else ""
+            if not _GROWING_ID_RE.search(keys):
+                continue
+        todo.extend(nodes[cur]["children"])
+    return False
+
+
+def declared_generate_broadcast_sides(logical: str) -> int:
+    """Count explicitly-hinted broadcast join sides with an unbounded
+    Generate reach — the declared instances of the exploded-build-side
+    shape (``F.broadcast()`` survives into the optimized plan as
+    ``leftHint=/rightHint=(strategy=broadcast)``)."""
+    nodes = _parse_logical_tree(logical)
+    n = 0
+    for nd in nodes.values():
+        if not nd["name"] == "Join":
+            continue
+        kids = nd["children"]
+        if len(kids) != 2:
+            continue
+        for kid, key in ((kids[0], "leftHint"), (kids[1], "rightHint")):
+            if f"{key}=(strategy=broadcast" in nd[
+                "line"
+            ] and _logical_generate_unbounded(nodes, kid):
+                n += 1
+    return n
+
+
+_PHYS_BOUNDING = _BOUNDED_PRODUCERS - {"ReusedExchange", "Subquery"}
+_PHYS_AGG = {"HashAggregate", "ObjectHashAggregate", "SortAggregate"}
+
+
+def _phys_generate_unbounded(
+    nodes: dict[int, dict], plan: str, nid: int
+) -> bool:
+    """Physical twin of :func:`_logical_generate_unbounded`: a
+    ``Generate`` reachable without passing a limit/top-k or an
+    aggregate with a non-growing grouping grain."""
+    todo = [nid]
+    while todo:
+        cur = todo.pop()
+        name = nodes[cur]["name"]
+        if name == "Generate":
+            return True
+        if name in _PHYS_BOUNDING:
+            continue
+        if name in _PHYS_AGG:
+            grain, _ = _agg_window_grain(plan, cur)
+            if grain != "growing":
+                continue
+        todo.extend(nodes[cur]["children"])
+    return False
+
+
+def generate_fed_broadcast_ids(plan: str) -> list[int]:
+    """Node ids of physical ``BroadcastHashJoin``/``BroadcastNestedLoopJoin``
+    operators whose BUILD side has an unbounded ``Generate`` reach.
+    (A ``ReusedExchange`` on the build side is opaque to this walk —
+    acceptable: the original exchange is audited where it appears.)"""
+    nodes = _parse_tree(plan)
+    out = []
+    for nid, nd in nodes.items():
+        if nd["name"] not in (
+            "BroadcastHashJoin",
+            "BroadcastNestedLoopJoin",
+        ):
+            continue
+        kids = nd["children"]
+        if len(kids) != 2:
+            continue
+        # the build direction prints in the TREE line ("...Inner
+        # BuildRight"), not in the numbered detail block
+        build = nd["line"] + _node_detail(plan, nid)
+        if "BuildRight" in build:
+            side = kids[1]
+        elif "BuildLeft" in build:
+            side = kids[0]
+        else:  # fall back: the side whose IMMEDIATE chain is the
+            # BroadcastExchange (nested joins hold exchanges too, so a
+            # subtree search would misattribute the build side)
+            def _chain_bx(root: int) -> bool:
+                cur = root
+                while True:
+                    if nodes[cur]["name"] == "BroadcastExchange":
+                        return True
+                    if nodes[cur]["name"] not in _PASS_THROUGH:
+                        return False
+                    k = nodes[cur]["children"]
+                    if len(k) != 1:
+                        return False
+                    cur = k[0]
+
+            side = next((k for k in kids if _chain_bx(k)), None)
+            if side is None:
+                continue
+        if _phys_generate_unbounded(nodes, plan, side):
+            out.append(nid)
+    return out
+
+
+def undeclared_generate_broadcasts(df: DataFrame) -> list[str]:
+    """Flag estimator-chosen broadcasts of Generate-descended build
+    sides: every physical Generate-fed broadcast must be covered by a
+    declared broadcast hint on a Generate-bearing logical side."""
+    plan = formatted_plan(df)
+    fed = generate_fed_broadcast_ids(plan)
+    if not fed:
+        return []
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    declared = declared_generate_broadcast_sides(logical)
+    if len(fed) <= declared:
+        return []
+    return [
+        f"{len(fed)} Generate-fed broadcast build side(s) but only "
+        f"{declared} declared broadcast hint(s) on exploded sides "
+        f"(physical nodes {fed}): Generate propagates poor size stats — "
+        "declare the bounded side with F.broadcast() or justify via "
+        "GENERATE_BROADCAST_OK"
+    ]
+
+
 def audit(
     df: DataFrame,
     *,
     max_exchanges: int | None = None,
     allow_global_window: bool = False,
+    allow_generate_broadcast: bool = False,
 ) -> list[str]:
     """Heuristic red flags for a plan headed to a large cluster.
 
     Returns human-readable warnings (empty list = clean):
     cartesian products, row-at-a-time python in the hot path,
     corpus-sized single-partition windows (suppressed when the caller
-    documents a cardinality bound via ``allow_global_window``), and —
+    documents a cardinality bound via ``allow_global_window``),
+    estimator-chosen broadcasts of Generate-fed build sides (suppressed
+    via ``allow_generate_broadcast`` when justified in writing), and —
     when ``max_exchanges`` is given — too many shuffles.
     """
     plan = formatted_plan(df)
@@ -428,6 +617,8 @@ def audit(
         )
     if not allow_global_window:
         warnings.extend(unpartitioned_windows(plan))
+    if not allow_generate_broadcast:
+        warnings.extend(undeclared_generate_broadcasts(df))
     if max_exchanges is not None and stats["Exchange"] > max_exchanges:
         warnings.append(
             f"{stats['Exchange']} exchanges (budget {max_exchanges}): "

@@ -38,6 +38,13 @@ ORACLE_SQL: dict[str, str] = {}
 # name -> the written cardinality bound that justifies it. scale_audit
 # suppresses the unpartitioned-window flag for these and prints the bound.
 BOUNDED_WINDOW: dict[str, str] = {}
+# queries where an ESTIMATOR-chosen broadcast whose build side descends
+# from a Generate/explode node is justified in writing (name -> reason).
+# The round-11 100x OOM rule: Generate nodes propagate poor size stats,
+# so a bounded-by-construction side must carry an explicit F.broadcast()
+# — this dict is the documented exception list, kept empty by policy
+# unless a plan shape genuinely cannot carry the hint.
+GENERATE_BROADCAST_OK: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None, bounded_window: str | None = None):

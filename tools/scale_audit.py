@@ -24,7 +24,7 @@ from eventsourcing_spark.plans import (
     plan_stats,
     single_partition_census,
 )
-from eventsourcing_spark.queries import BOUNDED_WINDOW
+from eventsourcing_spark.queries import BOUNDED_WINDOW, GENERATE_BROADCAST_OK
 from eventsourcing_spark.registry import SPARK_QUERIES
 from eventsourcing_spark.session import get_spark
 
@@ -56,12 +56,20 @@ def main() -> int:
             s.get(k, 0)
             for k in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
         )
-        warnings = audit(df, allow_global_window=name in BOUNDED_WINDOW)
+        warnings = audit(
+            df,
+            allow_global_window=name in BOUNDED_WINDOW,
+            allow_generate_broadcast=name in GENERATE_BROADCAST_OK,
+        )
         if warnings:
             flagged += 1
         flags = "; ".join(warnings) if warnings else ""
         if not flags and name in BOUNDED_WINDOW:
             flags = f"[bounded window: {BOUNDED_WINDOW[name]}]"
+        if not warnings and name in GENERATE_BROADCAST_OK:
+            flags = (flags + " " if flags else "") + (
+                f"[generate-broadcast ok: {GENERATE_BROADCAST_OK[name]}]"
+            )
         print(
             f"{name:40s} {s['Exchange']:4d} {s['scans']:4d} "
             f"{s['BroadcastHashJoin']:3d} {npy:3d}  {flags}"

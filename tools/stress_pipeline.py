@@ -167,6 +167,12 @@ STRESS_QUERIES = (
     # round 9: rank-based k-group + paired-binary tests
     "kruskal_wallis_values",
     "mcnemar_raters",
+    # round 12: the ANN/retrieval 100x evidence gap (VERDICT r11 #3) —
+    # bucket-sizing rules (similarity.py) must keep these sublinear
+    "ann_rerank_pipeline",
+    "pq_adc_topk",
+    "bm25_topk",
+    "build_postings_lists",
 )
 
 
