@@ -335,10 +335,15 @@ def classify_against_index(incoming, hash_index, band_index):
         .distinct()
         .withColumn("is_near", F.lit(1))
     )
+    # the hit frames are batch-sized but DOC-grain (they scale with the
+    # incoming batch) and near_hit is explode-fed, so estimator
+    # broadcast is the round-11 OOM class for a large backfill batch —
+    # pin the doc_id-co-partitioned merge join, correct at every batch
+    # size (round-12 Generate-fed broadcast audit)
     return (
         incoming.select("doc_id")
-        .join(exact_hit, "doc_id", "left")
-        .join(near_hit, "doc_id", "left")
+        .join(exact_hit.hint("merge"), "doc_id", "left")
+        .join(near_hit.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("is_exact") == 1, "exact_dup")
@@ -1126,9 +1131,12 @@ def cooccur_pmi_topk(spark, sf_dir):
     ).distinct()
     n_docs = dw.select("doc_id").distinct().count()  # scalar: tiny, plan-time
     wc = dw.groupBy("w").agg(F.count("*").alias("n_w"))
+    # corpus-scale within-doc self-join: pin merge — the (doc_id, w)
+    # frame is explode-fed, so the estimator can broadcast a corpus-
+    # sized build at scale (round-12 Generate-fed broadcast audit)
     pairs = (
         dw.alias("a")
-        .join(dw.alias("b"), "doc_id")
+        .join(dw.hint("merge").alias("b"), "doc_id")
         .filter(F.col("a.w") < F.col("b.w"))
         .groupBy(F.col("a.w").alias("w_a"), F.col("b.w").alias("w_b"))
         .agg(F.count("*").alias("n_ab"))
@@ -2833,7 +2841,11 @@ def dedup_span_rewrite(spark, sf_dir):
     )
     return (
         docs.select("doc_id", "source", F.length("text").alias("len"))
-        .join(per_doc, "doc_id", "left")
+        # per_doc is DOC-grain (corpus-growing) and descends from an
+        # explode whose size estimate hides the fan-out — pin the
+        # co-partitioned merge join instead of estimator broadcast
+        # (round-12 Generate-fed broadcast audit)
+        .join(per_doc.hint("merge"), "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

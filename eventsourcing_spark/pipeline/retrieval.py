@@ -1832,7 +1832,9 @@ def dirichlet_ql_topk(spark, sf_dir):
             ).alias("base_fx"),
         )
     )
-    scored = base.join(adj, "doc_id", "left").select(
+    # adj is DOC-grain (grows with the corpus) and explode-fed — pin
+    # the merge join (round-12 Generate-fed broadcast audit)
+    scored = base.join(adj.hint("merge"), "doc_id", "left").select(
         "doc_id",
         (F.col("base_fx") + F.coalesce("adj_fx", F.lit(0)))
         .cast("long")

@@ -493,8 +493,10 @@ def declared_generate_broadcast_sides(logical: str) -> int:
     return n
 
 
-_PHYS_BOUNDING = _BOUNDED_PRODUCERS - {"ReusedExchange", "Subquery"}
 _PHYS_AGG = {"HashAggregate", "ObjectHashAggregate", "SortAggregate"}
+# aggregates are NOT in the unconditional-bounding set — they bound the
+# walk only when their grouping grain is non-growing (checked below)
+_PHYS_BOUNDING = _BOUNDED_PRODUCERS - {"ReusedExchange", "Subquery"} - _PHYS_AGG
 
 
 def _phys_generate_unbounded(

@@ -590,3 +590,49 @@ def test_global_rank_more_partitions_than_rows(spark):
     want_order = sorted((r.v, r.id) for r in df.collect())
     assert [(v, i) for v, i, _ in sorted(rows, key=lambda t: t[2])] == want_order
     assert sorted(r[2] for r in rows) == list(range(1, 8))
+
+
+def test_generate_broadcast_audit_shapes(spark):
+    """The round-12 Generate-fed broadcast rule over injected shapes:
+    an estimator-chosen broadcast of an exploded build side flags; the
+    same side declared via F.broadcast() passes; an aggregate with a
+    non-growing grain above the explode bounds the side (passes); a
+    growing-grain aggregate does NOT bound it (flags); the exploded
+    side on the PROBE side is irrelevant (passes)."""
+    from pyspark.sql import functions as F
+
+    from eventsourcing_spark.plans import undeclared_generate_broadcasts
+
+    big = spark.range(100000).withColumn("k", F.col("id") % 1000)
+    ex = (
+        spark.range(50)
+        .withColumn("arr", F.array(F.lit(1), F.lit(2)))
+        .select("id", F.explode("arr").alias("g"))
+    )
+    # estimator-chosen broadcast of the exploded side: flags
+    assert undeclared_generate_broadcasts(big.join(ex, big.k == ex.id))
+    # declared: passes
+    assert not undeclared_generate_broadcasts(
+        big.join(F.broadcast(ex), big.k == ex.id)
+    )
+    # bounded-grain aggregate above the explode: passes (the aggregate
+    # caps the build at |distinct g| rows regardless of fan-out)
+    agg = ex.groupBy("g").agg(F.count("*").alias("n"))
+    assert not undeclared_generate_broadcasts(
+        big.join(agg, big.k == agg.g)
+    )
+    # growing-grain aggregate (per-id) does NOT bound the explode: flags
+    grow = ex.groupBy("id", "g").agg(F.count("*").alias("n"))
+    assert undeclared_generate_broadcasts(
+        big.join(grow, big.k == grow.id)
+    )
+    # explode on the probe side with a plain broadcast build: passes
+    dim = spark.range(3).withColumnRenamed("id", "g")
+    assert not undeclared_generate_broadcasts(
+        ex.join(F.broadcast(dim), "g")
+    )
+    # merge-hinted self band-join (the production fix shape): passes
+    a, b = ex.alias("a"), ex.hint("merge").alias("b")
+    assert not undeclared_generate_broadcasts(
+        a.join(b, F.col("a.g") == F.col("b.g"))
+    )

@@ -58,13 +58,24 @@ def _skew_evidence(df) -> str:
 
 
 def main() -> int:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    queries = tuple(sys.argv[3:]) or DRILL_QUERIES
+    # --events: skew the EVENTS axis (one user_id owning ~20% of all
+    # events — the aggregation-skew drill for user-keyed stats) instead
+    # of the default content skew (one text owning ~20% of documents).
+    args = [a for a in sys.argv[1:] if a != "--events"]
+    on_events = "--events" in sys.argv[1:]
+    replicas = int(args[0]) if len(args) > 0 else 20
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    queries = tuple(args[2:]) or DRILL_QUERIES
     spark = get_spark("skew-drill")
     spark.sparkContext.setLogLevel("ERROR")
     uni = build_stress_dir(spark, sf_dir, replicas)
-    skw = build_stress_dir(spark, sf_dir, replicas, skew_fraction=0.2)
+    skw = build_stress_dir(
+        spark,
+        sf_dir,
+        replicas,
+        skew_fraction=0.0 if on_events else 0.2,
+        event_skew_fraction=0.2 if on_events else 0.0,
+    )
     try:
         print(
             f"{'query':32s} {'uniform(s)':>10s} {'skewed(s)':>10s} "

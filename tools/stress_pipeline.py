@@ -177,7 +177,11 @@ STRESS_QUERIES = (
 
 
 def build_stress_dir(
-    spark, sf_dir: str, replicas: int, skew_fraction: float = 0.0
+    spark,
+    sf_dir: str,
+    replicas: int,
+    skew_fraction: float = 0.0,
+    event_skew_fraction: float = 0.0,
 ) -> str:
     out = tempfile.mkdtemp(prefix="stress_sf_")
     docs = load_table(spark, sf_dir, "documents")
@@ -239,6 +243,19 @@ def build_stress_dir(
         "value",
         "props",
     )
+    if event_skew_fraction > 0:
+        # aggregation-skew mode (VERDICT r11 #4): ONE user owns
+        # ~event_skew_fraction of ALL events, so every user_id-keyed
+        # aggregate/rank/join has a single dominant key — the Zipf
+        # shape the uniform replication (constant per-key row count)
+        # never produces on the events axis.
+        emod = max(2, round(1 / event_skew_fraction))
+        big_ev = big_ev.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % emod == 0, F.lit(0)).otherwise(
+                F.col("user_id")
+            ),
+        )
     # customer: shifted keys with regenerated names (the TPC-H name IS a
     # function of the key), same nation/segment/balance marginals — the
     # linkage blocks grow linearly in rows per nation
