@@ -67,8 +67,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _BYTES_PER_PARTITION = 256 * 1024
 
+# Per-partition input target for CPU-dense kernels (round 12): stages
+# whose per-byte work is ~10x a typical scan — character-gram explodes
+# (interpreted transform/sequence lambdas), winnowing chains, deletion-
+# key fan-outs, media codec decode — saturate a core on far less input
+# than 256 KB, so the default target under-parallelizes them whenever
+# the corpus fits in a handful of partitions (measured on the sf0.1
+# bench: the langid gram explode ran on 2 of 32 cores, 2.3 s → 0.4 s at
+# full width; query-level 4.2 s → 1.8 s). Still size-derived and capped
+# at defaultParallelism — at 100 TB the scan already yields thousands
+# of partitions and both constants are plan-time no-ops.
+TEXT_KERNEL_BYTES = 32 * 1024
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    per_partition_bytes: int = _BYTES_PER_PARTITION,
+) -> DataFrame:
     """Repartition only when the scan produced too few partitions — and
     never to more partitions than the data justifies.
 
@@ -77,7 +93,9 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     dot products). But blanket-repartitioning a 1 MB table to
     defaultParallelism is just as wrong: 32 near-empty tasks cost more
     in scheduling and (for pandas-UDF stages) python-worker startup than
-    the work itself. Target ≈256 KB of input per partition, capped at
+    the work itself. Target ≈``per_partition_bytes`` of input per
+    partition (default 256 KB; pass ``TEXT_KERNEL_BYTES`` for CPU-dense
+    text/codec kernels — measured per family in round 12), capped at
     defaultParallelism. At 100 TB the scan already yields thousands of
     partitions and this whole function is a plan-time no-op.
     """
@@ -87,7 +105,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
             for f in df.inputFiles()
             if os.path.exists(f[len("file:"):] if f.startswith("file:") else f)
         )
-        by_size = max(1, size // _BYTES_PER_PARTITION)
+        by_size = max(1, size // per_partition_bytes)
         min_partitions = int(
             min(by_size, df.sparkSession.sparkContext.defaultParallelism)
         )

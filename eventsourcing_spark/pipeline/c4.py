@@ -36,7 +36,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import (
+    TEXT_KERNEL_BYTES,
+    ensure_parallelism,
+    load_table,
+)
 from eventsourcing_spark.queries import query
 
 LINE_WORDS = 6        # synthesized line width (words)
@@ -176,7 +180,7 @@ _STATUS_SPARK = f"""
 def c4_line_filters(spark, sf_dir):
     """The C4 cleaning funnel per source: line drops by first failing
     rule, the page rule, and corpus-wide first-occurrence line dedup."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES)
     fl = synthesize_lines(docs).withColumn("status", F.expr(_STATUS_SPARK))
     pg = fl.withColumn(
         "page_kept",

@@ -348,10 +348,14 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=rows_cols)
 
-    return ensure_parallelism(docs.select("doc_id", "text")).mapInPandas(gen, MEDIA_SCHEMA)
+    return ensure_parallelism(docs.select("doc_id", "text"), per_partition_bytes=TEXT_KERNEL_BYTES).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-from eventsourcing_spark.io import ensure_parallelism, load_table  # noqa: E402
+from eventsourcing_spark.io import (  # noqa: E402
+    TEXT_KERNEL_BYTES,
+    ensure_parallelism,
+    load_table,
+)
 from eventsourcing_spark.queries import query  # noqa: E402
 
 _KIND_SQL = (
@@ -503,7 +507,7 @@ def _png_media_from_documents(docs: DataFrame) -> DataFrame:
                 {"media_id": mids, "content": encode_png_many(_codec, items)}
             )
 
-    return ensure_parallelism(docs.select("doc_id")).mapInPandas(gen, schema)
+    return ensure_parallelism(docs.select("doc_id"), per_partition_bytes=TEXT_KERNEL_BYTES).mapInPandas(gen, schema)
 
 
 @query(
@@ -737,7 +741,7 @@ def media_wav_decode_stats(spark, sf_dir):
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     docs = load_table(spark, sf_dir, "documents")
-    return ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
+    return ensure_parallelism(docs.select("doc_id"), per_partition_bytes=TEXT_KERNEL_BYTES).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -825,7 +829,7 @@ def media_audio_downsample(spark, sf_dir):
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     docs = load_table(spark, sf_dir, "documents")
-    return ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
+    return ensure_parallelism(docs.select("doc_id"), per_partition_bytes=TEXT_KERNEL_BYTES).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -973,7 +977,7 @@ def _phash_hashed(docs):
             )
             yield pd.DataFrame({"doc_id": d, "ph": ph})
 
-    return ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
+    return ensure_parallelism(docs.select("doc_id"), per_partition_bytes=TEXT_KERNEL_BYTES).mapInPandas(run, schema)
 
 
 def _phash_pairs(hashed):
@@ -1154,7 +1158,7 @@ def media_audio_fingerprint_neardup(spark, sf_dir):
             yield pd.DataFrame({"doc_id": d, "fp": fp})
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
+    fps = ensure_parallelism(docs.select("doc_id"), per_partition_bytes=TEXT_KERNEL_BYTES).mapInPandas(run, schema)
     bands = fps.select(
         "doc_id",
         "fp",
@@ -1393,7 +1397,7 @@ def media_video_framehash_neardup(spark, sf_dir):
             )
 
     docs = load_table(spark, sf_dir, "documents")
-    fhs = ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
+    fhs = ensure_parallelism(docs.select("doc_id"), per_partition_bytes=TEXT_KERNEL_BYTES).mapInPandas(run, schema)
     # same shuffle-merge pin as the phash/audio band joins above
     a, b = fhs.alias("a"), fhs.hint("merge").alias("b")
     matches = (
@@ -1504,7 +1508,7 @@ def media_avi_demux_stats(spark, sf_dir):
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     docs = load_table(spark, sf_dir, "documents")
-    return ensure_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
+    return ensure_parallelism(docs.select("doc_id"), per_partition_bytes=TEXT_KERNEL_BYTES).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1685,7 +1689,7 @@ def media_corrupt_detection(spark, sf_dir):
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     docs = load_table(spark, sf_dir, "documents")
-    decoded = ensure_parallelism(docs.select("doc_id", "source")).mapInPandas(run, schema)
+    decoded = ensure_parallelism(docs.select("doc_id", "source"), per_partition_bytes=TEXT_KERNEL_BYTES).mapInPandas(run, schema)
     return decoded.groupBy("source").agg(
         F.count("*").cast("long").alias("n_media"),
         F.sum(F.when(F.col("ok") == 0, 1).otherwise(0))

@@ -51,7 +51,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import (
+    TEXT_KERNEL_BYTES,
+    ensure_parallelism,
+    load_table,
+)
 from eventsourcing_spark.pipeline.quality import (
     SCORE_LO,
     STOPWORDS,
@@ -458,7 +462,7 @@ def _langid_scores_df(spark, sf_dir):
     rejected after profiling: MapType element_at is a linear scan, so
     the fold was O(grams · vocab) — 134 s at the 20× stress corpus vs
     seconds for this shape."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES)
     train = docs.filter(F.col("doc_id") % 2 == 0)
     ginst = train.select(
         "lang", F.explode(F.expr(_grams_spark("text"))).alias("gram")
@@ -559,7 +563,10 @@ def langid_ngram_train(spark, sf_dir):
     counts and 5 fixed-point log-likelihoods. Same shapes as
     nb_quality_train (explode → gram-grain agg → TakeOrdered cap →
     broadcast totals)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"),
+        per_partition_bytes=TEXT_KERNEL_BYTES,
+    )
     ginst = docs.filter(F.col("doc_id") % 2 == 0).select(
         "lang", F.explode(F.expr(_grams_spark("text"))).alias("gram")
     )

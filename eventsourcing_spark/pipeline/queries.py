@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import (
+    TEXT_KERNEL_BYTES,
+    ensure_parallelism,
+    load_table,
+)
 from eventsourcing_spark.queries import DEC, query
 
 STOPWORDS = ["the", "a", "of", "to", "and"]
@@ -81,7 +85,7 @@ def _minhash_oracle(j: int) -> str:
     """,
 )
 def dedup_minhash_signatures(spark, sf_dir):
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES)
     return docs.select("doc_id", *[_minhash_expr(j) for j in range(N_MINHASH)])
 
 
@@ -998,7 +1002,7 @@ BOILERPLATE_N = 3
     """,
 )
 def boilerplate_ngrams(spark, sf_dir):
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES)
     n = BOILERPLATE_N
 
     # N-gram generation stays map-only (the right 100 TB shape — no
@@ -2104,7 +2108,7 @@ def _winnow_expr() -> str:
     """,
 )
 def exact_substring_dedup(spark, sf_dir):
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES)
     # Text-grain fold: one aggregation to (distinct text, multiplicity,
     # min doc) — every downstream window is hashed once per unique byte
     # content, never once per document copy.
@@ -2795,7 +2799,7 @@ SPAN_STRIDE = 10
     """,
 )
 def dedup_span_rewrite(spark, sf_dir):
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES)
     wins = docs.filter(F.length("text") >= SPAN_W).select(
         "doc_id",
         "source",
@@ -2902,7 +2906,7 @@ NOVELTY_N = 5
     """,
 )
 def ngram_novelty_by_source(spark, sf_dir):
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES)
     grams = docs.select(
         "doc_id",
         "source",

@@ -49,7 +49,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import (
+    TEXT_KERNEL_BYTES,
+    ensure_parallelism,
+    load_table,
+)
 from eventsourcing_spark.queries import query
 
 JACCARD_PERMILLE = 800  # t = 0.8
@@ -237,7 +241,7 @@ FASTSS_TOP = 100
     """,
 )
 def fastss_editdist1_pairs(spark, sf_dir):
-    cust = ensure_parallelism(load_table(spark, sf_dir, "customer"))
+    cust = ensure_parallelism(load_table(spark, sf_dir, "customer"), per_partition_bytes=TEXT_KERNEL_BYTES)
     # |s|+1 deletion keys per name: position i in 1..len+1, key = name
     # with char i removed (i = len+1 keeps the original string, which
     # catches the pure-insert/delete case between different lengths).
