@@ -2366,6 +2366,11 @@ def rfm_segmentation(spark, sf_dir):
         "freq",
         "cents",
     )
+    # Round 12: five consumers (three rank branches, the join-back, the
+    # totals row) each re-derived the per-user aggregate — 4 corpus
+    # scans in the plan. Materialize the user-grain frame once (linear
+    # state, one narrow row per purchasing user).
+    m = m.localCheckpoint()
     from eventsourcing_spark.operators.ranking import global_rank, ntile_expr
 
     # three INDEPENDENT rank branches joined back on the key, not a
@@ -5237,7 +5242,15 @@ def kruskal_wallis_values(spark, sf_dir):
         (F.col("value").cast(DEC) * 100).cast("long").alias("c"),
         F.col("event_type").alias("grp"),
     )
-    cg = p.groupBy("grp", "c").agg(F.count("*").cast("long").alias("cnt"))
+    # Round 12: cg feeds both the value-grain rollup and the per-group
+    # rank join — materialize the distinct-(grp, value) frame once
+    # (bounded by |groups| x value domain) instead of scanning and
+    # re-aggregating the corpus twice.
+    cg = (
+        p.groupBy("grp", "c")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
     vc = cg.groupBy("c").agg(F.sum("cnt").cast("long").alias("t"))
     vr = global_rank_cumsum(vc, "t", "c", rank_col="__rk", cum_col="cum")
     m2g = vr.select(

@@ -181,6 +181,12 @@ def model_from_counts(cnt_uncapped):
     cnt = cnt_uncapped.orderBy(
         F.desc(F.col("cnt_good") + F.col("cnt_bad")), F.asc("token")
     ).limit(VOCAB_K)
+    # Two consumers (the model projection and the 1-row totals below)
+    # would each re-run the corpus token explode + aggregation feeding
+    # the cap (round-12 plan audit: the train subtree appeared twice in
+    # every nb_* plan). The capped frame is ≤ VOCAB_K rows at any
+    # corpus size — materialize it once.
+    cnt = cnt.localCheckpoint()
     tot = cnt.agg(
         F.sum("cnt_good").cast("long").alias("ng"),
         F.sum("cnt_bad").cast("long").alias("nb"),
@@ -308,6 +314,14 @@ def nb_quality_score(spark, sf_dir):
     prior = prior_df(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     )
+    # Round 12 note: a carry-the-attributes-through-the-explode rewrite
+    # (grouping on (doc_id, is_train, label_good) to drop the doc-grain
+    # join-back) was tried and REVERTED: Catalyst moves the 4-lambda
+    # label expression above the Generate, evaluating it once per TOKEN
+    # row instead of once per doc — measured 3x slower. The join-back
+    # keeps the label at doc grain; the model-side duplication this
+    # round actually removed lives in model_from_counts (cnt
+    # checkpoint).
     return score_docs(docs, model, prior).select(
             "doc_id",
             F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END")
@@ -482,6 +496,10 @@ def _langid_scores_df(spark, sf_dir):
         )
         .limit(GRAM_K)
     )
+    # gcnt feeds both the 1-row totals and the model projection —
+    # materialize the ≤ GRAM_K-row capped frame once so the gram
+    # explode + aggregation above runs a single time (round 12).
+    gcnt = gcnt.localCheckpoint()
     gtot = gcnt.agg(
         *[
             F.sum(f"cnt_{lg}").cast("long").alias(f"n_{lg}")
@@ -585,6 +603,10 @@ def langid_ngram_train(spark, sf_dir):
         )
         .limit(GRAM_K)
     )
+    # gcnt feeds both the 1-row totals and the model projection —
+    # materialize the ≤ GRAM_K-row capped frame once so the gram
+    # explode + aggregation above runs a single time (round 12).
+    gcnt = gcnt.localCheckpoint()
     gtot = gcnt.agg(
         *[
             F.sum(f"cnt_{lg}").cast("long").alias(f"n_{lg}")
@@ -1491,7 +1513,10 @@ def kneser_ney_bits(spark, sf_dir):
     signal CCNet-class pipelines threshold on ("perplexity vs a clean
     LM"), with KN's continuation counts instead of the interpolated-MLE
     stand-in (``trigram_lm_interpolated``)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"),
+        per_partition_bytes=TEXT_KERNEL_BYTES,
+    )
     toks = F.filter(
         F.split(F.lower(F.col("text")), " "), lambda x: x != ""
     )
@@ -1510,7 +1535,15 @@ def kneser_ney_bits(spark, sf_dir):
 
     train = base.filter(F.col("doc_id") % 2 == 0)
     trb = bigrams(train)
-    c12 = trb.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # Round 12: c12 is the trained LM itself (bigram-vocabulary grain —
+    # model state, not corpus state) and feeds FOUR consumers (ctx,
+    # cont, the totals row, the eval join); materialize it once instead
+    # of re-running the train bigram explode + aggregation per consumer
+    # (the plan carried 6 corpus scans).
+    c12 = (
+        trb.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        .localCheckpoint()
+    )
     ctx = c12.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"), F.count("*").alias("n1p")
     )

@@ -37,7 +37,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import (
+    TEXT_KERNEL_BYTES,
+    ensure_parallelism,
+    load_table,
+)
 from eventsourcing_spark.queries import query
 
 # ---------------------------------------------------------------------------
@@ -1018,7 +1022,10 @@ def ks_quality_by_source(spark, sf_dir):
     """Per-source two-sample KS statistic (source vs rest) over the
     integer quality score, division-last (one truncating division per
     output row). ks_at_score = the smallest score achieving the max."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"),
+        per_partition_bytes=TEXT_KERNEL_BYTES,
+    )
     ws = "split(lower(text), ' ')"
     score = F.expr(
         f"{W_TOK} * size({ws})"
@@ -1032,12 +1039,23 @@ def ks_quality_by_source(spark, sf_dir):
         f" + {W_UNIQ} * (size(array_distinct({ws})) * 1000 div size({ws}))"
     )
     sc = docs.select("source", score.alias("score"))
-    bysrc = sc.groupBy("source", "score").agg(
-        F.count("*").cast("long").alias("c")
+    # Round 12: every downstream frame (score grid, per-source counts,
+    # total, pooled cdf) is a rollup of the ONE (source, score)
+    # aggregation — previously each re-derived it, re-running the
+    # 4-lambda score expression over the corpus five times (10 parquet
+    # scans in the plan). Aggregate once at distinct-value grain
+    # (bounded by |sources| x |score domain|, never corpus-sized),
+    # materialize, and roll everything up from it.
+    bysrc = (
+        sc.groupBy("source", "score")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
     )
-    pts = sc.select("score").distinct()
-    srcn = sc.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
-    tot = sc.agg(F.count("*").cast("long").alias("n_tot"))
+    pts = bysrc.select("score").distinct()
+    srcn = bysrc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_s")
+    )
+    tot = bysrc.agg(F.sum("c").cast("long").alias("n_tot"))
     grid = (
         srcn.crossJoin(pts)
         .join(bysrc, ["source", "score"], "left")
@@ -1050,7 +1068,7 @@ def ks_quality_by_source(spark, sf_dir):
     cums = grid.withColumn(
         "cum_s", F.sum("c").over(wsrc).cast("long")
     )
-    pooled = sc.groupBy("score").agg(F.count("*").cast("long").alias("c"))
+    pooled = bysrc.groupBy("score").agg(F.sum("c").cast("long").alias("c"))
     wall = Window.orderBy("score")
     cumall = pooled.withColumn(
         "cum_all", F.sum("c").over(wall).cast("long")

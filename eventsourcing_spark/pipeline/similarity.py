@@ -2175,6 +2175,12 @@ def mutual_nn_margin_pairs(spark, sf_dir):
         bucket_stats,
         "vec_id long, top1_id long, top1_dot long, k_eff long, topk_sum long",
     )
+    # Both sides of the mutuality self-join consume ``stats``; without a
+    # materialization the whole bucket+Gram-matrix pandas pipeline runs
+    # TWICE (plan audit round 12: two FlatMapGroupsInPandas subtrees, no
+    # exchange reuse). The frame is vector-grain (5 longs per vec —
+    # bounded linear state), so checkpoint once and join it to itself.
+    stats = stats.localCheckpoint()
     a = stats.alias("a")
     m2 = stats.alias("m")
     return (

@@ -186,12 +186,26 @@ _U32_ = 1 << 32
 )
 def kmv_intersection_pairs(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    pairs = ev.select("event_type", _h32(F.col("user_id")).alias("h")).distinct()
+    # Round 12: the distinct-(type, hash) aggregation is THE one
+    # big-data pass of this operator (module docstring above — "at
+    # 100 TB you'd persist the sketches and answer every pairwise
+    # overlap question without touching the corpus again"). The plan
+    # previously re-derived it for every consumer — 18 full corpus
+    # scans / 27 exchanges in one query plan. Materialize the distinct
+    # pass once (linear state, the sketch-build input), and the
+    # bounded frames below (sk ≤ k·|types|, tt ≤ |types|, tau ≤
+    # |types|²) once each.
+    pairs = (
+        ev.select("event_type", _h32(F.col("user_id")).alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
     w = Window.partitionBy("event_type").orderBy("h")
     sk = (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
         .select("event_type", "h")
+        .localCheckpoint()
     )
     tt = pairs.select("event_type").distinct()
     tp = (
@@ -212,6 +226,7 @@ def kmv_intersection_pairs(spark, sf_dir):
         .filter(F.col("rn") <= KMV_K)
         .groupBy("ta", "tb")
         .agg(F.max("h").alias("tau"), F.count("*").alias("k_used"))
+        .localCheckpoint()
     )
     sa = sk.select(F.col("event_type").alias("ea"), F.col("h").alias("ha"))
     sb = sk.select(F.col("event_type").alias("eb"), F.col("h").alias("hb"))
