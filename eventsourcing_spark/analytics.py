@@ -1748,28 +1748,21 @@ def incremental_agg_merge(spark, sf_dir):
     cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
     th = ev.agg(F.expr("(max(event_id) * 4) div 5").alias("cut"))
     tagged = ev.crossJoin(F.broadcast(th))
-    base = (
-        tagged.filter(F.col("event_id") < F.col("cut"))
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_b"), F.sum(cents).alias("s_b"))
-    )
-    delta = (
-        tagged.filter(F.col("event_id") >= F.col("cut"))
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_d"), F.sum(cents).alias("s_d"))
-    )
+    # Round 12: base and delta partials come from ONE pass with
+    # conditional sums keyed the same way (a user absent from one side
+    # contributes zeros — exactly the old full_outer + coalesce
+    # semantics); the independent full recompute below stays a separate
+    # pass on purpose — it is the verification the operator
+    # demonstrates. Plan: 5 corpus scans -> 3, one exchange fewer.
     merged = (
-        base.join(delta, "user_id", "full_outer")
-        .select(
-            "user_id",
-            F.coalesce("n_b", F.lit(0)).alias("n_base"),
-            F.coalesce("n_d", F.lit(0)).alias("n_delta"),
-            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias(
-                "n_total"
-            ),
-            (F.coalesce("s_b", F.lit(0)) + F.coalesce("s_d", F.lit(0))).alias(
-                "sum_cents"
-            ),
+        tagged.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_id") < F.col("cut"), 1).otherwise(0))
+            .alias("n_base"),
+            F.sum(F.when(F.col("event_id") >= F.col("cut"), 1).otherwise(0))
+            .alias("n_delta"),
+            F.count("*").alias("n_total"),
+            F.sum(cents).alias("sum_cents"),
         )
     )
     full_agg = ev.groupBy("user_id").agg(
@@ -1924,7 +1917,14 @@ def zonemap_prune_stats(spark, sf_dir):
 )
 def item_item_cosine(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    ui = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    # Round 12: norms and both self-join sides read the (user, type)
+    # count frame — materialize it once (distinct-key grain) instead of
+    # four corpus scans + aggregations.
+    ui = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
     norms = ui.groupBy("event_type").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
     a = ui.select("user_id", F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
     b = ui.select("user_id", F.col("event_type").alias("type_b"), F.col("c").alias("cb"))

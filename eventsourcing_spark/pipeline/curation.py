@@ -975,7 +975,10 @@ def split_neardup_leakage(spark, sf_dir):
         .otherwise(F.lit(1))
         .alias("m"),
     )
-    sb = _bands(docs).join(s, "doc_id")
+    # Round 12: bm and the leak rollup both read the banded+split frame
+    # — materialize it once (doc x band grain, the LSH index state)
+    # instead of re-running the minhash banding per branch.
+    sb = _bands(docs).join(s, "doc_id").localCheckpoint()
     bm = sb.groupBy("band_id", "band_key").agg(
         F.expr("bit_or(m)").alias("bmask")
     )

@@ -208,9 +208,13 @@ def stitch_truncation_pairs(spark, sf_dir):
     ).select("doc_id", "text", F.length("text").alias("L"))
     head = F.expr(f"substring(text, 1, {STITCH_K})")
     tail = F.expr(f"substring(text, L - {STITCH_K} + 1, {STITCH_K})")
+    # Round 12: four join branches (both stitch sides, both truncation
+    # sides) re-scanned and re-keyed the corpus — materialize the keyed
+    # frame once (doc grain; the same linear-state trade as the
+    # exact-substring texts fold).
     keyed = docs.select(
         "doc_id", "text", "L", head.alias("head_k"), tail.alias("tail_k")
-    )
+    ).localCheckpoint()
     long_enough = keyed.filter(F.col("L") >= 2 * STITCH_K)
     # stitch: A's tail-K equals B's head-K — keyed equi-join, buckets are
     # per-16-char-boundary collision sets, never all-pairs

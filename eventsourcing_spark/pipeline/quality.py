@@ -479,9 +479,12 @@ def quality_vs_dup_deciles(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # Round 12: fam, the histogram, the totals row and the rank join
+    # all read q — materialize the narrow doc-grain frame once instead
+    # of re-running the quality HOF + md5 over the corpus four times.
     q = docs.select(
         "doc_id", F.md5("text").alias("h"), _quality_cols().alias("q")
-    )
+    ).localCheckpoint()
     fam = q.groupBy("h").agg(F.count("*").alias("fam_n"))
 
     # distinct-q histogram: counts + exclusive running total. The window

@@ -1130,9 +1130,12 @@ def cooccur_pmi_topk(spark, sf_dir):
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     )
+    # Round 12: dw feeds the doc count, the word counts, and BOTH sides
+    # of the within-doc self-join — materialize the distinct (doc, word)
+    # frame once (linear state) instead of four explode+distinct passes.
     dw = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
-    ).distinct()
+    ).distinct().localCheckpoint()
     n_docs = dw.select("doc_id").distinct().count()  # scalar: tiny, plan-time
     wc = dw.groupBy("w").agg(F.count("*").alias("n_w"))
     # corpus-scale within-doc self-join: pin merge — the (doc_id, w)

@@ -432,7 +432,11 @@ def ann_rerank_pipeline(spark, sf_dir):
         pvcols.append(
             _dot64("qv", lit)
         )
-    pv = q.select("vec_id", F.array(*pvcols).alias("pv"))
+    # Round 12: the probe slice and the candidate side both read pv —
+    # materialize the projection index once (8 ints per vector — the
+    # coarse-quantizer state a rerank pipeline persists) instead of
+    # replanning the projection Arrow stage per branch.
+    pv = q.select("vec_id", F.array(*pvcols).alias("pv")).localCheckpoint()
     probes = pv.filter(F.col("vec_id") < RERANK_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("pv").alias("ppv")
     )
@@ -1797,11 +1801,30 @@ def dirichlet_ql_topk(spark, sf_dir):
             F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
         ).alias("w"),
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
-    coll = toks.agg(F.count("*").cast("long").alias("csz"))
+    # Round 12 (was 6 corpus scans / 4 re-derivations of the explode):
+    # * doc length is size(filter(split)) — map-only, no explode, no
+    #   exchange; len >= 1 keeps exactly the docs the explode+groupBy
+    #   form produced (a token-less doc had no rows to count);
+    # * collection size is the sum of lengths — derived, not re-scanned;
+    # * cf is the column sum of tf — derive it from the tiny per-doc
+    #   term-frequency table instead of re-running the corpus explode
+    #   (tf is ≤ |docs| x |QUERY_TERMS| rows of three ints, so
+    #   materializing IT is free, where checkpointing the raw postings
+    #   paid an eager barrier for no saved scan).
+    dl = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).cast("long").alias("len"),
+    ).filter(F.col("len") >= 1)
+    coll = dl.agg(F.sum("len").cast("long").alias("csz"))
     qt = toks.filter(F.col("w").isin(QUERY_TERMS))
-    cf = qt.groupBy("w").agg(F.count("*").alias("cf"))
-    tf = qt.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    tf = (
+        qt.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    cf = tf.groupBy("w").agg(F.sum("tf").alias("cf"))
     adj = (
         tf.join(F.broadcast(cf), "w")
         .crossJoin(F.broadcast(coll))

@@ -532,13 +532,26 @@ def ann_ivf_topk(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    assign = _ivf_assign(spark, sf_dir)
-    members = assign.filter(F.col("crank") == 1).select(
-        "vec_id", "qv", "cid", F.lit(False).alias("is_probe")
+    # Round 12: members and probes both consume the assignment — the
+    # whole centroid-distance + window pipeline (embeddings scanned
+    # twice) replanned per branch. A row can be both a member (crank=1)
+    # and a probe (crank<=NPROBE, vec_id<20), so the union is a per-row
+    # 0..2-way fan-out of the SAME assignment row — emit the is_probe
+    # flags with one explode instead of two branches. One embeddings
+    # scan, one window, nothing materialized (an earlier localCheckpoint
+    # variant wrote the vector payload N_PROBE times and measured slower
+    # than the re-scan it saved).
+    is_member = F.col("crank") == 1
+    is_probe = (F.col("crank") <= N_PROBE) & (F.col("vec_id") < 20)
+    flags = F.concat(
+        F.when(is_member, F.array(F.lit(False))).otherwise(F.array()),
+        F.when(is_probe, F.array(F.lit(True))).otherwise(F.array()),
     )
-    probes = assign.filter(
-        (F.col("crank") <= N_PROBE) & (F.col("vec_id") < 20)
-    ).select("vec_id", "qv", "cid", F.lit(True).alias("is_probe"))
+    tagged = (
+        _ivf_assign(spark, sf_dir)
+        .filter(F.col("crank") <= N_PROBE)
+        .select("vec_id", "qv", "cid", F.explode(flags).alias("is_probe"))
+    )
 
     def cell_dots(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -566,7 +579,7 @@ def ann_ivf_topk(spark, sf_dir):
         )
 
     pairs = (
-        members.unionByName(probes)
+        tagged
         .groupBy("cid")
         .applyInPandas(cell_dots, "query_id long, neighbor_id long, dot long")
     )
@@ -750,7 +763,11 @@ def dedup_ensemble(spark, sf_dir):
 )
 def ann_lsh_multiprobe(spark, sf_dir):
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    b = _ann_bucketed(emb)
+    # Round 12: the probe side and the candidate side both read the
+    # bucketed frame — without materialization the quantize+bucket
+    # Arrow stage (and its sizing scan) replans per branch. One row per
+    # vector — the LSH index state any ANN system persists.
+    b = _ann_bucketed(emb).localCheckpoint()
     # mask list sized by the corpus-derived band width: [0] ++ one
     # single-bit flip per bucket bit (bits is a broadcast column, so the
     # probe count scales with the sizing rule, not a compile-time list)
@@ -1988,10 +2005,13 @@ def dedup_calibration_pr(spark, sf_dir):
     from eventsourcing_spark.pipeline.queries import _bands
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Round 12: both sides of the band self-join read the banded frame —
+    # materialize it once (doc x band grain, the LSH index state)
+    # instead of re-running the minhash banding per side.
     sized = _bands(docs).withColumn(
         "bucket_n",
         F.count("*").over(Window.partitionBy("band_id", "band_key")),
-    )
+    ).localCheckpoint()
     # corpus-scale self band-join: pin shuffle-merge — the banded side
     # descends from an explode whose size estimate does not grow with
     # the fan-out, so the estimator can hand a corpus-sized build to a
@@ -2009,17 +2029,24 @@ def dedup_calibration_pr(spark, sf_dir):
         .distinct()
     )
     toks = F.split(F.lower(F.col("text")), " ")
-    sh = docs.select("doc_id", _simhash_votes_spark(toks).alias("sh"))
-    tk = docs.select("doc_id", F.array_distinct(toks).alias("ts"))
+    # One per-doc feature frame (simhash + distinct-token set — the
+    # signature table a dedup pipeline persists), materialized once and
+    # joined per pair side: was 4 joins over 4 re-derivations (the
+    # simhash vote HOF ran twice over the corpus).
+    feats = docs.select(
+        "doc_id",
+        _simhash_votes_spark(toks).alias("sh"),
+        F.array_distinct(toks).alias("ts"),
+    ).localCheckpoint()
     scored = (
-        cand.join(tk.select(F.col("doc_id").alias("doc_a"),
-                            F.col("ts").alias("ts_a")), "doc_a")
-        .join(tk.select(F.col("doc_id").alias("doc_b"),
-                        F.col("ts").alias("ts_b")), "doc_b")
-        .join(sh.select(F.col("doc_id").alias("doc_a"),
-                        F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"),
-                        F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(
+            feats.select(F.col("doc_id").alias("doc_a"),
+                         F.col("ts").alias("ts_a"),
+                         F.col("sh").alias("sh_a")), "doc_a")
+        .join(
+            feats.select(F.col("doc_id").alias("doc_b"),
+                         F.col("ts").alias("ts_b"),
+                         F.col("sh").alias("sh_b")), "doc_b")
     )
     common = F.size(F.array_intersect("ts_a", "ts_b"))
     union = F.size("ts_a") + F.size("ts_b") - common
