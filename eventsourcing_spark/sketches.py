@@ -1127,11 +1127,17 @@ _SLIDE_H = 5  # 5 preceding + current = 6-hour window
 )
 def sketch_hll_sliding(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
+    # Round 12: the distinct (hour, hash) frame feeds the hour spine,
+    # the register build AND the exact-recount probe — 5 corpus scans +
+    # 3 distinct shuffles without materialization. Distinct hour×user
+    # grain, 2 ints — materialize it once.
     up = (
         ev.select(
             F.expr("unix_millis(ts) div 3600000").alias("hr"),
             _h32(F.col("user_id")).alias("h"),
-        ).distinct()
+        )
+        .distinct()
+        .localCheckpoint()
     )
     hours = up.select("hr").distinct()
     regs = (
@@ -1260,7 +1266,16 @@ def sketch_hll_sliding(spark, sf_dir):
 )
 def hll_intersection_pairs(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    pairs = ev.select("event_type", _h32(F.col("user_id")).alias("h")).distinct()
+    # Round 12: the distinct (type, hash) frame feeds the registers, the
+    # type list (both self-join sides) and both exact-intersection probe
+    # sides — 12 corpus scans + 7 distinct shuffles without
+    # materialization. It is the sketch input state (distinct user-type
+    # grain, 2 ints) — materialize it once.
+    pairs = (
+        ev.select("event_type", _h32(F.col("user_id")).alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
     # hll_registers hashes its value column; hashing the already-hashed
     # column would diverge from the oracle — build registers directly
     # from the shared hash instead.
@@ -1272,6 +1287,9 @@ def hll_intersection_pairs(spark, sf_dir):
         )
         .groupBy("event_type", "b")
         .agg(F.max(F.expr(_rho_sql())).alias("m_b"))
+        # ≤ |types| × 64 registers at any corpus size; three consumers
+        # (two union-merge sides + the single-type estimates)
+        .localCheckpoint()
     )
     tt = pairs.select("event_type").distinct()
     tp = (
@@ -1385,17 +1403,37 @@ def hll_intersection_pairs(spark, sf_dir):
 )
 def cms_join_cardinality(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # Round 12 (was 8 corpus scans: one per depth arm per side via the
+    # union-of-arms build, plus two more for the truth branch): ONE
+    # corpus pass to the per-(user, side) count frame — the exact
+    # sufficient statistic for both the sketches (bucket count = sum of
+    # its users' counts) and the true join size. The frame is distinct-
+    # user grain, 3 ints — materialize it once; every arm and the truth
+    # branch derive from it with a `stack` (the one-pass all-depths
+    # layout the registry's CMS builder already uses).
+    uc = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    a = uc.filter(F.col("event_type") == "click").select("user_id", "c")
+    b = uc.filter(F.col("event_type") == "purchase").select("user_id", "c")
 
     def cms(side: DataFrame) -> DataFrame:
-        arms = None
+        wb = side
         for d in range(_CMS_D):
-            arm = side.groupBy(
-                _cms_bucket(d, F.col("user_id")).alias("bucket")
-            ).agg(F.count("*").alias("c")).withColumn("depth", F.lit(d))
-            arms = arm if arms is None else arms.unionByName(arm)
-        return arms
+            wb = wb.withColumn(f"b{d}", _cms_bucket(d, F.col("user_id")))
+        stacked = wb.select(
+            "c",
+            F.expr(
+                "stack({n}, {args}) as (depth, bucket)".format(
+                    n=_CMS_D,
+                    args=", ".join(f"{d}, b{d}" for d in range(_CMS_D)),
+                )
+            ),
+        )
+        return stacked.groupBy("depth", "bucket").agg(F.sum("c").alias("c"))
 
     est = (
         cms(a).alias("ca")
@@ -1409,8 +1447,8 @@ def cms_join_cardinality(spark, sf_dir):
         .agg(F.min("ip").alias("cms_estimate"))
     )
     truth = (
-        a.groupBy("user_id").agg(F.count("*").alias("ca"))
-        .join(b.groupBy("user_id").agg(F.count("*").alias("cb")), "user_id")
+        a.withColumnRenamed("c", "ca")
+        .join(b.withColumnRenamed("c", "cb"), "user_id")
         .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("t"))
     )
     return est.crossJoin(truth).select(
