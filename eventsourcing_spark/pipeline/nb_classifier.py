@@ -227,23 +227,30 @@ def prior_df(train_docs):
     )
 
 
-def score_docs(docs, model, prior):
-    """THE scoring pass, shared by the batch gate query and the
+def persum_df(docs, model):
+    """THE token-scoring kernel, shared by the batch gate query and the
     streaming ingest gate (pipeline/streaming_quality_gate.py) so the
     two paths cannot drift: explode token instances → broadcast hash
     join against the (token, llr_fx) model → doc-grain partial
-    aggregation → original columns + ``tok_sum``/``prior_fx``. The big
-    side never shuffles rows; the only exchange carries one row per
-    document."""
+    aggregation to one ``tok_sum`` row per document. The big side never
+    shuffles rows; the only exchange carries one row per document."""
     inst = docs.select(
         "doc_id", F.explode(F.expr("split(lower(text), ' ')")).alias("token")
     )
-    persum = (
+    return (
         inst.join(F.broadcast(model.select("token", "llr_fx")), "token")
         .groupBy("doc_id")
         .agg(F.sum("llr_fx").cast("long").alias("tok_sum"))
     )
-    return docs.join(persum, "doc_id", "left").crossJoin(F.broadcast(prior))
+
+
+def score_docs(docs, model, prior):
+    """persum_df joined back onto the full document frame (LEFT join so
+    token-less docs keep scoring via the prior) + the broadcast 1-row
+    prior."""
+    return docs.join(persum_df(docs, model), "doc_id", "left").crossJoin(
+        F.broadcast(prior)
+    )
 
 
 @query(
@@ -298,7 +305,7 @@ def nb_quality_train(spark, sf_dir):
     CROSS JOIN prior pr
     """,
 )
-def nb_quality_score(spark, sf_dir):
+def nb_quality_score(spark, sf_dir, labs=None):
     """Apply the NB quality model to every document. Scoring shape:
     explode token instances → BROADCAST HASH JOIN against the
     vocab-capped model → doc-grain aggregation. The big side never
@@ -308,37 +315,51 @@ def nb_quality_score(spark, sf_dir):
     was tried and rejected: Spark's element_at on a MapType column is
     a LINEAR scan, making the fold O(tokens · vocab) — 13× slower at
     the 8k-entry vocab cap (profiled round 7). The oracle scores via
-    the same explode + join."""
+    the same explode + join.
+
+    Round 12: the doc-grain label frame feeds three consumers (the
+    prior aggregate, the join-back, and the output's label column),
+    which previously re-scanned the corpus and re-evaluated the
+    4-lambda label expression per consumer. It is 2 small ints per doc
+    — materialize it once. ``labs`` lets a composite query (the
+    agreement family in pipeline/ridge.py) inject an already-
+    materialized (doc_id, label_good) frame so the corpus is not
+    label-scanned twice. A carry-the-attributes-through-the-explode
+    rewrite (grouping on (doc_id, is_train, label_good) to drop the
+    doc-grain join-back) was tried and REVERTED: Catalyst moves the
+    4-lambda label expression above the Generate, evaluating it once
+    per TOKEN row instead of once per doc — measured 3x slower."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     model = _model_df(spark, sf_dir)
-    prior = prior_df(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    if labs is None:
+        labs = docs.select(
+            "doc_id",
+            F.expr(_label_spark("text")).cast("long").alias("label_good"),
+        ).localCheckpoint()
+    # prior_df algebra over the materialized labels: sum(label_good)
+    # over the train half is exactly sum(good) over the train docs.
+    prior = labs.filter(F.col("doc_id") % 2 == 0).agg(
+        F.expr(
+            f"{ilog2_spark('sum(label_good) + 1')}"
+            f" - {ilog2_spark('sum(1 - label_good) + 1')}"
+        ).alias("prior_fx")
     )
-    # Round 12 note: a carry-the-attributes-through-the-explode rewrite
-    # (grouping on (doc_id, is_train, label_good) to drop the doc-grain
-    # join-back) was tried and REVERTED: Catalyst moves the 4-lambda
-    # label expression above the Generate, evaluating it once per TOKEN
-    # row instead of once per doc — measured 3x slower. The join-back
-    # keeps the label at doc grain; the model-side duplication this
-    # round actually removed lives in model_from_counts (cnt
-    # checkpoint).
-    return score_docs(docs, model, prior).select(
+    score = F.coalesce(F.col("tok_sum"), F.lit(0)) + F.col("prior_fx")
+    return (
+        labs.join(persum_df(docs, model), "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
             "doc_id",
             F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END")
             .cast("long")
             .alias("is_train"),
-            F.expr(_label_spark("text")).cast("long").alias("label_good"),
-            (F.coalesce(F.col("tok_sum"), F.lit(0)) + F.col("prior_fx"))
-            .cast("long")
-            .alias("score_fx"),
-            F.when(
-                F.coalesce(F.col("tok_sum"), F.lit(0)) + F.col("prior_fx")
-                >= 0,
-                1,
-            )
+            "label_good",
+            score.cast("long").alias("score_fx"),
+            F.when(score >= 0, 1)
             .otherwise(0)
             .cast("long")
             .alias("pred_good"),
+        )
     )
 
 
@@ -1200,6 +1221,12 @@ def nb_quality_hashed_score(spark, sf_dir):
         F.sum("good").cast("long").alias("cnt_good"),
         F.sum(1 - F.col("good")).cast("long").alias("cnt_bad"),
     )
+    # Two consumers (the 1-row totals and the model projection) would
+    # each re-run the train-half token explode + aggregation feeding
+    # this frame (round-12 scan audit: documents scanned 5x in this
+    # plan). ≤ 2^14 bucket rows at any corpus size — materialize once,
+    # the same discipline as model_from_counts.
+    hcnt = hcnt.localCheckpoint()
     htot = hcnt.agg(
         F.sum("cnt_good").cast("long").alias("ng"),
         F.sum("cnt_bad").cast("long").alias("nb"),

@@ -209,15 +209,24 @@ def _doc_features(docs):
     )
 
 
-def _weights_df(spark, sf_dir):
-    """1-row frame of exact fixed-point ridge weights, trained on the
-    doc_id%2=0 half. No collect — the stats row stays a frame and the
-    weight arithmetic is column expressions on it."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 2 == 0
-    )
-    feats = _doc_features(docs)
-    stats = feats.agg(
+def _feats_ckpt(spark, sf_dir):
+    """The doc-grain (doc_id, f1, f2, f3, y) feature frame, materialized
+    once. Round 12: every query in the ridge family consumes this frame
+    at least twice (the training aggregate and the scoring projection),
+    and the agreement family adds the NB side's label consumers — each
+    consumer used to replan the whole lineage and re-run the three
+    split/array-lambda feature expressions over the corpus. The frame
+    is 5 small ints per doc at any scale — materialize it once."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return _doc_features(docs).localCheckpoint()
+
+
+def _weights_from_feats(feats):
+    """1-row frame of exact fixed-point ridge weights from an already-
+    built feature frame (trains on its doc_id%2=0 half). No collect —
+    the stats row stays a frame and the weight arithmetic is column
+    expressions on it."""
+    stats = feats.filter(F.col("doc_id") % 2 == 0).agg(
         *[
             F.expr(e).cast("long").alias(c)
             for c, e in _stat_exprs().items()
@@ -244,6 +253,15 @@ def _weights_df(spark, sf_dir):
             F.expr(wx[f"w{i}_fx"]).cast("long").alias(f"w{i}_fx")
             for i in range(4)
         ],
+    )
+
+
+def _weights_df(spark, sf_dir):
+    """Training-only entry (ridge_quality_train): one scan, no
+    checkpoint — the doc_id%2=0 filter pushes below the feature
+    projection to the parquet scan, so only train docs get features."""
+    return _weights_from_feats(
+        _doc_features(load_table(spark, sf_dir, "documents"))
     )
 
 
@@ -323,14 +341,18 @@ def ridge_quality_train(spark, sf_dir):
     FROM feats f CROSS JOIN weights w
     """,
 )
-def ridge_quality_score(spark, sf_dir):
+def ridge_quality_score(spark, sf_dir, feats=None):
     """Score every document with the exact-trained weights: a map-only
     crossJoin(broadcast(1-row weights)) — the corpus never shuffles.
     pred_good thresholds the linear probability at 0.5 (2^19 fixed
-    point)."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    feats = _doc_features(docs)
-    w = _weights_df(spark, sf_dir)
+    point). Round 12: training and scoring both consume the feature
+    frame — build it once (_feats_ckpt) instead of re-scanning the
+    corpus and re-running the feature lambdas for the training
+    aggregate. ``feats`` lets the agreement family inject the shared
+    materialized frame."""
+    if feats is None:
+        feats = _feats_ckpt(spark, sf_dir)
+    w = _weights_from_feats(feats)
     score = (
         F.col("w0_fx")
         + F.col("w1_fx") * F.col("f1")
@@ -385,14 +407,24 @@ def ridge_nb_agreement(spark, sf_dir):
     """Agreement/disagreement audit between the two learned scorers on
     the held-out half: confusion counts of (ridge_pred, nb_pred) with
     the weak-label positives in each cell. Both model derivations are
-    1-row/model-grain broadcasts; the audit join is doc-keyed."""
+    1-row/model-grain broadcasts; the audit join is doc-keyed.
+    Round 12: one shared materialized feature frame serves the ridge
+    training aggregate, the ridge scoring projection AND the NB side's
+    label/prior consumers (y IS the weak label), collapsing five corpus
+    scans to two (the feature pass and the token-instance explode) plus
+    the vocab-model build."""
     from eventsourcing_spark.pipeline.nb_classifier import nb_quality_score
 
-    ridge = ridge_quality_score(spark, sf_dir).filter(
+    feats = _feats_ckpt(spark, sf_dir)
+    ridge = ridge_quality_score(spark, sf_dir, feats=feats).filter(
         F.col("is_train") == 0
     )
     nb = (
-        nb_quality_score(spark, sf_dir)
+        nb_quality_score(
+            spark,
+            sf_dir,
+            labs=feats.select("doc_id", F.col("y").alias("label_good")),
+        )
         .filter(F.col("is_train") == 0)
         .select("doc_id", F.col("pred_good").alias("nb_pred"))
     )
@@ -531,13 +563,18 @@ def model_rank_spearman(spark, sf_dir):
     )
     from eventsourcing_spark.operators.ranking import global_rank
 
+    feats = _feats_ckpt(spark, sf_dir)
     nb = (
-        nb_quality_score(spark, sf_dir)
+        nb_quality_score(
+            spark,
+            sf_dir,
+            labs=feats.select("doc_id", F.col("y").alias("label_good")),
+        )
         .filter(F.col("is_train") == 0)
         .select("doc_id", F.col("score_fx").alias("s_nb"))
     )
     rd = (
-        ridge_quality_score(spark, sf_dir)
+        ridge_quality_score(spark, sf_dir, feats=feats)
         .filter(F.col("is_train") == 0)
         .select("doc_id", F.col("score_fx").alias("s_rd"))
     )
@@ -638,12 +675,17 @@ def fleiss_kappa_raters(spark, sf_dir):
         nb_quality_score,
     )
 
+    feats = _feats_ckpt(spark, sf_dir)
     nb = (
-        nb_quality_score(spark, sf_dir)
+        nb_quality_score(
+            spark,
+            sf_dir,
+            labs=feats.select("doc_id", F.col("y").alias("label_good")),
+        )
         .filter(F.col("is_train") == 0)
         .select("doc_id", "label_good", F.col("pred_good").alias("nb_pred"))
     )
-    rd = ridge_quality_score(spark, sf_dir).select(
+    rd = ridge_quality_score(spark, sf_dir, feats=feats).select(
         "doc_id", F.col("pred_good").alias("r_pred")
     )
     votes = nb.join(rd, "doc_id").select(
@@ -744,12 +786,17 @@ def mcnemar_raters(spark, sf_dir):
     held-out half; b/c are the discordant cells."""
     from eventsourcing_spark.pipeline.nb_classifier import nb_quality_score
 
+    feats = _feats_ckpt(spark, sf_dir)
     nb = (
-        nb_quality_score(spark, sf_dir)
+        nb_quality_score(
+            spark,
+            sf_dir,
+            labs=feats.select("doc_id", F.col("y").alias("label_good")),
+        )
         .filter(F.col("is_train") == 0)
         .select("doc_id", F.col("pred_good").alias("nb_pred"))
     )
-    rd = ridge_quality_score(spark, sf_dir).select(
+    rd = ridge_quality_score(spark, sf_dir, feats=feats).select(
         "doc_id", F.col("pred_good").alias("r_pred")
     )
     agg = nb.join(rd, "doc_id").agg(
