@@ -599,12 +599,20 @@ SERIES_KNN_K = 10
 def series_knn_daily_spend(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+    # Round 12 (scan-collapse): `daily` feeds five consumers (probe_id,
+    # probe, self_sq, cross_term, and p_sq via probe) — unmaterialized,
+    # each replans the whole lineage, 7 parquet scans of events in one
+    # plan. The frame is (user, day) grain — three ints per active
+    # user-day, orders of magnitude below event grain — so materialize
+    # the one keyed aggregate the algorithm needs and roll every
+    # consumer off it.
     daily = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy(
             "user_id", F.expr("unix_millis(ts) div 86400000").alias("day")
         )
         .agg(F.sum(cents).alias("cents"))
+        .localCheckpoint()
     )
     probe_id = daily.agg(F.min("user_id").alias("pid"))
     probe = (
