@@ -1025,9 +1025,14 @@ def drift_l1_value_buckets(spark, sf_dir):
         F.floor(F.col("value") / 25).cast("long").alias("bucket"),
         F.when(ms < F.col("mid"), 0).otherwise(1).alias("half"),
     )
+    # Round 12 (scan-collapse): `counts` is the one corpus pass here —
+    # (event_type, value-bucket, half) grain, bounded by types × buckets
+    # × 2 — but it fed tot/ppm/both halves unmaterialized, so the plan
+    # re-scanned events 8x. Materialize it once; everything downstream
+    # runs on the tiny frame.
     counts = bucketed.groupBy("event_type", "bucket", "half").agg(
         F.count("*").alias("n")
-    )
+    ).localCheckpoint()
     tot = counts.groupBy("event_type", "half").agg(F.sum("n").alias("total"))
     ppm = counts.join(tot, ["event_type", "half"]).select(
         "event_type",
@@ -1091,11 +1096,15 @@ def drift_l1_value_buckets(spark, sf_dir):
 )
 def basket_lift_pairs(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
+    # Round 12 (scan-collapse): the distinct (user, day, type) basket
+    # frame — bounded by active user-days × types — feeds the count
+    # action, per-type marginals, and both pair-join sides; materialize
+    # the one distinct pass instead of four corpus scans.
     baskets = ev.select(
         "user_id",
         F.expr("unix_millis(ts) div 86400000").alias("day"),
         "event_type",
-    ).distinct()
+    ).distinct().localCheckpoint()
     n_baskets = baskets.select("user_id", "day").distinct().count()
     per_type = baskets.groupBy("event_type").agg(F.count("*").alias("n_t"))
     pairs = (
@@ -2937,7 +2946,15 @@ def user_growth_curve(spark, sf_dir):
 )
 def user_type_recommendation(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    ui = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    # Round 12 (scan-collapse): `ui` — the (user, type) count matrix,
+    # linear in interaction keys and far below event grain — feeds
+    # norms, both self-join sides, and the scoring join; unmaterialized
+    # that replanned 5 corpus scans. One pass, materialized.
+    ui = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
     norms = ui.groupBy("event_type").agg(
         F.sum(F.col("c") * F.col("c")).alias("n2")
     )
