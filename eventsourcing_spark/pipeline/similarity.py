@@ -1091,7 +1091,16 @@ def semdedup_ivf(spark, sf_dir):
     cross-multiplication. One broadcast of the ≤N_CELLS keeper set;
     the member side never self-joins, so the pass is linear in corpus
     size — the property that makes SemDeDup runnable at 100 TB."""
-    members = _ivf_assign(spark, sf_dir).filter(F.col("crank") == 1)
+    # Round 12 (scan-collapse): members feeds three consumers (keeper
+    # min-agg, the keeper-vector self-join, the distance pass) —
+    # unmaterialized, each replayed the whole assignment (broadcast
+    # join + window over the corpus), 6 embedding scans per plan.
+    # One materialized assignment pass instead; the payload is copied
+    # once (unlike the rejected ann_ivf_topk variant that wrote it
+    # N_PROBE times).
+    members = (
+        _ivf_assign(spark, sf_dir).filter(F.col("crank") == 1).localCheckpoint()
+    )
 
     _dot = _dot64
 
@@ -1884,10 +1893,20 @@ ADVISOR_TARGET_CAP = TARGET_BUCKET
 def lsh_sizing_advisor(spark, sf_dir):
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     sz = sizing_df(emb, TARGET_BUCKET, BAND_BITS_MIN, BAND_BITS_MAX)
-    bk = emb.select(
-        "vec_id",
-        _bucket_arrow(_quant(F.col("embedding")), 2 * BAND_BITS_MAX).alias("bucket"),
-    ).crossJoin(F.broadcast(sz))
+    # Round 12 (scan-collapse): bk feeds both band arms and the count —
+    # three replays of the Arrow bucket kernel plus the sizing scan
+    # (6 embedding scans). The frame is four ints per vector (no
+    # payload): one kernel pass, materialized.
+    bk = (
+        emb.select(
+            "vec_id",
+            _bucket_arrow(
+                _quant(F.col("embedding")), 2 * BAND_BITS_MAX
+            ).alias("bucket"),
+        )
+        .crossJoin(F.broadcast(sz))
+        .localCheckpoint()
+    )
     bands = bk.select(
         "bits", F.lit(0).alias("band"), (F.col("bucket") % F.col("p2")).alias("bval")
     ).unionAll(
