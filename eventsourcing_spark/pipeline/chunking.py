@@ -563,10 +563,15 @@ def _coverage_oracle() -> str:
 @query("vocab_coverage_curve", _coverage_oracle())
 def vocab_coverage_curve(spark, sf_dir):
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Round 12 (scan-collapse): the token frequency table — vocab
+    # grain — feeds the total and all four top-K branches; each branch
+    # replayed the tokenize-explode corpus pass (5 document scans per
+    # plan). One pass, materialized.
     f = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
+        .localCheckpoint()
     )
     total = f.agg(F.sum("freq").alias("total_tokens"))
     branches = None

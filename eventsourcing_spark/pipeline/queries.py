@@ -2291,6 +2291,15 @@ def trigram_lm_interpolated(spark, sf_dir):
             ),
         ).alias("g"),
     ).select("doc_id", "g.tg", "g.b12", "g.b23", "g.w2", "g.w3")
+    # Round 12 negative result (scan-collapse sweep): checkpointing the
+    # three gram count tables (bg / tg_c / un — each consumed 2-3x, so
+    # the lazy plan re-tokenizes documents 7-8x) measured SLOWER at
+    # sf0.1 (3.13 -> 3.69 s same-conditions A/B): the three eager
+    # materializations serialize what the lazy plan runs as overlapped
+    # stages of one job, and at bench scale the re-tokenize is cheaper
+    # than the lost overlap. Left lazy; at true scale the 7-8 corpus
+    # passes dominate and the checkpoint form should win — revisit with
+    # a stress-ratio measurement before flipping (do NOT re-try blind).
     bg = (
         base.filter(F.size("toks") >= 2)
         .select(gram(2, lambda i: F.concat_ws(" ", el(i, 1), el(i, 0))).alias("b"))
