@@ -115,26 +115,41 @@ def dedup_minhash_signatures(spark, sf_dir):
 MAX_BUCKET = 64
 
 
-def _bands(docs):
-    """MinHash signature computed ONCE per row; both bands emitted via
-    explode (the union-of-selects form evaluates the md5 min-hash chain
-    once per band per join side — 4× the work)."""
-    sig = docs.select("doc_id", *[_minhash_expr(j) for j in range(N_MINHASH)])
+def _explode_band_keys(sig):
+    """(doc_id, bk0, bk1) → (doc_id, band_id, band_key): THE band
+    layout, defined once (pinned by _BANDS_SQL). Split from _bands in
+    round 12 so a caller holding a materialized per-doc signature frame
+    (dedup_incremental_batch) emits band rows without re-running the
+    min-hash chain."""
     return sig.select(
         "doc_id",
         F.explode(
             F.array(
                 F.struct(
                     F.lit(0).alias("band_id"),
-                    F.concat("mh0", "mh1").alias("band_key"),
+                    F.col("bk0").alias("band_key"),
                 ),
                 F.struct(
                     F.lit(1).alias("band_id"),
-                    F.concat("mh2", "mh3").alias("band_key"),
+                    F.col("bk1").alias("band_key"),
                 ),
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def _bands(docs):
+    """MinHash signature computed ONCE per row; both bands emitted via
+    explode (the union-of-selects form evaluates the md5 min-hash chain
+    once per band per join side — 4× the work)."""
+    sig = docs.select(
+        "doc_id", *[_minhash_expr(j) for j in range(N_MINHASH)]
+    ).select(
+        "doc_id",
+        F.concat("mh0", "mh1").alias("bk0"),
+        F.concat("mh2", "mh3").alias("bk1"),
+    )
+    return _explode_band_keys(sig)
 
 
 _BANDS_SQL = f"""
@@ -317,7 +332,10 @@ def dedup_components(spark, sf_dir):
 # keeps materialized between runs. Gate split: doc_id % 10 = 0 plays the
 # incoming batch, the rest the index.
 # ---------------------------------------------------------------------------
-def classify_against_index(incoming, hash_index, band_index):
+def classify_against_index(
+    incoming, hash_index, band_index,
+    incoming_hashes=None, incoming_bands=None,
+):
     """(doc_id, status): exact_dup / near_dup / novel against an index —
     THE shared classification rule. ``dedup_incremental_batch`` (the
     oracle-gated batch backfill) and the streaming ingest twin
@@ -325,15 +343,27 @@ def classify_against_index(incoming, hash_index, band_index):
     the two paths cannot drift (the C2 dual-rule pattern applied to
     curation). hash_index: DF[text_hash]; band_index: DF[band_id,
     band_key]. SEMI joins only — a duplicate mega-family costs one
-    existence probe, never O(k²)."""
+    existence probe, never O(k²).
+
+    Round 12: ``incoming_hashes`` (DF[doc_id, text_hash]) and
+    ``incoming_bands`` (DF[doc_id, band_id, band_key]) let a caller
+    that already materialized the per-doc signatures (the batch query's
+    one-pass frame) skip re-deriving them from text; the probe/join
+    logic — the rule itself — is unchanged either way."""
+    if incoming_hashes is None:
+        incoming_hashes = incoming.select(
+            "doc_id", F.md5("text").alias("text_hash")
+        )
+    if incoming_bands is None:
+        incoming_bands = _bands(incoming)
     exact_hit = (
-        incoming.select("doc_id", F.md5("text").alias("text_hash"))
+        incoming_hashes
         .join(hash_index, "text_hash", "left_semi")
         .select("doc_id")
         .withColumn("is_exact", F.lit(1))
     )
     near_hit = (
-        _bands(incoming)
+        incoming_bands
         .join(band_index, ["band_id", "band_key"], "left_semi")
         .select("doc_id")
         .distinct()
@@ -383,13 +413,35 @@ def classify_against_index(incoming, hash_index, band_index):
     """,
 )
 def dedup_incremental_batch(spark, sf_dir):
+    # Round 12 (scan-collapse): the md5 and min-hash chains previously
+    # ran once per side per probe — 5 document scans in one plan. One
+    # pass computes the narrow per-doc signature frame (hash + two band
+    # keys, no text), materialized once; both index sides and both
+    # probe sides derive from it. The classification rule itself stays
+    # in classify_against_index, shared with the streaming twin.
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    incoming = docs.filter(F.col("doc_id") % 10 == 0)
-    indexed = docs.filter(F.col("doc_id") % 10 != 0)
+    sig = (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("text_hash"),
+            *[_minhash_expr(j) for j in range(N_MINHASH)],
+        )
+        .select(
+            "doc_id",
+            "text_hash",
+            F.concat("mh0", "mh1").alias("bk0"),
+            F.concat("mh2", "mh3").alias("bk1"),
+        )
+        .localCheckpoint()
+    )
+    incoming = sig.filter(F.col("doc_id") % 10 == 0)
+    indexed = sig.filter(F.col("doc_id") % 10 != 0)
     return classify_against_index(
         incoming,
-        indexed.select(F.md5("text").alias("text_hash")).distinct(),
-        _bands(indexed).select("band_id", "band_key").distinct(),
+        indexed.select("text_hash").distinct(),
+        _explode_band_keys(indexed).select("band_id", "band_key").distinct(),
+        incoming_hashes=incoming.select("doc_id", "text_hash"),
+        incoming_bands=_explode_band_keys(incoming),
     )
 
 
