@@ -783,6 +783,15 @@ def concurrent_sessions_peak(spark, sf_dir):
     """,
 )
 def coengagement_matrix(spark, sf_dir):
+    # Round 12 NEGATIVE result (recorded so round 13 doesn't retry):
+    # two scan-collapse variants measured SLOWER at sf0.1 across
+    # alternating A/B runs — (a) localCheckpoint of tu (0.48 -> 0.78 s:
+    # eager-job fixed cost), (b) one-pass per-user sorted type-set +
+    # pair/diagonal explode + diagonal-window sizes (1 scan, 0 joins,
+    # but median 0.92 s vs 0.50 s: collect_set's object-hash aggregate
+    # and the nested-lambda explode lose whole-stage codegen). The lazy
+    # 3-consumer shape stays; at true scale revisit variant (b) with a
+    # stress-ratio measurement (it is the corpus-linear plan).
     ev = load_table(spark, sf_dir, "events")
     tu = ev.select("event_type", "user_id").distinct()
     sz = tu.groupBy("event_type").agg(F.count("*").alias("n"))
@@ -3923,14 +3932,30 @@ def t_closeness_audit(spark, sf_dir):
         F.expr("cast(floor(coalesce(value, 0) / 10) as bigint)").alias("vbucket"),
         "event_type",
     )
+    # Round 12 (scan-collapse): cls fed dist + cls_tot and qi fed the
+    # global share separately — 4 corpus scans and three joins. Every
+    # other frame is a re-aggregation of the (day, vbucket, event_type)
+    # count cube (per-type g is the cube's column-sum over (day,
+    # vbucket); total is the sum of everything), so all three become
+    # WINDOW sums over one cube chain: 1 scan, 0 joins. A checkpoint
+    # variant was ~equal-to-slower locally; the window form keeps the
+    # single-scan plan without the eager-job cost. The empty-partition
+    # window for `total` moves only cube-grain rows (the query's own
+    # output grain) to one partition — the final 2-group rollup already
+    # funnels there.
     cls = qi.groupBy("day", "vbucket", "event_type").agg(F.count("*").alias("n"))
-    cls_tot = cls.groupBy("day", "vbucket").agg(F.sum("n").alias("class_n"))
-    glob = qi.groupBy("event_type").agg(F.count("*").alias("g"))
-    glob_tot = glob.agg(F.sum("g").alias("total"))
+    w_class = Window.partitionBy("day", "vbucket")
+    w_type = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
     dist = (
-        cls.join(cls_tot, ["day", "vbucket"])
-        .join(F.broadcast(glob), "event_type")
-        .crossJoin(F.broadcast(glob_tot))
+        cls.select(
+            "day",
+            "vbucket",
+            "n",
+            F.sum("n").over(w_class).alias("class_n"),
+            F.sum("n").over(w_type).alias("g"),
+            F.sum("n").over(w_all).alias("total"),
+        )
         .groupBy("day", "vbucket")
         .agg(
             F.max(

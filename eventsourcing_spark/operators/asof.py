@@ -145,3 +145,65 @@ def asof_join_forward(
         *[F.first(v, ignorenulls=True).over(w).alias(v) for v in value_cols],
     )
     return carried.filter(F.col(_SIDE) == 0).drop(_SIDE, "__ts")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    ts_back: str = "asof_prev_ts",
+    ts_fwd: str = "asof_next_ts",
+) -> DataFrame:
+    """Both as-of directions at once: for each left row attach the
+    latest ``right_ts <= left_ts`` (as ``ts_back``) AND the earliest
+    ``right_ts >= left_ts`` (as ``ts_fwd``), both inclusive, on the
+    same key — in ONE union and ONE key shuffle (round 12).
+
+    Equivalent to ``asof_join_backward`` + ``asof_join_forward`` +
+    an equi-join back on a left-row id, minus that join's extra
+    shuffle of the left side and the second scan of each input: the
+    two directional windows share ``partitionBy(*key_cols)``, so the
+    planner inserts only an in-partition re-sort between them, never
+    a second Exchange. Tie handling matches the directional
+    operators: the right side sorts before the left at equal ``ts``
+    in BOTH window orders (ascending for backward, descending for
+    forward), which is exactly the inclusive `<=` / `>=` semantics.
+    """
+    lcols = left.columns
+    l_norm = left.select(
+        *key_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("__rts"),
+        *[c for c in lcols if c not in key_cols],
+    )
+    r_norm = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias(_SIDE),
+        F.col(right_ts).alias("__rts"),
+    )
+    for c in [c for c in lcols if c not in key_cols]:
+        r_norm = r_norm.withColumn(c, F.lit(None))
+    unioned = l_norm.unionByName(r_norm)
+
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").desc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *key_cols,
+        _SIDE,
+        *[c for c in lcols if c not in key_cols],
+        F.last("__rts", ignorenulls=True).over(wb).alias(ts_back),
+        F.last("__rts", ignorenulls=True).over(wf).alias(ts_fwd),
+    )
+    return carried.filter(F.col(_SIDE) == 1).drop(_SIDE)

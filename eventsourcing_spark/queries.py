@@ -450,6 +450,16 @@ def j1_outbox_join(spark, sf_dir):
     """,
 )
 def j2_snapshot_rehydrate(spark, sf_dir):
+    # Round 12 (scan-collapse): the snap/streams/replay theta-join form
+    # scanned events 4x and shuffled a per-user range join. One keyed
+    # conditional aggregate is provably identical: snap_id is the
+    # per-user max(event_id <= cutoff), so "event_id > coalesce(snap_id,
+    # -1)" selects exactly the user's events with event_id > cutoff —
+    # there are no events in (snap_id, cutoff] by maximality, and for
+    # users with no snapshot every event is > cutoff (>= 0 > -1; event
+    # ids are a non-negative sequence, so cutoff >= 0). The left joins
+    # only ever re-attach rows of the same user, so grouping the raw
+    # events by user_id yields the same row set.
     ev = _events(spark, sf_dir)
     bounds = ev.agg(
         F.floor((F.min("event_id") + F.max("event_id")) / 2)
@@ -457,22 +467,11 @@ def j2_snapshot_rehydrate(spark, sf_dir):
         .alias("cutoff")
     )
     with_cut = ev.join(F.broadcast(bounds))
-    snap = (
-        with_cut.filter(F.col("event_id") <= F.col("cutoff"))
-        .groupBy("user_id")
-        .agg(F.max("event_id").alias("snap_id"))
-    )
-    streams = ev.select("user_id").distinct()
-    base = streams.join(snap, "user_id", "left")
-    joined = base.join(
-        ev.alias("e"),
-        (F.col("e.user_id") == base.user_id)
-        & (F.col("e.event_id") > F.coalesce(F.col("snap_id"), F.lit(-1))),
-        "left",
-    )
-    return joined.groupBy(base.user_id, "snap_id").agg(
-        F.count("e.event_id").alias("n_after"),
-        F.coalesce(F.sum(_dec("e.value")), F.lit(0).cast(DEC))
+    after = F.col("event_id") > F.col("cutoff")
+    return with_cut.groupBy("user_id").agg(
+        F.max(F.when(~after, F.col("event_id"))).alias("snap_id"),
+        F.count(F.when(after, F.col("event_id"))).alias("n_after"),
+        F.coalesce(F.sum(F.when(after, _dec("value"))), F.lit(0).cast(DEC))
         .cast("double")
         .alias("value_after"),
     )
@@ -531,6 +530,15 @@ def j3_candidate_semijoin(spark, sf_dir):
     """,
 )
 def c2_checkpoint_antijoin(spark, sf_dir):
+    # Round 12 (scan-collapse): the anti-join is provably a filter. An
+    # incoming row with event_id <= cutoff matches ITSELF in the
+    # processed set (p.event_id = e.event_id AND p.event_id <= cutoff)
+    # and is rejected; an incoming row with event_id > cutoff cannot
+    # equal any processed id (all <= cutoff). So the surviving rows are
+    # exactly `event_id > cutoff` — the overlap window (cutoff-1000,
+    # cutoff] is rejected wholesale without shuffling the corpus
+    # against itself. 4 scans + anti-join exchange -> 2 scans (one
+    # narrow min/max pass + one pushed-down filter scan).
     ev = _events(spark, sf_dir)
     bounds = ev.agg(
         F.floor((F.min("event_id") + F.max("event_id")) / 2)
@@ -538,11 +546,7 @@ def c2_checkpoint_antijoin(spark, sf_dir):
         .alias("cutoff")
     )
     with_cut = ev.join(F.broadcast(bounds))
-    incoming = with_cut.filter(F.col("event_id") > F.col("cutoff") - 1000)
-    processed = with_cut.filter(F.col("event_id") <= F.col("cutoff")).select(
-        "event_id"
-    )
-    return incoming.join(processed, "event_id", "left_anti").select(
+    return with_cut.filter(F.col("event_id") > F.col("cutoff")).select(
         "event_id", "user_id", "event_type"
     )
 
@@ -773,14 +777,29 @@ def range_click_attribution(spark, sf_dir):
     """,
 )
 def set_ops_user_cohorts(spark, sf_dir):
+    # Round 12 (scan-collapse): EXCEPT/INTERSECT over two distinct sets
+    # re-scanned events 4x (each set feeds both set-ops). Both cohorts
+    # are functions of two per-user existence flags, so ONE keyed
+    # aggregate computes them: a buyer is clean iff no error event,
+    # buyer_with_errors iff both flags set. Same distinct-user row set,
+    # same labels; 4 scans + 2 set-op shuffles -> 1 scan + 1 aggregate.
     ev = _events(spark, sf_dir)
-    buyers = (
-        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    flags = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .alias("has_buy"),
+            F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .alias("has_err"),
+        )
     )
-    errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    clean = buyers.exceptAll(errs).withColumn("cohort", F.lit("clean_buyer"))
-    both = buyers.intersect(errs).withColumn("cohort", F.lit("buyer_with_errors"))
-    return clean.unionByName(both)
+    return flags.filter(F.col("has_buy") == 1).select(
+        "user_id",
+        F.when(F.col("has_err") == 1, F.lit("buyer_with_errors"))
+        .otherwise(F.lit("clean_buyer"))
+        .alias("cohort"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1499,10 +1518,13 @@ def x_hilbert_key(spark, sf_dir):
     """,
 )
 def asof_nearest_error(spark, sf_dir):
-    from eventsourcing_spark.operators.asof import (
-        asof_join_backward,
-        asof_join_forward,
-    )
+    # Round 12 (scan-collapse): the backward and forward as-of halves
+    # each unioned purchases+errors and shuffled separately (4 event
+    # scans), then re-joined on event_id (another full shuffle of the
+    # purchase side). asof_join_nearest computes both directions on ONE
+    # union and ONE key shuffle — identical inclusive tie semantics,
+    # same (pms, nms) per purchase row, join eliminated.
+    from eventsourcing_spark.operators.asof import asof_join_nearest
 
     ev = _events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -1514,19 +1536,15 @@ def asof_nearest_error(spark, sf_dir):
         .agg(F.lit(1).alias("__one"))
         .select("user_id", "ts")
     )
-    b = asof_join_backward(
+    j = asof_join_nearest(
         purchases, errors, key_cols=["user_id"], left_ts="ts",
-        right_ts="ts", value_cols=[], ts_out="pts",
+        right_ts="ts", ts_back="pts", ts_fwd="nts",
     ).select(
         "event_id", "user_id",
         F.unix_millis("ts").alias("ts_ms"),
         F.unix_millis("pts").alias("pms"),
+        F.unix_millis("nts").alias("nms"),
     )
-    f = asof_join_forward(
-        purchases, errors, key_cols=["user_id"], left_ts="ts",
-        right_ts="ts", value_cols=[], ts_out="nts",
-    ).select("event_id", F.unix_millis("nts").alias("nms"))
-    j = b.join(f, "event_id")
     pms, nms, ts_ms = F.col("pms"), F.col("nms"), F.col("ts_ms")
     both_null = pms.isNull() & nms.isNull()
     prior_wins = (ts_ms - pms) <= (nms - ts_ms)

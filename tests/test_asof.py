@@ -121,3 +121,61 @@ def test_nearest_asof_picks_closer_side(spark):
                 assert r["nearest_error_ms"] <= r["ts_ms"]
             else:
                 assert r["nearest_error_ms"] > r["ts_ms"]
+
+
+def test_asof_nearest_matches_directional_pair(spark):
+    """asof_join_nearest == backward + forward on the same inputs,
+    including inclusive ties and no-match nulls, with ONE exchange."""
+    from eventsourcing_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("u1", _ts(0), "before-any"),
+            ("u1", _ts(5), "equal-ts"),
+            ("u1", _ts(9), "between"),
+            ("u1", _ts(20), "after-last"),
+            ("u2", _ts(30), "other-key"),
+            ("u3", _ts(1), "no-right-rows"),
+        ],
+        "key string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(5), 0),
+            ("u1", _ts(10), 0),
+            ("u2", _ts(31), 0),
+        ],
+        "key string, ts timestamp, pad int",
+    ).select("key", "ts")
+
+    out = asof_join_nearest(
+        left, right, key_cols=["key"], left_ts="ts", right_ts="ts",
+        ts_back="pts", ts_fwd="nts",
+    )
+    got = {r.tag: (r.pts, r.nts) for r in out.collect()}
+
+    b = asof_join_backward(
+        left, right, key_cols=["key"], left_ts="ts", right_ts="ts",
+        value_cols=[], ts_out="pts",
+    )
+    f = asof_join_forward(
+        left, right, key_cols=["key"], left_ts="ts", right_ts="ts",
+        value_cols=[], ts_out="nts",
+    )
+    want_b = {r.tag: r.pts for r in b.collect()}
+    want_f = {r.tag: r.nts for r in f.collect()}
+    assert got == {t: (want_b[t], want_f[t]) for t in want_b}
+    # spot-pin the semantics, not just parity
+    assert got["equal-ts"] == (_ts(5), _ts(5))       # inclusive both ways
+    assert got["before-any"] == (None, _ts(5))
+    assert got["after-last"] == (_ts(10), None)
+    assert got["no-right-rows"] == (None, None)
+    assert out.count() == left.count()
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # both directional windows share one key shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2

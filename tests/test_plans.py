@@ -63,7 +63,12 @@ def test_broadcast_joins_for_small_sides(plans):
 
 def test_semi_and_anti_joins(plans):
     assert "LeftSemi" in plans["j3_candidate_semijoin"]
-    assert "LeftAnti" in plans["c2_checkpoint_antijoin"]
+    # Round 12: the C2 anti-join is provably `event_id > cutoff` (every
+    # overlap row <= cutoff rejects itself) — the rejection is now a
+    # filter under a scalar broadcast, never a corpus-vs-corpus join.
+    p = plans["c2_checkpoint_antijoin"]
+    assert "LeftAnti" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
 
 def test_topk_avoids_global_sort(plans):
