@@ -1514,15 +1514,23 @@ def dau_mau_stickiness(spark, sf_dir):
     """,
 )
 def lang_source_contingency(spark, sf_dir):
+    # Round 12 (scan-collapse): c fed r/s/t plus the join base — 4
+    # corpus scans for one count cube. Both marginals and the total are
+    # re-aggregations of the (lang, source) cube, so they become WINDOW
+    # sums over one cube chain: 1 scan, 0 joins. The empty-partition
+    # window moves only cube-grain rows (langs x sources) to one
+    # partition — bounded domains, not corpus rows.
     docs = load_table(spark, sf_dir, "documents")
     c = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
-    r = c.groupBy("lang").agg(F.sum("n").alias("row_total"))
-    s = c.groupBy("source").agg(F.sum("n").alias("col_total"))
-    t = c.agg(F.sum("n").alias("n_total"))
     return (
-        c.join(F.broadcast(r), "lang")
-        .join(F.broadcast(s), "source")
-        .crossJoin(F.broadcast(t))
+        c.select(
+            "lang",
+            "source",
+            "n",
+            F.sum("n").over(Window.partitionBy("lang")).alias("row_total"),
+            F.sum("n").over(Window.partitionBy("source")).alias("col_total"),
+            F.sum("n").over(Window.partitionBy()).alias("n_total"),
+        )
         .select(
             "lang",
             "source",

@@ -466,15 +466,24 @@ def curation_pipeline(spark, sf_dir):
     """,
 )
 def split_stratification_audit(spark, sf_dir):
+    # Round 12 (scan-collapse): cell fed lg/sp/tot plus the join base —
+    # 4 corpus scans (each re-running the md5 split hash). Marginals
+    # and total are re-aggregations of the (split, lang) cube: WINDOW
+    # sums over one cube chain — 1 scan, 0 joins, cube-grain rows only
+    # (3 splits x langs) through the empty-partition window.
+    from pyspark.sql import Window
+
     s = split_assign(spark, sf_dir)
     cell = s.groupBy("split", "lang").agg(F.count("*").alias("n"))
-    lg = cell.groupBy("lang").agg(F.sum("n").alias("n_lang"))
-    sp = cell.groupBy("split").agg(F.sum("n").alias("n_split"))
-    tot = cell.agg(F.sum("n").alias("n_total"))
     return (
-        cell.join(F.broadcast(lg), "lang")
-        .join(F.broadcast(sp), "split")
-        .crossJoin(F.broadcast(tot))
+        cell.select(
+            "split",
+            "lang",
+            "n",
+            F.sum("n").over(Window.partitionBy("lang")).alias("n_lang"),
+            F.sum("n").over(Window.partitionBy("split")).alias("n_split"),
+            F.sum("n").over(Window.partitionBy()).alias("n_total"),
+        )
         .select(
             "split",
             "lang",
@@ -719,30 +728,69 @@ def source_overlap_matrix(spark, sf_dir):
         )
         .distinct()
     )
-    vocab = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
-    b = sg.select(F.col("source").alias("source_b"), "gram")
-    shared = (
-        sg.withColumnRenamed("source", "source_a")
-        .join(b, "gram")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("shared_grams"))
+    # Round 12 (scan-collapse + join-elimination): sg fed the vocab
+    # rollup and BOTH sides of a gram-keyed self-join — 4 corpus scans,
+    # 3 tokenize+shingle explodes, and a shuffle of every (source,
+    # gram) row against itself (quadratic per hot gram). Rewritten to
+    # the source-bitmask form source_vocab_jaccard already pins: one
+    # pass folds sg into per-gram source masks, the mask histogram mg
+    # (<= 2^|sources| rows) is the ONLY thing kept, and shared/vocab
+    # counts for every pair read off mg with bit tests — shared(a,b) =
+    # sum cnt over masks with both bits, n_grams(a) = sum cnt over
+    # masks with bit a (sg is distinct, so per-source row counts ARE
+    # distinct-gram counts). The inner joins' "pair appears iff it
+    # shares a gram" becomes shared_grams > 0. 1 shingle pass + 1
+    # narrow source scan; no gram self-join at any scale.
+    from pyspark.sql import Window
+
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "sid",
+            (F.row_number().over(Window.orderBy("source")) - 1).cast("long"),
+        )
+        .localCheckpoint()
     )
-    va = vocab.select(
-        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    masks = (
+        sg.join(F.broadcast(srcs), "source")
+        .groupBy("gram")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), sid))").alias("m"))
     )
-    vb = vocab.select(
-        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    mg = masks.groupBy("m").agg(F.count("*").cast("long").alias("cnt"))
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.sid") < F.col("b.sid"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("a.sid").alias("ai"),
+            F.col("b.source").alias("source_b"),
+            F.col("b.sid").alias("bi"),
+        )
     )
+    hit_a = F.expr("(m >> ai) % 2") == 1
+    hit_b = F.expr("(m >> bi) % 2") == 1
     return (
-        shared.join(F.broadcast(va), "source_a")
-        .join(F.broadcast(vb), "source_b")
+        pairs.crossJoin(mg)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.when(hit_a & hit_b, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("shared_grams"),
+            F.sum(F.when(hit_a, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("grams_a"),
+            F.sum(F.when(hit_b, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("grams_b"),
+        )
+        .filter(F.col("shared_grams") > 0)
         .select(
             "source_a",
             "source_b",
-            F.col("shared_grams").cast("long").alias("shared_grams"),
-            F.col("grams_a").cast("long").alias("grams_a"),
-            F.col("grams_b").cast("long").alias("grams_b"),
+            "shared_grams",
+            "grams_a",
+            "grams_b",
             F.expr(
                 "cast((shared_grams * 1000000)"
                 " div (grams_a + grams_b - shared_grams) as bigint)"

@@ -651,13 +651,15 @@ def unimax_mixture_allocation(spark, sf_dir):
     per_lang = docs.groupBy("lang").agg(
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
     )
-    tot = per_lang.agg(
-        F.sum("n_tokens").alias("budget"), F.count("*").alias("n_src")
-    )
     # cap/idx/p_prev depend only on per-lang token counts, so the global
     # window sits DIRECTLY on the |langs|-row aggregate output (bounded
-    # lang domain — the audit's aggregate-fed whitelist); the 1-row
-    # budget frame joins in afterwards, below the window.
+    # lang domain — the audit's aggregate-fed whitelist).
+    # Round 12 (scan-collapse): tot and istar were separate consumers of
+    # the per-lang chain (4 corpus scans for one token rollup). budget /
+    # n_src / istar / p_star are all aggregates OVER the |langs|-row
+    # frame, so they become empty-partition WINDOW functions chained on
+    # the same lineage: 1 scan, 0 joins. min_by(p_prev, idx) over the
+    # lvl_ok rows = min(struct(idx, p_prev)) since idx is unique.
     ranked = per_lang.withColumn(
         "cap", F.expr(f"n_tokens * {UNIMAX_CAP_NUM} div {UNIMAX_CAP_DEN}")
     )
@@ -669,18 +671,23 @@ def unimax_mixture_allocation(spark, sf_dir):
             F.lit(0),
         ),
     )
-    src = ranked.crossJoin(F.broadcast(tot))
+    w_all = Window.partitionBy()
+    src = ranked.withColumn(
+        "budget", F.sum("n_tokens").over(w_all)
+    ).withColumn("n_src", F.count("*").over(w_all))
     src = src.withColumn(
         "lvl_ok",
         (F.col("budget") - F.col("p_prev"))
         <= F.col("cap") * (F.col("n_src") - F.col("idx") + 1),
     )
-    istar = src.filter("lvl_ok").agg(
-        F.min("idx").alias("istar"), F.min_by("p_prev", "idx").alias("p_star")
+    star = F.min(
+        F.when(F.col("lvl_ok"), F.struct(F.col("idx"), F.col("p_prev")))
+    ).over(w_all)
+    src = src.withColumn("istar", star["idx"]).withColumn(
+        "p_star", star["p_prev"]
     )
     return (
-        src.crossJoin(F.broadcast(istar))
-        .withColumn("theta", F.expr("(budget - p_star) div (n_src - istar + 1)"))
+        src.withColumn("theta", F.expr("(budget - p_star) div (n_src - istar + 1)"))
         .withColumn("rem", F.expr("(budget - p_star) % (n_src - istar + 1)"))
         .withColumn(
             "allocation",

@@ -2448,23 +2448,29 @@ def chi2_lang_terms(spark, sf_dir):
             F.filter(_tokens(F.col("text")), lambda x: x != "")
         ).alias("w"),
     )
+    # Round 12 (scan-collapse): wt/lt/n each re-ran the tokenize explode
+    # over the corpus (4 scans of documents, 4 explodes). All three are
+    # column-sums of the (lang, w) count matrix, so they become WINDOW
+    # sums over the single wl chain: 1 scan, 1 explode, 0 joins. The
+    # windows move only vocab-grain rows (the same rows the wl<->wt
+    # shuffle join moved before); the empty-partition total window is
+    # bounded by vocab x langs, never corpus rows.
     wl = toks.groupBy("lang", "w").agg(F.count("*").alias("a"))
-    wt = toks.groupBy("w").agg(F.count("*").alias("cw"))
-    lt = toks.groupBy("lang").agg(F.count("*").alias("cl"))
-    n = toks.agg(F.count("*").alias("n"))
-    cells = (
-        wl.join(wt, "w")
-        .join(F.broadcast(lt), "lang")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "lang",
-            "w",
-            "a",
-            (F.col("cw") - F.col("a")).alias("b"),
-            (F.col("cl") - F.col("a")).alias("c"),
-            (F.col("n") - F.col("cw") - F.col("cl") + F.col("a")).alias("d"),
-            "n",
-        )
+    cells = wl.select(
+        "lang",
+        "w",
+        "a",
+        F.sum("a").over(Window.partitionBy("w")).alias("cw"),
+        F.sum("a").over(Window.partitionBy("lang")).alias("cl"),
+        F.sum("a").over(Window.partitionBy()).alias("n"),
+    ).select(
+        "lang",
+        "w",
+        "a",
+        (F.col("cw") - F.col("a")).alias("b"),
+        (F.col("cl") - F.col("a")).alias("c"),
+        (F.col("n") - F.col("cw") - F.col("cl") + F.col("a")).alias("d"),
+        "n",
     )
     scored = cells.filter(
         (F.col("a") >= CHI2_MIN_A) & (F.col("a") * F.col("d") > F.col("b") * F.col("c"))

@@ -1000,34 +1000,45 @@ def maxsim_hashed_retrieval(spark, sf_dir):
 def ranking_eval_rr_dcg(spark, sf_dir):
     from pyspark.sql import Window
 
+    # Round 12 (scan-collapse): n_docs was an EAGER count at plan-build
+    # (its own corpus scan), df a second consumer of the hits chain,
+    # and ideal/dcg/idcg three consumers of `ranked` — 3-4 scans total.
+    # Collapsed to one chain: hits is UNIQUE on (doc_id, w), so
+    # df(w) = count(*) over (partition by w) — a window on the frame
+    # the old df-join shuffled anyway; n_docs rides in as a 1-row
+    # broadcast below the aggregate; irank chains as a second window
+    # on the <= TOP_DOCS-row frame so one final aggregate emits
+    # k/dcg/idcg together (tie-invariant: equal rel rows permute within
+    # the same irank set, leaving the sum unchanged).
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).filter(F.col("w").isin(QUERY_TERMS))
     hits = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    df = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
-        hits.join(F.broadcast(df), "w")
+        hits.withColumn(
+            "df", F.count("*").over(Window.partitionBy("w"))
+        )
+        .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("tf") * (F.lit(n_docs) - F.col("df"))).alias("score"),
+            F.sum(F.col("tf") * (F.col("n_docs") - F.col("df"))).alias("score"),
             F.count("*").alias("rel"),
         )
     )
     wr = Window.orderBy(F.desc("score"), "doc_id")
+    wi = Window.orderBy(F.desc("rel"))
     ranked = (
         scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= TOP_DOCS)
+        .withColumn("irank", F.row_number().over(wi))
     )
-    wi = Window.orderBy(F.desc("rel"))
-    ideal = ranked.select("rel").withColumn("irank", F.row_number().over(wi))
-    dcg = ranked.agg(
+    return ranked.agg(
         F.count("*").alias("k"),
         F.sum(F.expr("rel * 1000000 div rank")).alias("dcg_scaled"),
-    )
-    idcg = ideal.agg(F.sum(F.expr("rel * 1000000 div irank")).alias("idcg_scaled"))
-    return dcg.crossJoin(idcg).select(
+        F.sum(F.expr("rel * 1000000 div irank")).alias("idcg_scaled"),
+    ).select(
         F.col("k").cast("long").alias("k"),
         F.col("dcg_scaled").cast("long").alias("dcg_scaled"),
         F.col("idcg_scaled").cast("long").alias("idcg_scaled"),

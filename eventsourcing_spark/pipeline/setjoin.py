@@ -362,6 +362,10 @@ def source_vocab_jaccard(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # Round 12 (scan-collapse): srcs fed the mask join and BOTH pair
+    # sides — 3 replans of the distinct + row_number over the corpus
+    # (4 document scans in the plan). The |sources|-row frame is
+    # materialized once; every consumer reads the checkpoint.
     srcs = (
         docs.select("source")
         .distinct()
@@ -369,6 +373,7 @@ def source_vocab_jaccard(spark, sf_dir):
             "sid",
             (F.row_number().over(Window.orderBy("source")) - 1).cast("long"),
         )
+        .localCheckpoint()
     )
     tok = docs.select(
         "source",

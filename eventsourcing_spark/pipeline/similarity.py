@@ -1820,26 +1820,30 @@ def triplet_mining_margin(spark, sf_dir):
             _dot64("qv", "aqv").alias("dot"),
         )
     )
-    wr = Window.partitionBy("aid").orderBy(F.desc("dot"), "cid")
-    pos = (
-        scored.filter(F.col("clabel") == F.col("alabel"))
-        .withColumn("r", F.row_number().over(wr))
-        .filter(F.col("r") == 1)
-        .select("aid", F.col("cid").alias("pos_id"), F.col("dot").alias("pos_dot"))
+    # Round 12 (scan-collapse): pos and neg each replanned the scored
+    # chain (4 embedding scans) and ran a row_number over a 5-partition
+    # window (every candidate row sorted through 5 tasks — the skew
+    # anti-pattern at scale), then re-joined on aid. The per-anchor
+    # best row under (dot DESC, cid ASC) is max(struct(dot, -cid)) —
+    # ties pick the smallest cid, exactly row_number's choice — so ONE
+    # hash aggregate over scored computes both sides; the inner join's
+    # "anchor must have both a pos and a neg" becomes a null filter.
+    best = F.struct(F.col("dot"), (-F.col("cid")).alias("nc"))
+    same = F.col("clabel") == F.col("alabel")
+    agged = scored.groupBy("aid").agg(
+        F.max(F.when(same, best)).alias("p"),
+        F.max(F.when(~same, best)).alias("ng"),
     )
-    neg = (
-        scored.filter(F.col("clabel") != F.col("alabel"))
-        .withColumn("r", F.row_number().over(wr))
-        .filter(F.col("r") == 1)
-        .select("aid", F.col("cid").alias("neg_id"), F.col("dot").alias("neg_dot"))
-    )
-    return pos.join(neg, "aid").select(
-        F.col("aid").alias("anchor_id"),
-        "pos_id",
-        "pos_dot",
-        "neg_id",
-        "neg_dot",
-        (F.col("pos_dot") - F.col("neg_dot")).cast("long").alias("margin"),
+    return (
+        agged.filter(F.col("p").isNotNull() & F.col("ng").isNotNull())
+        .select(
+            F.col("aid").alias("anchor_id"),
+            (-F.col("p.nc")).alias("pos_id"),
+            F.col("p.dot").alias("pos_dot"),
+            (-F.col("ng.nc")).alias("neg_id"),
+            F.col("ng.dot").alias("neg_dot"),
+            (F.col("p.dot") - F.col("ng.dot")).cast("long").alias("margin"),
+        )
     )
 
 
