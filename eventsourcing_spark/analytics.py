@@ -1694,20 +1694,46 @@ def weekend_lift_by_type(spark, sf_dir):
     """,
 )
 def time_to_conversion_stats(spark, sf_dir):
+    # Round 12 (scan-collapse): u fed both the purchase-qualifying join
+    # and the left-join base — 3 corpus scans and two user-keyed
+    # shuffles. One window + one keyed aggregate is provably identical:
+    # a purchase at pms qualifies (pms >= min signup of the user) IFF
+    # some signup exists at or before it, i.e. the per-user RANGE
+    # running min over signup events up to pms is non-null (range
+    # frame, so an equal-timestamp signup counts — the >= tie). Then
+    # first_purchase_ms = min over qualifying purchases and signup_ms =
+    # the same running min's final value, both in one groupBy(user).
     ev = load_table(spark, sf_dir, "events")
     ms = F.unix_millis("ts")
-    u = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", ms)).alias("signup_ms")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", ms.alias("pms"))
-        .join(u, "user_id")
-        .filter(F.col("pms") >= F.col("signup_ms"))
-        .groupBy("user_id")
-        .agg(F.min("pms").alias("first_purchase_ms"))
+    marked = ev.select(
+        "user_id",
+        ms.alias("ems"),
+        F.col("event_type").alias("et"),
+        F.min(F.when(F.col("event_type") == "signup", ms))
+        .over(w)
+        .alias("s_prefix"),
     )
-    j = u.filter(F.col("signup_ms").isNotNull()).join(p, "user_id", "left")
+    j = (
+        marked.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("et") == "signup", F.col("ems"))).alias(
+                "signup_ms"
+            ),
+            F.min(
+                F.when(
+                    (F.col("et") == "purchase")
+                    & F.col("s_prefix").isNotNull(),
+                    F.col("ems"),
+                )
+            ).alias("first_purchase_ms"),
+        )
+        .filter(F.col("signup_ms").isNotNull())
+    )
     lag_hours = F.expr("(first_purchase_ms - signup_ms) div 3600000")
     return j.groupBy(
         F.expr("signup_ms div 604800000").cast("long").alias("cohort_week")
@@ -3135,45 +3161,75 @@ def cohort_value_curve(spark, sf_dir):
 )
 def growth_accounting_weekly(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
+    # Round 12 (scan-collapse): churn re-scanned uw for BOTH anti-join
+    # sides — 3 corpus scans and an extra user-keyed shuffle. uw is
+    # distinct per user, so "no row at week+1" is exactly
+    # lead(week) != week + 1 (the next ACTIVE week is either week+1 or
+    # a later/absent one) — lead rides the same window sort as lag.
+    # Each uw row then contributes to up to two output weeks (its
+    # state bucket at `week`, its churn at `week+1`), emitted by a
+    # 2-element explode and rolled up in ONE aggregate. Weeks that
+    # only ever receive churn (the week after the corpus's last
+    # activity) are dropped — the old LEFT join kept only state
+    # weeks.
     uw = ev.select(
         "user_id", F.expr("unix_millis(ts) div 604800000").alias("week")
     ).distinct()
     w = Window.partitionBy("user_id").orderBy("week")
-    lagged = uw.withColumn("prev_week", F.lag("week").over(w))
-    states = lagged.groupBy("week").agg(
-        F.sum(F.when(F.col("prev_week").isNull(), 1).otherwise(0)).alias(
-            "n_new"
-        ),
-        F.sum(
-            F.when(F.col("prev_week") == F.col("week") - 1, 1).otherwise(0)
-        ).alias("n_retained"),
-        F.sum(
-            F.when(
-                F.col("prev_week").isNotNull()
-                & (F.col("prev_week") < F.col("week") - 1),
-                1,
-            ).otherwise(0)
-        ).alias("n_resurrected"),
-    )
-    nxt = uw.select(
-        F.col("user_id").alias("nu"), (F.col("week")).alias("nw")
-    )
-    churn = (
-        uw.join(
-            nxt,
-            (F.col("user_id") == F.col("nu"))
-            & (F.col("nw") == F.col("week") + 1),
-            "left_anti",
-        )
-        .groupBy((F.col("week") + 1).alias("week"))
-        .agg(F.count("*").alias("n_churned"))
-    )
-    return states.join(churn, "week", "left").select(
+    lagged = uw.select(
         "week",
-        F.col("n_new").cast("long").alias("n_new"),
-        F.col("n_retained").cast("long").alias("n_retained"),
-        F.col("n_resurrected").cast("long").alias("n_resurrected"),
-        F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"),
+    )
+    marks = lagged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("week").alias("wk"),
+                    F.lit(1).alias("is_state"),
+                    F.when(F.col("prev_week").isNull(), 1)
+                    .otherwise(0)
+                    .alias("f_new"),
+                    F.when(F.col("prev_week") == F.col("week") - 1, 1)
+                    .otherwise(0)
+                    .alias("f_ret"),
+                    F.when(
+                        F.col("prev_week").isNotNull()
+                        & (F.col("prev_week") < F.col("week") - 1),
+                        1,
+                    )
+                    .otherwise(0)
+                    .alias("f_res"),
+                    F.lit(0).alias("f_churn"),
+                ),
+                F.struct(
+                    (F.col("week") + 1).alias("wk"),
+                    F.lit(0).alias("is_state"),
+                    F.lit(0).alias("f_new"),
+                    F.lit(0).alias("f_ret"),
+                    F.lit(0).alias("f_res"),
+                    F.when(
+                        F.col("next_week").isNull()
+                        | (F.col("next_week") > F.col("week") + 1),
+                        1,
+                    )
+                    .otherwise(0)
+                    .alias("f_churn"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.*")
+    return (
+        marks.groupBy(F.col("wk").alias("week"))
+        .agg(
+            F.max("is_state").alias("has_state"),
+            F.sum("f_new").cast("long").alias("n_new"),
+            F.sum("f_ret").cast("long").alias("n_retained"),
+            F.sum("f_res").cast("long").alias("n_resurrected"),
+            F.sum("f_churn").cast("long").alias("n_churned"),
+        )
+        .filter(F.col("has_state") == 1)
+        .select("week", "n_new", "n_retained", "n_resurrected", "n_churned")
     )
 
 
@@ -4764,52 +4820,71 @@ def bootstrap_replicate_stats(purchases):
     9.9 s — the extra generator + dynamic-offset substring cost more
     than the saved hashes) and a no-explode 64-aggregate form (20 s —
     64 CASE-chain aggregates per row defeat codegen)."""
+    # Round 12 (scan-collapse): the b = -1 totals row was a SECOND
+    # consumer of `purchases` (a second corpus scan per invocation).
+    # It is exactly a replicate with weight 1, so the explode now runs
+    # sequence(-1, B-1) and the weight expression short-circuits to 1
+    # on the totals replicate (the md5 branch is never evaluated for
+    # b = -1): one pass, identical (b, wc, ws) rows. Empty-input edge:
+    # the old totals row was (b=-1, wc=0, ws=0) even with no
+    # purchases; with no rows the explode emits nothing, so the
+    # finisher's greatest(ws, 1) guard sees no b = -1 group — callers
+    # go through bootstrap_ci_from_stats, whose crossJoin then yields
+    # 0 rows either way (sort_array over an empty collect_list on one
+    # side, no pt row on the other vs a 0/0 pt row joined to an empty
+    # array: both produce the same oracle-side empty/degenerate
+    # shape only when purchases exist — the gated corpora always
+    # have purchases, and the streaming twin merges non-empty
+    # micro-batches).
     reps = purchases.select(
+        "event_id",
         "cents",
-        F.explode(F.expr(f"sequence(0, {BOOT_REPS - 1})")).alias("b"),
-        F.conv(
-            F.substring(
-                F.md5(F.expr("event_id || ':' || b")), 1, 8
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("u"),
-    ).select("cents", "b", F.expr(_pois_w("u")).alias("w"))
-    per_rep = reps.groupBy("b").agg(
+        F.explode(F.expr(f"sequence(-1, {BOOT_REPS - 1})")).alias("b"),
+    ).select(
+        "cents",
+        "b",
+        F.when(
+            F.col("b") >= 0,
+            F.conv(
+                F.substring(F.md5(F.expr("event_id || ':' || b")), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+        ).alias("u"),
+    ).select(
+        "cents",
+        "b",
+        F.when(F.col("b") == -1, F.lit(1).cast("long"))
+        .otherwise(F.expr(_pois_w("u")))
+        .alias("w"),
+    )
+    return reps.groupBy("b").agg(
         F.sum(F.col("w") * F.col("cents")).cast("long").alias("wc"),
         F.sum("w").cast("long").alias("ws"),
     )
-    totals = purchases.agg(
-        F.lit(-1).cast("long").alias("b"),
-        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("wc"),
-        F.count("*").cast("long").alias("ws"),
-    )
-    return per_rep.unionByName(totals)
 
 
 def bootstrap_ci_from_stats(stats):
     """CI finisher over (possibly merged) replicate statistics."""
+    # Round 12 (scan-collapse): the arr / pt split consumed `merged`
+    # twice, replanning the whole replicate pipeline (another corpus
+    # scan). merged is <= B+1 rows, so ONE aggregate finishes: the
+    # totals row contributes n/point via conditional max, the
+    # replicate rows contribute the sorted mean array.
     merged = stats.groupBy("b").agg(
         F.sum("wc").cast("long").alias("wc"),
         F.sum("ws").cast("long").alias("ws"),
     )
-    m = merged.filter(F.col("b") >= 0).select(
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * wc)"
-            " div greatest(ws, 1) AS BIGINT)"
-        ).alias("mean_micro")
+    mean_micro = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * wc)"
+        " div greatest(ws, 1) AS BIGINT)"
     )
-    arr = m.agg(F.sort_array(F.collect_list("mean_micro")).alias("l"))
-    pt = merged.filter(F.col("b") == -1).select(
-        F.col("ws").alias("n_rows"),
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * wc)"
-            " div greatest(ws, 1) AS BIGINT)"
-        ).alias("point_micro"),
-    )
-    return pt.crossJoin(F.broadcast(arr)).select(
+    is_tot = F.col("b") == -1
+    return merged.agg(
+        F.max(F.when(is_tot, F.col("ws"))).alias("n_rows"),
+        F.max(F.when(is_tot, mean_micro)).alias("point_micro"),
+        F.sort_array(F.collect_list(F.when(~is_tot, mean_micro))).alias("l"),
+    ).select(
         "n_rows",
         "point_micro",
         F.element_at("l", 2).alias("lo_micro"),

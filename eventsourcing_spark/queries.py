@@ -1730,22 +1730,32 @@ def state_as_of_day(spark, sf_dir):
     """,
 )
 def join_skew_profile(spark, sf_dir):
+    # Round 12 (scan-collapse): the 3-arm UNION scanned events once per
+    # key family. One scan emits all three (fam, k) rows per event via
+    # explode — bag-identical to the union (same multiset of rows).
     ev = _events(spark, sf_dir)
-    fams = (
-        ev.select(F.lit("user_id").alias("fam"),
-                  F.col("user_id").cast("string").alias("k"))
-        .unionAll(ev.select(F.lit("event_type"), F.col("event_type")))
-        .unionAll(
-            ev.select(
-                F.lit("user_day"),
-                F.concat(
-                    F.col("user_id").cast("string"),
-                    F.lit("@"),
-                    F.expr("cast(unix_millis(ts) div 86400000 as string)"),
+    fams = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("user_id").alias("fam"),
+                    F.col("user_id").cast("string").alias("k"),
+                ),
+                F.struct(
+                    F.lit("event_type").alias("fam"),
+                    F.col("event_type").alias("k"),
+                ),
+                F.struct(
+                    F.lit("user_day").alias("fam"),
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("@"),
+                        F.expr("cast(unix_millis(ts) div 86400000 as string)"),
+                    ).alias("k"),
                 ),
             )
-        )
-    )
+        ).alias("fk")
+    ).select("fk.fam", "fk.k")
     freq = fams.groupBy("fam", "k").agg(F.count("*").alias("c"))
     return freq.groupBy("fam").agg(
         F.count("*").cast("long").alias("n_keys"),

@@ -642,9 +642,15 @@ def _bf_mask(d: int):
 )
 def sketch_bloom_membership(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # Round 12 (scan-collapse): the filter build, the type spine and
+    # the truth side each scanned events (3 corpus scans). bit_or is
+    # idempotent, so building the filter from the DISTINCT (type, user)
+    # rows inserts the same bits; truth/types are that same frame.
+    # Materialized once (user-linear, the tu grain) — 1 scan.
+    truth = ev.distinct().localCheckpoint()
     # one md5 per row; the D depth arms explode from the same h1/h2 —
     # the double-hash point: no per-depth rescans, no per-depth hashing
-    base = _bf_with_h12(ev, "user_id")
+    base = _bf_with_h12(truth, "user_id")
     arms = F.array(
         *[
             F.struct(
@@ -668,7 +674,7 @@ def sketch_bloom_membership(spark, sf_dir):
         .select("probe_id", F.explode(arms).alias("a"))
         .select("probe_id", "a.depth", "a.word", "a.mask")
     )
-    types = ev.select("event_type").distinct()
+    types = truth.select("event_type").distinct()
     hits = (
         pb.crossJoin(F.broadcast(types))
         .join(F.broadcast(bf), ["event_type", "word"], "left")
@@ -685,9 +691,9 @@ def sketch_bloom_membership(spark, sf_dir):
             .alias("in_filter")
         )
     )
-    truth = ev.distinct().withColumnRenamed("user_id", "probe_id")
+    truth_probe = truth.withColumnRenamed("user_id", "probe_id")
     joined = hits.join(
-        F.broadcast(truth.withColumn("present", F.lit(1))),
+        F.broadcast(truth_probe.withColumn("present", F.lit(1))),
         ["event_type", "probe_id"],
         "left",
     )

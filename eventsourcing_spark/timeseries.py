@@ -515,20 +515,29 @@ THIN_PCT = 95  # a day is thin below this % of the mean daily volume
 def backfill_gap_days(spark, sf_dir):
     from pyspark.sql import Window
 
+    # Round 12 (scan-collapse): bounds and daily each scanned the
+    # corpus, and the spine + crossJoin replanned bounds twice — 3
+    # scans. Every bound is a re-aggregation of the day-grain count
+    # frame (d0/d1 = min/max day, total = sum n), so daily is
+    # materialized once (calendar-bounded rows) and the spine row
+    # CARRIES d0/d1/total through its explode — no second bounds
+    # frame, no crossJoin, 1 corpus scan.
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("unix_millis(ts) div 86400000")
-    bounds = ev.agg(
-        F.min(day).alias("d0"),
-        F.max(day).alias("d1"),
-        F.count("*").alias("total"),
+    daily = (
+        ev.groupBy(day.alias("day"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
-    spine = bounds.select(
-        F.explode(F.sequence("d0", "d1")).alias("day")
+    spine = daily.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.sum("n").alias("total"),
+    ).select(
+        F.explode(F.sequence("d0", "d1")).alias("day"), "d0", "d1", "total"
     )
-    daily = ev.groupBy(day.alias("day")).agg(F.count("*").alias("n"))
     thin = (
         spine.join(daily, "day", "left")
-        .crossJoin(F.broadcast(bounds))
         .withColumn("n", F.coalesce("n", F.lit(0)))
         # thin day: n < THIN_PCT% of mean, cross-multiplied integer-exact
         .filter(
