@@ -1087,37 +1087,63 @@ def split_neardup_leakage(spark, sf_dir):
     """,
 )
 def doc_embedding_coverage(spark, sf_dir):
+    # Round 12 (scan-collapse): the semi-join, the per-source base and
+    # the anti-join scanned documents 3x and embeddings 2x. ONE full
+    # outer join of documents against the (vec_id, count) rollup of
+    # embeddings carries every fact both directions need: a doc row's
+    # vector-existence flag, and orphan embedding ROWS (cnt preserves
+    # duplicate ids, which the anti-join counted individually) grouped
+    # under the synthetic source. A zero literal row keeps the orphan
+    # group present when every vector has a document (the old
+    # aggregate emitted n=0 unconditionally).
+    spark_ = spark
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    with_vec = (
-        docs.join(emb, docs.doc_id == emb.vec_id, "left_semi")
+    embc = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    j = docs.select("doc_id", "source").join(
+        embc, docs.doc_id == embc.vec_id, "full"
+    )
+    rows = j.select(
+        F.coalesce(F.col("source"), F.lit("__orphan_vectors__")).alias(
+            "source"
+        ),
+        F.col("doc_id").isNotNull().alias("has_doc"),
+        F.col("vec_id").isNotNull().alias("has_vec"),
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+    )
+    zero = spark_.createDataFrame(
+        [("__orphan_vectors__", 0, 0, 0)],
+        "source string, n_docs long, n_with_vec long, n_without_vec long",
+    )
+    per = rows.groupBy("source").agg(
+        (
+            F.sum(F.when(F.col("has_doc"), 1).otherwise(0))
+            + F.sum(F.when(~F.col("has_doc"), F.col("cnt")).otherwise(0))
+        )
+        .cast("long")
+        .alias("n_docs"),
+        F.sum(F.when(F.col("has_doc") & F.col("has_vec"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_vec"),
+        (
+            F.sum(
+                F.when(F.col("has_doc") & ~F.col("has_vec"), 1).otherwise(0)
+            )
+            + F.sum(F.when(~F.col("has_doc"), F.col("cnt")).otherwise(0))
+        )
+        .cast("long")
+        .alias("n_without_vec"),
+    )
+    return (
+        per.unionByName(zero)
         .groupBy("source")
-        .agg(F.count("*").cast("long").alias("n_with_vec"))
-    )
-    per = (
-        docs.groupBy("source")
-        .agg(F.count("*").cast("long").alias("n_docs"))
-        .join(with_vec, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            F.coalesce(F.col("n_with_vec"), F.lit(0))
-            .cast("long")
-            .alias("n_with_vec"),
-            (F.col("n_docs") - F.coalesce(F.col("n_with_vec"), F.lit(0)))
-            .cast("long")
-            .alias("n_without_vec"),
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_with_vec").cast("long").alias("n_with_vec"),
+            F.sum("n_without_vec").cast("long").alias("n_without_vec"),
         )
+        .orderBy("source")
     )
-    orphans = (
-        emb.join(docs.select("doc_id"), emb.vec_id == F.col("doc_id"),
-                 "left_anti")
-        .agg(F.count("*").cast("long").alias("n"))
-        .select(
-            F.lit("__orphan_vectors__").alias("source"),
-            F.col("n").alias("n_docs"),
-            F.lit(0).cast("long").alias("n_with_vec"),
-            F.col("n").alias("n_without_vec"),
-        )
-    )
-    return per.unionByName(orphans).orderBy("source")

@@ -108,22 +108,31 @@ def dq_expectation_suite(spark, sf_dir):
         _ppm("o_orderstatus IN ('O', 'F', 'P')").alias("domain:o_orderstatus"),
         _ppm("o_totalprice > 0").alias("bound:o_totalprice>0"),
     )
-    li = lineitem.agg(
-        _ppm("l_quantity BETWEEN 1 AND 50").alias("bound:l_quantity:1..50"),
-        _ppm("l_discount >= 0 AND l_discount <= 1").alias("bound:l_discount:0..1"),
-    )
-    # Referential: |lineitem rows whose l_orderkey exists in orders| /
-    # |lineitem|, both as in-plan aggregates (no driver-side counts — a
-    # data-dependent literal would make the plan vary with the data).
-    li_tot = lineitem.agg(F.count("*").alias("n"))
-    li_match = (
-        lineitem.select("l_orderkey")
+    # Round 12 (scan-collapse): the bounds aggregate, the referential
+    # total and the semi-join probe each scanned lineitem (3 fact-table
+    # scans). One LEFT join against the distinct order-key set (a
+    # marker column instead of a semi-join — keys are distinct'd, so no
+    # row multiplication) lets a SINGLE aggregate emit bounds + the
+    # referential ppm in-plan (no driver-side counts — a data-dependent
+    # literal would make the plan vary with the data).
+    li = (
+        lineitem.select("l_quantity", "l_discount", "l_orderkey")
         .join(
-            orders.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+            orders.select(F.col("o_orderkey").alias("l_orderkey"))
+            .distinct()
+            .withColumn("__ref_hit", F.lit(1)),
             "l_orderkey",
-            "left_semi",
+            "left",
         )
-        .agg(F.count("*").alias("m"))
+        .agg(
+            _ppm("l_quantity BETWEEN 1 AND 50").alias("bound:l_quantity:1..50"),
+            _ppm("l_discount >= 0 AND l_discount <= 1").alias(
+                "bound:l_discount:0..1"
+            ),
+            _ppm("__ref_hit IS NOT NULL").alias(
+                "referential:l_orderkey->orders"
+            ),
+        )
     )
     d = docs.agg(
         _ppm("text IS NOT NULL AND length(text) > 0").alias("completeness:text"),
@@ -137,15 +146,9 @@ def dq_expectation_suite(spark, sf_dir):
             f"stack({len(cols)}, {pairs}) AS (check_name, observed_ppm)"
         ).select(F.lit(table).alias("table_name"), "check_name", "observed_ppm")
 
-    ref_row = li_match.crossJoin(F.broadcast(li_tot)).select(
-        F.lit("lineitem").alias("table_name"),
-        F.lit("referential:l_orderkey->orders").alias("check_name"),
-        F.expr("(1000000 * m) div n").alias("observed_ppm"),
-    )
     out = (
         unpivot(o, "orders")
         .unionByName(unpivot(li, "lineitem"))
-        .unionByName(ref_row)
         .unionByName(unpivot(d, "documents"))
     )
     return out.select(

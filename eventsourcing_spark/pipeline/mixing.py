@@ -553,18 +553,41 @@ def dsir_importance_resample(spark, sf_dir):
         F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
         % DSIR_BUCKETS,
     )
-    bt = toks.groupBy("b").agg(
-        F.count("*").alias("cs"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    # Round 12 (scan-collapse): bt (via tots AND wts) and dc each
+    # replanned the tokenize explode — 3 corpus scans, 3 explodes. One
+    # explode feeds the (doc, source, lang, bucket) count matrix; the
+    # bucket marginals cs/ct are partition-by-b WINDOW sums over it
+    # (lang rides in the key: doc determines lang), and the scalar
+    # totals ts/tt come from a second NARROW pass (size(filter(split))
+    # sums, no explode) broadcast below the aggregate.
+    from pyspark.sql import Window
+
+    tots = docs.agg(
+        F.sum(
+            F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t != ""))
+        ).alias("ts"),
+        F.sum(
+            F.when(
+                F.col("lang") == "en",
+                F.size(
+                    F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+                ),
+            ).otherwise(0)
+        ).alias("tt"),
     )
-    tots = bt.agg(F.sum("cs").alias("ts"), F.sum("ct").alias("tt"))
-    wts = bt.crossJoin(F.broadcast(tots)).select(
-        "b", F.expr("(ct * ts * 1000) div (cs * tt)").alias("wmilli")
+    dc = toks.groupBy("doc_id", "source", "lang", "b").agg(
+        F.count("*").alias("dc")
     )
+    wb = Window.partitionBy("b")
     doc_score = (
-        toks.groupBy("doc_id", "source", "b")
-        .agg(F.count("*").alias("dc"))
-        .join(F.broadcast(wts), "b")
+        dc.withColumn("cs", F.sum("dc").over(wb))
+        .withColumn(
+            "ct",
+            F.sum(F.when(F.col("lang") == "en", F.col("dc")).otherwise(0))
+            .over(wb),
+        )
+        .crossJoin(F.broadcast(tots))
+        .withColumn("wmilli", F.expr("(ct * ts * 1000) div (cs * tt)"))
         .groupBy("doc_id", "source")
         .agg(F.expr("sum(dc * wmilli) div sum(dc)").alias("score_milli"))
     )

@@ -1010,19 +1010,28 @@ def unigram_xent_bits(spark, sf_dir):
     """Per-document unigram cross-entropy: total fixed-point bits and
     milli-bits-per-token against the corpus unigram distribution —
     the exact-integer stand-in for the LM-perplexity filter."""
+    # Round 12 (scan-collapse): dt, fl and nn each replanned the
+    # tokenize explode (3 corpus scans, 3 explodes). The corpus token
+    # frequency is the column-sum of the (doc, token) count matrix, so
+    # ilog_c rides in as a WINDOW sum over the same token-keyed shuffle
+    # the old fl join paid; the scalar n is the total token count,
+    # computed by a second NARROW pass (sum of size(split) — no explode,
+    # no shuffle) and broadcast. 1 explode, 1 join removed.
+    from pyspark.sql import Window
+
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     inst = docs.select(
         "doc_id", F.explode(F.expr("split(lower(text), ' ')")).alias("token")
     )
     dt = inst.groupBy("doc_id", "token").agg(F.count("*").alias("n_dt"))
-    freq = inst.groupBy("token").agg(F.count("*").alias("c"))
-    nn = freq.agg(
-        F.sum("c").cast("long").alias("n"),
-        F.expr(ilog2_spark("sum(c)")).alias("ilog_n"),
-    )
-    fl = freq.select("token", F.expr(ilog2_spark("c")).alias("ilog_c"))
+    nn = docs.agg(
+        F.sum(F.expr("size(split(lower(text), ' '))")).cast("long").alias("n")
+    ).select("n", F.expr(ilog2_spark("n")).alias("ilog_n"))
     return (
-        dt.join(fl, "token")
+        dt.withColumn(
+            "c", F.sum("n_dt").over(Window.partitionBy("token"))
+        )
+        .withColumn("ilog_c", F.expr(ilog2_spark("c")))
         .crossJoin(F.broadcast(nn))
         .groupBy("doc_id")
         .agg(

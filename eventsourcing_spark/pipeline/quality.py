@@ -762,17 +762,18 @@ def dup_quality_auc(spark, sf_dir):
         "bucket_n",
         F.count("*").over(Window.partitionBy("band_id", "band_key")),
     )
-    # corpus-scale self band-join: pin shuffle-merge (the explode-fed
-    # side's size estimate does not grow with the fan-out, so the
-    # estimator can broadcast a corpus-sized build — round-12 audit)
+    # Round 12 (join-elimination): the band self-join only ever asked
+    # "does ANOTHER doc share this bucket" — _bands emits one row per
+    # (doc, band), so bucket_n counts distinct docs and the exists-test
+    # is simply 2 <= bucket_n (<= cap, the a-side filter). The
+    # corpus-vs-corpus shuffle-merge join (and its round-12 merge-hint
+    # pin) disappears; dupdocs is a filter over the window the plan
+    # already paid for. 3 document scans -> 2, minhash chain 2x -> 1x.
     dupdocs = (
-        sized.alias("a")
-        .join(sized.hint("merge").alias("b"), ["band_id", "band_key"])
-        .filter(
-            (F.col("a.doc_id") != F.col("b.doc_id"))
-            & (F.col("a.bucket_n") <= _Q_MAX_BUCKET)
+        sized.filter(
+            (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= _Q_MAX_BUCKET)
         )
-        .select(F.col("a.doc_id").alias("doc_id"))
+        .select("doc_id")
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )

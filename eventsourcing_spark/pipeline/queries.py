@@ -1417,16 +1417,14 @@ def cluster_rep_selection(spark, sf_dir):
         W_UNIQ,
     )
 
+    # Round 12 (scan-collapse): the lab base (docs.select(doc_id)) and
+    # the qs join were separate consumers — 3 document scans. The
+    # quality columns ride the SAME rows the label join uses (score is
+    # functionally determined by doc_id), so qs IS the join base and
+    # the lab⋈qs equi-join disappears: 2 scans (keeper edges + quality
+    # pass), one doc-keyed shuffle fewer.
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     edges = _keeper_edges(docs)
-    lab = (
-        docs.select("doc_id")
-        .join(edges, docs["doc_id"] == edges["member"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.coalesce(F.min("keeper"), F.first("doc_id")).alias("cluster_id")
-        )
-    )
     toks = F.split(F.lower("text"), " ")
     stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
     qm = docs.select(
@@ -1451,7 +1449,16 @@ def cluster_rep_selection(spark, sf_dir):
             + F.lit(W_UNIQ) * F.expr("n_uniq * 1000 div n_tok")
         ).alias("score"),
     )
-    j = lab.join(qs, "doc_id")
+    j = (
+        qs.join(edges, qs["doc_id"] == edges["member"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.min("keeper"), F.first("doc_id")).alias(
+                "cluster_id"
+            ),
+            F.first("score").alias("score"),
+        )
+    )
     wc = Window.partitionBy("cluster_id")
     wr = Window.partitionBy("cluster_id").orderBy(
         F.desc("score"), F.asc("doc_id")
@@ -1559,15 +1566,39 @@ def minhash_jaccard_estimate(spark, sf_dir):
         F.array(*[_mh(j) for j in range(MH_EST_K)]).alias("sig"),
         F.array_distinct(_tokens(F.col("text"))).alias("t"),
     )
-    sa = sig16.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sig").alias("sig_a"),
-        F.col("t").alias("t_a"),
+    # Round 12 (scan-collapse): sa and sb were two consumers of sig16,
+    # re-running the 16-hash minhash chain over the corpus per join
+    # side (3 document scans). Each candidate pair instead explodes
+    # into its two member rows, joins sig16 ONCE on doc_id, and the
+    # pair re-assembles in a groupBy keyed on (doc_a, doc_b) — first()
+    # with a side guard is deterministic (exactly one non-null per
+    # side per pair). One minhash pass, one join.
+    sides = cand.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id"),
     )
-    sb = sig16.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sig").alias("sig_b"),
-        F.col("t").alias("t_b"),
+    paired = (
+        sides.join(sig16, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("sig")),
+                ignorenulls=True,
+            ).alias("sig_a"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("sig")),
+                ignorenulls=True,
+            ).alias("sig_b"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("t")),
+                ignorenulls=True,
+            ).alias("t_a"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("t")),
+                ignorenulls=True,
+            ).alias("t_b"),
+        )
     )
     n_match = F.aggregate(
         F.zip_with(
@@ -1579,8 +1610,7 @@ def minhash_jaccard_estimate(spark, sf_dir):
     inter = F.size(F.array_intersect("t_a", "t_b")).cast("long")
     union = F.size("t_a").cast("long") + F.size("t_b").cast("long") - inter
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        paired
         .select(
             "doc_a",
             "doc_b",
@@ -1843,19 +1873,28 @@ def langid_confusion_matrix(spark, sf_dir):
     """,
 )
 def dedup_savings_by_source(spark, sf_dir):
+    # Round 12 (scan-collapse): the keeper aggregate, the keeper join
+    # side and the per-source totals each scanned documents (3 scans,
+    # md5 twice, plus a doc-keyed join). "Doc is the keeper" is simply
+    # doc_id == min(doc_id) over (partition by md5(text)) — one window
+    # on the same hash-keyed shuffle the old groupBy paid, then ONE
+    # per-source rollup with conditional sums. 1 scan, md5 once, no
+    # join.
     docs = load_table(spark, sf_dir, "documents")
-    k = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("keeper_id"))
-    kept = docs.join(
-        k, docs["doc_id"] == k["keeper_id"]
-    ).select("source", F.octet_length("text").alias("b"))
-    total = docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.octet_length("text")).alias("bytes_total"),
+    keep = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5("text"))
     )
-    dedup = kept.groupBy("source").agg(
-        F.count("*").alias("n_kept"), F.sum("b").alias("bytes_kept")
-    )
-    return total.join(dedup, "source", "left").select(
+    b = F.octet_length("text")
+    return (
+        docs.select("source", b.alias("b"), keep.alias("is_keeper"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("b").alias("bytes_total"),
+            F.sum(F.when(F.col("is_keeper"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("is_keeper"), F.col("b"))).alias("bytes_kept"),
+        )
+        .select(
         "source",
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("bytes_total").cast("long").alias("bytes_total"),
@@ -1867,6 +1906,7 @@ def dedup_savings_by_source(spark, sf_dir):
         )
         .cast("long")
         .alias("savings_ppm"),
+        )
     )
 
 
@@ -2701,26 +2741,51 @@ def lang_diversity_simpson(spark, sf_dir):
     """,
 )
 def langid_cohens_kappa(spark, sf_dir):
+    # Round 12 (scan-collapse): r, c and totals were three consumers of
+    # cm, each replanning the 4-marker tokenize over the corpus (3
+    # scans) plus a full-outer marginal join. Each cm cell instead
+    # contributes its count to its row-category and its col-category
+    # via a 2-element explode; one groupBy(cat) yields (rn, cn) per
+    # category — exactly the full-outer join's rows with 0 for missing
+    # sides — and the final aggregate folds total (= sum rn), agree
+    # (carried on the row-side struct) and pe_num in one pass.
     pred = lang_id_heuristic(spark, sf_dir).select("lang", "lang_pred")
     cm = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
-    r = cm.groupBy("lang").agg(F.sum("n").alias("rn"))
-    c = cm.groupBy("lang_pred").agg(F.sum("n").alias("cn"))
-    marg = (
-        r.join(c, r["lang"] == c["lang_pred"], "full")
-        .select(
-            F.coalesce(F.col("rn"), F.lit(0)).alias("rn"),
-            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+    per_cat = (
+        cm.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("lang").alias("cat"),
+                        F.col("n").alias("rn_p"),
+                        F.lit(0).cast("long").alias("cn_p"),
+                        F.when(
+                            F.col("lang") == F.col("lang_pred"), F.col("n")
+                        )
+                        .otherwise(0)
+                        .alias("agree_p"),
+                    ),
+                    F.struct(
+                        F.col("lang_pred").alias("cat"),
+                        F.lit(0).cast("long").alias("rn_p"),
+                        F.col("n").alias("cn_p"),
+                        F.lit(0).cast("long").alias("agree_p"),
+                    ),
+                )
+            ).alias("m")
+        )
+        .groupBy("m.cat")
+        .agg(
+            F.sum("m.rn_p").alias("rn"),
+            F.sum("m.cn_p").alias("cn"),
+            F.sum("m.agree_p").alias("agree_p"),
         )
     )
-    totals = cm.agg(
-        F.sum("n").alias("total"),
-        F.coalesce(
-            F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n"))),
-            F.lit(0),
-        ).alias("agree"),
-    )
-    pe = marg.agg(F.sum(F.col("rn") * F.col("cn")).alias("pe_num"))
-    return totals.crossJoin(pe).select(
+    return per_cat.agg(
+        F.sum("rn").alias("total"),
+        F.coalesce(F.sum("agree_p"), F.lit(0)).alias("agree"),
+        F.sum(F.col("rn") * F.col("cn")).alias("pe_num"),
+    ).select(
         F.col("total").cast("long").alias("n_docs"),
         F.col("agree").cast("long").alias("n_agree"),
         F.col("pe_num").cast("long").alias("pe_num"),
@@ -2892,13 +2957,16 @@ def dedup_span_rewrite(spark, sf_dir):
             )
         ).alias("w"),
     ).select("doc_id", "source", "w.start", "w.wh")
-    dup = (
-        wins.groupBy("wh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("wh")
-    )
-    dwins = wins.join(dup, "wh", "left_semi")
+    # Round 12 (scan-collapse): the HAVING-count-distinct + semi-join
+    # replanned the window explode for both sides (2 of the 3 document
+    # scans). "Some OTHER doc shares this window hash" is simply
+    # min(doc_id) != max(doc_id) over (partition by wh) — two window
+    # aggregates on one hash-keyed shuffle, no join, 1 explode.
+    wd = Window.partitionBy("wh")
+    dwins = wins.withColumn(
+        "is_dup",
+        F.min("doc_id").over(wd) != F.max("doc_id").over(wd),
+    ).filter(F.col("is_dup"))
     ww = Window.partitionBy("doc_id").orderBy("start")
     prev_start = F.lag("start").over(ww)
     new_isl = F.when(

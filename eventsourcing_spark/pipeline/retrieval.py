@@ -186,19 +186,30 @@ RRF_POOL = 100
     """,
 )
 def retrieval_rrf_fusion(spark, sf_dir):
+    # Round 12 (scan-collapse): n_docs was an EAGER count at plan-build
+    # (its own corpus scan) and dfreq a second consumer of the tokenize
+    # explode. tf is unique on (doc_id, w), so dfreq(w) = count(*) over
+    # (partition by w) on tf — the same term-keyed rows the old
+    # broadcast join carried; n_docs rides in as a 1-row broadcast.
+    # 1 explode, no eager action.
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count("*").alias("n_docs"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).filter(F.col("w").isin(QUERY_TERMS))
-    dfreq = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("dfreq"))
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
     lex = (
-        tf.join(F.broadcast(dfreq), "w")
+        tf.withColumn("dfreq", F.count("*").over(Window.partitionBy("w")))
+        .crossJoin(F.broadcast(n))
         .groupBy("doc_id")
-        .agg(F.sum(F.col("cnt") * (F.lit(n_docs) - F.col("dfreq"))).alias("score"))
+        .agg(
+            F.sum(
+                F.col("cnt") * (F.col("n_docs") - F.col("dfreq"))
+            ).alias("score")
+        )
     )
-    from pyspark.sql import Window
 
     # shortlists via distributed TakeOrdered, then rank the tiny results
     lex_top = lex.orderBy(F.desc("score"), "doc_id").limit(RRF_POOL)
@@ -740,7 +751,16 @@ def bm25_topk(spark, sf_dir):
     hits = toks.groupBy("doc_id", "w").agg(
         F.any_value("dl").alias("dl"), F.count("*").alias("tf")
     )
-    df = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # Round 12 (scan-collapse): df re-consumed hits, replanning the
+    # tokenize explode (3 document scans). hits is unique on (doc_id,
+    # w), so df(w) = count(*) over (partition by w) — a window on the
+    # same term-keyed rows the old broadcast join shuffled. 2 scans
+    # (1 explode + the narrow stats pass), no join.
+    from pyspark.sql import Window
+
+    hits = hits.withColumn(
+        "df", F.count("*").over(Window.partitionBy("w"))
+    )
     num = (
         F.lit(22000).cast("long")
         * (F.col("n") - F.col("df"))
@@ -753,8 +773,7 @@ def bm25_topk(spark, sf_dir):
         + F.lit(9000) * F.col("dl")
     )
     scored = (
-        hits.join(F.broadcast(df), "w")
-        .crossJoin(F.broadcast(stats))
+        hits.crossJoin(F.broadcast(stats))
         .withColumn("__num", num)
         .withColumn("__den", den)
         # `div` = exact int64 division (the double-division `/` would
@@ -1603,30 +1622,41 @@ def hard_negative_mining(spark, sf_dir):
         )
         .filter(F.col("vec_id") != F.col("anchor_id"))
     )
-    hn = (
-        pairs.filter(F.col("label") != F.col("anchor_label"))
-        .groupBy("anchor_id")
-        .agg(
-            F.expr("min_by(vec_id, -dot * 16777216 + vec_id)")
-            .cast("long")
-            .alias("hard_negative_id"),
-            F.max("dot").cast("long").alias("hard_negative_dot"),
+    # Round 12 (scan-collapse): hn, hp and anchors were three consumers
+    # of pairs, each re-running the Arrow matmul + posexplode over the
+    # corpus (3 embedding scans). One hash aggregate computes both
+    # extremes: the hardest negative under (dot DESC, vec_id ASC) is
+    # max(struct(dot, -vec_id)), the hardest positive under (dot ASC,
+    # vec_id ASC) is min(struct(dot, vec_id)) — identical tie-breaks to
+    # the packed arg_min keys; the inner joins' "anchor must have both"
+    # becomes a null filter. 1 scan, 1 python stage, 0 joins.
+    hns = F.max(
+        F.when(
+            F.col("label") != F.col("anchor_label"),
+            F.struct(F.col("dot"), (-F.col("vec_id")).alias("nv")),
         )
     )
-    hp = (
-        pairs.filter(F.col("label") == F.col("anchor_label"))
-        .groupBy("anchor_id")
-        .agg(
-            F.expr("min_by(vec_id, dot * 16777216 + vec_id)")
-            .cast("long")
-            .alias("hard_positive_id"),
-            F.min("dot").cast("long").alias("hard_positive_dot"),
+    hps = F.min(
+        F.when(
+            F.col("label") == F.col("anchor_label"),
+            F.struct(F.col("dot"), F.col("vec_id")),
         )
     )
-    anchors = pairs.select("anchor_id", "anchor_label").distinct()
+    agged = pairs.groupBy("anchor_id").agg(
+        F.first("anchor_label").alias("anchor_label"),
+        hns.alias("hn"),
+        hps.alias("hp"),
+    )
     return (
-        anchors.join(hn, "anchor_id")
-        .join(hp, "anchor_id")
+        agged.filter(F.col("hn").isNotNull() & F.col("hp").isNotNull())
+        .select(
+            "anchor_id",
+            "anchor_label",
+            (-F.col("hn.nv")).cast("long").alias("hard_negative_id"),
+            F.col("hn.dot").cast("long").alias("hard_negative_dot"),
+            F.col("hp.vec_id").cast("long").alias("hard_positive_id"),
+            F.col("hp.dot").cast("long").alias("hard_positive_dot"),
+        )
         .select(
             "anchor_id",
             F.col("anchor_label").cast("long").alias("anchor_label"),
@@ -1693,6 +1723,15 @@ TFIDF_TOPK = 5
     """,
 )
 def tfidf_topk_terms_per_source(spark, sf_dir):
+    # Round 12 (scan-collapse): df and tf each replanned the tokenize
+    # explode (plus the n count — 3 corpus scans). One explode feeds a
+    # (source, doc_id, token) count matrix; since source is functionally
+    # determined by doc_id, df(token) = row count over (partition by
+    # token) of that matrix (rows ARE distinct docs), and tf rolls up by
+    # dropping the doc axis. The doc count joins as a 1-row broadcast
+    # from a narrow second pass (count only, no explode).
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source",
@@ -1702,16 +1741,18 @@ def tfidf_topk_terms_per_source(spark, sf_dir):
         ).alias("token"),
     )
     n = docs.agg(F.count("*").cast("long").alias("n_docs"))
-    df = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
+    dt = toks.groupBy("source", "doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf_dt")
     )
-    tf = toks.groupBy("source", "token").agg(
-        F.count("*").cast("long").alias("tf")
-    )
-    from pyspark.sql import Window
-
     scored = (
-        tf.join(df, "token")
+        dt.withColumn(
+            "df", F.count("*").over(Window.partitionBy("token")).cast("long")
+        )
+        .groupBy("source", "token")
+        .agg(
+            F.sum("tf_dt").cast("long").alias("tf"),
+            F.max("df").alias("df"),
+        )
         .crossJoin(F.broadcast(n))
         .select(
             "source", "token", "tf", "df",
