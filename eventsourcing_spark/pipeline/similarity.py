@@ -451,12 +451,16 @@ _ASSIGN_SQL = f"""
 """
 
 
-def _ivf_assign(spark, sf_dir):
-    """(vec_id, qv, cid, crank): every vector ranked against all centroids
-    by exact integer squared-L2; crank=1 is the home cell, crank<=NPROBE
-    the probe set."""
+def _ivf_assign(spark, sf_dir, extra_cols=()):
+    """(vec_id, qv, cid, crank[, *extra_cols]): every vector ranked
+    against all centroids by exact integer squared-L2; crank=1 is the
+    home cell, crank<=NPROBE the probe set. ``extra_cols`` (round 12)
+    lets a caller carry vector attributes (e.g. label) through the
+    assignment instead of re-scanning embeddings for a join-back."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    q = emb.select(
+        "vec_id", _quant(F.col("embedding")).alias("qv"), *extra_cols
+    )
     cent = (
         q.filter(F.col("vec_id") < N_CELLS)
         .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
@@ -472,7 +476,13 @@ def _ivf_assign(spark, sf_dir):
     w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cid").asc())
     return (
         q.join(F.broadcast(cent))
-        .select("vec_id", "qv", "cid", F.row_number().over(w).cast("long").alias("crank"))
+        .select(
+            "vec_id",
+            "qv",
+            "cid",
+            F.row_number().over(w).cast("long").alias("crank"),
+            *extra_cols,
+        )
     )
 
 
@@ -1272,12 +1282,13 @@ def label_centroid_distances(spark, sf_dir):
     """,
 )
 def ivf_cell_label_purity(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # Round 12 (scan-collapse): the label join-back re-scanned
+    # embeddings (3rd scan); the assignment pass now carries label
+    # through (extra_cols) — 2 scans, no vec-keyed join.
     mem = (
-        _ivf_assign(spark, sf_dir)
+        _ivf_assign(spark, sf_dir, extra_cols=("label",))
         .filter(F.col("crank") == 1)
-        .select("vec_id", "cid")
-        .join(emb, "vec_id")
+        .select("cid", "label")
     )
     lc = mem.groupBy("cid", "label").agg(F.count("*").alias("c"))
     wr = Window.partitionBy("cid").orderBy(F.desc("c"), F.asc("label"))
