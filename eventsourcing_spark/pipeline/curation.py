@@ -758,9 +758,14 @@ def source_overlap_matrix(spark, sf_dir):
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), sid))").alias("m"))
     )
     mg = masks.groupBy("m").agg(F.count("*").cast("long").alias("cnt"))
+    # Both cross-shapes are over strictly bounded frames: srcs and
+    # pairs are <= 64 and <= 64*63/2 rows at ANY corpus size (the
+    # 64-bit mask design caps |sources|). Broadcasting the bounded
+    # side turns the single-partition CartesianProduct into a
+    # BroadcastNestedLoopJoin that streams mg in place.
     pairs = (
         srcs.alias("a")
-        .join(srcs.alias("b"), F.col("a.sid") < F.col("b.sid"))
+        .join(F.broadcast(srcs.alias("b")), F.col("a.sid") < F.col("b.sid"))
         .select(
             F.col("a.source").alias("source_a"),
             F.col("a.sid").alias("ai"),
@@ -771,7 +776,7 @@ def source_overlap_matrix(spark, sf_dir):
     hit_a = F.expr("(m >> ai) % 2") == 1
     hit_b = F.expr("(m >> bi) % 2") == 1
     return (
-        pairs.crossJoin(mg)
+        mg.crossJoin(F.broadcast(pairs))
         .groupBy("source_a", "source_b")
         .agg(
             F.sum(F.when(hit_a & hit_b, F.col("cnt")).otherwise(0))

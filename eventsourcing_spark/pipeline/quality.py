@@ -777,9 +777,12 @@ def dup_quality_auc(spark, sf_dir):
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
+    # dupdocs is Generate-fed (band explode) with a corpus-sized
+    # doc_id grain — pin shuffle-merge so the estimator never
+    # broadcasts it on the explode's inherited size estimate.
     lab = (
         m.select("doc_id", score.alias("score"))
-        .join(dupdocs, "doc_id", "left")
+        .join(dupdocs.hint("merge"), "doc_id", "left")
         .select("doc_id", "score", F.coalesce("is_dup", F.lit(0)).alias("is_dup"))
     )
     hist = lab.groupBy("score").agg(

@@ -1572,14 +1572,17 @@ def minhash_jaccard_estimate(spark, sf_dir):
     # into its two member rows, joins sig16 ONCE on doc_id, and the
     # pair re-assembles in a groupBy keyed on (doc_a, doc_b) — first()
     # with a side guard is deterministic (exactly one non-null per
-    # side per pair). One minhash pass, one join.
+    # side per pair). One minhash pass, one join. The pair-member side
+    # is Generate-fed (candidate explode grows with the corpus), so the
+    # join is pinned to shuffle-merge — the estimator would otherwise
+    # broadcast the exploded side on its parent's size estimate.
     sides = cand.select(
         "doc_a",
         "doc_b",
         F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id"),
     )
     paired = (
-        sides.join(sig16, "doc_id")
+        sides.hint("merge").join(sig16, "doc_id")
         .groupBy("doc_a", "doc_b")
         .agg(
             F.first(

@@ -390,9 +390,14 @@ def source_vocab_jaccard(spark, sf_dir):
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), sid))").alias("m"))
     )
     mg = masks.groupBy("m").agg(F.count("*").cast("long").alias("cnt"))
+    # srcs and pairs are strictly bounded (<= 64 and <= 64*63/2 rows
+    # at any corpus size — the 64-bit mask caps |sources|), so the
+    # pair build and the pair-x-mask product broadcast the bounded
+    # side: BroadcastNestedLoopJoin instead of a single-partition
+    # CartesianProduct.
     pairs = (
         srcs.alias("a")
-        .join(srcs.alias("b"), F.col("a.sid") < F.col("b.sid"))
+        .join(F.broadcast(srcs.alias("b")), F.col("a.sid") < F.col("b.sid"))
         .select(
             F.col("a.source").alias("source_a"),
             F.col("a.sid").alias("ai"),
@@ -407,7 +412,7 @@ def source_vocab_jaccard(spark, sf_dir):
         (F.expr("(m >> ai) % 2") == 1) | (F.expr("(m >> bi) % 2") == 1)
     ).cast("long") * F.col("cnt")
     return (
-        pairs.crossJoin(mg)
+        mg.crossJoin(F.broadcast(pairs))
         .groupBy("source_a", "source_b")
         .agg(
             F.sum(both).cast("long").alias("n_shared"),
