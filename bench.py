@@ -23,6 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from eventsourcing_spark.pipeline.graph import invalidate_graph_memo
 from eventsourcing_spark.registry import SPARK_QUERIES
 from eventsourcing_spark.session import get_spark
 
@@ -196,6 +197,12 @@ def main() -> None:
             continue
         best = float("inf")
         for _ in range(2):
+            # Round 13 (VERDICT r12 #1): the session-scoped graph memo
+            # (edge set / LPA labels) must never carry across timed runs —
+            # flushing it before EVERY run makes each graph query's number
+            # include its full edge build, run 2 included. Untimed: the
+            # clear itself is a dict drop.
+            invalidate_graph_memo()
             t0 = time.time()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -232,6 +239,37 @@ def main() -> None:
         "sidecar": "bench_result.json",
     }
     print(json.dumps(summary))
+    # Round 13 (VERDICT r12 #3): the driver captures a bounded TAIL of
+    # stdout, so the full-object first line (with the per-query dict) is
+    # truncated away once `queries` outgrows the window — PERF_r12 lost
+    # its whole per-query and scaling analysis to that. Additions-only
+    # fix: re-emit the per-query dict AFTER the summary as ≤1 KB chunk
+    # lines; each chunk repeats the contract fields (metric/value/unit/
+    # sf) so any individual line still parses as a complete record.
+    items = sorted(times.items())
+    chunks: list[dict] = []
+    cur: dict[str, float] = {}
+    for k, v in items:
+        cur[k] = v
+        if len(json.dumps(cur)) > 700:
+            chunks.append(cur)
+            cur = {}
+    if cur:
+        chunks.append(cur)
+    for i, chunk in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": out["metric"],
+                    "value": out["value"],
+                    "unit": out["unit"],
+                    "sf": out["sf"],
+                    "queries_part": i,
+                    "n_parts": len(chunks),
+                    "queries": chunk,
+                }
+            )
+        )
     spark.stop()
 
 

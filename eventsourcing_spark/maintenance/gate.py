@@ -34,7 +34,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import load_table
+from eventsourcing_spark.io import load_table, materialize
 from eventsourcing_spark.maintenance.migration import migrate_in_place
 from eventsourcing_spark.queries import query
 from eventsourcing_spark.store.event_store import EventStore, Filter
@@ -245,7 +245,7 @@ def m2_migration_endstate(spark, sf_dir):
     )
     # materialize before returning: the fixture dir is rebuilt per call,
     # so the result must not lazily re-read it later
-    return out.localCheckpoint()
+    return out.transform(materialize)
 
 
 @query(
@@ -286,7 +286,7 @@ def f4_context_discriminator(spark, sf_dir):
         F.col("discriminator").getItem("tenant").alias("tenant"),
         F.col("discriminator").getItem("region").alias("region"),
     )
-    return out.localCheckpoint()
+    return out.transform(materialize)
 
 
 _UID0_SQL = f"(SELECT min(uid) FROM ({_UIDS_SQL}))"
@@ -350,7 +350,7 @@ def m1_forget_endstate(spark, sf_dir):
         "kind",
         F.col("body").cast("string").alias("body_str"),
     )
-    return out.localCheckpoint()
+    return out.transform(materialize)
 
 
 @query(
@@ -433,7 +433,7 @@ def x9_upcaster_chain(spark, sf_dir):
                          "body_str"],
             )
 
-    return created.mapInPandas(run, schema).localCheckpoint()
+    return created.mapInPandas(run, schema).transform(materialize)
 
 
 @query(
@@ -489,7 +489,7 @@ def m3_projection_flush(spark, sf_dir):
     out = states.join(heads, "aggregate_id").select(
         "aggregate_id", "balance", "last_version", "last_kind"
     )
-    return out.localCheckpoint()
+    return out.transform(materialize)
 
 
 SNAP_LAG_THRESHOLD = 3
@@ -551,7 +551,7 @@ def m4_snapshot_freshness(spark, sf_dir):
         .otherwise(0)
         .cast("long"),
     )
-    return out.localCheckpoint()
+    return out.transform(materialize)
 
 
 OUTBOX_DRAIN_LIMIT = 10
@@ -622,4 +622,4 @@ def s6_outbox_lag_audit(spark, sf_dir):
             .alias("first_pending_version"),
         )
     )
-    return out.localCheckpoint()
+    return out.transform(materialize)

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from eventsourcing_spark.maintenance.rewrite import overwrite_dir
 from eventsourcing_spark.schema import EVENT_SCHEMA
 from eventsourcing_spark.store.event_store import EventStore
+from eventsourcing_spark.io import materialize
 
 KIND_INVALIDATED = "Invalidated"  # eventstore.go:17
 
@@ -156,8 +157,8 @@ def migrate_in_place(
     new_gen = streams.groupBy("aggregate_id").applyInPandas(transform, EVENT_SCHEMA)
     # cut lineage: everything below must NOT recompute from the events dir
     # once it is swapped (localCheckpoint → reliable checkpoint on a cluster)
-    new_gen = new_gen.localCheckpoint(eager=True)
-    candidates = candidates.localCheckpoint(eager=True)
+    new_gen = new_gen.transform(materialize)
+    candidates = candidates.transform(materialize)
     n_streams = new_gen.filter(F.col("kind") == KIND_INVALIDATED).count()
     if n_streams == 0:
         return 0

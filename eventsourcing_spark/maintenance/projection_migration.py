@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from eventsourcing_spark.functions.ulid import ulid_random
 from eventsourcing_spark.schema import EVENT_SCHEMA
 from eventsourcing_spark.store.event_store import EventStore
+from eventsourcing_spark.io import materialize
 
 KIND_NOOP = "NoOp"  # eventstore.go:123-131
 
@@ -48,7 +49,7 @@ def migrate_consistent_projection(
     now = now or datetime.now(timezone.utc)
 
     events = store.events().filter(F.col("aggregate_kind") == aggregate_kind)
-    events = events.localCheckpoint(eager=True)  # consistent basis for both steps
+    events = events.transform(materialize)  # consistent basis for both steps
 
     # 1) one fold job for all states → the new read-model table
     states = fold(events)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from eventsourcing_spark.io import materialize
 
 
 def _ranged_checkpoint(df: DataFrame, num_partitions: int, order_cols):
@@ -49,7 +50,7 @@ def _ranged_checkpoint(df: DataFrame, num_partitions: int, order_cols):
     return (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("__rank_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(materialize)
     )
 
 
@@ -58,7 +59,8 @@ def global_rank(
     *order_cols: Column | str,
     rank_col: str = "rk",
     num_partitions: int | None = None,
-) -> DataFrame:
+    with_ranged: bool = False,
+):
     """``df`` plus ``rank_col`` = 1-based position in the total order of
     ``order_cols`` (pass ``F.desc(...)`` for descending dimensions).
 
@@ -75,6 +77,11 @@ def global_rank(
     both branches read one materialization, and the rank is exact under
     any reuse/AQE/partition-count setting (pinned by the parity suite,
     which now runs with exchange reuse disabled too).
+
+    ``with_ranged=True`` additionally returns the materialized
+    range-partitioned frame so callers needing corpus-level statistics
+    (row counts, totals) can aggregate the checkpoint blocks instead of
+    replanning the source scan (round 13: kll_quantile_sketch).
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -97,7 +104,7 @@ def global_rank(
         )
         .select("__rank_pid", "__off")
     )
-    return (
+    ranked = (
         ranged.join(F.broadcast(offs), "__rank_pid")
         .withColumn(
             rank_col,
@@ -108,6 +115,9 @@ def global_rank(
         )
         .drop("__rank_pid", "__off")
     )
+    if with_ranged:
+        return ranked, ranged.drop("__rank_pid")
+    return ranked
 
 
 def ntile_expr(rank_col: str, total_col: str, k: int) -> Column:

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table, materialize
 from eventsourcing_spark.queries import query
 
 N_MERGES = 8
@@ -118,7 +118,7 @@ def _learn(spark, sf_dir):
         "freq",
     )
     n_vocab = wf.count()
-    wf = wf.coalesce(max(2, n_vocab // 500_000 + 1)).localCheckpoint()
+    wf = wf.coalesce(max(2, n_vocab // 500_000 + 1)).transform(materialize)
     merges = []
     for r in range(1, N_MERGES + 1):
         pairs = (
@@ -154,7 +154,7 @@ def _learn(spark, sf_dir):
                 )
             ).alias("seg"),
             "freq",
-        ).localCheckpoint()
+        ).transform(materialize)
     return merges, wf
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table, materialize
 from eventsourcing_spark.queries import query
 
 CHUNK_SIZE = 120
@@ -571,7 +571,7 @@ def vocab_coverage_curve(spark, sf_dir):
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     total = f.agg(F.sum("freq").alias("total_tokens"))
     branches = None

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table, materialize
 from eventsourcing_spark.queries import query
 
 # Hex-prefix thresholds on md5(doc_id): first byte < 0x08 → ~3.1% test,
@@ -561,7 +561,7 @@ def contamination_ngram_sweep(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("t")
-    ).localCheckpoint()
+    ).transform(materialize)
     def _grams(n: int):
         # factory, not a default-arg lambda: transform() calls a
         # two-parameter lambda as (element, index), shadowing n
@@ -750,7 +750,18 @@ def source_overlap_matrix(spark, sf_dir):
             "sid",
             (F.row_number().over(Window.orderBy("source")) - 1).cast("long"),
         )
-        .localCheckpoint()
+        # Hard bound (VERDICT r12 #5): shiftleft(1L, sid) silently WRAPS
+        # for a 65th source — fail loudly at materialization time
+        # instead of returning wrong overlap counts.
+        .withColumn(
+            "sid",
+            F.expr(
+                "CASE WHEN sid < 64 THEN sid ELSE raise_error("
+                "'source_overlap_matrix: more than 64 distinct sources"
+                " — the 64-bit source bitmask would overflow') END"
+            ),
+        )
+        .transform(materialize)
     )
     masks = (
         sg.join(F.broadcast(srcs), "source")
@@ -920,7 +931,7 @@ def rake_keyword_phrases(spark, sf_dir):
             F.expr("array_join(transform(pw, x -> x.w), ' ')").alias("phrase"),
             "plen",
         )
-        .localCheckpoint()  # read by wstat, pscore, and pocc
+        .transform(materialize)  # read by wstat, pscore, and pocc
     )
     wstat = (
         phrases.select(F.explode("members").alias("w"), "plen")
@@ -1031,7 +1042,7 @@ def split_neardup_leakage(spark, sf_dir):
     # Round 12: bm and the leak rollup both read the banded+split frame
     # — materialize it once (doc x band grain, the LSH index state)
     # instead of re-running the minhash banding per branch.
-    sb = _bands(docs).join(s, "doc_id").localCheckpoint()
+    sb = _bands(docs).join(s, "doc_id").transform(materialize)
     bm = sb.groupBy("band_id", "band_key").agg(
         F.expr("bit_or(m)").alias("bmask")
     )

@@ -44,7 +44,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import load_table
+from eventsourcing_spark.io import load_table, materialize
 from eventsourcing_spark.pipeline.similarity import (
     BAND_BITS_MAX,
     BAND_BITS_MIN,
@@ -254,7 +254,7 @@ def _build_edges_df(spark, sf_dir, directed: bool):
         # link_prediction_ra needs width — which re-spreads locally
         # (repartition(P, z), a trivial 2|E|-row exchange). At 100 TB
         # edge counts AQE stops coalescing and this is moot.
-        .localCheckpoint()
+        .transform(materialize)
     )
 
 
@@ -293,7 +293,7 @@ def pagerank_neardup(spark, sf_dir):
     e = _edges_df(spark, sf_dir, directed=True)
     deg = e.groupBy("src").agg(F.count("*").alias("degree"))
     nodes = emb.select("vec_id")
-    ranks = nodes.withColumn("pr", F.lit(SCALE).cast("long")).localCheckpoint()
+    ranks = nodes.withColumn("pr", F.lit(SCALE).cast("long")).transform(materialize)
     for _ in range(ITERS):
         contribs = ranks.join(deg, ranks["vec_id"] == deg["src"]).select(
             deg["src"].alias("csrc"),
@@ -309,7 +309,7 @@ def pagerank_neardup(spark, sf_dir):
             (F.lit(BASE) + F.coalesce(F.col("gathered"), F.lit(0)))
             .cast("long")
             .alias("pr"),
-        ).localCheckpoint()
+        ).transform(materialize)
     out = ranks.join(deg.withColumnRenamed("src", "vec_id"), "vec_id", "left")
     return (
         out.select(
@@ -702,14 +702,14 @@ def graph_bfs_depth(spark, sf_dir):
     e = _edges_df(spark, sf_dir)
     und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
         e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
-    ).localCheckpoint()
+    ).transform(materialize)
     emb = load_table(spark, sf_dir, "embeddings")
     dist = (
         emb.select(F.col("vec_id").alias("node"))
         .filter(F.col("node") < BFS_SEEDS)
         .distinct()
         .withColumn("hops", F.lit(0).cast("long"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     frontier = dist
     for _ in range(MAX_HOPS):
@@ -721,7 +721,7 @@ def graph_bfs_depth(spark, sf_dir):
             dist.unionByName(nxt)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         frontier = nxt.groupBy("node").agg(F.min("hops").alias("hops"))
     return dist.select(
@@ -783,7 +783,7 @@ def graph_kcore(spark, sf_dir):
     # LSH edge build 2^rounds times. Unlike persist(), checkpoint blocks
     # are ContextCleaner-managed, so repeated invocations don't
     # accumulate CacheManager entries.
-    edges = _edges_df(spark, sf_dir).localCheckpoint()
+    edges = _edges_df(spark, sf_dir).transform(materialize)
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.select(F.col("src").alias("v"))
@@ -796,7 +796,7 @@ def graph_kcore(spark, sf_dir):
             edges.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint()
+            .transform(materialize)
         )
     return (
         edges.select(F.col("src").alias("vec_id"))
@@ -900,7 +900,7 @@ def _build_lpa_labels(spark, sf_dir):
     edges = _edges_df(spark, sf_dir, directed=True)
     labels = emb.select(
         "vec_id", F.col("vec_id").alias("comm")
-    ).localCheckpoint()
+    ).transform(materialize)
     for _ in range(LPA_ROUNDS):
         hist = (
             edges.join(
@@ -924,7 +924,7 @@ def _build_lpa_labels(spark, sf_dir):
                 "vec_id",
                 F.coalesce("new_comm", "comm").alias("comm"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
     return labels
 
@@ -1271,7 +1271,7 @@ def dbscan_embeddings(spark, sf_dir):
         ve.unionAll(
             ve.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     deg = und.groupBy("src").agg(F.count("*").alias("c"))
     core = deg.filter(F.col("c") >= DBSCAN_MINPTS - 1).select(
@@ -1281,11 +1281,11 @@ def dbscan_embeddings(spark, sf_dir):
         und.join(core.withColumnRenamed("v", "src"), "src")
         .join(core.withColumnRenamed("v", "dst"), "dst")
         .select("src", "dst")
-        .localCheckpoint()
+        .transform(materialize)
     )
     labels = core.select(
         F.col("v").alias("node"), F.col("v").alias("cluster")
-    ).localCheckpoint()
+    ).transform(materialize)
     prev = labels.agg(F.sum("cluster")).first()[0]
     if prev is not None:
         # Fixpoint, no round cap: hash-min labels are monotone
@@ -1337,7 +1337,7 @@ def dbscan_embeddings(spark, sf_dir):
             )
 
         while True:
-            labels = _hop(_hop(labels)).localCheckpoint()
+            labels = _hop(_hop(labels)).transform(materialize)
             cur = labels.agg(F.sum("cluster")).first()[0]
             if cur == prev:
                 break

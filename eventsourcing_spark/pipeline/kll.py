@@ -57,7 +57,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import load_table
+from eventsourcing_spark.io import load_table, materialize
 from eventsourcing_spark.queries import query
 
 KLL_K = 256  # compactor capacity per level
@@ -101,12 +101,16 @@ def kll_sketch_df(spark, vals, value_col: str = "value",
     Reusable operator; the gate query is this + the estimate probe."""
     from eventsourcing_spark.operators.ranking import global_rank
 
-    ranked = global_rank(
+    ranked, ranged = global_rank(
         vals.select(F.col(value_col).alias("value"),
                     F.col(id_col).alias("id")),
-        "value", "id", rank_col="rk",
+        "value", "id", rank_col="rk", with_ranged=True,
     )
-    stats = vals.agg(F.count("*").cast("long").alias("c")).select(
+    # Round 13 (VERDICT r12 #5): the count fed the stats frame from a
+    # SECOND pass over the source — but global_rank already materialized
+    # the whole corpus range-partitioned, so c is one cheap aggregate
+    # over those checkpoint blocks. One parquet pass fewer per call.
+    stats = ranged.agg(F.count("*").cast("long").alias("c")).select(
         "c",
         F.expr(
             f"aggregate(sequence(1, {KLL_LEVELS}),"
@@ -210,8 +214,8 @@ def kll_quantile_sketch(spark, sf_dir):
     # Three consumers read the sketch (window, size agg, probe join);
     # it is ≤ k·(levels+1) rows, so materialize once — the corpus-wide
     # rank+classify must not re-run per consumer (graph.py discipline).
-    sketch = sketch.localCheckpoint()
-    stats = stats.localCheckpoint()
+    sketch = sketch.transform(materialize)
+    stats = stats.transform(materialize)
     from pyspark.sql import Window
 
     skw = sketch.withColumn(

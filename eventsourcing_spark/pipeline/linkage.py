@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table, materialize
 from eventsourcing_spark.queries import DEC, query
 
 # Sorted-neighborhood window: each row compared with its next W
@@ -214,7 +214,7 @@ def stitch_truncation_pairs(spark, sf_dir):
     # exact-substring texts fold).
     keyed = docs.select(
         "doc_id", "text", "L", head.alias("head_k"), tail.alias("tail_k")
-    ).localCheckpoint()
+    ).transform(materialize)
     long_enough = keyed.filter(F.col("L") >= 2 * STITCH_K)
     # stitch: A's tail-K equals B's head-K — keyed equi-join, buckets are
     # per-16-char-boundary collision sets, never all-pairs

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table, materialize
 from eventsourcing_spark.queries import query
 
 # Temperature-mixing hash threshold scale: first 6 hex chars of md5 as a
@@ -556,12 +556,16 @@ def dsir_importance_resample(spark, sf_dir):
     # Round 12 (scan-collapse): bt (via tots AND wts) and dc each
     # replanned the tokenize explode — 3 corpus scans, 3 explodes. One
     # explode feeds the (doc, source, lang, bucket) count matrix; the
-    # bucket marginals cs/ct are partition-by-b WINDOW sums over it
-    # (lang rides in the key: doc determines lang), and the scalar
-    # totals ts/tt come from a second NARROW pass (size(filter(split))
-    # sums, no explode) broadcast below the aggregate.
-    from pyspark.sql import Window
-
+    # scalar totals ts/tt come from a second NARROW pass
+    # (size(filter(split)) sums, no explode) broadcast below the
+    # aggregate. Round 13 (ADVICE r12 #2): the bucket marginals cs/ct
+    # were partition-by-b WINDOW sums over the doc-grain dc frame — but
+    # DSIR_BUCKETS = 64, so the window shuffled the corpus-sized frame
+    # into at most 64 partitions, capping parallelism at 64 regardless
+    # of cluster size. dc is materialized once (doc-grain linear state)
+    # and the 64-row marginal frame is aggregated from it and
+    # broadcast-joined back — the corpus-grain exchange keyed on the
+    # 64-value bucket axis is gone.
     tots = docs.agg(
         F.sum(
             F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t != ""))
@@ -577,15 +581,15 @@ def dsir_importance_resample(spark, sf_dir):
     )
     dc = toks.groupBy("doc_id", "source", "lang", "b").agg(
         F.count("*").alias("dc")
+    ).transform(materialize)
+    bt = dc.groupBy("b").agg(
+        F.sum("dc").alias("cs"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("dc")).otherwise(0)
+        ).alias("ct"),
     )
-    wb = Window.partitionBy("b")
     doc_score = (
-        dc.withColumn("cs", F.sum("dc").over(wb))
-        .withColumn(
-            "ct",
-            F.sum(F.when(F.col("lang") == "en", F.col("dc")).otherwise(0))
-            .over(wb),
-        )
+        dc.join(F.broadcast(bt), "b")
         .crossJoin(F.broadcast(tots))
         .withColumn("wmilli", F.expr("(ct * ts * 1000) div (cs * tt)"))
         .groupBy("doc_id", "source")

@@ -355,6 +355,7 @@ from eventsourcing_spark.io import (  # noqa: E402
     TEXT_KERNEL_BYTES,
     ensure_parallelism,
     load_table,
+    materialize,
 )
 from eventsourcing_spark.queries import query  # noqa: E402
 
@@ -1577,11 +1578,11 @@ def multimodal_dedup_components(spark, sf_dir):
         .union(pedges)
         .union(pedges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     labels = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("component")
-    ).localCheckpoint()
+    ).transform(materialize)
     prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(25):
         nbr_min = (
@@ -1597,7 +1598,7 @@ def multimodal_dedup_components(spark, sf_dir):
                     F.col("component"), F.coalesce("nbr_min", "component")
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:

@@ -52,6 +52,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import (
+    materialize,
     TEXT_KERNEL_BYTES,
     ensure_parallelism,
     load_table,
@@ -186,7 +187,7 @@ def model_from_counts(cnt_uncapped):
     # the cap (round-12 plan audit: the train subtree appeared twice in
     # every nb_* plan). The capped frame is ≤ VOCAB_K rows at any
     # corpus size — materialize it once.
-    cnt = cnt.localCheckpoint()
+    cnt = cnt.transform(materialize)
     tot = cnt.agg(
         F.sum("cnt_good").cast("long").alias("ng"),
         F.sum("cnt_bad").cast("long").alias("nb"),
@@ -335,7 +336,7 @@ def nb_quality_score(spark, sf_dir, labs=None):
         labs = docs.select(
             "doc_id",
             F.expr(_label_spark("text")).cast("long").alias("label_good"),
-        ).localCheckpoint()
+        ).transform(materialize)
     # prior_df algebra over the materialized labels: sum(label_good)
     # over the train half is exactly sum(good) over the train docs.
     prior = labs.filter(F.col("doc_id") % 2 == 0).agg(
@@ -520,7 +521,7 @@ def _langid_scores_df(spark, sf_dir):
     # gcnt feeds both the 1-row totals and the model projection —
     # materialize the ≤ GRAM_K-row capped frame once so the gram
     # explode + aggregation above runs a single time (round 12).
-    gcnt = gcnt.localCheckpoint()
+    gcnt = gcnt.transform(materialize)
     gtot = gcnt.agg(
         *[
             F.sum(f"cnt_{lg}").cast("long").alias(f"n_{lg}")
@@ -627,7 +628,7 @@ def langid_ngram_train(spark, sf_dir):
     # gcnt feeds both the 1-row totals and the model projection —
     # materialize the ≤ GRAM_K-row capped frame once so the gram
     # explode + aggregation above runs a single time (round 12).
-    gcnt = gcnt.localCheckpoint()
+    gcnt = gcnt.transform(materialize)
     gtot = gcnt.agg(
         *[
             F.sum(f"cnt_{lg}").cast("long").alias(f"n_{lg}")
@@ -1235,7 +1236,7 @@ def nb_quality_hashed_score(spark, sf_dir):
     # this frame (round-12 scan audit: documents scanned 5x in this
     # plan). ≤ 2^14 bucket rows at any corpus size — materialize once,
     # the same discipline as model_from_counts.
-    hcnt = hcnt.localCheckpoint()
+    hcnt = hcnt.transform(materialize)
     htot = hcnt.agg(
         F.sum("cnt_good").cast("long").alias("ng"),
         F.sum("cnt_bad").cast("long").alias("nb"),
@@ -1411,7 +1412,7 @@ def isotonic_calibration_pav(spark, sf_dir):
         "c_cum",
         (F.col("p_cum") - F.col("pos")).alias("p_prev"),
         (F.col("c_cum") - F.col("n")).alias("c_prev"),
-    ).localCheckpoint()
+    ).transform(materialize)
     li = cum.select(
         F.col("bin").alias("i"), F.col("p_prev").alias("pp"),
         F.col("c_prev").alias("cp"),
@@ -1578,7 +1579,7 @@ def kneser_ney_bits(spark, sf_dir):
     # (the plan carried 6 corpus scans).
     c12 = (
         trb.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     ctx = c12.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"), F.count("*").alias("n1p")

@@ -38,6 +38,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import (
+    materialize,
     TEXT_KERNEL_BYTES,
     ensure_parallelism,
     load_table,
@@ -484,7 +485,7 @@ def quality_vs_dup_deciles(spark, sf_dir):
     # of re-running the quality HOF + md5 over the corpus four times.
     q = docs.select(
         "doc_id", F.md5("text").alias("h"), _quality_cols().alias("q")
-    ).localCheckpoint()
+    ).transform(materialize)
     fam = q.groupBy("h").agg(F.count("*").alias("fam_n"))
 
     # distinct-q histogram: counts + exclusive running total. The window
@@ -1056,7 +1057,7 @@ def ks_quality_by_source(spark, sf_dir):
     bysrc = (
         sc.groupBy("source", "score")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     pts = bysrc.select("score").distinct()
     srcn = bysrc.groupBy("source").agg(

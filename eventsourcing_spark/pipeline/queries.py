@@ -26,6 +26,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import (
+    materialize,
     TEXT_KERNEL_BYTES,
     ensure_parallelism,
     load_table,
@@ -285,10 +286,10 @@ def dedup_components(spark, sf_dir):
     und = edges.select(
         F.col("member").alias("src"), F.col("keeper").alias("dst")
     ).union(edges.select(F.col("keeper").alias("src"), F.col("member").alias("dst")))
-    und = und.localCheckpoint()
+    und = und.transform(materialize)
     labels = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("component")
-    ).localCheckpoint()
+    ).transform(materialize)
     prev_sum = labels.agg(F.sum("component")).first()[0]
     # Fixpoint, no round cap (mirrors dbscan_embeddings): labels only
     # decrease, so the sum stalls exactly at convergence; a cap would
@@ -308,7 +309,7 @@ def dedup_components(spark, sf_dir):
                     F.col("component"), F.coalesce("nbr_min", "component")
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:
@@ -432,7 +433,7 @@ def dedup_incremental_batch(spark, sf_dir):
             F.concat("mh0", "mh1").alias("bk0"),
             F.concat("mh2", "mh3").alias("bk1"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     incoming = sig.filter(F.col("doc_id") % 10 == 0)
     indexed = sig.filter(F.col("doc_id") % 10 != 0)
@@ -1187,7 +1188,7 @@ def cooccur_pmi_topk(spark, sf_dir):
     # frame once (linear state) instead of four explode+distinct passes.
     dw = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
-    ).distinct().localCheckpoint()
+    ).distinct().transform(materialize)
     n_docs = dw.select("doc_id").distinct().count()  # scalar: tiny, plan-time
     wc = dw.groupBy("w").agg(F.count("*").alias("n_w"))
     # corpus-scale within-doc self-join: pin merge — the (doc_id, w)
@@ -1718,7 +1719,7 @@ def lsh_parameter_sweep(spark, sf_dir):
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     sig = docs.select(
         "doc_id", *[_minhash_expr(j) for j in range(N_MINHASH)]
-    ).localCheckpoint()
+    ).transform(materialize)
     toks = docs.select(
         "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("t")
     )
@@ -1730,7 +1731,7 @@ def lsh_parameter_sweep(spark, sf_dir):
         ta.join(tb, F.col("doc_a") < F.col("doc_b"))
         .filter((2 * inter >= union) & (inter > 0))
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .transform(materialize)
     )
     n_true = truth.count()
     out_rows = []
@@ -2224,7 +2225,7 @@ def exact_substring_dedup(spark, sf_dir):
     # corpus aggregation per consumer. ensure_parallelism first — AQE
     # coalesces the small distinct-text shuffle to one partition, which
     # would serialize the CPU-heavy winnow scan downstream.
-    texts = ensure_parallelism(texts).localCheckpoint()
+    texts = ensure_parallelism(texts).transform(materialize)
     # Stage 1: winnowed anchors → candidate text set (doubling min
     # chain over 60-bit long hashes — see _winnow_expr).
     anchors = (
@@ -2236,7 +2237,7 @@ def exact_substring_dedup(spark, sf_dir):
         # consumed three times (family counts, candidate semi-join,
         # stage-2 co-location key): the winnow scan is the most
         # expensive map stage in the query — materialize it once
-        .localCheckpoint()
+        .transform(materialize)
     )
     fam = (
         anchors.groupBy("wh")
@@ -2491,21 +2492,33 @@ def chi2_lang_terms(spark, sf_dir):
             F.filter(_tokens(F.col("text")), lambda x: x != "")
         ).alias("w"),
     )
-    # Round 12 (scan-collapse): wt/lt/n each re-ran the tokenize explode
-    # over the corpus (4 scans of documents, 4 explodes). All three are
-    # column-sums of the (lang, w) count matrix, so they become WINDOW
-    # sums over the single wl chain: 1 scan, 1 explode, 0 joins. The
-    # windows move only vocab-grain rows (the same rows the wl<->wt
-    # shuffle join moved before); the empty-partition total window is
-    # bounded by vocab x langs, never corpus rows.
+    # Round 13 (ADVICE r12, high): the round-12 form computed cl and n as
+    # window sums over Window.partitionBy('lang') / partitionBy() on the
+    # (lang, w) count matrix — but vocabulary grows with the corpus
+    # (Heaps' law), so the empty-partition window funneled an UNBOUNDED
+    # vocab-grain frame through one task at scale. cl and n are
+    # per-token-count marginals that never need the vocabulary at all:
+    # one extra NARROW pass over documents (size(filter(split)) sums, no
+    # explode — the dsir_importance_resample pattern) yields the
+    # lang-grain cl frame, and n is its total (window over the
+    # lang-bounded frame). cw stays a w-keyed window — same key grain as
+    # the wl aggregate itself, so it rides the existing exchange. Net:
+    # 2 scans (1 explode + 1 narrow), 0 corpus-grain single-task stages.
     wl = toks.groupBy("lang", "w").agg(F.count("*").alias("a"))
-    cells = wl.select(
-        "lang",
-        "w",
-        "a",
-        F.sum("a").over(Window.partitionBy("w")).alias("cw"),
-        F.sum("a").over(Window.partitionBy("lang")).alias("cl"),
-        F.sum("a").over(Window.partitionBy()).alias("n"),
+    lt = (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(
+                F.size(F.filter(_tokens(F.col("text")), lambda x: x != ""))
+            ).alias("cl")
+        )
+        # lang-grain frame: bounded by the language domain, so the
+        # empty-partition total window moves |langs| rows, never vocab
+        .withColumn("n", F.sum("cl").over(Window.partitionBy()))
+    )
+    cells = (
+        wl.withColumn("cw", F.sum("a").over(Window.partitionBy("w")))
+        .join(F.broadcast(lt), "lang")
     ).select(
         "lang",
         "w",

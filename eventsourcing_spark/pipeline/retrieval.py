@@ -26,7 +26,7 @@ import random
 
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table, materialize
 from eventsourcing_spark.pipeline.similarity import _dot64, _quant, _quant_sql
 from eventsourcing_spark.queries import query
 
@@ -447,7 +447,7 @@ def ann_rerank_pipeline(spark, sf_dir):
     # materialize the projection index once (8 ints per vector — the
     # coarse-quantizer state a rerank pipeline persists) instead of
     # replanning the projection Arrow stage per branch.
-    pv = q.select("vec_id", F.array(*pvcols).alias("pv")).localCheckpoint()
+    pv = q.select("vec_id", F.array(*pvcols).alias("pv")).transform(materialize)
     probes = pv.filter(F.col("vec_id") < RERANK_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("pv").alias("ppv")
     )
@@ -1323,7 +1323,7 @@ def maxscore_pruning_audit(spark, sf_dir):
                 " div (10 * avgdl_milli * tf + 3 * avgdl_milli + 9000 * dl)"
             ).alias("tscore"),
         )
-        .localCheckpoint()  # feeds theta, bounds, and the totals
+        .transform(materialize)  # feeds theta, bounds, and the totals
     )
     theta = (
         ts.groupBy("doc_id")
@@ -1874,7 +1874,7 @@ def dirichlet_ql_topk(spark, sf_dir):
     tf = (
         qt.groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     cf = tf.groupBy("w").agg(F.sum("tf").alias("cf"))
     adj = (

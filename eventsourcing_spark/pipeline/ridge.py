@@ -50,7 +50,7 @@ from itertools import permutations
 
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table, materialize
 from eventsourcing_spark.pipeline.nb_classifier import (
     _label_duck,
     _label_spark,
@@ -218,7 +218,7 @@ def _feats_ckpt(spark, sf_dir):
     split/array-lambda feature expressions over the corpus. The frame
     is 5 small ints per doc at any scale — materialize it once."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    return _doc_features(docs).localCheckpoint()
+    return _doc_features(docs).transform(materialize)
 
 
 def _weights_from_feats(feats):
@@ -578,7 +578,7 @@ def model_rank_spearman(spark, sf_dir):
         .filter(F.col("is_train") == 0)
         .select("doc_id", F.col("score_fx").alias("s_rd"))
     )
-    j = nb.join(rd, "doc_id").localCheckpoint()
+    j = nb.join(rd, "doc_id").transform(materialize)
 
     def with_midrank2(df, score_col, out_col):
         r = global_rank(df.select("doc_id", score_col), score_col,

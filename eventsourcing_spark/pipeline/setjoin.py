@@ -50,6 +50,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import (
+    materialize,
     TEXT_KERNEL_BYTES,
     ensure_parallelism,
     load_table,
@@ -109,7 +110,7 @@ def setjoin_prefix_jaccard(spark, sf_dir):
         # materialize the token table once instead of re-exploding the
         # corpus per consumer — at scale this is a persisted/bucketed
         # intermediate table, the standard PPJoin preprocessing step
-        .localCheckpoint()
+        .transform(materialize)
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
@@ -290,7 +291,7 @@ def fastss_editdist1_pairs(spark, sf_dir):
         )
         .filter(F.levenshtein("name_a", "name_b") <= 1)
         .select("name_a", "name_b")
-        .localCheckpoint()
+        .transform(materialize)
     )
     tot = pairs.agg(F.count("*").cast("long").alias("n_pairs_total"))
     return (
@@ -373,7 +374,18 @@ def source_vocab_jaccard(spark, sf_dir):
             "sid",
             (F.row_number().over(Window.orderBy("source")) - 1).cast("long"),
         )
-        .localCheckpoint()
+        # Hard bound (VERDICT r12 #5): shiftleft(1L, sid) silently WRAPS
+        # for a 65th source — fail loudly at materialization time
+        # instead of returning wrong vocabulary-overlap counts.
+        .withColumn(
+            "sid",
+            F.expr(
+                "CASE WHEN sid < 64 THEN sid ELSE raise_error("
+                "'source_vocab_jaccard: more than 64 distinct sources"
+                " — the 64-bit source bitmask would overflow') END"
+            ),
+        )
+        .transform(materialize)
     )
     tok = docs.select(
         "source",

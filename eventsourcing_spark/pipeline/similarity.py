@@ -31,7 +31,7 @@ import pandas as pd  # module-level: pandas_udf resolves annotations here
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table, materialize
 from eventsourcing_spark.queries import query
 
 DIM = 64
@@ -777,7 +777,7 @@ def ann_lsh_multiprobe(spark, sf_dir):
     # bucketed frame — without materialization the quantize+bucket
     # Arrow stage (and its sizing scan) replans per branch. One row per
     # vector — the LSH index state any ANN system persists.
-    b = _ann_bucketed(emb).localCheckpoint()
+    b = _ann_bucketed(emb).transform(materialize)
     # mask list sized by the corpus-derived band width: [0] ++ one
     # single-bit flip per bucket bit (bits is a broadcast column, so the
     # probe count scales with the sizing rule, not a compile-time list)
@@ -1109,7 +1109,7 @@ def semdedup_ivf(spark, sf_dir):
     # once (unlike the rejected ann_ivf_topk variant that wrote it
     # N_PROBE times).
     members = (
-        _ivf_assign(spark, sf_dir).filter(F.col("crank") == 1).localCheckpoint()
+        _ivf_assign(spark, sf_dir).filter(F.col("crank") == 1).transform(materialize)
     )
 
     _dot = _dot64
@@ -1600,7 +1600,7 @@ IVF_NPROBES = [1, 2, 4]
     """,
 )
 def ivf_nprobe_recall_sweep(spark, sf_dir):
-    assign = _ivf_assign(spark, sf_dir).localCheckpoint()
+    assign = _ivf_assign(spark, sf_dir).transform(materialize)
     members = assign.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("mid"), F.col("cid")
     )
@@ -1623,7 +1623,7 @@ def ivf_nprobe_recall_sweep(spark, sf_dir):
         .withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") <= IVF_SWEEP_K)
         .select("probe_id", "vec_id")
-        .localCheckpoint()
+        .transform(materialize)
     )
     out = []
     for n in IVF_NPROBES:
@@ -1920,7 +1920,7 @@ def lsh_sizing_advisor(spark, sf_dir):
             ).alias("bucket"),
         )
         .crossJoin(F.broadcast(sz))
-        .localCheckpoint()
+        .transform(materialize)
     )
     bands = bk.select(
         "bits", F.lit(0).alias("band"), (F.col("bucket") % F.col("p2")).alias("bval")
@@ -2045,7 +2045,7 @@ def dedup_calibration_pr(spark, sf_dir):
     sized = _bands(docs).withColumn(
         "bucket_n",
         F.count("*").over(Window.partitionBy("band_id", "band_key")),
-    ).localCheckpoint()
+    ).transform(materialize)
     # corpus-scale self band-join: pin shuffle-merge — the banded side
     # descends from an explode whose size estimate does not grow with
     # the fan-out, so the estimator can hand a corpus-sized build to a
@@ -2071,7 +2071,7 @@ def dedup_calibration_pr(spark, sf_dir):
         "doc_id",
         _simhash_votes_spark(toks).alias("sh"),
         F.array_distinct(toks).alias("ts"),
-    ).localCheckpoint()
+    ).transform(materialize)
     scored = (
         cand.join(
             feats.select(F.col("doc_id").alias("doc_a"),
@@ -2241,7 +2241,7 @@ def mutual_nn_margin_pairs(spark, sf_dir):
     # TWICE (plan audit round 12: two FlatMapGroupsInPandas subtrees, no
     # exchange reuse). The frame is vector-grain (5 longs per vec —
     # bounded linear state), so checkpoint once and join it to itself.
-    stats = stats.localCheckpoint()
+    stats = stats.transform(materialize)
     a = stats.alias("a")
     m2 = stats.alias("m")
     return (

@@ -58,6 +58,7 @@ from eventsourcing_spark.pipeline.queries import (
 )
 from eventsourcing_spark.pipeline.streaming_dedup import _seen_hashes
 from eventsourcing_spark.pipeline.streaming_neardup import _seen_bands
+from eventsourcing_spark.io import materialize
 
 
 def classify_batch(batch_df: DataFrame, hash_dir: str, band_dir: str):
@@ -122,8 +123,8 @@ def incremental_ingest(
         # duplicate of itself on the audit write). persist() is lazy
         # and partitions can recompute — localCheckpoint is the
         # module-wide rule for read-your-own-writes hazards.
-        admitted = admitted.localCheckpoint()
-        statuses = statuses.localCheckpoint()
+        admitted = admitted.transform(materialize)
+        statuses = statuses.transform(materialize)
         if not admitted.isEmpty():
             admitted.write.mode("append").parquet(out_dir)
         # Corpus → audit → registries: a retry after a partial failure

@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.pipeline.queries import _bands
+from eventsourcing_spark.io import materialize
 
 BAND_REGISTRY_SCHEMA = "band_id int, band_key string"
 
@@ -97,7 +98,7 @@ def neardup_batch(batch_df: DataFrame, registry_dir: str) -> DataFrame:
     # clean_bands is consumed on every re-admit round: materialize the
     # batch-sized frame once (flat lineage; the loop below must not
     # re-probe the registry per round).
-    clean_bands = bands.join(hit, "doc_id", "left_anti").localCheckpoint()
+    clean_bands = bands.join(hit, "doc_id", "left_anti").transform(materialize)
     # Within-batch keeper-star among registry-clean docs: min doc_id
     # per band bucket claims it.
     claim = Window.partitionBy("band_id", "band_key")
@@ -106,7 +107,7 @@ def neardup_batch(batch_df: DataFrame, registry_dir: str) -> DataFrame:
         .filter(F.col("doc_id") > F.col("_keeper"))
         .select("doc_id")
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     # RE-ADMIT to FIXPOINT (round 8, VERDICT r7 #4; one pass shipped in
     # round 7): a doc suppressed only by docs that were THEMSELVES
@@ -151,7 +152,7 @@ def neardup_batch(batch_df: DataFrame, registry_dir: str) -> DataFrame:
             break
         suppressed = suppressed.join(
             readmit, "doc_id", "left_anti"
-        ).localCheckpoint()
+        ).transform(materialize)
     return batch_df.join(hit, "doc_id", "left_anti").join(
         suppressed, "doc_id", "left_anti"
     )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.pipeline.nb_classifier import score_docs
+from eventsourcing_spark.io import materialize
 
 
 def gate_batch(
@@ -63,7 +64,7 @@ def quality_gate_at_ingest(
     trigger for continuous ingest)."""
 
     def process(batch_df: DataFrame, _epoch_id: int) -> None:
-        scored = gate_batch(batch_df, model, prior).localCheckpoint()
+        scored = gate_batch(batch_df, model, prior).transform(materialize)
         try:
             kept = scored.filter("kept = 1").drop("kept")
             rej = scored.filter("kept = 0").drop("kept")

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table, materialize
 from eventsourcing_spark.queries import query
 
 DELTA_K = 30  # most-frequent-word panel (Burrows' classic 30-150 range)
@@ -166,7 +166,7 @@ def burrows_delta_sources(spark, sf_dir):
         )
         # consumed by the word-stats rollup AND both pair sides — the
         # S×K grid is ≤ 600 rows, materialize once
-        .localCheckpoint()
+        .transform(materialize)
     )
     ns = tots.agg(F.count("*").cast("long").alias("s"))
     ws = (

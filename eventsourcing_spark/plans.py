@@ -219,7 +219,11 @@ _GROWING_ID_RE = re.compile(
     r"\b(user_id|doc_id|aggregate_id|stream_id|event_id|media_id|"
     r"session_id|chunk_id|query_id|trace_id|span_id|"
     r"o_orderkey|l_orderkey|c_custkey|s_suppkey|p_partkey|ps_partkey|"
-    r"orderkey|custkey|suppkey|partkey|id)#",
+    r"orderkey|custkey|suppkey|partkey|id|"
+    # vocabulary/token grains grow with the corpus (Heaps' law) — a
+    # token-keyed aggregate feeding a global window is the round-12
+    # chi2_lang_terms scale-killer the audit missed (ADVICE r12 #1)
+    r"w|tok|token|term|word|bg|bigram|ngram|gram|shingle|url|host)#",
 )
 _BOUNDED_KEY_RE = re.compile(
     r"\b(date_trunc|window|to_date|year|month|quarter|weekofyear|"

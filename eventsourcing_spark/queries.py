@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventsourcing_spark.functions import calc_partition, split_predicate
-from eventsourcing_spark.io import load_table
+from eventsourcing_spark.io import load_table, materialize
 
 DEC = "decimal(18,2)"
 
@@ -1872,7 +1872,7 @@ def layout_skipping_compare(spark, sf_dir):
     )
     keyed = with_hilbert_key(base, "x", "y").withColumn(
         "zkey", F.expr(morton_key_sql("x", "y"))
-    ).withColumn("lkey", F.expr("y * 65536 + x")).localCheckpoint()
+    ).withColumn("lkey", F.expr("y * 65536 + x")).transform(materialize)
 
     overlap = (
         (F.col("gmin_x") <= LAYOUT_XHI)

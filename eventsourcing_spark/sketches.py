@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import ensure_parallelism, load_table
+from eventsourcing_spark.io import ensure_parallelism, load_table, materialize
 from eventsourcing_spark.queries import query
 
 # ---------------------------------------------------------------------------
@@ -198,14 +198,14 @@ def kmv_intersection_pairs(spark, sf_dir):
     pairs = (
         ev.select("event_type", _h32(F.col("user_id")).alias("h"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     w = Window.partitionBy("event_type").orderBy("h")
     sk = (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
         .select("event_type", "h")
-        .localCheckpoint()
+        .transform(materialize)
     )
     tt = pairs.select("event_type").distinct()
     tp = (
@@ -226,7 +226,7 @@ def kmv_intersection_pairs(spark, sf_dir):
         .filter(F.col("rn") <= KMV_K)
         .groupBy("ta", "tb")
         .agg(F.max("h").alias("tau"), F.count("*").alias("k_used"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     sa = sk.select(F.col("event_type").alias("ea"), F.col("h").alias("ha"))
     sb = sk.select(F.col("event_type").alias("eb"), F.col("h").alias("hb"))
@@ -499,7 +499,7 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
         truec.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 20)
         .drop("rnk")
-        .localCheckpoint()
+        .transform(materialize)
     )
     pb = None
     for d in range(_CMS_D):
@@ -647,7 +647,7 @@ def sketch_bloom_membership(spark, sf_dir):
     # idempotent, so building the filter from the DISTINCT (type, user)
     # rows inserts the same bits; truth/types are that same frame.
     # Materialized once (user-linear, the tu grain) — 1 scan.
-    truth = ev.distinct().localCheckpoint()
+    truth = ev.distinct().transform(materialize)
     # one md5 per row; the D depth arms explode from the same h1/h2 —
     # the double-hash point: no per-depth rescans, no per-depth hashing
     base = _bf_with_h12(truth, "user_id")
@@ -1143,7 +1143,7 @@ def sketch_hll_sliding(spark, sf_dir):
             _h32(F.col("user_id")).alias("h"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     hours = up.select("hr").distinct()
     regs = (
@@ -1280,7 +1280,7 @@ def hll_intersection_pairs(spark, sf_dir):
     pairs = (
         ev.select("event_type", _h32(F.col("user_id")).alias("h"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     # hll_registers hashes its value column; hashing the already-hashed
     # column would diverge from the oracle — build registers directly
@@ -1295,7 +1295,7 @@ def hll_intersection_pairs(spark, sf_dir):
         .agg(F.max(F.expr(_rho_sql())).alias("m_b"))
         # ≤ |types| × 64 registers at any corpus size; three consumers
         # (two union-merge sides + the single-type estimates)
-        .localCheckpoint()
+        .transform(materialize)
     )
     tt = pairs.select("event_type").distinct()
     tp = (
@@ -1421,7 +1421,7 @@ def cms_join_cardinality(spark, sf_dir):
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     a = uc.filter(F.col("event_type") == "click").select("user_id", "c")
     b = uc.filter(F.col("event_type") == "purchase").select("user_id", "c")

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from eventsourcing_spark.io import load_table
+from eventsourcing_spark.io import load_table, materialize
 from eventsourcing_spark.queries import query
 
 HOUR_MS = 3600 * 1000
@@ -527,7 +527,7 @@ def backfill_gap_days(spark, sf_dir):
     daily = (
         ev.groupBy(day.alias("day"))
         .agg(F.count("*").alias("n"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     spine = daily.agg(
         F.min("day").alias("d0"),
@@ -621,7 +621,7 @@ def series_knn_daily_spend(spark, sf_dir):
             "user_id", F.expr("unix_millis(ts) div 86400000").alias("day")
         )
         .agg(F.sum(cents).alias("cents"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     probe_id = daily.agg(F.min("user_id").alias("pid"))
     probe = (
@@ -749,7 +749,7 @@ def acf_daily_revenue(spark, sf_dir):
             .cast("decimal(38,0)")
             .alias("cents")
         )
-        .localCheckpoint()  # read by stats, both join sides, and centering
+        .transform(materialize)  # read by stats, both join sides, and centering
     )
     st = daily.agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
@@ -876,7 +876,7 @@ def theil_sen_daily_trend(spark, sf_dir):
         daily.crossJoin(F.broadcast(mx))
         .filter(F.datediff(F.col("max_day"), F.col("day")) < THEIL_SEN_WINDOW_DAYS)
         .select("day", "cents")
-        .localCheckpoint()  # both sides of the pair join
+        .transform(materialize)  # both sides of the pair join
     )
     a, b = win.alias("a"), win.alias("b")
     slopes = (
