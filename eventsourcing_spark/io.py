@@ -108,7 +108,12 @@ _BYTES_PER_PARTITION = 256 * 1024
 # full width; query-level 4.2 s → 1.8 s). Still size-derived and capped
 # at defaultParallelism — at 100 TB the scan already yields thousands
 # of partitions and both constants are plan-time no-ops.
-TEXT_KERNEL_BYTES = 32 * 1024
+# Env-overridable (round 13, VERDICT r12 #6): the per-family sweep
+# needs the constant swappable per process, and production deploys can
+# tune it without a code change. Default measured in round 12/13.
+TEXT_KERNEL_BYTES = int(
+    os.environ.get("SPARK_GRAFT_TEXT_KERNEL_BYTES", 32 * 1024)
+)
 
 
 def ensure_parallelism(

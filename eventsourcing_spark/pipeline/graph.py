@@ -217,6 +217,20 @@ def _edges_count(spark, sf_dir, directed: bool = False) -> int:
 
 
 def _build_edges_df(spark, sf_dir, directed: bool):
+    """Round 13 (after the bench-memo fix made the build's cost honest —
+    it is paid by every graph query run): the round-12 shape ran the
+    bucket kernel up to SIX times per build (the two-band union replanned
+    ``bk`` twice, and the unmaterialized ``bands`` union fed the size
+    aggregate plus both self-join sides) and shuffled the band table
+    three times (size aggregate, two join legs). Now: ONE kernel pass
+    (the two band values leave the row via posexplode, no union), one
+    groupBy collecting each bucket's members (the same exchange the size
+    aggregate used — the cap filter reads size(ns), so the sz frame and
+    the bands⋈sz join are GONE), and the pairs explode map-side from the
+    ≤BUCKET_CAP-bounded sorted member arrays. Guide §2.4 (remove
+    shuffles), §1.2 (don't recompute). Per-bucket state is ≤ BUCKET_CAP
+    ids, the explode ≤ CAP·(CAP−1)/2 pairs — bounded at any corpus size.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     szp = sizing_df(emb, TARGET_BUCKET, BAND_BITS_MIN, BAND_BITS_MAX)
     bk = emb.select(
@@ -224,27 +238,44 @@ def _build_edges_df(spark, sf_dir, directed: bool):
         _bucket_arrow(_quant(F.col("embedding")), 2 * BAND_BITS_MAX).alias("bucket"),
     ).crossJoin(F.broadcast(szp))
     bands = bk.select(
-        "vec_id", F.lit(0).alias("band"), (F.col("bucket") % F.col("p2")).alias("bval")
-    ).unionAll(
-        bk.select(
-            "vec_id",
-            F.lit(1).alias("band"),
-            F.expr("(bucket div p2) % p2").alias("bval"),
-        )
+        "vec_id",
+        F.posexplode(
+            F.array(
+                F.col("bucket") % F.col("p2"),
+                F.expr("(bucket div p2) % p2"),
+            )
+        ).alias("band", "bval"),
     )
-    sz = bands.groupBy("band", "bval").agg(F.count("*").alias("c"))
-    small = bands.join(sz.filter(F.col("c") <= BUCKET_CAP), ["band", "bval"])
-    cmp = (
-        F.col("a.vec_id") != F.col("b.vec_id")
-        if directed
-        else F.col("a.vec_id") < F.col("b.vec_id")
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ns"))
+        .filter((F.size("ns") >= 2) & (F.size("ns") <= BUCKET_CAP))
     )
+    # sorted arrays make ns[i] < ns[j] for i < j, so the i<j enumeration
+    # IS the undirected a.vec_id < b.vec_id pair set; directed doubles
+    # each pair map-side.
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ns) - 2),"
+                " i -> transform(sequence(i + 1, size(ns) - 1),"
+                " j -> struct(ns[i] AS src, ns[j] AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    if directed:
+        pairs = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("p")
+        ).select("p.src", "p.dst")
     return (
-        small.alias("a")
-        .join(small.alias("b"), ["band", "bval"])
-        .filter(cmp)
-        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
-        .distinct()
+        pairs.distinct()
         # NOTE: AQE coalesces this small distinct() exchange to 1-2
         # partitions and the checkpoint freezes that layout. Profiled
         # both ways in round 9: spreading it to defaultParallelism here
