@@ -108,11 +108,33 @@ _BYTES_PER_PARTITION = 256 * 1024
 # full width; query-level 4.2 s → 1.8 s). Still size-derived and capped
 # at defaultParallelism — at 100 TB the scan already yields thousands
 # of partitions and both constants are plan-time no-ops.
-# Env-overridable (round 13, VERDICT r12 #6): the per-family sweep
-# needs the constant swappable per process, and production deploys can
-# tune it without a code change. Default measured in round 12/13.
+# Round 13 (VERDICT r12 #6): one global 32 KB constant overshot for some
+# kernel families at 32 cores (task-launch + python-worker overhead vs
+# kernel CPU density). Swept {32, 64, 128, 256 KB} per family on adjacent
+# pairs at sf0.1/32c; three tiers cover the measured optima:
+#
+# * 32 KB  — the densest kernels: char-gram explode classifiers (langid
+#   2.19 s @32K vs 3.24 @128K), deletion-neighborhood fan-outs (fastss
+#   1.86 vs 2.23), minhash signatures (0.31 vs 0.51);
+# * 64 KB  — medium-density line/codec kernels: C4 line filters (1.09 vs
+#   1.24 @32K), PNG decode/resize (media_resize 0.58 vs 1.52 @32K), KS
+#   distance (1.06 vs 1.39), boilerplate n-grams (0.84 vs 0.93);
+# * 128 KB — wide-window scans whose per-row state amortizes: winnowed
+#   exact-substring (3.67 vs 4.13 @32K), Kneser-Ney bigrams (1.55 vs
+#   2.18), span rewrite (0.90 vs 1.36).
+#
+# All three stay size-derived and capped at defaultParallelism
+# (ensure_parallelism): at 100 TB the scan already yields thousands of
+# partitions and every tier is a plan-time no-op. Env-overridable so
+# deployments can retune without a code change.
 TEXT_KERNEL_BYTES = int(
     os.environ.get("SPARK_GRAFT_TEXT_KERNEL_BYTES", 32 * 1024)
+)
+TEXT_KERNEL_BYTES_MID = int(
+    os.environ.get("SPARK_GRAFT_TEXT_KERNEL_BYTES_MID", 64 * 1024)
+)
+TEXT_KERNEL_BYTES_WIDE = int(
+    os.environ.get("SPARK_GRAFT_TEXT_KERNEL_BYTES_WIDE", 128 * 1024)
 )
 
 

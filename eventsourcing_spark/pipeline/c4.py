@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from eventsourcing_spark.io import (
     TEXT_KERNEL_BYTES,
+    TEXT_KERNEL_BYTES_MID,
     ensure_parallelism,
     load_table,
 )
@@ -180,7 +181,7 @@ _STATUS_SPARK = f"""
 def c4_line_filters(spark, sf_dir):
     """The C4 cleaning funnel per source: line drops by first failing
     rule, the page rule, and corpus-wide first-occurrence line dedup."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES_MID)
     fl = synthesize_lines(docs).withColumn("status", F.expr(_STATUS_SPARK))
     pg = fl.withColumn(
         "page_kept",

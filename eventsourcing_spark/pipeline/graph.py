@@ -654,6 +654,15 @@ def link_prediction_ra(spark, sf_dir):
     und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
         e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
+    # Round-13 NEGATIVE (VERDICT r12 #4, measured, do not retry): an
+    # array-wedge variant — groupBy(z).collect_list sorted neighbors
+    # (degree bounded ≤ 2·(BUCKET_CAP−1) by LSH construction), pairs via
+    # a nested-transform i<j explode, inv_d = 1e6 div size(ns) — removed
+    # two of the three 2|E|-row exchanges but measured SLOWER on
+    # adjacent A/B (4.21 s join form vs 4.54 s arrays, best-of-3 at 32c,
+    # sf0.1): the interpreted array-lambda enumeration of ~17M wedges
+    # loses more than the avoided exchanges of narrow linear rows save.
+    # The join form's shuffles are all 2|E| narrow rows — scale-linear.
     deg = und.groupBy(F.col("u").alias("z")).agg(F.count("*").alias("d"))
     a = und.select(F.col("u"), F.col("v").alias("z")).repartition(par, "z")
     binv = und.join(bc(deg), und.v == deg.z).select(

@@ -353,6 +353,7 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 from eventsourcing_spark.io import (  # noqa: E402
     TEXT_KERNEL_BYTES,
+    TEXT_KERNEL_BYTES_MID,
     ensure_parallelism,
     load_table,
     materialize,
@@ -508,7 +509,7 @@ def _png_media_from_documents(docs: DataFrame) -> DataFrame:
                 {"media_id": mids, "content": encode_png_many(_codec, items)}
             )
 
-    return ensure_parallelism(docs.select("doc_id"), per_partition_bytes=TEXT_KERNEL_BYTES).mapInPandas(gen, schema)
+    return ensure_parallelism(docs.select("doc_id"), per_partition_bytes=TEXT_KERNEL_BYTES_MID).mapInPandas(gen, schema)
 
 
 @query(
@@ -978,7 +979,7 @@ def _phash_hashed(docs):
             )
             yield pd.DataFrame({"doc_id": d, "ph": ph})
 
-    return ensure_parallelism(docs.select("doc_id"), per_partition_bytes=TEXT_KERNEL_BYTES).mapInPandas(run, schema)
+    return ensure_parallelism(docs.select("doc_id"), per_partition_bytes=TEXT_KERNEL_BYTES_MID).mapInPandas(run, schema)
 
 
 def _phash_pairs(hashed):

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from eventsourcing_spark.io import (
     materialize,
     TEXT_KERNEL_BYTES,
+    TEXT_KERNEL_BYTES_WIDE,
     ensure_parallelism,
     load_table,
 )
@@ -1552,7 +1553,7 @@ def kneser_ney_bits(spark, sf_dir):
     stand-in (``trigram_lm_interpolated``)."""
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents"),
-        per_partition_bytes=TEXT_KERNEL_BYTES,
+        per_partition_bytes=TEXT_KERNEL_BYTES_WIDE,
     )
     toks = F.filter(
         F.split(F.lower(F.col("text")), " "), lambda x: x != ""

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from eventsourcing_spark.io import (
     materialize,
     TEXT_KERNEL_BYTES,
+    TEXT_KERNEL_BYTES_MID,
     ensure_parallelism,
     load_table,
 )
@@ -1032,7 +1033,7 @@ def ks_quality_by_source(spark, sf_dir):
     output row). ks_at_score = the smallest score achieving the max."""
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents"),
-        per_partition_bytes=TEXT_KERNEL_BYTES,
+        per_partition_bytes=TEXT_KERNEL_BYTES_MID,
     )
     ws = "split(lower(text), ' ')"
     score = F.expr(

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from eventsourcing_spark.io import (
     materialize,
     TEXT_KERNEL_BYTES,
+    TEXT_KERNEL_BYTES_WIDE,
+    TEXT_KERNEL_BYTES_MID,
     ensure_parallelism,
     load_table,
 )
@@ -1055,7 +1057,7 @@ BOILERPLATE_N = 3
     """,
 )
 def boilerplate_ngrams(spark, sf_dir):
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES_MID)
     n = BOILERPLATE_N
 
     # N-gram generation stays map-only (the right 100 TB shape — no
@@ -2207,7 +2209,7 @@ def _winnow_expr() -> str:
     """,
 )
 def exact_substring_dedup(spark, sf_dir):
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES_WIDE)
     # Text-grain fold: one aggregation to (distinct text, multiplicity,
     # min doc) — every downstream window is hashed once per unique byte
     # content, never once per document copy.
@@ -2950,7 +2952,7 @@ SPAN_STRIDE = 10
     """,
 )
 def dedup_span_rewrite(spark, sf_dir):
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), per_partition_bytes=TEXT_KERNEL_BYTES_WIDE)
     wins = docs.filter(F.length("text") >= SPAN_W).select(
         "doc_id",
         "source",
