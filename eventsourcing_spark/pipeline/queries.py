@@ -3077,17 +3077,26 @@ def ngram_novelty_by_source(spark, sf_dir):
             )
         ).alias("g"),
     )
-    gc = grams.groupBy("g").agg(F.count("*").alias("c"))
-    return (
-        grams.join(gc, "g")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("total_grams"),
-            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("unique_grams"),
-            F.expr(
-                "(1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) div count(*)"
-            ).alias("novelty_ppm"),
-        )
+    # Round 13: the gram-count join replanned the corpus explode (2
+    # scans + 2 explodes) and shuffled the full INSTANCE grain a second
+    # time with no map-side combine. The rollup only needs per-(gram,
+    # source) instance counts and each gram's global count: one explode
+    # feeds groupBy(g, source) (partial aggregation collapses the Zipf
+    # head before the exchange, guide §2.3), the global count is a
+    # g-keyed window over that already-combined grain, and a gram with
+    # c = 1 has exactly one instance (cnt = 1), so the per-source
+    # uniques read off the same rows. 1 scan, no instance-grain join.
+    from pyspark.sql import Window
+
+    gs = grams.groupBy("g", "source").agg(F.count("*").alias("cnt"))
+    withc = gs.withColumn("c", F.sum("cnt").over(Window.partitionBy("g")))
+    return withc.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("total_grams"),
+        F.sum(F.when(F.col("c") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("unique_grams"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN c = 1 THEN cnt ELSE 0 END))"
+            " div sum(cnt)"
+        ).alias("novelty_ppm"),
     )
