@@ -943,7 +943,9 @@ def rake_keyword_phrases(spark, sf_dir):
     )
     pscore = (
         dphrase.select("phrase", "plen", F.explode("members").alias("w"))
-        .join(wstat, "w")
+        # wstat is vocab-grain (Heaps-growing): pin merge, never
+        # estimator-broadcast (round-13 audit, chi2 class)
+        .join(wstat.hint("merge"), "w")
         .groupBy("phrase", "plen")
         .agg(F.expr("sum((1000 * degree) div freq)").alias("score_milli"))
     )

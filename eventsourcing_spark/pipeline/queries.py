@@ -1001,7 +1001,8 @@ def text_distinctive_terms(spark, sf_dir):
         F.desc("tf"), F.asc("df"), F.asc("term")
     )
     return (
-        tf.join(df, "term")
+        # vocab-grain df (Heaps-growing): pin merge, never broadcast
+        tf.join(df.hint("merge"), "term")
         .select(
             "lang",
             "term",
@@ -1135,7 +1136,9 @@ def rare_token_score(spark, sf_dir):
         "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
     ).filter(F.col("token") != "")
     freq = toks.groupBy("token").agg(F.count("*").alias("f"))
-    j = toks.join(freq, "token")
+    # vocab-grain frame (Heaps-growing): never estimator-broadcast —
+    # pin the token-keyed merge join (round-13 audit, chi2 class)
+    j = toks.join(freq.hint("merge"), "token")
     n = F.count("*")
     rare = F.count(F.when(F.col("f") <= RARE_FREQ_THR, 1))
     return j.groupBy("doc_id").agg(
@@ -2415,8 +2418,13 @@ def trigram_lm_interpolated(spark, sf_dir):
         tr.join(tg_c.withColumnRenamed("c", "c123"), "tg")
         .join(bg.withColumnRenamed("b", "b12").withColumnRenamed("c", "c12"), "b12")
         .join(bg.withColumnRenamed("b", "b23").withColumnRenamed("c", "c23"), "b23")
-        .join(un.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
-        .join(un.withColumnRenamed("w", "w3").withColumnRenamed("c", "c3"), "w3")
+        # unigram tables are vocab-grain (Heaps-growing): pin merge —
+        # the estimator was broadcasting both at bench scale (round-13
+        # audit, chi2 class)
+        .join(un.hint("merge").withColumnRenamed("w", "w2")
+              .withColumnRenamed("c", "c2"), "w2")
+        .join(un.hint("merge").withColumnRenamed("w", "w3")
+              .withColumnRenamed("c", "c3"), "w3")
         .crossJoin(F.broadcast(n_total))
         .withColumn(
             "sc",

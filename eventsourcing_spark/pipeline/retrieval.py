@@ -1292,6 +1292,11 @@ MAXSCORE_K = 10
     FROM cum, theta
     ORDER BY ub_score, term
     """,
+    bounded_window="every w-grain frame here is filtered to the fixed "
+    "QUERY_TERMS literal set BEFORE aggregation (toks.filter(isin)), so "
+    "the bounds frame and its global cum window hold <= |QUERY_TERMS| "
+    "rows at any corpus size — the round-13 token-grain audit class "
+    "does not apply to a query-term-filtered grain",
 )
 def maxscore_pruning_audit(spark, sf_dir):
     from pyspark.sql import Window

@@ -391,7 +391,13 @@ def single_partition_census(
         if producer in agg:
             grain, _ = _agg_window_grain(plan, _walk_id(nodes, xid, "down"))
             if grain == "growing" and _walk(nodes, xid, "up") == "Window":
-                census["aggregate_fed_growing_grain"] += 1
+                # a declared written bound (BOUNDED_WINDOW) overrides the
+                # key-name heuristic — e.g. maxscore's w-grain frames are
+                # QUERY_TERMS-filtered before aggregation (round 13)
+                if documented:
+                    census["documented_bounded"] += 1
+                else:
+                    census["aggregate_fed_growing_grain"] += 1
             else:
                 census["aggregate_fed"] += 1
         elif producer in lim:
